@@ -1,0 +1,57 @@
+"""Benchmark harness: runs every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line with per-query wall seconds and the geometric mean.
+
+Each query executes via the noop sink (full computation, no driver
+transfer). Session startup is excluded; a warmup query primes the JVM.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> None:
+    from explorer_spark.queries import QUERIES
+    from explorer_spark.session import get_spark
+
+    spark = get_spark()
+    # warmup: prime JVM/codegen paths outside the timed region
+    spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    timings: dict[str, float] = {}
+    for name, fn in QUERIES.items():
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as e:  # keep the bench line intact on one failure
+            timings[name] = -1.0
+            print(f"BENCH_ERROR {name}: {e}", file=sys.stderr)
+    ok = [v for v in timings.values() if v > 0]
+    geomean = math.exp(sum(math.log(v) for v in ok) / len(ok)) if ok else -1.0
+    print(
+        json.dumps(
+            {
+                "metric": "geomean_query_sec",
+                "value": round(geomean, 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,570 @@
+"""Expression IR ("LazySeries") lowered to ``pyspark.sql.Column``.
+
+The reference builds an op/args tree per expression and translates it to
+engine expressions (reference: lib/explorer/backend/lazy_series.ex:12-21,
+op table :23-174; translation lib/explorer/polars_backend/expression.ex).
+Here the tree lowers to Spark Columns and Catalyst does the rest.
+
+Grouped semantics (the key trick, reference lazy_frame.ex:503-521): inside
+``mutate``/``filter`` on a grouped frame, aggregation nodes lower to
+``agg().over(Window.partitionBy(*groups))`` so they broadcast per group;
+inside ``summarise`` they lower to plain aggregate columns. Order-dependent
+ops (shift/cumulative/rank/row_index) lower over a window ordered by the
+frame's hidden row-order column.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from . import dtypes as dt
+
+# ---------------------------------------------------------------------------
+# lowering context
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class LowerCtx:
+    groups: list = field(default_factory=list)  # group column names
+    order: str | None = None  # hidden row-order column name
+    summarise: bool = False  # True inside summarise(): aggs stay plain
+
+
+def _group_window(ctx: LowerCtx):
+    return W.partitionBy(*ctx.groups) if ctx.groups else W.partitionBy()
+
+
+def _ordered_window(ctx: LowerCtx, descending: bool = False):
+    if ctx.order is None:
+        raise ValueError("order-dependent expression requires frame row order")
+    key = F.col(ctx.order).desc() if descending else F.col(ctx.order).asc()
+    w = W.partitionBy(*ctx.groups) if ctx.groups else W.partitionBy()
+    return w.orderBy(key)
+
+
+# ---------------------------------------------------------------------------
+# Expr node
+# ---------------------------------------------------------------------------
+
+
+class Expr:
+    """One IR node: op name + args (child Exprs or plain Python values)."""
+
+    __slots__ = ("op", "args")
+
+    def __init__(self, op: str, *args):
+        self.op = op
+        self.args = args
+
+    def __repr__(self):
+        return f"Expr({self.op}, {', '.join(map(repr, self.args))})"
+
+    # -- lowering ----------------------------------------------------------
+    def lower(self, ctx: LowerCtx | None = None) -> Column:
+        ctx = ctx or LowerCtx()
+        fn = _LOWER.get(self.op)
+        if fn is None:
+            raise NotImplementedError(f"expression op {self.op!r} not implemented")
+        out = fn(ctx, *self.args)
+        if self.op in AGG_OPS and not ctx.summarise:
+            # grouped mutate/filter: aggregation broadcasts over its group
+            out = out.over(_group_window(ctx))
+        return out
+
+    def is_agg(self) -> bool:
+        """True if this tree's root produces an aggregate."""
+        return self.op in AGG_OPS
+
+    def references_agg(self) -> bool:
+        if self.op in AGG_OPS:
+            return True
+        return any(a.references_agg() for a in self.args if isinstance(a, Expr))
+
+    # -- operator overloads --------------------------------------------------
+    def __add__(self, o):
+        return Expr("add", self, _wrap(o))
+
+    def __radd__(self, o):
+        return Expr("add", _wrap(o), self)
+
+    def __sub__(self, o):
+        return Expr("subtract", self, _wrap(o))
+
+    def __rsub__(self, o):
+        return Expr("subtract", _wrap(o), self)
+
+    def __mul__(self, o):
+        return Expr("multiply", self, _wrap(o))
+
+    def __rmul__(self, o):
+        return Expr("multiply", _wrap(o), self)
+
+    def __truediv__(self, o):
+        return Expr("divide", self, _wrap(o))
+
+    def __rtruediv__(self, o):
+        return Expr("divide", _wrap(o), self)
+
+    def __mod__(self, o):
+        return Expr("remainder", self, _wrap(o))
+
+    def __pow__(self, o):
+        return Expr("pow", self, _wrap(o))
+
+    def __neg__(self):
+        return Expr("subtract", lit(0), self)
+
+    def __eq__(self, o):  # noqa: D105
+        return Expr("equal", self, _wrap(o))
+
+    def __ne__(self, o):
+        return Expr("not_equal", self, _wrap(o))
+
+    def __gt__(self, o):
+        return Expr("greater", self, _wrap(o))
+
+    def __ge__(self, o):
+        return Expr("greater_equal", self, _wrap(o))
+
+    def __lt__(self, o):
+        return Expr("less", self, _wrap(o))
+
+    def __le__(self, o):
+        return Expr("less_equal", self, _wrap(o))
+
+    def __and__(self, o):
+        return Expr("binary_and", self, _wrap(o))
+
+    def __rand__(self, o):
+        return Expr("binary_and", _wrap(o), self)
+
+    def __or__(self, o):
+        return Expr("binary_or", self, _wrap(o))
+
+    def __ror__(self, o):
+        return Expr("binary_or", _wrap(o), self)
+
+    def __invert__(self):
+        return Expr("unary_not", self)
+
+    def __hash__(self):
+        return id(self)
+
+    # -- fluent helpers (the most-used Series ops) ---------------------------
+    def alias(self, name: str):
+        return Expr("alias", self, name)
+
+    def cast(self, dtype):
+        return Expr("cast", self, dtype)
+
+    def is_nil(self):
+        return Expr("is_nil", self)
+
+    def is_not_nil(self):
+        return Expr("is_not_nil", self)
+
+    def isin(self, values):
+        return Expr("binary_in", self, list(values))
+
+    def abs(self):
+        return Expr("abs", self)
+
+    def field(self, name: str):
+        return Expr("field", self, name)
+
+
+def _wrap(v):
+    return v if isinstance(v, Expr) else Expr("literal", v)
+
+
+def col(name: str) -> Expr:
+    return Expr("column", name)
+
+
+def lit(value) -> Expr:
+    return Expr("literal", value)
+
+
+def _c(x, ctx) -> Column:
+    """Lower a child (Expr or literal) to a Column."""
+    if isinstance(x, Expr):
+        return x.lower(ctx)
+    return F.lit(x)
+
+
+# ---------------------------------------------------------------------------
+# the op table
+# ---------------------------------------------------------------------------
+
+AGG_OPS = {
+    "sum",
+    "min",
+    "max",
+    "mean",
+    "median",
+    "mode",
+    "count",
+    "size",
+    "nil_count",
+    "first",
+    "last",
+    "n_distinct",
+    "product",
+    "variance",
+    "standard_deviation",
+    "quantile",
+    "skew",
+    "argmin",
+    "argmax",
+    "correlation",
+    "covariance",
+    "all",
+    "any",
+}
+
+# order-dependent ops (consume ctx.order); documented for frame verbs
+ORDERED_OPS = {
+    "shift",
+    "row_index",
+    "rank",
+    "cumulative_sum",
+    "cumulative_min",
+    "cumulative_max",
+    "cumulative_product",
+    "cumulative_count",
+    "peaks",
+    "fill_missing_forward",
+    "fill_missing_backward",
+}
+
+
+def _binop(fn):
+    return lambda ctx, a, b: fn(_c(a, ctx), _c(b, ctx))
+
+
+def _unop(fn):
+    return lambda ctx, a: fn(_c(a, ctx))
+
+
+def _cum(aggfn, count=False):
+    def low(ctx, a, reverse=False):
+        w = _ordered_window(ctx, descending=bool(reverse)).rowsBetween(W.unboundedPreceding, 0)
+        c = _c(a, ctx)
+        return (F.count(c) if count else aggfn(c)).over(w)
+
+    return low
+
+
+def _rank(ctx, a, method="ordinal", descending=False):
+    c = _c(a, ctx)
+    key = c.desc() if descending else c.asc()
+    base = W.partitionBy(*ctx.groups) if ctx.groups else W.partitionBy()
+    w = base.orderBy(key, F.col(ctx.order).asc()) if ctx.order is not None else base.orderBy(key)
+    wv = base.orderBy(key)
+    if method == "ordinal":
+        return F.row_number().over(w)
+    if method == "min":
+        return F.rank().over(wv)
+    if method == "dense":
+        return F.dense_rank().over(wv)
+    if method in ("max", "average"):
+        min_rank = F.rank().over(wv)
+        tie_w = W.partitionBy(*ctx.groups, c) if ctx.groups else W.partitionBy(c)
+        ties = F.count(F.lit(1)).over(tie_w)
+        if method == "max":
+            return min_rank + ties - 1
+        return (min_rank.cast("double") + (min_rank + ties - 1).cast("double")) / 2.0
+    raise NotImplementedError(f"rank method {method!r}")
+
+
+def _quantile(ctx, a, q):
+    return F.percentile(_c(a, ctx), F.lit(float(q)))
+
+
+def _variance(ctx, a, ddof=1):
+    c = _c(a, ctx)
+    if ddof == 1:
+        return F.var_samp(c)
+    if ddof == 0:
+        return F.var_pop(c)
+    n = F.count(c)
+    return F.var_samp(c) * (n - F.lit(1)) / (n - F.lit(ddof))
+
+
+def _std(ctx, a, ddof=1):
+    c = _c(a, ctx)
+    if ddof == 1:
+        return F.stddev_samp(c)
+    if ddof == 0:
+        return F.stddev_pop(c)
+    return F.sqrt(_variance(ctx, a, ddof))
+
+
+def _skew(ctx, a, bias=True):
+    c = _c(a, ctx).cast("double")
+    if bias:
+        # population skewness g1 = m3 / m2^1.5 — matches Polars bias=true
+        n = F.count(c)
+        m = F.avg(c)
+        m2 = F.avg(c * c) - m * m
+        m3 = F.avg(c * c * c) - 3 * m * F.avg(c * c) + 2 * m * m * m
+        return m3 / F.pow(m2, 1.5)
+    return F.skewness(c)
+
+
+def _corr(ctx, a, b, method="pearson"):
+    ca, cb = _c(a, ctx).cast("double"), _c(b, ctx).cast("double")
+    if method != "pearson":
+        raise NotImplementedError("spearman handled at frame level (rank first)")
+    return F.corr(ca, cb)
+
+
+def _cov(ctx, a, b, ddof=1):
+    ca, cb = _c(a, ctx).cast("double"), _c(b, ctx).cast("double")
+    return F.covar_samp(ca, cb) if ddof == 1 else F.covar_pop(ca, cb)
+
+
+def _substring(ctx, s, offset, length=None):
+    c = _c(s, ctx)
+    # Explorer offset is 0-based, may be negative (from end); Spark 1-based
+    if offset >= 0:
+        start = offset + 1
+    else:
+        start = F.greatest(F.length(c) + F.lit(offset) + 1, F.lit(1))
+    if length is None:
+        return F.substring(c, start, 2**31 - 1) if isinstance(start, int) else c.substr(start, F.length(c))
+    return c.substr(F.lit(start) if isinstance(start, int) else start, F.lit(int(length)))
+
+
+def _shift(ctx, a, offset, default=None):
+    w = _ordered_window(ctx)
+    c = _c(a, ctx)
+    return F.lag(c, offset, default).over(w) if offset >= 0 else F.lead(c, -offset, default).over(w)
+
+
+def _peaks(ctx, a, mode="max"):
+    w = _ordered_window(ctx)
+    c = _c(a, ctx)
+    prev, nxt = F.lag(c, 1).over(w), F.lead(c, 1).over(w)
+    if mode == "max":
+        return (c > F.coalesce(prev, F.lit(float("-inf")))) & (c > F.coalesce(nxt, F.lit(float("-inf"))))
+    return (c < F.coalesce(prev, F.lit(float("inf")))) & (c < F.coalesce(nxt, F.lit(float("inf"))))
+
+
+def _fill_forward(ctx, a):
+    w = _ordered_window(ctx).rowsBetween(W.unboundedPreceding, 0)
+    return F.last(_c(a, ctx), ignorenulls=True).over(w)
+
+
+def _fill_backward(ctx, a):
+    w = _ordered_window(ctx, descending=True).rowsBetween(W.unboundedPreceding, 0)
+    return F.last(_c(a, ctx), ignorenulls=True).over(w)
+
+
+def _day_of_week(ctx, a):
+    # Explorer: Monday=1..Sunday=7; Spark dayofweek: Sunday=1..Saturday=7
+    c = F.dayofweek(_c(a, ctx))
+    return F.when(c == 1, F.lit(7)).otherwise(c - 1)
+
+
+def _week_of_year(ctx, a):
+    return F.weekofyear(_c(a, ctx))
+
+
+def _strftime_to_java(fmt: str) -> str:
+    """chrono strftime tokens -> JVM DateTimeFormatter pattern."""
+    table = {
+        "%Y": "yyyy",
+        "%y": "yy",
+        "%m": "MM",
+        "%d": "dd",
+        "%H": "HH",
+        "%I": "hh",
+        "%M": "mm",
+        "%S": "ss",
+        "%f": "SSSSSS",
+        "%p": "a",
+        "%A": "EEEE",
+        "%a": "EEE",
+        "%B": "MMMM",
+        "%b": "MMM",
+        "%j": "DDD",
+        "%%": "%",
+    }
+    out, i = [], 0
+    while i < len(fmt):
+        if fmt[i] == "%" and i + 1 < len(fmt):
+            tok = fmt[i : i + 2]
+            out.append(table.get(tok, tok))
+            i += 2
+        else:
+            ch = fmt[i]
+            out.append(f"'{ch}'" if ch.isalpha() else ch)
+            i += 1
+    return "".join(out)
+
+
+def _trim_side(c: Column, chars: str, leading: bool) -> Column:
+    pat = "^[{0}]+".format(chars.replace("\\", "\\\\").replace("]", "\\]")) if leading else "[{0}]+$".format(
+        chars.replace("\\", "\\\\").replace("]", "\\]")
+    )
+    return F.regexp_replace(c, pat, "")
+
+
+def _clip(ctx, a, lo, hi):
+    c = _c(a, ctx)
+    return F.least(F.greatest(c, F.lit(lo)), F.lit(hi))
+
+
+def _between(ctx, a, lo, hi):
+    c = _c(a, ctx)
+    return (c >= _c(lo, ctx)) & (c <= _c(hi, ctx))
+
+
+_LOWER = {
+    # leaves
+    "column": lambda ctx, name: F.col(name),
+    "literal": lambda ctx, v: F.lit(v),
+    "alias": lambda ctx, a, name: _c(a, ctx).alias(name),
+    "cast": lambda ctx, a, dtype: _c(a, ctx).cast(dt.to_spark(dtype)),
+    # arithmetic
+    "add": _binop(lambda a, b: a + b),
+    "subtract": _binop(lambda a, b: a - b),
+    "multiply": _binop(lambda a, b: a * b),
+    "divide": _binop(lambda a, b: a.cast("double") / b),
+    "quotient": _binop(lambda a, b: F.floor(a / b).cast("long")),
+    "remainder": _binop(lambda a, b: a % b),
+    "pow": _binop(F.pow),
+    "log": lambda ctx, a, base=None: F.log(float(base), _c(a, ctx)) if base else F.log(_c(a, ctx)),
+    "log_natural": _unop(F.log),
+    "exp": _unop(F.exp),
+    "abs": _unop(F.abs),
+    "sqrt": _unop(F.sqrt),
+    "clip": _clip,
+    # trig
+    "sin": _unop(F.sin),
+    "cos": _unop(F.cos),
+    "tan": _unop(F.tan),
+    "asin": _unop(F.asin),
+    "acos": _unop(F.acos),
+    "atan": _unop(F.atan),
+    "degrees": _unop(F.degrees),
+    "radians": _unop(F.radians),
+    # rounding
+    "round": lambda ctx, a, d=0: F.round(_c(a, ctx), d),
+    "floor": _unop(F.floor),
+    "ceil": _unop(F.ceil),
+    # comparison / boolean
+    "equal": _binop(lambda a, b: a == b),
+    "not_equal": _binop(lambda a, b: a != b),
+    "greater": _binop(lambda a, b: a > b),
+    "greater_equal": _binop(lambda a, b: a >= b),
+    "less": _binop(lambda a, b: a < b),
+    "less_equal": _binop(lambda a, b: a <= b),
+    "binary_and": _binop(lambda a, b: a & b),
+    "binary_or": _binop(lambda a, b: a | b),
+    "unary_not": _unop(lambda a: ~a),
+    "binary_in": lambda ctx, a, values: _c(a, ctx).isin(values),
+    "is_nil": _unop(lambda a: a.isNull()),
+    "is_not_nil": _unop(lambda a: a.isNotNull()),
+    "is_nan": _unop(F.isnan),
+    "is_finite": _unop(lambda a: ~F.isnan(a) & (F.abs(a) != F.lit(float("inf")))),
+    "is_infinite": _unop(lambda a: F.abs(a) == F.lit(float("inf"))),
+    "between": _between,
+    # conditional / null handling
+    "select": lambda ctx, p, t, f: F.when(_c(p, ctx), _c(t, ctx)).otherwise(_c(f, ctx)),
+    "coalesce": lambda ctx, *xs: F.coalesce(*[_c(x, ctx) for x in xs]),
+    "fill_missing_with_value": lambda ctx, a, v: F.coalesce(_c(a, ctx), _c(v, ctx)),
+    "fill_missing_forward": _fill_forward,
+    "fill_missing_backward": _fill_backward,
+    # aggregations (wrapped .over(groups) automatically outside summarise)
+    "sum": _unop(F.sum),
+    "min": _unop(F.min),
+    "max": _unop(F.max),
+    "mean": _unop(F.avg),
+    "median": _unop(F.median),
+    "mode": _unop(F.mode),
+    "count": _unop(F.count),
+    "size": lambda ctx, a: F.count(F.lit(1)),
+    "nil_count": lambda ctx, a: F.count(F.when(_c(a, ctx).isNull(), 1)),
+    "first": lambda ctx, a: F.first(_c(a, ctx)),
+    "last": lambda ctx, a: F.last(_c(a, ctx)),
+    "n_distinct": lambda ctx, a: F.count_distinct(_c(a, ctx)),
+    "product": lambda ctx, a: F.product(_c(a, ctx)),
+    "variance": _variance,
+    "standard_deviation": _std,
+    "quantile": _quantile,
+    "skew": _skew,
+    "argmin": lambda ctx, a: F.min_by(F.col(ctx.order), _c(a, ctx)) if ctx.order else F.min_by(F.lit(0), _c(a, ctx)),
+    "argmax": lambda ctx, a: F.max_by(F.col(ctx.order), _c(a, ctx)) if ctx.order else F.max_by(F.lit(0), _c(a, ctx)),
+    "correlation": _corr,
+    "covariance": _cov,
+    "all": _unop(F.bool_and),
+    "any": _unop(F.bool_or),
+    # order-dependent
+    "shift": _shift,
+    "row_index": lambda ctx: F.row_number().over(_ordered_window(ctx)) - 1,
+    "rank": _rank,
+    "cumulative_sum": _cum(F.sum),
+    "cumulative_min": _cum(F.min),
+    "cumulative_max": _cum(F.max),
+    "cumulative_product": _cum(F.product),
+    "cumulative_count": _cum(F.count, count=True),
+    "peaks": _peaks,
+    # strings
+    "contains": lambda ctx, a, pat: _c(a, ctx).contains(pat),
+    "re_contains": lambda ctx, a, pat: _c(a, ctx).rlike(pat),
+    "upcase": _unop(F.upper),
+    "downcase": _unop(F.lower),
+    "strip": lambda ctx, a, chars=None: F.trim(_c(a, ctx)) if chars is None else F.btrim(_c(a, ctx), F.lit(chars)),
+    "lstrip": lambda ctx, a, chars=None: F.ltrim(_c(a, ctx)) if chars is None else _trim_side(_c(a, ctx), chars, True),
+    "rstrip": lambda ctx, a, chars=None: F.rtrim(_c(a, ctx)) if chars is None else _trim_side(_c(a, ctx), chars, False),
+    "substring": _substring,
+    "split": lambda ctx, a, sep: F.split(_c(a, ctx), F.lit(sep).cast("string"), -1),
+    "replace": lambda ctx, a, pat, repl: F.replace(_c(a, ctx), F.lit(pat), F.lit(repl)),
+    "re_replace": lambda ctx, a, pat, repl: F.regexp_replace(_c(a, ctx), pat, repl),
+    "count_matches": lambda ctx, a, pat: F.size(F.split(_c(a, ctx), F.lit(pat).cast("string"), -1)) - 1,
+    "re_count_matches": lambda ctx, a, pat: F.regexp_count(_c(a, ctx), F.lit(pat)),
+    "re_scan": lambda ctx, a, pat: F.regexp_extract_all(_c(a, ctx), F.lit(pat), 0),
+    "string_length": _unop(F.length),
+    "concat": lambda ctx, *xs: F.concat(*[_c(x, ctx).cast("string") for x in xs]),
+    "format": lambda ctx, xs: F.concat(*[_c(x, ctx).cast("string") for x in xs]),
+    # temporal
+    "year": _unop(F.year),
+    "month": _unop(F.month),
+    "day_of_month": _unop(F.dayofmonth),
+    "day_of_week": _day_of_week,
+    "day_of_year": _unop(F.dayofyear),
+    "week_of_year": _week_of_year,
+    "iso_year": lambda ctx, a: F.year(_c(a, ctx)) + F.when(
+        (F.month(_c(a, ctx)) == 1) & (F.weekofyear(_c(a, ctx)) > 50), -1
+    ).when((F.month(_c(a, ctx)) == 12) & (F.weekofyear(_c(a, ctx)) == 1), 1).otherwise(0),
+    "quarter_of_year": _unop(F.quarter),
+    "hour": _unop(F.hour),
+    "minute": _unop(F.minute),
+    "second": _unop(F.second),
+    "is_leap_year": lambda ctx, a: (F.year(_c(a, ctx)) % 4 == 0)
+    & ((F.year(_c(a, ctx)) % 100 != 0) | (F.year(_c(a, ctx)) % 400 == 0)),
+    "to_date": _unop(F.to_date),
+    "strftime": lambda ctx, a, fmt: F.date_format(_c(a, ctx), _strftime_to_java(fmt)),
+    "strptime": lambda ctx, a, fmt: F.to_timestamp(_c(a, ctx), _strftime_to_java(fmt)),
+    # lists
+    "list_join": lambda ctx, a, sep: F.array_join(_c(a, ctx), sep),
+    "list_lengths": _unop(F.size),
+    "list_member": lambda ctx, a, v: F.array_contains(_c(a, ctx), v),
+    # structs / json
+    "field": lambda ctx, a, name: _c(a, ctx).getField(name),
+    "json_path_match": lambda ctx, a, path: F.get_json_object(_c(a, ctx), path),
+    # raw escape hatch: wrap an existing Column
+    "raw": lambda ctx, column: column,
+}
+
+
+def raw(column: Column) -> Expr:
+    """Wrap a prebuilt pyspark Column as an Expr leaf (escape hatch)."""
+    return Expr("raw", column)

@@ -1,0 +1,854 @@
+"""The DataFrame wrapper: Explorer's table verbs on a Spark DataFrame.
+
+The reference keeps a struct of ``{data, groups, names, dtypes}``
+(lib/explorer/data_frame.ex:206-207) where ``group_by`` only attaches
+metadata and every later verb consults it (data_frame.ex:70-73). This
+wrapper does the same: it holds the underlying ``pyspark.sql.DataFrame``,
+the group columns, and a hidden row-order column that renders Explorer's
+*ordered frame* semantics (head/slice/shift/stable sort/keep-first
+distinct) on Spark's unordered engine.
+
+Scale notes (the design target is a 1000-executor cluster on ~100 TB):
+
+- The hidden order column is a ``monotonically_increasing_id`` assigned at
+  scan — a narrow LongType that is only *consumed* by order-dependent ops;
+  plain scan→filter→agg pipelines never shuffle or sort on it and Catalyst
+  prunes it away.
+- Contiguous row indices (``slice`` by position, ``row_index``) are built
+  with the per-partition-offset pattern (partition counts → prefix sums →
+  broadcast join) instead of a global single-partition window.
+- Joins go through Catalyst/AQE strategy choice; ``join_asof`` compiles to
+  a range join + per-row top-1 window.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable, Iterable, Mapping, Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import DataFrame as SDF
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import dtypes as dt
+from .expr import Expr, LowerCtx, col, lit
+
+ORDER_COL = "__row_order__"
+
+
+class DataFrame:
+    """Immutable wrapper; every verb returns a new DataFrame."""
+
+    def __init__(self, sdf: SDF, groups: list[str] | None = None, has_order: bool | None = None):
+        self._sdf = sdf
+        self.groups = list(groups or [])
+        self._has_order = ORDER_COL in sdf.columns if has_order is None else has_order
+
+    # ------------------------------------------------------------------
+    # basics
+    # ------------------------------------------------------------------
+    @property
+    def names(self) -> list[str]:
+        return [c for c in self._sdf.columns if c != ORDER_COL]
+
+    @property
+    def dtypes(self) -> dict:
+        return {f.name: dt.from_spark(f.dataType) for f in self._sdf.schema.fields if f.name != ORDER_COL}
+
+    def n_rows(self) -> int:
+        return self._sdf.count()
+
+    def n_columns(self) -> int:
+        return len(self.names)
+
+    @property
+    def shape(self) -> tuple[int, int]:
+        return (self.n_rows(), self.n_columns())
+
+    def _replace(self, sdf: SDF, groups=None, has_order=None) -> "DataFrame":
+        return DataFrame(
+            sdf,
+            self.groups if groups is None else groups,
+            self._has_order if has_order is None else has_order,
+        )
+
+    def _ordered(self) -> "DataFrame":
+        """Ensure the hidden row-order column exists."""
+        if self._has_order:
+            return self
+        return self._replace(self._sdf.withColumn(ORDER_COL, F.monotonically_increasing_id()), has_order=True)
+
+    def _ctx(self, summarise: bool = False, ordered: bool = False) -> LowerCtx:
+        return LowerCtx(
+            groups=list(self.groups),
+            order=ORDER_COL if (self._has_order or ordered) else None,
+            summarise=summarise,
+        )
+
+    def to_sdf(self) -> SDF:
+        """The underlying Spark DataFrame, hidden columns dropped."""
+        if self._has_order:
+            return self._sdf.sort(ORDER_COL).drop(ORDER_COL)
+        return self._sdf
+
+    def lazy_sdf(self) -> SDF:
+        """Underlying Spark DataFrame without forcing an output sort."""
+        return self._sdf.drop(ORDER_COL) if self._has_order else self._sdf
+
+    def collect(self) -> "DataFrame":
+        """Materialize (reference: eager collect). Spark: cache + force."""
+        cached = self._sdf.cache()
+        cached.count()
+        return self._replace(cached)
+
+    def to_pandas(self):
+        return self.to_sdf().toPandas()
+
+    def to_rows(self) -> list[dict]:
+        return [r.asDict(recursive=True) for r in self.to_sdf().collect()]
+
+    def to_columns(self) -> dict[str, list]:
+        pdf = self.to_pandas()
+        out = {}
+        for c in pdf.columns:
+            s = pdf[c]
+            # represent SQL NULL as None (pandas renders it NaN/NaT)
+            out[c] = s.astype(object).where(s.notna(), None).tolist()
+        return out
+
+    def to_series(self, name: str) -> list:
+        return [r[0] for r in self.to_sdf().select(name).collect()]
+
+    def print(self, n: int = 20):
+        self.to_sdf().show(n)
+
+    def explain(self, mode: str = "formatted"):
+        self._sdf.explain(mode)
+
+    # ------------------------------------------------------------------
+    # column selection helpers (reference data_frame.ex:218-240 selectors)
+    # ------------------------------------------------------------------
+    def _resolve(self, selector) -> list[str]:
+        names = self.names
+        if selector is None:
+            return names
+        if callable(selector) and not isinstance(selector, (str, re.Pattern)):
+            dts = self.dtypes
+            try:
+                return [n for n in names if selector(n)]
+            except TypeError:
+                return [n for n in names if selector(n, dts[n])]
+        if isinstance(selector, re.Pattern):
+            return [n for n in names if selector.search(n)]
+        if isinstance(selector, str):
+            if selector in names:
+                return [selector]
+            rx = re.compile(selector)
+            return [n for n in names if rx.search(n)]
+        if isinstance(selector, range):
+            return [names[i] for i in selector]
+        if isinstance(selector, int):
+            return [names[selector]]
+        out = []
+        for s in selector:
+            if isinstance(s, int):
+                out.append(names[s])
+            elif s in names:
+                out.append(s)
+            else:
+                raise KeyError(f"column {s!r} not found; available: {names}")
+        return out
+
+    # ------------------------------------------------------------------
+    # projections / row selection
+    # ------------------------------------------------------------------
+    def select(self, selector) -> "DataFrame":
+        cols = self._resolve(selector)
+        keep = cols + ([ORDER_COL] if self._has_order else [])
+        return self._replace(self._sdf.select(*keep), groups=[g for g in self.groups if g in cols])
+
+    def discard(self, selector) -> "DataFrame":
+        drop = set(self._resolve(selector))
+        return self.select([n for n in self.names if n not in drop])
+
+    def rename(self, mapping) -> "DataFrame":
+        if isinstance(mapping, Mapping):
+            pairs = dict(mapping)
+        else:  # full list of new names, positional
+            pairs = dict(zip(self.names, list(mapping)))
+        sdf = self._sdf.withColumnsRenamed(pairs)
+        groups = [pairs.get(g, g) for g in self.groups]
+        return self._replace(sdf, groups=groups)
+
+    def rename_with(self, fun: Callable[[str], str], selector=None) -> "DataFrame":
+        cols = self._resolve(selector)
+        return self.rename({c: fun(c) for c in cols})
+
+    def relocate(self, selector, before: str | None = None, after: str | None = None) -> "DataFrame":
+        moving = self._resolve(selector)
+        rest = [n for n in self.names if n not in moving]
+        if before is not None:
+            i = rest.index(before)
+        elif after is not None:
+            i = rest.index(after) + 1
+        else:
+            i = 0
+        return self.select(rest[:i] + moving + rest[i:])
+
+    def pull(self, name: str) -> "DataFrame":
+        return self.select([name])
+
+    def put(self, name: str, values) -> "DataFrame":
+        """Insert/replace a column from a python list (positional align)."""
+        spark = self._sdf.sparkSession
+        idx_df = self._with_row_index("__pos__")
+        vals = spark.createDataFrame([(i, v) for i, v in enumerate(values)], ["__pos__", name])
+        left = idx_df._sdf.drop(name) if name in self.names else idx_df._sdf
+        joined = left.join(F.broadcast(vals), "__pos__", "left")
+        return idx_df._replace(joined.drop("__pos__"))
+
+    # ------------------------------------------------------------------
+    # filter / mutate / summarise
+    # ------------------------------------------------------------------
+    def filter_with(self, *predicates: Expr) -> "DataFrame":
+        """Row filter; aggregations in the predicate broadcast per group
+        (reference polars_backend/lazy_frame.ex:437-448)."""
+        needs_order = any(_tree_has(p, *ORDERED_EXPR_OPS) for p in predicates)
+        base = self._ordered() if needs_order else self
+        ctx = base._ctx()
+        out = base._sdf
+        for i, p in enumerate(predicates):
+            c = p.lower(ctx)
+            if p.references_agg() or _tree_has(p, *ORDERED_EXPR_OPS):
+                # window functions are not allowed in WHERE: materialize the
+                # predicate as a column first (Catalyst prunes it afterwards)
+                tmp = f"__pred_{i}__"
+                out = out.withColumn(tmp, c).filter(F.col(tmp)).drop(tmp)
+            else:
+                out = out.filter(c)
+        return base._replace(out)
+
+    filter = filter_with
+
+    def mask(self, bool_col: Column) -> "DataFrame":
+        return self._replace(self._sdf.filter(bool_col))
+
+    def mutate_with(self, **exprs) -> "DataFrame":
+        """Add/replace columns. Grouped frame: aggregations lower to
+        window functions over the groups (reference lazy_frame.ex:503-521)."""
+        needs_order = any(_tree_has(e, *ORDERED_EXPR_OPS) for e in exprs.values())
+        base = self._ordered() if needs_order else self
+        ctx = base._ctx()
+        cols = {name: (e.lower(ctx) if isinstance(e, Expr) else F.lit(e)) for name, e in exprs.items()}
+        return base._replace(base._sdf.withColumns(cols))
+
+    mutate = mutate_with
+
+    def summarise_with(self, **exprs) -> "DataFrame":
+        """Per-group aggregation; group cols prepended to output
+        (reference data_frame.ex:6128-6290)."""
+        ctx = self._ctx(summarise=True)
+        aggs = [e.lower(ctx).alias(name) for name, e in exprs.items()]
+        if self.groups:
+            out = self._sdf.groupBy(*self.groups).agg(*aggs)
+        else:
+            out = self._sdf.agg(*aggs)
+        return DataFrame(out, groups=[], has_order=False)
+
+    summarise = summarise_with
+
+    def group_by(self, *selectors, stable: bool = True) -> "DataFrame":
+        cols = []
+        for s in selectors:
+            cols.extend(self._resolve(s))
+        return self._replace(self._sdf, groups=list(dict.fromkeys(self.groups + cols)))
+
+    def ungroup(self, *selectors) -> "DataFrame":
+        if not selectors:
+            return self._replace(self._sdf, groups=[])
+        drop = set()
+        for s in selectors:
+            drop |= set(self._resolve(s))
+        return self._replace(self._sdf, groups=[g for g in self.groups if g not in drop])
+
+    # ------------------------------------------------------------------
+    # sorting / distinct / sampling
+    # ------------------------------------------------------------------
+    def sort_by(self, *keys, descending=False, nils_last: bool = True, stable: bool = False) -> "DataFrame":
+        """Multi-key sort; expression keys allowed; grouped frame sorts
+        within groups (reference data_frame.ex:3468-3682).
+
+        The sort itself is Spark's distributed range-partitioned sort; the
+        resulting order is then captured into the hidden order column so
+        later order-dependent verbs see it.
+        """
+        if isinstance(descending, bool):
+            descending = [descending] * len(keys)
+        base = self._ordered() if (stable or self.groups) else self
+        ctx = base._ctx()
+        exprs: list[Column] = []
+        for k, desc in zip(keys, descending):
+            c = k.lower(ctx) if isinstance(k, Expr) else F.col(k)
+            if desc:
+                exprs.append(c.desc_nulls_last() if nils_last else c.desc_nulls_first())
+            else:
+                exprs.append(c.asc_nulls_last() if nils_last else c.asc_nulls_first())
+        sdf = base._sdf
+        if self.groups:
+            # grouped sort = reorder rows *within* each group, keeping the
+            # groups in their first-appearance order (min row order per group)
+            sdf = sdf.withColumn("__grp_order__", F.min(ORDER_COL).over(W.partitionBy(*self.groups)))
+            exprs = [F.col("__grp_order__").asc()] + exprs
+        if stable and base._has_order:
+            exprs.append(F.col(ORDER_COL).asc())
+        out = sdf.orderBy(*exprs).drop(ORDER_COL, "__grp_order__")
+        out = out.withColumn(ORDER_COL, F.monotonically_increasing_id())
+        return base._replace(out, has_order=True)
+
+    sort = sort_by
+    arrange = sort_by
+
+    def distinct(self, selector=None, keep_all: bool = False) -> "DataFrame":
+        """De-dup on subset, keeping the FIRST occurrence
+        (reference lazyframe.rs:220-232 UniqueKeepStrategy::First)."""
+        subset = self._resolve(selector) if selector is not None else self.names
+        if not keep_all and set(subset) == set(self.names) and not self._has_order:
+            return self._replace(self._sdf.dropDuplicates(), has_order=False)
+        base = self._ordered()
+        w = W.partitionBy(*subset).orderBy(F.col(ORDER_COL).asc())
+        out = base._sdf.withColumn("__rn__", F.row_number().over(w)).filter(F.col("__rn__") == 1).drop("__rn__")
+        if not keep_all:
+            out = out.select(*subset, ORDER_COL)
+        return base._replace(out)
+
+    def unordered_distinct(self, selector=None) -> "DataFrame":
+        subset = self._resolve(selector) if selector is not None else self.names
+        return DataFrame(self._sdf.select(*subset).dropDuplicates(), groups=self.groups, has_order=False)
+
+    def n_distinct(self, selector=None) -> int:
+        subset = self._resolve(selector) if selector is not None else self.names
+        return self._sdf.select(*subset).dropDuplicates().count()
+
+    def drop_nil(self, selector=None) -> "DataFrame":
+        subset = self._resolve(selector) if selector is not None else self.names
+        return self._replace(self._sdf.dropna(subset=subset))
+
+    def sample(self, n_or_frac, replace: bool = False, seed: int | None = None, shuffle: bool = False) -> "DataFrame":
+        """n or fraction sampling with seed (reference data_frame.ex:4475-4540)."""
+        sdf = self.lazy_sdf()
+        if isinstance(n_or_frac, float) and not replace:
+            out = sdf.sample(fraction=n_or_frac, seed=seed)
+        else:
+            n = n_or_frac if isinstance(n_or_frac, int) else None
+            if replace:
+                total = sdf.count()
+                frac = (n / total if n is not None else n_or_frac) * 1.0
+                out = sdf.sample(withReplacement=True, fraction=frac, seed=seed)
+                if n is not None:
+                    out = out.limit(n)
+            else:
+                out = sdf.withColumn("__r__", F.rand(seed)).orderBy("__r__").limit(n).drop("__r__")
+        if shuffle:
+            out = out.withColumn("__r__", F.rand(seed)).orderBy("__r__").drop("__r__")
+        out = out.withColumn(ORDER_COL, F.monotonically_increasing_id())
+        return DataFrame(out, groups=self.groups, has_order=True)
+
+    def shuffle(self, seed: int | None = None) -> "DataFrame":
+        out = self.lazy_sdf().withColumn("__r__", F.rand(seed)).orderBy("__r__").drop("__r__")
+        return DataFrame(out.withColumn(ORDER_COL, F.monotonically_increasing_id()), self.groups, True)
+
+    # ------------------------------------------------------------------
+    # positional row selection (ordered semantics)
+    # ------------------------------------------------------------------
+    def _with_row_index(self, name: str = "__idx__") -> "DataFrame":
+        """Contiguous 0-based row index, scalable per-partition-offset
+        pattern: within-partition row_number + exclusive prefix sum of
+        partition counts (no single-partition global window)."""
+        base = self._ordered()
+        sdf = base._sdf.withColumn("__pid__", F.spark_partition_id())
+        wp = W.partitionBy("__pid__").orderBy(F.col(ORDER_COL).asc())
+        sdf = sdf.withColumn("__local__", F.row_number().over(wp) - 1)
+        counts = sdf.groupBy("__pid__").agg(F.count(F.lit(1)).alias("__cnt__"))
+        wcum = W.orderBy("__pid__").rowsBetween(W.unboundedPreceding, -1)
+        offsets = counts.withColumn("__off__", F.coalesce(F.sum("__cnt__").over(wcum), F.lit(0))).drop("__cnt__")
+        sdf = sdf.join(F.broadcast(offsets), "__pid__", "left")
+        sdf = sdf.withColumn(name, (F.col("__off__") + F.col("__local__")).cast("long")).drop(
+            "__pid__", "__local__", "__off__"
+        )
+        return base._replace(sdf)
+
+    def head(self, n: int = 5) -> "DataFrame":
+        if self.groups:
+            return self._group_head(n, tail=False)
+        base = self._ordered()
+        return base._replace(base._sdf.orderBy(F.col(ORDER_COL).asc()).limit(n))
+
+    def tail(self, n: int = 5) -> "DataFrame":
+        if self.groups:
+            return self._group_head(n, tail=True)
+        base = self._ordered()
+        out = base._sdf.orderBy(F.col(ORDER_COL).desc()).limit(n).orderBy(F.col(ORDER_COL).asc())
+        return base._replace(out)
+
+    def _group_head(self, n: int, tail: bool) -> "DataFrame":
+        base = self._ordered()
+        key = F.col(ORDER_COL).desc() if tail else F.col(ORDER_COL).asc()
+        w = W.partitionBy(*self.groups).orderBy(key)
+        out = base._sdf.withColumn("__rn__", F.row_number().over(w)).filter(F.col("__rn__") <= n).drop("__rn__")
+        return base._replace(out)
+
+    def slice(self, offset_or_indices, length: int | None = None) -> "DataFrame":
+        """Positional row selection (reference data_frame.ex:4238-4372);
+        grouped frame slices within each group."""
+        if isinstance(offset_or_indices, int) and length is not None:
+            offset = offset_or_indices
+            if self.groups:
+                base = self._ordered()
+                w = W.partitionBy(*self.groups).orderBy(F.col(ORDER_COL).asc())
+                sdf = base._sdf.withColumn("__rn__", F.row_number().over(w) - 1)
+                if offset >= 0:
+                    cond = (F.col("__rn__") >= offset) & (F.col("__rn__") < offset + length)
+                else:
+                    cnt = F.count(F.lit(1)).over(W.partitionBy(*self.groups))
+                    sdf = sdf.withColumn("__cnt__", cnt)
+                    cond = (F.col("__rn__") >= F.col("__cnt__") + offset) & (
+                        F.col("__rn__") < F.col("__cnt__") + offset + length
+                    )
+                return base._replace(sdf.filter(cond).drop("__rn__", "__cnt__"))
+            idxed = self._with_row_index("__idx__")
+            if offset < 0:
+                total = self.n_rows()
+                offset = total + offset
+            out = idxed._sdf.filter((F.col("__idx__") >= offset) & (F.col("__idx__") < offset + length))
+            return idxed._replace(out.drop("__idx__"))
+        indices = list(offset_or_indices) if not isinstance(offset_or_indices, range) else list(offset_or_indices)
+        idxed = self._with_row_index("__idx__")
+        if self.groups:
+            base = self._ordered()
+            w = W.partitionBy(*self.groups).orderBy(F.col(ORDER_COL).asc())
+            sdf = base._sdf.withColumn("__rn__", F.row_number().over(w) - 1)
+            return base._replace(sdf.filter(F.col("__rn__").isin(indices)).drop("__rn__"))
+        out = idxed._sdf.filter(F.col("__idx__").isin(indices))
+        return idxed._replace(out.drop("__idx__"))
+
+    def at_every(self, n: int) -> "DataFrame":
+        idxed = self._with_row_index("__idx__")
+        return idxed._replace(idxed._sdf.filter(F.col("__idx__") % n == 0).drop("__idx__"))
+
+    # ------------------------------------------------------------------
+    # joins & combinators (reference data_frame.ex:5137-5869)
+    # ------------------------------------------------------------------
+    def join(
+        self,
+        other: "DataFrame",
+        on=None,
+        how: str = "inner",
+        suffix: str = "_right",
+        nulls_equal: bool = False,
+        broadcast: bool = False,
+    ) -> "DataFrame":
+        """Equi-join with the reference's column rules: default ``on`` =
+        overlapping names; colliding non-key right columns get ``suffix``;
+        ``outer`` keeps both key columns (right one suffixed); ``right``
+        orders right columns first (reference data_frame.ex:5333-5563,
+        lazy_frame.ex:580-618).
+
+        Physical strategy (broadcast/shuffled-hash/sort-merge) is left to
+        Catalyst + AQE; pass ``broadcast=True`` to hint a small right side.
+        """
+        assert how in ("inner", "left", "right", "outer", "cross"), how
+        if how == "right":
+            left_s = self.lazy_sdf()  # result keeps the right frame's order
+            right_s = other._ordered()._sdf
+        else:
+            left_s = self._sdf if self._has_order else self.lazy_sdf()
+            right_s = other.lazy_sdf()
+        if how == "cross":
+            on_pairs = []
+        else:
+            if on is None:
+                shared = [c for c in self.names if c in set(other.names)]
+                if not shared:
+                    raise ValueError("no overlapping columns to join on")
+                on_pairs = [(c, c) for c in shared]
+            elif isinstance(on, str):
+                on_pairs = [(on, on)]
+            elif isinstance(on, Mapping):
+                on_pairs = list(on.items())
+            else:
+                on_pairs = [(p, p) if isinstance(p, str) else tuple(p) for p in on]
+        lkeys = [p[0] for p in on_pairs]
+        rkeys = [p[1] for p in on_pairs]
+        # rename right columns: keys -> temp, collisions -> suffix
+        rmap = {}
+        left_names = set(self.names)
+        for c in other.names:
+            if c in rkeys:
+                rmap[c] = f"__rk_{rkeys.index(c)}__"
+            elif c in left_names:
+                rmap[c] = f"{c}{suffix}"
+        right_renamed = right_s
+        for old, new in rmap.items():
+            right_renamed = right_renamed.withColumnRenamed(old, new)
+        if broadcast:
+            right_renamed = F.broadcast(right_renamed)
+        if how == "cross":
+            out = left_s.crossJoin(right_renamed)
+            return DataFrame(out, groups=self.groups, has_order=False)
+        eq = (lambda a, b: a.eqNullSafe(b)) if nulls_equal else (lambda a, b: a == b)
+        cond = None
+        for i, lk in enumerate(lkeys):
+            c = eq(left_s[lk], right_renamed[f"__rk_{i}__"])
+            cond = c if cond is None else (cond & c)
+        joined = left_s.join(right_renamed, cond, "full" if how == "outer" else how)
+        if how == "outer":
+            # keep both key columns: left name + suffixed right name
+            for i, (lk, rk) in enumerate(on_pairs):
+                new_name = f"{rk}{suffix}" if rk in left_names else rk
+                joined = joined.withColumnRenamed(f"__rk_{i}__", new_name)
+            out = joined
+            groups = self.groups
+        elif how == "right":
+            # flipped-left semantics: right frame's columns lead, its order kept
+            out = joined
+            for i, (lk, rk) in enumerate(on_pairs):
+                out = out.drop(lk).withColumnRenamed(f"__rk_{i}__", rk)
+            right_cols = [rmap.get(c, c) if c not in rkeys else c for c in other.names]
+            lead = rkeys + [c for c in right_cols if c not in rkeys]
+            rest = [c for c in out.columns if c not in lead and c != ORDER_COL]
+            keep = lead + rest + ([ORDER_COL] if ORDER_COL in out.columns else [])
+            out = out.select(*keep)
+            groups = other.groups
+        else:
+            out = joined.drop(*[f"__rk_{i}__" for i in range(len(on_pairs))])
+            groups = self.groups
+        return DataFrame(out, groups=groups, has_order=ORDER_COL in out.columns)
+
+    def join_asof(
+        self,
+        other: "DataFrame",
+        on: str,
+        by: list[str] | None = None,
+        strategy: str = "backward",
+        suffix: str = "_right",
+    ) -> "DataFrame":
+        """Nearest-key join (reference data_frame.ex:5566-5690; Polars
+        AsOfOptions lazyframe.rs:371-427).
+
+        Spark has no native as-of join; this compiles to a range join on
+        the ``by`` keys + key inequality, then a per-left-row top-1 window
+        on key distance. With equality ``by`` keys the join is a plain
+        shuffled equi-join + range filter — scalable; without ``by`` it
+        degenerates to a broadcast range join (right side should be the
+        smaller frame).
+        """
+        assert strategy in ("backward", "forward", "nearest")
+        by = list(by or [])
+        left = self._ordered()
+        lsdf = left._sdf.withColumn("__lid__", F.col(ORDER_COL))
+        rsdf = other.lazy_sdf()
+        # suffix right collisions (except on/by merge cols)
+        rmap = {}
+        left_names = set(self.names)
+        for c in [c for c in rsdf.columns]:
+            if c == on or c in by:
+                rmap[c] = f"__r_{c}__"
+            elif c in left_names:
+                rmap[c] = f"{c}{suffix}"
+        for old, new in rmap.items():
+            rsdf = rsdf.withColumnRenamed(old, new)
+        ron = f"__r_{on}__"
+        cond = None
+        for b in by:
+            c = lsdf[b] == rsdf[f"__r_{b}__"]
+            cond = c if cond is None else (cond & c)
+        if strategy == "backward":
+            rng = rsdf[ron] <= lsdf[on]
+        elif strategy == "forward":
+            rng = rsdf[ron] >= lsdf[on]
+        else:
+            rng = F.lit(True)
+        cond = rng if cond is None else (cond & rng)
+        joined = lsdf.join(rsdf, cond, "left")
+        dist = F.abs(lsdf[on].cast("double") - joined[ron].cast("double")) if strategy == "nearest" else (
+            (lsdf[on].cast("double") - joined[ron].cast("double")).cast("double")
+        )
+        if strategy == "forward":
+            dist = (joined[ron].cast("double") - lsdf[on].cast("double")).cast("double")
+        w = W.partitionBy("__lid__").orderBy(F.when(joined[ron].isNull(), None).otherwise(dist).asc_nulls_last())
+        out = joined.withColumn("__rn__", F.row_number().over(w)).filter(F.col("__rn__") == 1)
+        out = out.drop("__rn__", "__lid__", ron, *[f"__r_{b}__" for b in by])
+        return DataFrame(out, groups=self.groups, has_order=True)
+
+    def concat_rows(self, *others: "DataFrame") -> "DataFrame":
+        """Vertical union by name with dtype merging
+        (reference data_frame.ex:5762-5869)."""
+        frames = [self, *others]
+        merged: dict[str, object] = {}
+        for fr in frames:
+            for name, d in fr.dtypes.items():
+                merged[name] = dt.merge_dtype(merged[name], d) if name in merged else d
+        casted = []
+        for fr in frames:
+            sdf = fr.lazy_sdf()
+            for name, d in fr.dtypes.items():
+                if d != merged[name]:
+                    sdf = sdf.withColumn(name, F.col(name).cast(dt.to_spark(merged[name])))
+            casted.append(sdf)
+        out = casted[0]
+        for sdf in casted[1:]:
+            out = out.unionByName(sdf, allowMissingColumns=False)
+        return DataFrame(out.withColumn(ORDER_COL, F.monotonically_increasing_id()), self.groups, True)
+
+    def concat_columns(self, *others: "DataFrame") -> "DataFrame":
+        """Horizontal concat, positional alignment via row index
+        (reference data_frame.ex:5693-5720)."""
+        out = self._with_row_index("__cc__")._sdf
+        for i, other in enumerate(others):
+            osdf = other._with_row_index("__cc__")._sdf.drop(ORDER_COL)
+            taken = set(out.columns)
+            for c in osdf.columns:
+                if c != "__cc__" and c in taken:
+                    osdf = osdf.withColumnRenamed(c, f"{c}_{i + 1}")
+            out = out.join(osdf, "__cc__", "inner")
+        return DataFrame(out.drop("__cc__"), self.groups, has_order=True)
+
+    # ------------------------------------------------------------------
+    # reshape (reference SURVEY.md §2.8)
+    # ------------------------------------------------------------------
+    def pivot_wider(
+        self,
+        names_from: str,
+        values_from,
+        id_columns=None,
+        names_prefix: str = "",
+        values=None,
+    ) -> "DataFrame":
+        """Spread rows into columns; duplicate cells take the FIRST value
+        (reference data_frame.ex:5102-5188, dataframe.rs:463).
+
+        Passing ``values`` (the expected distinct names) avoids the extra
+        distinct-collect job Spark otherwise runs — at scale always pass it.
+        """
+        vals = values_from if isinstance(values_from, (list, tuple)) else [values_from]
+        ids = self._resolve(id_columns) if id_columns is not None else [
+            c for c in self.names if c != names_from and c not in vals
+        ]
+        base = self._ordered()
+        gb = base._sdf.groupBy(*ids)
+        piv = gb.pivot(names_from, values) if values else gb.pivot(names_from)
+        if len(vals) == 1:
+            out = piv.agg(F.first(F.col(vals[0])))
+        else:
+            out = piv.agg(*[F.first(F.col(v)).alias(v) for v in vals])
+        if names_prefix:
+            for c in out.columns:
+                if c not in ids:
+                    out = out.withColumnRenamed(c, f"{names_prefix}{c}")
+        return DataFrame(out, groups=[], has_order=False)
+
+    def pivot_longer(
+        self,
+        columns_to_pivot,
+        names_to: str = "variable",
+        values_to: str = "value",
+        discard=None,
+    ) -> "DataFrame":
+        """Melt columns into rows; pivoted columns are cast to their merged
+        dtype (reference data_frame.ex:4819-5099)."""
+        cols = self._resolve(columns_to_pivot)
+        keep = [c for c in self.names if c not in cols]
+        if discard is not None:
+            drop = set(self._resolve(discard))
+            keep = [c for c in keep if c not in drop]
+        merged = None
+        for c in cols:
+            d = self.dtypes[c]
+            merged = d if merged is None else dt.merge_dtype(merged, d)
+        spark_t = dt.to_spark(merged).simpleString()
+        pairs = ", ".join(f"'{c}', cast(`{c}` as {spark_t})" for c in cols)
+        stack = F.expr(f"stack({len(cols)}, {pairs}) as (`{names_to}`, `{values_to}`)")
+        base = self._ordered()
+        out = base._sdf.select(*keep, stack, F.col(ORDER_COL))
+        out = out.drop(ORDER_COL).withColumn(ORDER_COL, F.monotonically_increasing_id())
+        return DataFrame(out, groups=self.groups, has_order=True)
+
+    def explode(self, selector) -> "DataFrame":
+        """Unnest list columns; multiple columns are zipped
+        (reference data_frame.ex:6292-6338)."""
+        cols = self._resolve(selector)
+        base = self._ordered()
+        sdf = base._sdf
+        if len(cols) == 1:
+            out = sdf.withColumn(cols[0], F.explode_outer(F.col(cols[0])))
+        else:
+            zipped = F.arrays_zip(*[F.col(c) for c in cols])
+            out = sdf.withColumn("__z__", F.explode_outer(zipped))
+            for c in cols:
+                out = out.withColumn(c, F.col("__z__").getField(c))
+            out = out.drop("__z__")
+        out = out.drop(ORDER_COL).withColumn(ORDER_COL, F.monotonically_increasing_id())
+        return DataFrame(out, groups=self.groups, has_order=True)
+
+    def unnest(self, selector) -> "DataFrame":
+        """Struct fields to top-level columns (reference data_frame.ex:6341-6382)."""
+        cols = self._resolve(selector)
+        sdf = self._sdf
+        order = [c for c in sdf.columns]
+        exprs = []
+        for c in order:
+            if c in cols:
+                for fld in sdf.schema[c].dataType.fieldNames():
+                    exprs.append(F.col(c).getField(fld).alias(fld))
+            else:
+                exprs.append(F.col(c))
+        return self._replace(sdf.select(*exprs))
+
+    def dummies(self, selector) -> "DataFrame":
+        """One-hot encode (reference data_frame.ex:4095-4134). Collects the
+        distinct values (small by construction) to build the when-chain."""
+        cols = self._resolve(selector)
+        sdf = self._sdf
+        new_cols = []
+        for c in cols:
+            values = sorted(r[0] for r in sdf.select(c).distinct().collect() if r[0] is not None)
+            for v in values:
+                new_cols.append(F.when(F.col(c) == v, 1).otherwise(0).alias(f"{c}_{v}"))
+        keep = [F.col(c) for c in sdf.columns if c not in cols]
+        return self._replace(sdf.select(*new_cols, *keep))
+
+    def transpose(self, header: str | None = None, columns: list[str] | None = None) -> "DataFrame":
+        """Flip rows/columns — inherently driver-side, small frames only
+        (reference warns the same: data_frame.ex:4630-4633)."""
+        pdf = self.to_pandas()
+        if header is not None:
+            pdf = pdf.set_index(header)
+        tp = pdf.transpose().reset_index(names=["name"])
+        if columns is not None:
+            tp.columns = ["name", *columns][: len(tp.columns)]
+        else:
+            tp.columns = [str(c) for c in tp.columns]
+        spark = self._sdf.sparkSession
+        return DataFrame(spark.createDataFrame(tp), has_order=False)
+
+    # ------------------------------------------------------------------
+    # stats / summaries
+    # ------------------------------------------------------------------
+    def nil_count(self) -> "DataFrame":
+        aggs = [F.count(F.when(F.col(c).isNull(), 1)).alias(c) for c in self.names]
+        return DataFrame(self._sdf.agg(*aggs), has_order=False)
+
+    def frequencies(self, selector) -> "DataFrame":
+        cols = self._resolve(selector)
+        out = self.lazy_sdf().groupBy(*cols).agg(F.count(F.lit(1)).alias("counts")).orderBy(F.col("counts").desc())
+        return DataFrame(out, has_order=False)
+
+    def describe(self, percentiles: Sequence[float] = (0.25, 0.5, 0.75)) -> "DataFrame":
+        """count/nil_count/mean/std/min/percentiles/max per column,
+        matching the reference's shape (data_frame.ex:6678-6744)."""
+        sdf = self.lazy_sdf()
+        num = {f.name: isinstance(f.dataType, T.NumericType) for f in sdf.schema.fields}
+        rows = ["count", "nil_count", "mean", "std", "min"] + [f"{int(p * 100)}%" for p in percentiles] + ["max"]
+        aggs = []
+        for c in self.names:
+            aggs.append(F.count(F.col(c)).alias(f"{c}__count"))
+            aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}__nil_count"))
+            if num[c]:
+                aggs.append(F.avg(F.col(c)).alias(f"{c}__mean"))
+                aggs.append(F.stddev_samp(F.col(c)).alias(f"{c}__std"))
+                aggs.append(F.min(F.col(c)).cast("double").alias(f"{c}__min"))
+                for p in percentiles:
+                    aggs.append(F.percentile(F.col(c), F.lit(p)).alias(f"{c}__p{p}"))
+                aggs.append(F.max(F.col(c)).cast("double").alias(f"{c}__max"))
+        stats = sdf.agg(*aggs).collect()[0].asDict()
+        spark = sdf.sparkSession
+        data = []
+        for i, rname in enumerate(rows):
+            row = {"describe": rname}
+            for c in self.names:
+                if rname == "count":
+                    row[c] = float(stats[f"{c}__count"])
+                elif rname == "nil_count":
+                    row[c] = float(stats[f"{c}__nil_count"])
+                elif not num[c]:
+                    row[c] = None
+                elif rname == "mean":
+                    row[c] = stats[f"{c}__mean"]
+                elif rname == "std":
+                    row[c] = stats[f"{c}__std"]
+                elif rname == "min":
+                    row[c] = stats[f"{c}__min"]
+                elif rname == "max":
+                    row[c] = stats[f"{c}__max"]
+                else:
+                    p = percentiles[rows.index(rname) - 5]
+                    row[c] = stats[f"{c}__p{p}"]
+            data.append(row)
+        schema = T.StructType(
+            [T.StructField("describe", T.StringType())] + [T.StructField(c, T.DoubleType()) for c in self.names]
+        )
+        return DataFrame(spark.createDataFrame(data, schema), has_order=False)
+
+    def correlation(self, selector=None, ddof: int = 1, method: str = "pearson") -> "DataFrame":
+        return self._pairwise(selector, "corr", method=method)
+
+    def covariance(self, selector=None, ddof: int = 1) -> "DataFrame":
+        return self._pairwise(selector, "cov", ddof=ddof)
+
+    def _pairwise(self, selector, kind: str, ddof: int = 1, method: str = "pearson") -> "DataFrame":
+        sdf = self.lazy_sdf()
+        numeric = [f.name for f in sdf.schema.fields if isinstance(f.dataType, T.NumericType)]
+        cols = [c for c in (self._resolve(selector) if selector else numeric) if c in numeric]
+        if method == "spearman":
+            for c in cols:
+                sdf = sdf.withColumn(c, F.rank().over(W.orderBy(F.col(c))).cast("double"))
+        aggs = []
+        for a in cols:
+            for b in cols:
+                ca, cb = F.col(a).cast("double"), F.col(b).cast("double")
+                if kind == "corr":
+                    aggs.append(F.corr(ca, cb).alias(f"{a}||{b}"))
+                else:
+                    aggs.append((F.covar_samp(ca, cb) if ddof == 1 else F.covar_pop(ca, cb)).alias(f"{a}||{b}"))
+        stats = sdf.agg(*aggs).collect()[0].asDict()
+        spark = sdf.sparkSession
+        data = [
+            dict({"names": a}, **{b: stats[f"{a}||{b}"] for b in cols})
+            for a in cols
+        ]
+        schema = T.StructType(
+            [T.StructField("names", T.StringType())] + [T.StructField(c, T.DoubleType()) for c in cols]
+        )
+        return DataFrame(spark.createDataFrame(data, schema), has_order=False)
+
+    # ------------------------------------------------------------------
+    # SQL pass-through (reference data_frame.ex:6924-6930)
+    # ------------------------------------------------------------------
+    def sql(self, query: str, table_name: str = "df") -> "DataFrame":
+        self.lazy_sdf().createOrReplaceTempView(table_name)
+        return DataFrame(self._sdf.sparkSession.sql(query), has_order=False)
+
+
+def _tree_has(e, *ops) -> bool:
+    if not isinstance(e, Expr):
+        return False
+    if e.op in ops:
+        return True
+    return any(_tree_has(a, *ops) for a in e.args if isinstance(a, Expr))
+
+
+ORDERED_EXPR_OPS = (
+    "shift",
+    "row_index",
+    "rank",
+    "peaks",
+    "fill_missing_forward",
+    "fill_missing_backward",
+    "cumulative_sum",
+    "cumulative_min",
+    "cumulative_max",
+    "cumulative_product",
+    "cumulative_count",
+)

@@ -1,0 +1,527 @@
+"""Registered parity queries: each exercises wrapper verbs from SURVEY.md §2
+and carries an ANSI-SQL oracle that DuckDB runs on the same parquet tables.
+
+The driver calls ``__spark_entry__.queries()`` / ``oracle_sql()`` which
+re-export this registry. Every computed column is aliased identically on
+both sides (the driver's compare hashes values after sorting columns by
+name). Floating aggregates are rounded the same way on both sides to
+absorb summation-order differences.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame as SDF
+from pyspark.sql import SparkSession
+
+from . import functions as f
+from .expr import col, lit
+from .sources import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], SDF]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark, sf_dir, name):
+    return load_table(sf_dir, name, spark=spark)
+
+
+# ---------------------------------------------------------------------------
+# aggregation shapes (SURVEY §2.5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q1_groupby_agg",
+    """
+    SELECT l_returnflag, l_linestatus,
+           SUM(l_quantity) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 6) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 6) AS avg_price,
+           ROUND(AVG(l_discount), 6) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_groupby_agg(spark, sf_dir):
+    """TPC-H Q1 shape: filter -> grouped 8-agg (SURVEY §2.5 summarise)."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    return (
+        li.filter(col("l_shipdate") <= lit("1998-09-02 00:00:00"))
+        .mutate(disc_price=disc_price, charge=disc_price * (lit(1) + col("l_tax")))
+        .group_by("l_returnflag", "l_linestatus")
+        .summarise(
+            sum_qty=f.sum(col("l_quantity")),
+            sum_base_price=f.round(f.sum(col("l_extendedprice")), 2),
+            sum_disc_price=f.round(f.sum(col("disc_price")), 2),
+            sum_charge=f.round(f.sum(col("charge")), 2),
+            avg_qty=f.round(f.mean(col("l_quantity")), 6),
+            avg_price=f.round(f.mean(col("l_extendedprice")), 6),
+            avg_disc=f.round(f.mean(col("l_discount")), 6),
+            count_order=f.size(col("l_quantity")),
+        )
+        .lazy_sdf()
+    )
+
+
+@query(
+    "q6_filter_agg",
+    """
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_filter_agg(spark, sf_dir):
+    """TPC-H Q6 shape: conjunctive filter -> global agg (SURVEY §2.2/2.5)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (col("l_shipdate") >= lit("1996-01-01 00:00:00"))
+            & (col("l_shipdate") < lit("1997-01-01 00:00:00"))
+            & f.between(col("l_discount"), 0.03, 0.07)
+            & (col("l_quantity") < lit(24))
+        )
+        .summarise(
+            revenue=f.round(f.sum(col("l_extendedprice") * col("l_discount")), 2),
+            n=f.size(col("l_quantity")),
+        )
+        .lazy_sdf()
+    )
+
+
+@query(
+    "q_stats_agg",
+    """
+    SELECT l_returnflag,
+           ROUND(var_samp(l_quantity), 6) AS var_qty,
+           ROUND(stddev_samp(l_extendedprice), 6) AS std_price,
+           ROUND(median(l_quantity), 6) AS med_qty,
+           COUNT(DISTINCT l_suppkey) AS n_supp,
+           ROUND(MIN(l_discount), 6) AS min_disc,
+           ROUND(MAX(l_tax), 6) AS max_tax,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qp,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qp
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_stats_agg(spark, sf_dir):
+    """Statistical aggregates: variance/std/median/n_distinct/corr/cov."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.group_by("l_returnflag")
+        .summarise(
+            var_qty=f.round(f.variance(col("l_quantity")), 6),
+            std_price=f.round(f.standard_deviation(col("l_extendedprice")), 6),
+            med_qty=f.round(f.median(col("l_quantity")), 6),
+            n_supp=f.n_distinct(col("l_suppkey")),
+            min_disc=f.round(f.min(col("l_discount")), 6),
+            max_tax=f.round(f.max(col("l_tax")), 6),
+            cov_qp=f.round(f.covariance(col("l_quantity"), col("l_extendedprice")), 4),
+            corr_qp=f.round(f.correlation(col("l_quantity"), col("l_extendedprice")), 6),
+        )
+        .lazy_sdf()
+    )
+
+
+# ---------------------------------------------------------------------------
+# join shapes (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q3_join_topk",
+    """
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY l_orderkey
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_join_topk(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join -> agg -> deterministic top-k."""
+    cust = _t(spark, sf_dir, "customer").filter(col("c_mktsegment") == lit("BUILDING"))
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    joined = cust.join(orders, on=[("c_custkey", "o_custkey")], how="inner", broadcast=True)
+    joined = li.join(joined, on=[("l_orderkey", "o_orderkey")], how="inner")
+    return (
+        joined.group_by("l_orderkey")
+        .summarise(revenue=f.round(f.sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2))
+        .sort_by("revenue", "l_orderkey", descending=[True, False])
+        .head(10)
+        .lazy_sdf()
+    )
+
+
+@query(
+    "q_join_left_nulls",
+    """
+    SELECT c_custkey, c_name,
+           COUNT(o_orderkey) AS n_orders,
+           ROUND(COALESCE(SUM(o_totalprice), 0), 2) AS total_spent
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    """,
+)
+def q_join_left_nulls(spark, sf_dir):
+    """Left join with unmatched rows -> null-skipping aggregates."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    joined = cust.join(orders, on=[("c_custkey", "o_custkey")], how="left")
+    return (
+        joined.group_by("c_custkey", "c_name")
+        .summarise(
+            n_orders=f.count(col("o_orderkey")),
+            total_spent=f.round(f.coalesce(f.sum(col("o_totalprice")), lit(0.0)), 2),
+        )
+        .lazy_sdf()
+    )
+
+
+@query(
+    "q_join_multi_dim",
+    """
+    SELECT r_name, n_name,
+           COUNT(*) AS n_cust,
+           ROUND(AVG(c_acctbal), 6) AS avg_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def q_join_multi_dim(spark, sf_dir):
+    """Snowflake dims: two broadcast joins up the hierarchy."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    joined = cust.join(nation, on=[("c_nationkey", "n_nationkey")], how="inner", broadcast=True)
+    joined = joined.join(region, on=[("n_regionkey", "r_regionkey")], how="inner", broadcast=True)
+    return (
+        joined.group_by("r_name", "n_name")
+        .summarise(n_cust=f.size(col("c_acctbal")), avg_bal=f.round(f.mean(col("c_acctbal")), 6))
+        .lazy_sdf()
+    )
+
+
+# ---------------------------------------------------------------------------
+# window / ordered shapes (SURVEY §2.6)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_window_cumsum",
+    """
+    SELECT o_orderkey, o_custkey,
+           ROUND(SUM(o_totalprice) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_total
+    FROM orders
+    """,
+)
+def q_window_cumsum(spark, sf_dir):
+    """Grouped cumulative sum over a deterministic order."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.sort_by("o_orderdate", "o_orderkey")
+        .group_by("o_custkey")
+        .mutate(run_total=f.round(f.cumulative_sum(col("o_totalprice")), 2))
+        .ungroup()
+        .select(["o_orderkey", "o_custkey", "run_total"])
+        .lazy_sdf()
+    )
+
+
+@query(
+    "q_window_lag",
+    """
+    SELECT event_id, user_id,
+           ROUND(value - LAG(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id), 4) AS delta
+    FROM events
+    """,
+)
+def q_window_lag(spark, sf_dir):
+    """shift/lag per group ordered by event time."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.sort_by("ts", "event_id")
+        .group_by("user_id")
+        .mutate(delta=f.round(col("value") - f.shift(col("value"), 1), 4))
+        .ungroup()
+        .select(["event_id", "user_id", "delta"])
+        .lazy_sdf()
+    )
+
+
+@query(
+    "q_window_rank",
+    """
+    SELECT p_partkey, p_brand,
+           DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS price_rank
+    FROM part
+    """,
+)
+def q_window_rank(spark, sf_dir):
+    """dense rank within group, descending."""
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.group_by("p_brand")
+        .mutate(price_rank=f.rank(col("p_retailprice"), method="dense", descending=True))
+        .ungroup()
+        .select(["p_partkey", "p_brand", "price_rank"])
+        .lazy_sdf()
+    )
+
+
+# ---------------------------------------------------------------------------
+# sort / distinct / sample (SURVEY §2.7)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_distinct_sorted",
+    """
+    SELECT DISTINCT l_returnflag, l_linestatus, l_linenumber
+    FROM lineitem
+    ORDER BY l_returnflag, l_linestatus, l_linenumber
+    """,
+)
+def q_distinct_sorted(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.unordered_distinct(["l_returnflag", "l_linestatus", "l_linenumber"])
+        .sort_by("l_returnflag", "l_linestatus", "l_linenumber")
+        .lazy_sdf()
+    )
+
+
+@query(
+    "q_frequencies",
+    """
+    SELECT c_mktsegment AS values, COUNT(*) AS counts
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def q_frequencies(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    out = cust.rename({"c_mktsegment": "values"}).frequencies("values")
+    return out.lazy_sdf()
+
+
+# ---------------------------------------------------------------------------
+# scalar function shapes (SURVEY §2.9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_string_ops",
+    """
+    SELECT p_partkey,
+           UPPER(p_brand) AS brand_up,
+           LENGTH(p_name) AS name_len,
+           CASE WHEN p_name LIKE '%green%' THEN TRUE ELSE FALSE END AS has_green,
+           SUBSTRING(p_type, 1, 5) AS type5,
+           REPLACE(p_name, ' ', '_') AS name_us
+    FROM part
+    """,
+)
+def q_string_ops(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.mutate(
+            brand_up=f.upcase(col("p_brand")),
+            name_len=f.string_length(col("p_name")),
+            has_green=f.contains(col("p_name"), "green"),
+            type5=f.substring(col("p_type"), 0, 5),
+            name_us=f.replace(col("p_name"), " ", "_"),
+        )
+        .select(["p_partkey", "brand_up", "name_len", "has_green", "type5", "name_us"])
+        .lazy_sdf()
+    )
+
+
+@query(
+    "q_temporal_parts",
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(quarter(o_orderdate) AS INT) AS qtr,
+           CAST(month(o_orderdate) AS INT) AS mon,
+           CAST(isodow(o_orderdate) AS INT) AS dow,
+           COUNT(*) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def q_temporal_parts(spark, sf_dir):
+    """Temporal extraction incl. Explorer's Monday=1 day_of_week."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.mutate(
+            yr=f.year(col("o_orderdate")),
+            qtr=f.quarter_of_year(col("o_orderdate")),
+            mon=f.month(col("o_orderdate")),
+            dow=f.day_of_week(col("o_orderdate")),
+        )
+        .group_by("yr", "qtr", "mon", "dow")
+        .summarise(n=f.size(col("o_orderkey")), total=f.round(f.sum(col("o_totalprice")), 2))
+        .lazy_sdf()
+    )
+
+
+@query(
+    "q_conditional_buckets",
+    """
+    SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                WHEN o_totalprice < 150000 THEN 'medium'
+                ELSE 'large' END AS bucket,
+           o_orderstatus,
+           COUNT(*) AS n,
+           ROUND(AVG(o_totalprice), 4) AS avg_price
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def q_conditional_buckets(spark, sf_dir):
+    """when/otherwise chains (reference if/cond query DSL)."""
+    orders = _t(spark, sf_dir, "orders")
+    bucket = f.select(
+        col("o_totalprice") < lit(50000),
+        lit("small"),
+        f.select(col("o_totalprice") < lit(150000), lit("medium"), lit("large")),
+    )
+    return (
+        orders.mutate(bucket=bucket)
+        .group_by("bucket", "o_orderstatus")
+        .summarise(n=f.size(col("o_orderkey")), avg_price=f.round(f.mean(col("o_totalprice")), 4))
+        .lazy_sdf()
+    )
+
+
+@query(
+    "q_json_extract",
+    """
+    SELECT event_type,
+           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6) AS avg_k,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_json_extract(spark, sf_dir):
+    """JSON path extraction (reference json_path_match)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.mutate(k=f.cast(f.json_path_match(col("props"), "$.k"), ("f", 64)))
+        .group_by("event_type")
+        .summarise(avg_k=f.round(f.mean(col("k")), 6), n=f.size(col("event_id")))
+        .lazy_sdf()
+    )
+
+
+# ---------------------------------------------------------------------------
+# reshape (SURVEY §2.8)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_pivot_wider",
+    """
+    SELECT c_nationkey,
+           ROUND(AVG(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN c_acctbal END), 6) AS AUTOMOBILE,
+           ROUND(AVG(CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal END), 6) AS BUILDING,
+           ROUND(AVG(CASE WHEN c_mktsegment = 'FURNITURE' THEN c_acctbal END), 6) AS FURNITURE,
+           ROUND(AVG(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN c_acctbal END), 6) AS HOUSEHOLD,
+           ROUND(AVG(CASE WHEN c_mktsegment = 'MACHINERY' THEN c_acctbal END), 6) AS MACHINERY
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+)
+def q_pivot_wider(spark, sf_dir):
+    """pivot_wider with a mean cell aggregate (driver-friendly variant of
+    the reference's first-value pivot)."""
+    from pyspark.sql import functions as SF
+
+    cust = _t(spark, sf_dir, "customer")
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    out = (
+        cust.lazy_sdf()
+        .groupBy("c_nationkey")
+        .pivot("c_mktsegment", segs)
+        .agg(SF.round(SF.avg("c_acctbal"), 6))
+    )
+    return out
+
+
+@query(
+    "q_pivot_longer",
+    """
+    SELECT l_orderkey, l_linenumber, name AS metric, value
+    FROM (
+        SELECT l_orderkey, l_linenumber,
+               l_quantity AS quantity, l_discount AS discount, l_tax AS tax
+        FROM lineitem
+    ) UNPIVOT (value FOR name IN (quantity, discount, tax))
+    """,
+)
+def q_pivot_longer(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    out = (
+        li.select(["l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax"])
+        .rename({"l_quantity": "quantity", "l_discount": "discount", "l_tax": "tax"})
+        .pivot_longer(["quantity", "discount", "tax"], names_to="metric", values_to="value")
+    )
+    return out.lazy_sdf()
+
+
+@query(
+    "q_explode_list",
+    """
+    SELECT vec_id, label,
+           COUNT(*) AS dim,
+           ROUND(SUM(CAST(u.x AS DOUBLE)), 4) AS comp_sum
+    FROM embeddings, UNNEST(embedding) AS u(x)
+    GROUP BY vec_id, label
+    """,
+)
+def q_explode_list(spark, sf_dir):
+    """explode a list column then re-aggregate."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.explode("embedding")
+        .mutate(x=f.cast(col("embedding"), ("f", 64)))
+        .group_by("vec_id", "label")
+        .summarise(dim=f.size(col("x")), comp_sum=f.round(f.sum(col("x")), 4))
+        .lazy_sdf()
+    )

@@ -1,0 +1,46 @@
+"""SparkSession management for explorer_spark.
+
+One shared session, configured for correctness-vs-oracle (UTC session
+timezone, ANSI off to match permissive semantics) and local-mode
+throughput (AQE, Arrow exchange, shuffle partitions sized to cores).
+
+At cluster scale the same builder applies — only ``master`` and the
+memory/shuffle sizing change; the engine never relies on local mode.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(app_name: str = "explorer_spark", cpus: str | int | None = None) -> SparkSession:
+    """Return (building if needed) the shared SparkSession."""
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
+    cpus = str(cpus or _DEFAULT_CPUS)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.default.parallelism", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.timestampType", "TIMESTAMP_NTZ")
+        # parquet TIMESTAMP(NANOS) is otherwise unreadable; read as int64
+        # nanos and convert at the scan wrapper (SURVEY.md §1.2: ns -> us)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

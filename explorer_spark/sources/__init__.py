@@ -1,0 +1,205 @@
+"""Scans and sinks (reference: SURVEY.md §2.1).
+
+Parquet/CSV/NDJSON map straight onto Spark's native readers/writers (with
+predicate pushdown, column pruning, and partition pruning from Catalyst for
+free). Arrow IPC has no native Spark source — it is read via PyArrow and
+handed to Spark through ``createDataFrame`` (driver-side; documented
+limit), written via ``toPandas``→PyArrow.
+
+Every scan assigns the hidden row-order column at the edge (a
+``monotonically_increasing_id``, which is monotone in file/row-group
+order) so the frame has Explorer's ordered-row semantics from birth.
+"""
+
+from __future__ import annotations
+
+import io as _io
+import os
+
+from pyspark.sql import SparkSession, functions as F
+
+from ..frame import ORDER_COL, DataFrame
+from ..session import get_spark
+
+__all__ = [
+    "read_parquet",
+    "read_csv",
+    "read_ndjson",
+    "read_ipc",
+    "write_parquet",
+    "write_csv",
+    "write_ndjson",
+    "write_ipc",
+    "from_pandas",
+    "from_rows",
+    "from_columns",
+    "from_query",
+    "load_table",
+]
+
+
+def _attach_order(sdf) -> DataFrame:
+    return DataFrame(sdf.withColumn(ORDER_COL, F.monotonically_increasing_id()), has_order=True)
+
+
+def read_parquet(path: str, columns=None, spark: SparkSession | None = None) -> DataFrame:
+    spark = spark or get_spark()
+    sdf = spark.read.parquet(path)
+    for name in _nanos_timestamp_cols(path):
+        if name in sdf.columns:
+            # stored as int64 nanos (spark.sql.legacy.parquet.nanosAsLong);
+            # truncate to µs like the reference's ns handling (SURVEY §1.2)
+            from pyspark.sql import types as T
+
+            sdf = sdf.withColumn(
+                name, F.timestamp_micros((F.col(name) / 1000).cast("long")).cast(T.TimestampNTZType())
+            )
+    if columns:
+        sdf = sdf.select(*columns)
+    return _attach_order(sdf)
+
+
+def _nanos_timestamp_cols(path: str) -> list[str]:
+    """Column names with parquet TIMESTAMP(NANOS) logical type."""
+    import pyarrow.dataset as ds
+    import pyarrow as pa
+
+    try:
+        schema = ds.dataset(path, format="parquet").schema
+    except Exception:
+        return []
+    out = []
+    for field in schema:
+        if isinstance(field.type, pa.TimestampType) and field.type.unit == "ns":
+            out.append(field.name)
+    return out
+
+
+def read_csv(
+    path: str,
+    delimiter: str = ",",
+    header: bool = True,
+    nil_values: list[str] | None = None,
+    skip_rows: int = 0,
+    max_rows: int | None = None,
+    columns=None,
+    dtypes: dict | None = None,
+    infer_schema_length: int | None = 1000,
+    parse_dates: bool = False,
+    encoding: str = "utf-8",
+    quote_char: str = '"',
+    eol_delimiter: str | None = None,
+    spark: SparkSession | None = None,
+) -> DataFrame:
+    """CSV scan with the reference's option surface
+    (reference data_frame.ex:607-868)."""
+    spark = spark or get_spark()
+    reader = (
+        spark.read.option("header", header)
+        .option("sep", delimiter)
+        .option("quote", quote_char)
+        .option("encoding", encoding)
+        .option("mode", "PERMISSIVE")
+    )
+    if nil_values:
+        reader = reader.option("nullValue", nil_values[0])
+    if eol_delimiter:
+        reader = reader.option("lineSep", eol_delimiter)
+    if skip_rows:
+        reader = reader.option("skipRows", skip_rows)
+    if dtypes:
+        from .. import dtypes as dt
+        from pyspark.sql import types as T
+
+        fields = [T.StructField(name, dt.to_spark(d)) for name, d in dtypes.items()]
+        reader = reader.schema(T.StructType(fields))
+    elif infer_schema_length:
+        reader = reader.option("inferSchema", "true").option("samplingRatio", 1.0)
+    if parse_dates:
+        reader = reader.option("inferSchema", "true").option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss")
+    sdf = reader.csv(path)
+    if columns:
+        sdf = sdf.select(*columns)
+    df = _attach_order(sdf)
+    if max_rows is not None:
+        df = df.head(max_rows)
+    return df
+
+
+def read_ndjson(path: str, infer_schema_length: int | None = None, spark: SparkSession | None = None) -> DataFrame:
+    """Newline-delimited JSON — Spark's default JSON framing
+    (reference data_frame.ex:1572-1740)."""
+    spark = spark or get_spark()
+    return _attach_order(spark.read.json(path))
+
+
+def read_ipc(path: str, columns=None, spark: SparkSession | None = None) -> DataFrame:
+    """Arrow IPC file/stream via PyArrow (no native Spark source)."""
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
+    spark = spark or get_spark()
+    try:
+        with pa.memory_map(path) as source:
+            table = ipc.open_file(source).read_all()
+    except pa.lib.ArrowInvalid:
+        with open(path, "rb") as f:
+            table = ipc.open_stream(f).read_all()
+    if columns:
+        table = table.select(columns)
+    sdf = spark.createDataFrame(table.to_pandas())
+    return _attach_order(sdf)
+
+
+def write_parquet(df: DataFrame, path: str, compression: str = "snappy", mode: str = "overwrite") -> str:
+    df.lazy_sdf().write.mode(mode).parquet(path, compression=compression)
+    return path
+
+
+def write_csv(df: DataFrame, path: str, header: bool = True, delimiter: str = ",", mode: str = "overwrite") -> str:
+    df.lazy_sdf().write.mode(mode).option("header", header).option("sep", delimiter).csv(path)
+    return path
+
+
+def write_ndjson(df: DataFrame, path: str, mode: str = "overwrite") -> str:
+    df.lazy_sdf().write.mode(mode).json(path)
+    return path
+
+
+def write_ipc(df: DataFrame, path: str) -> str:
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
+    table = pa.Table.from_pandas(df.to_pandas())
+    with pa.OSFile(path, "wb") as sink, ipc.new_file(sink, table.schema) as writer:
+        writer.write_table(table)
+    return path
+
+
+def from_pandas(pdf, spark: SparkSession | None = None) -> DataFrame:
+    spark = spark or get_spark()
+    return _attach_order(spark.createDataFrame(pdf))
+
+
+def from_rows(rows: list[dict], spark: SparkSession | None = None) -> DataFrame:
+    spark = spark or get_spark()
+    return _attach_order(spark.createDataFrame(rows))
+
+
+def from_columns(columns: dict, spark: SparkSession | None = None) -> DataFrame:
+    import pandas as pd
+
+    return from_pandas(pd.DataFrame(columns), spark=spark)
+
+
+def from_query(url: str, query: str, spark: SparkSession | None = None) -> DataFrame:
+    """SQL against an external DB (reference backend/data_frame.ex:43-47) —
+    JDBC; needs the driver jar on the classpath."""
+    spark = spark or get_spark()
+    sdf = spark.read.format("jdbc").option("url", url).option("query", query).load()
+    return _attach_order(sdf)
+
+
+def load_table(sf_dir: str, name: str, spark: SparkSession | None = None) -> DataFrame:
+    """Convenience: one of the driver's testdata tables."""
+    return read_parquet(os.path.join(sf_dir, f"{name}.parquet"), spark=spark)

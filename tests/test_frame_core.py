@@ -1,0 +1,221 @@
+"""Unit tests for the core frame verbs on small in-memory data, mirroring
+the reference's doctest style (exact expected values incl. null/order
+behavior)."""
+
+import pytest
+
+import explorer_spark as ex
+from explorer_spark import col, f, lit
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    return ex.from_columns(
+        {
+            "a": [1, 2, 3, 4, 5, 6],
+            "b": [5.0, 4.0, None, 2.0, 1.0, 3.0],
+            "g": ["x", "y", "x", "y", "x", "y"],
+        },
+        spark=spark,
+    )
+
+
+def test_names_dtypes(df):
+    assert df.names == ["a", "b", "g"]
+    assert df.dtypes == {"a": ("s", 64), "b": ("f", 64), "g": "string"}
+
+
+def test_select_discard(df):
+    assert df.select(["a"]).names == ["a"]
+    assert df.discard(["a"]).names == ["b", "g"]
+    assert df.select("^[ab]$").names == ["a", "b"]
+
+
+def test_filter(df):
+    out = df.filter(col("a") > lit(3)).to_columns()
+    assert out["a"] == [4, 5, 6]
+
+
+def test_filter_with_agg_broadcast(df):
+    # aggregation in the predicate broadcasts (reference filter doc)
+    out = df.filter(col("a") > f.mean(col("a"))).to_columns()
+    assert out["a"] == [4, 5, 6]
+
+
+def test_grouped_mutate_broadcast(df):
+    out = (
+        df.group_by("g")
+        .mutate(gsum=f.sum(col("a")))
+        .ungroup()
+        .sort_by("a")
+        .to_columns()
+    )
+    assert out["gsum"] == [9, 12, 9, 12, 9, 12]
+    # grouped sort keeps group blocks in first-appearance order
+    within = df.group_by("g").mutate(gsum=f.sum(col("a"))).sort_by("a").to_columns()
+    assert within["gsum"] == [9, 9, 9, 12, 12, 12]
+
+
+def test_summarise_grouped(df):
+    out = df.group_by("g").summarise(total=f.sum(col("a"))).sort_by("g").to_columns()
+    assert out["g"] == ["x", "y"]
+    assert out["total"] == [9, 12]
+
+
+def test_summarise_ungrouped(df):
+    out = df.summarise(total=f.sum(col("a")), n=f.size(col("a"))).to_columns()
+    assert out == {"total": [21], "n": [6]}
+
+
+def test_sort_nulls_last(df):
+    out = df.sort_by("b").to_columns()
+    assert out["b"] == [1.0, 2.0, 3.0, 4.0, 5.0, None]
+
+
+def test_sort_descending(df):
+    out = df.sort_by("b", descending=True, nils_last=False).to_columns()
+    assert out["b"] == [None, 5.0, 4.0, 3.0, 2.0, 1.0]
+
+
+def test_head_tail_slice(df):
+    assert df.head(2).to_columns()["a"] == [1, 2]
+    assert df.tail(2).to_columns()["a"] == [5, 6]
+    assert df.slice(1, 3).to_columns()["a"] == [2, 3, 4]
+    assert df.slice(-2, 2).to_columns()["a"] == [5, 6]
+    assert df.slice([0, 2, 4]).to_columns()["a"] == [1, 3, 5]
+
+
+def test_grouped_head(df):
+    out = df.group_by("g").head(1).sort_by("a").to_columns()
+    assert out["a"] == [1, 2]
+
+
+def test_distinct_keep_first():
+    d = ex.from_columns({"k": [1, 1, 2, 2, 3], "v": [10, 20, 30, 40, 50]})
+    out = d.distinct(["k"], keep_all=True).sort_by("k").to_columns()
+    assert out["v"] == [10, 30, 50]
+
+
+def test_mutate_shift_cumsum(df):
+    out = df.mutate(prev=f.shift(col("a"), 1), run=f.cumulative_sum(col("a"))).to_columns()
+    assert out["prev"] == [None, 1, 2, 3, 4, 5]
+    assert out["run"] == [1, 3, 6, 10, 15, 21]
+
+
+def test_fill_missing(df):
+    out = df.mutate(
+        fwd=f.fill_missing(col("b"), "forward"),
+        val=f.fill_missing(col("b"), 0.0),
+        mean_fill=f.fill_missing(col("b"), "mean"),
+    ).to_columns()
+    assert out["fwd"] == [5.0, 4.0, 4.0, 2.0, 1.0, 3.0]
+    assert out["val"] == [5.0, 4.0, 0.0, 2.0, 1.0, 3.0]
+    assert out["mean_fill"] == [5.0, 4.0, 3.0, 2.0, 1.0, 3.0]
+
+
+def test_rename_relocate(df):
+    out = df.rename({"a": "x"})
+    assert out.names == ["x", "b", "g"]
+    assert df.relocate(["g"], before="a").names == ["g", "a", "b"]
+
+
+def test_concat_rows(df):
+    other = ex.from_columns({"a": [7.5], "b": [0.0], "g": ["z"]})
+    out = df.concat_rows(other)
+    assert out.n_rows() == 7
+    assert out.dtypes["a"] == ("f", 64)  # merged int+float -> float
+
+
+def test_concat_columns(df):
+    other = ex.from_columns({"c": [10, 20, 30, 40, 50, 60]})
+    out = df.concat_columns(other).sort_by("a").to_columns()
+    assert out["c"] == [10, 20, 30, 40, 50, 60]
+
+
+def test_pivot_wider_longer(spark):
+    d = ex.from_columns(
+        {
+            "team": ["A", "A", "B", "B"],
+            "day": ["mon", "tue", "mon", "tue"],
+            "hours": [1, 2, 3, 4],
+        },
+        spark=spark,
+    )
+    wide = d.pivot_wider("day", "hours", id_columns=["team"]).sort_by("team")
+    assert wide.to_columns() == {"team": ["A", "B"], "mon": [1, 3], "tue": [2, 4]}
+    back = wide.pivot_longer(["mon", "tue"], names_to="day", values_to="hours")
+    assert back.n_rows() == 4
+
+
+def test_join_suffix_and_hows(spark):
+    left = ex.from_columns({"k": [1, 2, 3], "v": [10, 20, 30]}, spark=spark)
+    right = ex.from_columns({"k": [2, 3, 4], "v": [200, 300, 400]}, spark=spark)
+    inner = left.join(right, on="k", how="inner").sort_by("k")
+    assert inner.names == ["k", "v", "v_right"]
+    assert inner.to_columns()["v_right"] == [200, 300]
+    lj = left.join(right, on="k", how="left").sort_by("k").to_columns()
+    assert lj["v_right"] == [None, 200, 300]
+    oj = left.join(right, on="k", how="outer")
+    assert set(oj.names) == {"k", "v", "k_right", "v_right"}
+    assert oj.n_rows() == 4
+    rj = left.join(right, on="k", how="right").sort_by("k")
+    assert rj.names[0] == "k"
+    assert rj.to_columns()["v"] == [20, 30, None]
+    cj = left.join(right, how="cross")
+    assert cj.n_rows() == 9
+
+
+def test_join_nulls_equal(spark):
+    left = ex.from_columns({"k": [1, None], "v": [1, 2]}, spark=spark)
+    right = ex.from_columns({"k": [1, None], "w": [10, 20]}, spark=spark)
+    assert left.join(right, on="k", how="inner").n_rows() == 1
+    assert left.join(right, on="k", how="inner", nulls_equal=True).n_rows() == 2
+
+
+def test_join_asof(spark):
+    trades = ex.from_columns({"t": [1, 5, 10], "sym": ["a", "a", "a"], "px": [1.0, 2.0, 3.0]}, spark=spark)
+    quotes = ex.from_columns({"t": [0, 4, 8], "sym": ["a", "a", "a"], "bid": [0.9, 1.9, 2.9]}, spark=spark)
+    out = trades.join_asof(quotes, on="t", by=["sym"], strategy="backward").sort_by("t").to_columns()
+    assert out["bid"] == [0.9, 1.9, 2.9]
+    fwd = trades.join_asof(quotes, on="t", by=["sym"], strategy="forward").sort_by("t").to_columns()
+    assert fwd["bid"] == [1.9, 2.9, None]
+    near = trades.join_asof(quotes, on="t", by=["sym"], strategy="nearest").sort_by("t").to_columns()
+    assert near["bid"] == [0.9, 1.9, 2.9]
+
+
+def test_explode_unnest(spark):
+    d = ex.from_rows([{"id": 1, "xs": [1, 2]}, {"id": 2, "xs": []}], spark=spark)
+    out = d.explode("xs").sort_by("id").to_columns()
+    assert out["xs"] == [1, 2, None]
+
+
+def test_dummies(spark):
+    d = ex.from_columns({"c": ["a", "b", "a"]}, spark=spark)
+    out = d.dummies(["c"]).to_columns()
+    assert out["c_a"] == [1, 0, 1]
+    assert out["c_b"] == [0, 1, 0]
+
+
+def test_describe_frequencies(df):
+    desc = df.describe()
+    cols = desc.to_columns()
+    assert cols["describe"] == ["count", "nil_count", "mean", "std", "min", "25%", "50%", "75%", "max"]
+    assert cols["a"][0] == 6.0
+    freq = df.frequencies("g").to_columns()
+    assert freq["counts"] == [3, 3]
+
+
+def test_nil_count(df):
+    assert df.nil_count().to_columns() == {"a": [0], "b": [1], "g": [0]}
+
+
+def test_sql(df):
+    out = df.sql("SELECT g, sum(a) AS s FROM df GROUP BY g ORDER BY g")
+    assert out.to_columns() == {"g": ["x", "y"], "s": [9, 12]}
+
+
+def test_sample_seeded(df):
+    out = df.sample(3, seed=42)
+    assert out.n_rows() == 3
+    again = df.sample(3, seed=42)
+    assert sorted(out.to_columns()["a"]) == sorted(again.to_columns()["a"])
