@@ -39,6 +39,10 @@ from .sources import (
     write_parquet,
 )
 
+from .operators import rolling as _rolling
+
+_rolling.register()
+
 __version__ = "0.1.0"
 
 __all__ = [

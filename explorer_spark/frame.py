@@ -824,6 +824,30 @@ class DataFrame:
         return DataFrame(spark.createDataFrame(data, schema), has_order=False)
 
     # ------------------------------------------------------------------
+    # EWM / binning (composite operators)
+    # ------------------------------------------------------------------
+    def ewm(self, **specs) -> "DataFrame":
+        """Add EWM columns; each spec is (kind, column, alpha, adjust),
+        e.g. ``ewm(m=("mean", "x", 0.5, True))`` (reference
+        series.ex:5344-5528)."""
+        from .operators.rolling import ewm_columns
+
+        return ewm_columns(self, specs)
+
+    def ewm_mean(self, column: str, alpha: float = 0.5, adjust: bool = True, out: str | None = None) -> "DataFrame":
+        return self.ewm(**{out or f"{column}_ewm_mean": ("mean", column, alpha, adjust)})
+
+    def cut(self, column: str, breaks: list, labels=None, left_close: bool = False) -> "DataFrame":
+        from .operators.cut import cut as _cut
+
+        return _cut(self, column, breaks, labels, left_close)
+
+    def qcut(self, column: str, quantiles: list, labels=None, left_close: bool = False) -> "DataFrame":
+        from .operators.cut import qcut as _qcut
+
+        return _qcut(self, column, quantiles, labels, left_close)
+
+    # ------------------------------------------------------------------
     # SQL pass-through (reference data_frame.ex:6924-6930)
     # ------------------------------------------------------------------
     def sql(self, query: str, table_name: str = "df") -> "DataFrame":

@@ -173,6 +173,23 @@ def peaks(a, mode: str = "max"):
     return Expr("peaks", _wrap(a), mode)
 
 
+# rolling windows (reference series.ex:5123-5342) ---------------------------
+def _mk_window(op):
+    def fn(a, window_size: int, weights=None, min_periods=None, center: bool = False):
+        return Expr(op, _wrap(a), window_size, weights, min_periods, center)
+
+    fn.__name__ = op
+    return fn
+
+
+window_sum = _mk_window("window_sum")
+window_mean = _mk_window("window_mean")
+window_median = _mk_window("window_median")
+window_min = _mk_window("window_min")
+window_max = _mk_window("window_max")
+window_standard_deviation = _mk_window("window_standard_deviation")
+
+
 # strings ----------------------------------------------------------------
 def contains(a, pattern: str):
     return Expr("contains", _wrap(a), pattern)

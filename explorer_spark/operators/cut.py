@@ -1,0 +1,68 @@
+"""Binning: ``cut`` (explicit breaks) and ``qcut`` (quantile breaks).
+
+Reference: Series.cut/qcut return a frame with ``values`` /
+``break_point`` / ``category`` columns (native s_cut/s_qcut,
+native/explorer/src/series.rs:205-288). Intervals are right-closed by
+default (``(lo, hi]``), ``left_close: true`` flips to ``[lo, hi)``.
+
+Spark rendering: a when-chain over the breaks (JVM-side, codegen). qcut
+computes the break values first with exact ``percentile`` (one tiny agg
+job), then reuses the same chain — the breaks are scalars, so the
+bucketing itself never shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+
+def cut_columns(
+    c: Column,
+    breaks: list[float],
+    labels: list[str] | None = None,
+    left_close: bool = False,
+) -> tuple[Column, Column]:
+    """Return (break_point, category) columns for explicit breaks."""
+    pts = [float(b) for b in breaks]
+    if labels is None:
+        bounds = [float("-inf"), *pts, float("inf")]
+        labels = []
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            if left_close:
+                labels.append(f"[{lo}, {hi})")
+            else:
+                labels.append(f"({lo}, {hi}]")
+    if len(labels) != len(pts) + 1:
+        raise ValueError(f"need {len(pts) + 1} labels, got {len(labels)}")
+
+    brk = None
+    cat = None
+    for i, b in enumerate(pts):
+        cond = (c < F.lit(b)) if left_close else (c <= F.lit(b))
+        brk = F.when(cond, F.lit(b)) if brk is None else brk.when(cond, F.lit(b))
+        cat = F.when(cond, F.lit(labels[i])) if cat is None else cat.when(cond, F.lit(labels[i]))
+    brk = brk.otherwise(F.lit(float("inf"))) if brk is not None else F.lit(float("inf"))
+    cat = cat.otherwise(F.lit(labels[-1])) if cat is not None else F.lit(labels[-1])
+    return (F.when(c.isNotNull(), brk), F.when(c.isNotNull(), cat))
+
+
+def cut(frame, column: str, breaks: list[float], labels=None, left_close: bool = False):
+    """Frame with ``values / break_point / category`` (reference shape)."""
+    from ..frame import DataFrame
+
+    sdf = frame.lazy_sdf()
+    brk, cat = cut_columns(F.col(column), breaks, labels, left_close)
+    out = sdf.select(
+        F.col(column).alias("values"),
+        brk.alias("break_point"),
+        cat.alias("category"),
+    )
+    return DataFrame(out, has_order=False)
+
+
+def qcut(frame, column: str, quantiles: list[float], labels=None, left_close: bool = False):
+    """Quantile binning: exact percentiles -> cut chain."""
+    sdf = frame.lazy_sdf()
+    row = sdf.agg(*[F.percentile(F.col(column), F.lit(float(q))).alias(f"q{i}") for i, q in enumerate(quantiles)]).collect()[0]
+    breaks = [row[f"q{i}"] for i in range(len(quantiles))]
+    return cut(frame, column, breaks, labels, left_close)

@@ -506,6 +506,65 @@ def q_pivot_longer(spark, sf_dir):
 
 
 @query(
+    "q_rolling_window",
+    """
+    SELECT event_id,
+           ROUND(AVG(value) OVER w7, 6) AS roll_mean,
+           ROUND(MAX(value) OVER w7, 6) AS roll_max,
+           ROUND(SUM(value) OVER w7, 4) AS roll_sum
+    FROM events
+    WINDOW w7 AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_rolling_window(spark, sf_dir):
+    """Fixed-size rolling aggregates per group (SURVEY §2.6 window_*)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.sort_by("ts", "event_id")
+        .group_by("user_id")
+        .mutate(
+            roll_mean=f.round(f.window_mean(col("value"), 7), 6),
+            roll_max=f.round(f.window_max(col("value"), 7), 6),
+            roll_sum=f.round(f.window_sum(col("value"), 7), 4),
+        )
+        .ungroup()
+        .select(["event_id", "roll_mean", "roll_max", "roll_sum"])
+        .lazy_sdf()
+    )
+
+
+@query(
+    "q_qcut_buckets",
+    """
+    WITH b AS (
+        SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+               quantile_cont(o_totalprice, 0.50) AS q2,
+               quantile_cont(o_totalprice, 0.75) AS q3
+        FROM orders
+    )
+    SELECT CASE WHEN o_totalprice <= q1 THEN 'p25'
+                WHEN o_totalprice <= q2 THEN 'p50'
+                WHEN o_totalprice <= q3 THEN 'p75'
+                ELSE 'p100' END AS category,
+           COUNT(*) AS n,
+           ROUND(AVG(o_totalprice), 4) AS avg_price
+    FROM orders, b
+    GROUP BY 1
+    """,
+)
+def q_qcut_buckets(spark, sf_dir):
+    """Quantile binning (qcut) -> bucket stats."""
+    orders = _t(spark, sf_dir, "orders")
+    binned = orders.qcut("o_totalprice", [0.25, 0.5, 0.75], labels=["p25", "p50", "p75", "p100"])
+    return (
+        binned.group_by("category")
+        .summarise(n=f.size(col("values")), avg_price=f.round(f.mean(col("values")), 4))
+        .lazy_sdf()
+    )
+
+
+@query(
     "q_explode_list",
     """
     SELECT vec_id, label,

@@ -1,0 +1,87 @@
+"""Rolling/EWM/cut operators vs pandas reference semantics."""
+
+import pandas as pd
+import pytest
+
+import explorer_spark as ex
+from explorer_spark import col, f
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    return ex.from_columns(
+        {"x": [1.0, 2.0, None, 4.0, 5.0, 6.0], "g": ["a", "a", "a", "b", "b", "b"]},
+        spark=spark,
+    )
+
+
+def test_window_sum_mean(df):
+    out = df.mutate(
+        rsum=f.window_sum(col("x"), 3),
+        rmean=f.window_mean(col("x"), 3),
+        rmin=f.window_min(col("x"), 2),
+        rmax=f.window_max(col("x"), 2),
+    ).to_columns()
+    # nulls are skipped inside the window (SQL agg semantics)
+    assert out["rsum"] == [1.0, 3.0, 3.0, 6.0, 9.0, 15.0]
+    assert out["rmin"] == [1.0, 1.0, 2.0, 4.0, 4.0, 5.0]
+    assert out["rmax"] == [1.0, 2.0, 2.0, 4.0, 5.0, 6.0]
+
+
+def test_window_min_periods(df):
+    out = df.mutate(r=f.window_sum(col("x"), 3, min_periods=3)).to_columns()
+    assert out["r"][0] is None  # min_periods counts non-null values
+    assert out["r"][1] is None
+    assert out["r"][4] is None  # window (None, 4, 5) has 2 non-null
+    assert out["r"][5] == 15.0  # window (4, 5, 6)
+
+
+def test_window_center(df):
+    out = df.mutate(r=f.window_sum(col("x"), 3, center=True)).to_columns()
+    # window is (i-1, i, i+1)
+    assert out["r"] == [3.0, 3.0, 6.0, 9.0, 15.0, 11.0]
+
+
+def test_window_weighted():
+    d = ex.from_columns({"x": [1.0, 2.0, 3.0, 4.0]})
+    out = d.mutate(r=f.window_sum(col("x"), 2, weights=[1.0, 2.0])).to_columns()
+    # weights[0] -> oldest: r[i] = 1*x[i-1] + 2*x[i]
+    assert out["r"] == [2.0, 5.0, 8.0, 11.0]
+    wm = d.mutate(r=f.window_mean(col("x"), 2, weights=[1.0, 3.0])).to_columns()
+    # partial first window normalizes by the weights actually present
+    assert wm["r"] == [1.0, (1 + 6) / 4, (2 + 9) / 4, (3 + 12) / 4]
+
+
+def test_grouped_rolling(df):
+    out = df.group_by("g").mutate(r=f.window_sum(col("x"), 2)).ungroup().to_columns()
+    assert out["r"] == [1.0, 3.0, 2.0, 4.0, 9.0, 11.0]
+
+
+def test_ewm_mean_matches_pandas(spark):
+    xs = [1.0, 3.0, 2.0, 8.0, 5.0]
+    d = ex.from_columns({"x": xs}, spark=spark)
+    out = d.ewm(m=("mean", "x", 0.3, True)).to_columns()
+    want = pd.Series(xs).ewm(alpha=0.3, adjust=True).mean().tolist()
+    assert out["m"] == pytest.approx(want)
+
+
+def test_ewm_grouped(spark):
+    d = ex.from_columns({"x": [1.0, 2.0, 3.0, 4.0], "g": ["a", "a", "b", "b"]}, spark=spark)
+    out = d.group_by("g").ewm(m=("mean", "x", 0.5, True))
+    cols = out.ungroup().sort_by("x").to_columns()
+    wa = pd.Series([1.0, 2.0]).ewm(alpha=0.5, adjust=True).mean().tolist()
+    wb = pd.Series([3.0, 4.0]).ewm(alpha=0.5, adjust=True).mean().tolist()
+    assert cols["m"] == pytest.approx(wa + wb)
+
+
+def test_cut():
+    d = ex.from_columns({"v": [1.0, 5.0, 15.0, None]})
+    out = d.cut("v", [3.0, 10.0], labels=["lo", "mid", "hi"]).to_columns()
+    assert out["category"] == ["lo", "mid", "hi", None]
+    assert out["break_point"] == [3.0, 10.0, float("inf"), None]
+
+
+def test_qcut():
+    d = ex.from_columns({"v": [float(i) for i in range(1, 11)]})
+    out = d.qcut("v", [0.5], labels=["low", "high"]).to_columns()
+    assert out["category"] == ["low"] * 5 + ["high"] * 5
