@@ -1,0 +1,230 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup (additive capability per BASELINE.json).
+
+Scale design (the point of running this on Spark at all):
+
+- **Exact**: hash-partition on ``md5(text)`` — one shuffle, combiner-side
+  reduction; never compares full texts across the cluster.
+- **MinHash + LSH**: signature is computed scan-side with built-in
+  functions (no UDF); banding turns the quadratic near-dup problem into
+  an equi-join on (band_id, band_hash) — candidates shuffle only within
+  buckets, exactly the published shingle→minhash→band→bucket-join
+  pipeline.
+- **SimHash**: explode(words) + 16 conditional sums — a single groupBy,
+  map-side combined.
+- **Jaccard verify**: computed only on LSH/block candidates via
+  array_intersect/union sizes.
+- **Embedding near-dup**: blocked on a coarse key (label / IVF cell) so
+  the pair join is per-block, not global cross.
+
+Hashes are md5-hex based (lexicographic min) so DuckDB oracles reproduce
+results exactly.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame as SDF, Window as W, functions as F
+
+from .text import shingle_set, words
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(sdf: SDF, text_col: str = "text", key_col: str = "doc_id") -> SDF:
+    """Keep the min-key row per distinct text (hash-groupBy; one shuffle)."""
+    w = W.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(key_col))
+    return sdf.withColumn("__rn__", F.row_number().over(w)).filter(F.col("__rn__") == 1).drop("__rn__")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(text: Column, num_hashes: int = 8, shingle_n: int = 3) -> list[Column]:
+    """k MinHash values: for seed i, min over shingles of md5(i || ':' || s).
+
+    Lexicographic min of md5 hex == min of the 128-bit integer — a valid
+    hash-family member, and reproducible in any engine with md5.
+    """
+    shingles = shingle_set(text, shingle_n)
+
+    def seeded(seed: int):
+        # NB: must be a 1-arg lambda — F.transform calls 2-arg functions
+        # with (element, index), which would shadow the seed
+        return lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s))
+
+    out = []
+    for i in range(num_hashes):
+        hashed = F.transform(shingles, seeded(i))
+        out.append(F.when(F.size(shingles) > 0, F.array_min(hashed)).otherwise(F.md5(text)))
+    return out
+
+
+def with_minhash(sdf: SDF, text_col: str = "text", num_hashes: int = 8, shingle_n: int = 3, prefix: str = "mh") -> SDF:
+    sigs = minhash_signature(F.col(text_col), num_hashes, shingle_n)
+    return sdf.withColumns({f"{prefix}{i}": s for i, s in enumerate(sigs)})
+
+
+def lsh_buckets(
+    sdf: SDF,
+    key_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    prefix: str = "mh",
+) -> SDF:
+    """Explode each row into (band_id, band_hash) bucket keys.
+
+    rows/band = num_hashes // bands; two docs sharing any band hash are
+    near-dup candidates. Output: key_col, band, bucket.
+    """
+    rows_per_band = num_hashes // bands
+    entries = []
+    for b in range(bands):
+        parts = [F.col(f"{prefix}{b * rows_per_band + r}") for r in range(rows_per_band)]
+        entries.append(F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *parts)).alias("bucket")))
+    return sdf.select(F.col(key_col), F.explode(F.array(*entries)).alias("e")).select(
+        key_col, F.col("e.band").alias("band"), F.col("e.bucket").alias("bucket")
+    )
+
+
+def lsh_candidate_pairs(buckets: SDF, key_col: str = "doc_id") -> SDF:
+    """Self-join bucket lists into candidate pairs (a < b), distinct."""
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bucket") == F.col("b.bucket")))
+        .filter(F.col(f"a.{key_col}") < F.col(f"b.{key_col}"))
+        .select(F.col(f"a.{key_col}").alias("id_a"), F.col(f"b.{key_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Jaccard similarity of two array<string> sets."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0))
+
+
+def ngram_jaccard_pairs(
+    sdf: SDF,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    block_col: str | None = None,
+    shingle_n: int = 3,
+    threshold: float = 0.0,
+) -> SDF:
+    """All pairs within a block with shingle-set Jaccard >= threshold.
+
+    ``block_col`` bounds the join (lang, LSH bucket, source, ...) — at
+    scale never run this unblocked.
+    """
+    base = sdf.select(
+        F.col(key_col),
+        *([F.col(block_col)] if block_col else []),
+        shingle_set(F.col(text_col), shingle_n).alias("__sh__"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cond = F.col(f"a.{key_col}") < F.col(f"b.{key_col}")
+    if block_col:
+        cond = (F.col(f"a.{block_col}") == F.col(f"b.{block_col}")) & cond
+    sim = jaccard(F.col("a.__sh__"), F.col("b.__sh__"))
+    out = (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{key_col}").alias("id_a"),
+            F.col(f"b.{key_col}").alias("id_b"),
+            F.round(sim, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def _hex_nibble(c: Column) -> Column:
+    """hex char -> 0..15 via ascii arithmetic (portable to any SQL engine)."""
+    a = F.ascii(c)
+    return F.when(a <= 57, a - 48).otherwise(a - 87)
+
+
+def simhash16(sdf: SDF, text_col: str = "text", key_col: str = "doc_id") -> SDF:
+    """16-bit SimHash, fully in built-in expressions (oracle-reproducible).
+
+    word hash = first 4 hex chars of md5(word) = 16 bits; for each bit,
+    sum +1/-1 over the words; sign -> bit. Plan: explode(words) ->
+    single groupBy(key) with 16 conditional sums -> bit assembly.
+    """
+    ws = sdf.select(F.col(key_col), F.explode(words(F.lower(F.col(text_col)))).alias("__w__"))
+    h = F.md5(F.col("__w__"))
+    aggs = []
+    for j in range(16):
+        char_pos = 4 - j // 4  # 1-based hex char holding bit j (LSB in last char)
+        nib = _hex_nibble(F.substring(h, char_pos, 1))
+        bit = F.floor(nib / (2 ** (j % 4))) % 2
+        aggs.append(F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"__b{j}__"))
+    sums = ws.groupBy(key_col).agg(*aggs)
+    sig = None
+    for j in range(16):
+        term = F.when(F.col(f"__b{j}__") > 0, 2**j).otherwise(0)
+        sig = term if sig is None else sig + term
+    return sums.select(F.col(key_col), sig.cast("long").alias("simhash"))
+
+
+def simhash64_pandas(sdf: SDF, text_col: str = "text", key_col: str = "doc_id") -> SDF:
+    """64-bit SimHash via an Arrow-batched pandas UDF (the production-width
+    variant; not oracle-expressible, checked rows-only)."""
+    from pyspark.sql import types as T
+
+    def _kernel(texts: pd.Series) -> pd.Series:
+        import hashlib
+
+        out = []
+        for t in texts:
+            counts = [0] * 64
+            for w in (t or "").lower().split():
+                h = int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
+                for j in range(64):
+                    counts[j] += 1 if (h >> j) & 1 else -1
+            sig = 0
+            for j in range(64):
+                if counts[j] > 0:
+                    sig |= 1 << j
+            # represent as signed 64-bit
+            out.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
+        return pd.Series(out, dtype="int64")
+
+    _simhash = F.pandas_udf(_kernel, T.LongType())
+    return sdf.select(F.col(key_col), _simhash(F.col(text_col)).alias("simhash64"))
+
+
+def hamming_candidates(sig_df: SDF, key_col: str = "doc_id", sig_col: str = "simhash", max_distance: int = 3) -> SDF:
+    """Near-dup pairs by SimHash hamming distance, blocked on the high
+    byte of the signature (cheap LSH-ish blocking for the pair join)."""
+    blocked = sig_df.withColumn("__blk__", (F.col(sig_col) / 256).cast("long"))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    xor = F.col(f"a.{sig_col}").bitwiseXOR(F.col(f"b.{sig_col}"))
+    dist = F.bit_count(xor)
+    return (
+        a.join(b, (F.col("a.__blk__") == F.col("b.__blk__")) & (F.col(f"a.{key_col}") < F.col(f"b.{key_col}")))
+        .select(
+            F.col(f"a.{key_col}").alias("id_a"),
+            F.col(f"b.{key_col}").alias("id_b"),
+            dist.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_distance)
+    )

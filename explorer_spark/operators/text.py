@@ -1,0 +1,125 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+These are additive capabilities beyond the reference (BASELINE.json
+north-star): token counting, quality scoring, language ID, document
+fingerprinting. All are pure built-in-function column expressions —
+no Python UDFs — so they run JVM-side inside whole-stage codegen and
+scale linearly with no shuffle (the shuffle only appears when the caller
+aggregates).
+
+Hashing convention: every hash here is derived from ``md5`` hex strings
+(lexicographic order), never engine-specific hash functions, so DuckDB
+oracles can reproduce results bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# A tiny embedded stopword list (public-domain English function words).
+STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
+
+# n-gram marker words per language for the heuristic language ID.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "es": ["el", "la", "los", "que", "es"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "zh": ["de", "shi", "le", "bu", "wo"],
+}
+
+
+def words(text: Column) -> Column:
+    """Whitespace tokenization (the reference point for token counts)."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(F.size(words(text)))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish proxy: split on word boundaries AND punctuation, the way a
+    byte-pair tokenizer fragments text (regex, still JVM-side)."""
+    toks = F.split(text, r"(?=[^\w])|(?<=[^\w])")
+    return F.size(F.filter(toks, lambda t: F.trim(t) != ""))
+
+
+def word_shingles(text: Column, n: int) -> Column:
+    """All word n-grams of the text as an array<string> (space-joined)."""
+    ws = words(text)
+    k = F.size(ws) - F.lit(n - 1)
+    return F.when(
+        k >= 1,
+        F.transform(F.sequence(F.lit(1), k), lambda i: F.array_join(F.slice(ws, i, n), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def shingle_set(text: Column, n: int) -> Column:
+    return F.array_distinct(word_shingles(text, n))
+
+
+def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
+    sw = stopwords or STOPWORDS
+    ws = words(F.lower(text))
+    n = F.size(ws)
+    hits = F.size(F.filter(ws, lambda w: w.isin(sw)))
+    return F.when(n > 0, hits.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def punct_ratio(text: Column) -> Column:
+    stripped = F.regexp_replace(text, r"[^\w\s]", "")
+    return F.when(
+        F.length(text) > 0,
+        (F.length(text) - F.length(stripped)).cast("double") / F.length(text).cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
+def mean_word_length(text: Column) -> Column:
+    ws = words(text)
+    total = F.aggregate(ws, F.lit(0), lambda acc, w: acc + F.length(w))
+    return F.when(F.size(ws) > 0, total.cast("double") / F.size(ws).cast("double")).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: long-enough, low punctuation,
+    sane stopword density, moderate word length — the standard cheap
+    pre-filter shape for LLM corpus cleaning."""
+    length_ok = F.least(F.length(text).cast("double") / F.lit(200.0), F.lit(1.0))
+    sw = stopword_ratio(text)
+    sw_ok = F.lit(1.0) - F.abs(sw - F.lit(0.4)) * 2
+    punct_ok = F.lit(1.0) - F.least(punct_ratio(text) * 5, F.lit(1.0))
+    mwl = mean_word_length(text)
+    mwl_ok = F.when((mwl >= 3) & (mwl <= 8), F.lit(1.0)).otherwise(F.lit(0.5))
+    return F.round((length_ok + F.greatest(sw_ok, F.lit(0.0)) + punct_ok + mwl_ok) / 4, 6)
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    ws = words(F.lower(text))
+    return {
+        lang: F.size(F.filter(ws, lambda w: w.isin(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def predict_lang(text: Column) -> Column:
+    """Argmax of marker-word hits; 'und' (undetermined) when all zero.
+    Ties resolve in LANG_MARKERS insertion order (en first) on both the
+    Spark and oracle sides."""
+    scores = lang_scores(text)
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang, score in scores.items():  # later langs win only on strictly-greater
+        is_better = score > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, score).otherwise(best_score)
+    return best_lang
+
+
+def fingerprint(text: Column, n: int = 5) -> Column:
+    """Document fingerprint: the minimum md5 of the word n-gram shingles
+    (MinHash with k=1) — stable under word reordering outside the minimal
+    window, the classic cheap near-dup prefilter."""
+    shingles = word_shingles(text, n)
+    hashed = F.transform(shingles, lambda s: F.md5(s))
+    return F.when(F.size(shingles) > 0, F.array_min(hashed)).otherwise(F.md5(text))

@@ -584,3 +584,8 @@ def q_explode_list(spark, sf_dir):
         .summarise(dim=f.size(col("x")), comp_sum=f.round(f.sum(col("x")), 4))
         .lazy_sdf()
     )
+
+
+# LLM-data-pipeline queries register themselves on import (bottom of file
+# so the registry decorators above are defined first).
+from . import queries_llm  # noqa: E402,F401  isort: skip

@@ -1,0 +1,453 @@
+"""Parity queries for the LLM-data-pipeline operators (dedup, similarity
+search, text analysis, multimodal, event streaming) with DuckDB oracles.
+
+All hashing is md5-hex based so oracles reproduce Spark results exactly;
+every SQL mirror is generated from the same loops as the Spark plan where
+the expression is mechanical (simhash bits, feature nibbles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as SF
+
+from .queries import query
+from .sources import load_table
+
+# shared SQL fragments ------------------------------------------------------
+
+_WORDS = r"string_split_regex(trim({t}), '\s+')"
+_SHINGLES3 = (
+    "list_distinct(list_transform(range(1, greatest(len({w}) - 1, 1)), "
+    "i -> array_to_string(list_slice({w}, i, i + 2), ' ')))"
+)
+
+
+def _t(spark, sf_dir, name):
+    return load_table(sf_dir, name, spark=spark)
+
+
+# ---------------------------------------------------------------------------
+# dedup: exact
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup_exact",
+    """
+    WITH dd AS (
+        SELECT lang FROM documents
+        QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+    ),
+    raw AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+    uni AS (SELECT lang, COUNT(*) AS n_unique FROM dd GROUP BY lang)
+    SELECT raw.lang, raw.n_docs, COALESCE(uni.n_unique, 0) AS n_unique
+    FROM raw LEFT JOIN uni USING (lang)
+    """,
+)
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: keep min-doc_id row per distinct text (hash-groupBy)."""
+    from .operators.dedup import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents").lazy_sdf()
+    raw = docs.groupBy("lang").agg(SF.count(SF.lit(1)).alias("n_docs"))
+    uni = exact_dedup(docs).groupBy("lang").agg(SF.count(SF.lit(1)).alias("n_unique"))
+    return raw.join(uni, "lang", "left").select(
+        "lang", "n_docs", SF.coalesce(SF.col("n_unique"), SF.lit(0)).alias("n_unique")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup: MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+
+def _minhash_sql(i: int) -> str:
+    return f"list_min(list_transform(sh, s -> md5('{i}:' || s)))"
+
+
+_MINHASH_ORACLE = f"""
+    WITH sh AS (
+        SELECT doc_id, {_SHINGLES3.format(w="ws")} AS sh
+        FROM (SELECT doc_id, {_WORDS.format(t="text")} AS ws FROM documents)
+    ),
+    sig AS (
+        SELECT doc_id, {", ".join(f"{_minhash_sql(i)} AS mh{i}" for i in range(8))}
+        FROM sh
+    ),
+    bands AS (
+        {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, md5(mh{2 * b} || '|' || mh{2 * b + 1}) AS bucket FROM sig" for b in range(4))}
+    ),
+    bc AS (SELECT band, bucket, COUNT(*) AS c FROM bands GROUP BY 1, 2)
+    SELECT band, COUNT(*) AS n_buckets,
+           CAST(COALESCE(SUM(c) FILTER (WHERE c > 1), 0) AS BIGINT) AS n_candidate_docs
+    FROM bc GROUP BY band
+"""
+
+
+@query("q_dedup_minhash_lsh", _MINHASH_ORACLE)
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(k=8, 3-gram) -> 4 LSH bands -> bucket stats: the
+    shingle->minhash->band->bucket-join pipeline, all built-ins."""
+    from .operators.dedup import lsh_buckets, with_minhash
+
+    docs = _t(spark, sf_dir, "documents").lazy_sdf()
+    sig = with_minhash(docs, num_hashes=8, shingle_n=3)
+    buckets = lsh_buckets(sig, num_hashes=8, bands=4)
+    per_bucket = buckets.groupBy("band", "bucket").agg(SF.count(SF.lit(1)).alias("c"))
+    return per_bucket.groupBy("band").agg(
+        SF.count(SF.lit(1)).alias("n_buckets"),
+        SF.coalesce(SF.sum(SF.when(SF.col("c") > 1, SF.col("c"))), SF.lit(0)).alias("n_candidate_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup: n-gram Jaccard pairs
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup_ngram_jaccard",
+    f"""
+    WITH s AS (
+        SELECT doc_id, lang, {_SHINGLES3.format(w="ws")} AS sh
+        FROM (SELECT doc_id, lang, {_WORDS.format(t="text")} AS ws FROM documents)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+    FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    ORDER BY jaccard DESC, id_a, id_b
+    LIMIT 10
+    """,
+)
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Top-10 most-similar doc pairs by 3-gram Jaccard, blocked by lang."""
+    from .operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents").lazy_sdf()
+    pairs = ngram_jaccard_pairs(docs, block_col="lang", shingle_n=3, threshold=-1.0)
+    return pairs.orderBy(SF.col("jaccard").desc(), SF.col("id_a"), SF.col("id_b")).limit(10)
+
+
+# ---------------------------------------------------------------------------
+# dedup: SimHash (16-bit oracle-expressible variant)
+# ---------------------------------------------------------------------------
+
+
+def _simhash_bit_sql(j: int) -> str:
+    char_pos = 4 - j // 4
+    p = 2 ** (j % 4)
+    nib = f"(CASE WHEN ascii(substr(h, {char_pos}, 1)) <= 57 THEN ascii(substr(h, {char_pos}, 1)) - 48 ELSE ascii(substr(h, {char_pos}, 1)) - 87 END)"
+    return f"SUM(CASE WHEN CAST(floor({nib} / {p}) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS b{j}"
+
+
+_SIMHASH_ORACLE = f"""
+    WITH w AS (
+        SELECT doc_id, unnest({_WORDS.format(t="lower(text)")}) AS word FROM documents
+    ),
+    h AS (SELECT doc_id, md5(word) AS h FROM w),
+    bits AS (
+        SELECT doc_id, {", ".join(_simhash_bit_sql(j) for j in range(16))}
+        FROM h GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST({" + ".join(f"(CASE WHEN b{j} > 0 THEN {2**j} ELSE 0 END)" for j in range(16))} AS BIGINT) AS simhash
+    FROM bits
+"""
+
+
+@query("q_dedup_simhash", _SIMHASH_ORACLE)
+def q_dedup_simhash(spark, sf_dir):
+    """16-bit SimHash per document — explode + one groupBy, no UDF."""
+    from .operators.dedup import simhash16
+
+    docs = _t(spark, sf_dir, "documents").lazy_sdf()
+    return simhash16(docs)
+
+
+# ---------------------------------------------------------------------------
+# dedup: embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+_COS_SQL = (
+    "ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
+    " / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))"
+    " * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6)"
+)
+
+
+@query(
+    "q_dedup_embedding_cosine",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS_SQL} AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    ORDER BY cosine DESC, id_a, id_b
+    LIMIT 10
+    """,
+)
+def q_dedup_embedding_cosine(spark, sf_dir):
+    """Embedding near-dup: top cosine pairs within label blocks."""
+    from .operators.similarity import embedding_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").lazy_sdf()
+    pairs = embedding_neardup_pairs(emb, threshold=-2.0, block_col="label")
+    return pairs.orderBy(SF.col("cosine").desc(), SF.col("id_a"), SF.col("id_b")).limit(10)
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_ann_bruteforce_topk",
+    f"""
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           {_COS_SQL.replace("a.embedding", "q.embedding").replace("b.embedding", "c.embedding")} AS cosine
+    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id < 10
+    QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) <= 5
+    """,
+)
+def q_ann_bruteforce_topk(spark, sf_dir):
+    """Exact cosine top-5 for 10 query vectors (broadcast query side)."""
+    from .operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings").lazy_sdf()
+    queries = emb.filter(SF.col("vec_id") < 10)
+    return brute_force_topk(emb, queries, k=5)
+
+
+@query(
+    "q_ann_ivf_topk",
+    f"""
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           {_COS_SQL.replace("a.embedding", "q.embedding").replace("b.embedding", "c.embedding")} AS cosine
+    FROM embeddings q JOIN embeddings c
+      ON c.label = q.label AND c.vec_id <> q.vec_id
+    WHERE q.vec_id < 10
+    QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) <= 5
+    """,
+)
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-style ANN: search only the query's coarse cell (label)."""
+    from .operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings").lazy_sdf()
+    queries = emb.filter(SF.col("vec_id") < 10)
+    return ivf_topk(emb, queries, k=5, cell_col="label")
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+_SW = "('the','a','an','and','or','of','to','in','is','it')"
+
+
+@query(
+    "q_text_stats",
+    f"""
+    WITH t AS (
+        SELECT lang,
+               CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_WORDS.format(t="text")}) END AS n_tokens,
+               n_chars,
+               CASE WHEN len({_WORDS.format(t="lower(text)")}) > 0
+                    THEN CAST(len(list_filter({_WORDS.format(t="lower(text)")}, w -> w IN {_SW})) AS DOUBLE)
+                         / len({_WORDS.format(t="lower(text)")})
+                    ELSE 0.0 END AS sw_ratio,
+               CASE WHEN len({_WORDS.format(t="text")}) > 0
+                    THEN CAST(list_sum(list_transform({_WORDS.format(t="text")}, w -> length(w))) AS DOUBLE)
+                         / len({_WORDS.format(t="text")})
+                    ELSE 0.0 END AS mwl
+        FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           ROUND(AVG(n_tokens), 6) AS avg_tokens,
+           ROUND(AVG(n_chars), 6) AS avg_chars,
+           ROUND(AVG(sw_ratio), 6) AS avg_sw_ratio,
+           ROUND(AVG(mwl), 6) AS avg_word_len
+    FROM t GROUP BY lang
+    """,
+)
+def q_text_stats(spark, sf_dir):
+    """Token counting + quality components per lang (all built-ins)."""
+    from .operators.text import mean_word_length, stopword_ratio, token_count
+
+    docs = _t(spark, sf_dir, "documents").lazy_sdf()
+    enriched = docs.select(
+        "lang",
+        token_count(SF.col("text")).alias("n_tokens"),
+        SF.col("n_chars"),
+        stopword_ratio(SF.col("text")).alias("sw_ratio"),
+        mean_word_length(SF.col("text")).alias("mwl"),
+    )
+    return enriched.groupBy("lang").agg(
+        SF.count(SF.lit(1)).alias("n_docs"),
+        SF.round(SF.avg("n_tokens"), 6).alias("avg_tokens"),
+        SF.round(SF.avg("n_chars"), 6).alias("avg_chars"),
+        SF.round(SF.avg("sw_ratio"), 6).alias("avg_sw_ratio"),
+        SF.round(SF.avg("mwl"), 6).alias("avg_word_len"),
+    )
+
+
+def _lang_score_sql(markers: list[str]) -> str:
+    quoted = ", ".join(f"'{m}'" for m in markers)
+    return f"len(list_filter(ws, w -> w IN ({quoted})))"
+
+
+def _langid_oracle() -> str:
+    from .operators.text import LANG_MARKERS
+
+    scores = ", ".join(f"{_lang_score_sql(m)} AS s_{lang}" for lang, m in LANG_MARKERS.items())
+    order = list(LANG_MARKERS)
+    m = "greatest(" + ", ".join(f"s_{lang}" for lang in order) + ")"
+    chain = " ".join(f"WHEN s_{lang} = m THEN '{lang}'" for lang in order)
+    return f"""
+    WITH s AS (
+        SELECT lang, {scores}
+        FROM (SELECT lang, {_WORDS.format(t="lower(text)")} AS ws FROM documents)
+    ),
+    p AS (
+        SELECT lang,
+               CASE WHEN {m} = 0 THEN 'und' {chain} END AS predicted
+        FROM (SELECT *, {m} AS m FROM s)
+    )
+    SELECT lang, predicted, COUNT(*) AS n FROM p GROUP BY lang, predicted
+    """
+
+
+@query("q_text_langid", _langid_oracle())
+def q_text_langid(spark, sf_dir):
+    """Heuristic n-gram language ID vs the labeled lang."""
+    from .operators.text import predict_lang
+
+    docs = _t(spark, sf_dir, "documents").lazy_sdf()
+    return (
+        docs.select("lang", predict_lang(SF.col("text")).alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(SF.count(SF.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "q_text_fingerprint",
+    f"""
+    SELECT doc_id,
+           CASE WHEN len(sh) >= 1 THEN list_min(list_transform(sh, s -> md5(s)))
+                ELSE md5(text) END AS fingerprint
+    FROM (
+        SELECT doc_id, text,
+               CASE WHEN len(ws) >= 5
+                    THEN list_transform(range(1, len(ws) - 3), i -> array_to_string(list_slice(ws, i, i + 4), ' '))
+                    ELSE [] END AS sh
+        FROM (SELECT doc_id, text, {_WORDS.format(t="text")} AS ws FROM documents)
+    )
+    """,
+)
+def q_text_fingerprint(spark, sf_dir):
+    """Rolling-hash document fingerprint (min md5 over 5-gram windows)."""
+    from .operators.text import fingerprint
+
+    docs = _t(spark, sf_dir, "documents").lazy_sdf()
+    return docs.select("doc_id", fingerprint(SF.col("text"), n=5).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing (binary payloads; deterministic fake decode)
+# ---------------------------------------------------------------------------
+
+
+def _nib_sql(expr: str) -> str:
+    return f"(CASE WHEN ascii({expr}) <= 57 THEN ascii({expr}) - 48 ELSE ascii({expr}) - 87 END)"
+
+
+_FEAT_SQL = ", ".join(
+    f"ROUND(({_nib_sql(f'substr(md5(text), {i * 2 + 1}, 1)')} * 16 + {_nib_sql(f'substr(md5(text), {i * 2 + 2}, 1)')}) / 255.0, 6) AS f{i}"
+    for i in (0, 7)
+)
+
+
+@query(
+    "q_multimodal_features",
+    f"""
+    SELECT doc_id AS media_id,
+           octet_length(CAST(text AS BLOB)) AS n_bytes,
+           md5(text) AS digest,
+           {_FEAT_SQL}
+    FROM documents
+    """,
+)
+def q_multimodal_features(spark, sf_dir):
+    """Binary-column pipeline: text bytes as fake media payloads ->
+    mapInPandas feature extraction (Arrow batches)."""
+    from .operators.multimodal import extract_features
+
+    docs = _t(spark, sf_dir, "documents").lazy_sdf()
+    media = docs.select(SF.col("doc_id").alias("media_id"), SF.col("text").cast("binary").alias("payload"))
+    feats = extract_features(media, fake=True, dim=8)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        "digest",
+        SF.round(SF.col("features")[0], 6).alias("f0"),
+        SF.round(SF.col("features")[7], 6).alias("f7"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# event streaming shapes (batch-equivalent, run as streaming in tests)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_events_tumbling",
+    """
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS w_start, event_type,
+           COUNT(*) AS n, ROUND(SUM(value), 4) AS total
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_events_tumbling(spark, sf_dir):
+    """Tumbling event-time window aggregation (same code path serves
+    readStream with a watermark)."""
+    from .streaming import tumbling_counts
+
+    ev = _t(spark, sf_dir, "events").lazy_sdf()
+    return tumbling_counts(ev, "1 hour").drop("w_end")
+
+
+@query(
+    "q_events_sessionize",
+    """
+    WITH g AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT user_id,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+        FROM g
+    ),
+    per AS (SELECT user_id, session_id, COUNT(*) AS n FROM s GROUP BY 1, 2)
+    SELECT user_id, COUNT(*) AS n_sessions,
+           ROUND(AVG(n), 6) AS avg_events, MAX(n) AS max_events
+    FROM per GROUP BY user_id
+    """,
+)
+def q_events_sessionize(spark, sf_dir):
+    """Sessionization: gap>30min starts a new session (lag + cumsum)."""
+    from .streaming import sessionize_batch
+
+    ev = _t(spark, sf_dir, "events").lazy_sdf()
+    sess = sessionize_batch(ev, gap_minutes=30)
+    return sess.groupBy("user_id").agg(
+        SF.count(SF.lit(1)).alias("n_sessions"),
+        SF.round(SF.avg("n_events"), 6).alias("avg_events"),
+        SF.max("n_events").alias("max_events"),
+    )

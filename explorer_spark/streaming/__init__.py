@@ -1,0 +1,87 @@
+"""Structured Streaming over event tables (additive capability — the
+reference's "streaming" is out-of-core batch only, SURVEY.md §2.11).
+
+Batch/stream symmetric helpers: each windowing shape is defined once on
+a DataFrame and works for both ``spark.read`` and ``spark.readStream``
+inputs (the Spark API contract). ``run_stream_once`` drives a parquet
+directory through a real streaming query into a memory sink for tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame as SDF, Window as W, functions as F
+
+
+def tumbling_counts(events: SDF, window: str = "1 hour", ts_col: str = "ts", watermark: str | None = "10 minutes") -> SDF:
+    """Tumbling event-time window counts/sums per event_type."""
+    src = events
+    if watermark and events.isStreaming:
+        # watermarks require TIMESTAMP_LTZ; NTZ wall time == UTC instant here
+        src = events.withColumn(ts_col, F.col(ts_col).cast("timestamp_ltz")).withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(F.window(F.col(ts_col), window).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        .select(F.col("w.start").alias("w_start"), F.col("w.end").alias("w_end"), "event_type", "n", "total")
+    )
+
+
+def sliding_means(events: SDF, window: str = "1 hour", slide: str = "30 minutes", ts_col: str = "ts") -> SDF:
+    src = events
+    return (
+        src.groupBy(F.window(F.col(ts_col), window, slide).alias("w"))
+        .agg(F.round(F.avg("value"), 6).alias("avg_value"), F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("w_start"), "avg_value", "n")
+    )
+
+
+def session_windows_stream(events: SDF, gap: str = "30 minutes", ts_col: str = "ts") -> SDF:
+    """Streaming-native session windows (F.session_window)."""
+    return (
+        events.groupBy(F.session_window(F.col(ts_col), gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("w_start"), F.col("w.end").alias("w_end"), "user_id", "n_events")
+    )
+
+
+def sessionize_batch(events: SDF, gap_minutes: int = 30, ts_col: str = "ts", user_col: str = "user_id") -> SDF:
+    """Batch sessionization: lag + gap>threshold cumsum — the classic
+    window-function rendering, one shuffle on the user key.
+
+    Output: user_id, session_id (0-based per user), n_events,
+    session_start, session_end.
+    """
+    w = W.partitionBy(user_col).orderBy(F.col(ts_col).asc(), F.col("event_id").asc())
+    gap_us = gap_minutes * 60 * 1_000_000  # exact integer µs (oracle-stable)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp_ltz"))  # NTZ wall time == UTC instant here
+    prev = F.lag(us).over(w)
+    new_sess = F.when(prev.isNull() | (us - prev > gap_us), 1).otherwise(0)
+    sess = (
+        events.withColumn("__new__", new_sess)
+        .withColumn("session_id", F.sum("__new__").over(w.rowsBetween(W.unboundedPreceding, 0)) - 1)
+    )
+    return (
+        sess.groupBy(user_col, "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+        )
+    )
+
+
+def run_stream_once(spark, parquet_path: str, transform, query_name: str = "stream_out", schema=None) -> SDF:
+    """Drive a parquet dir through readStream -> transform -> memory sink,
+    synchronously (for tests / local verification)."""
+    if schema is None:
+        schema = spark.read.parquet(parquet_path).schema
+    src = spark.readStream.schema(schema).parquet(parquet_path)
+    out = transform(src)
+    q = (
+        out.writeStream.outputMode("complete" if out.isStreaming else "append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
