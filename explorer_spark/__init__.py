@@ -22,6 +22,7 @@ from . import functions as f
 from .dtypes import from_spark, merge_dtype, normalize, to_spark
 from .expr import Expr, col, lit, raw
 from .frame import DataFrame
+from .series import Series
 from .session import get_spark
 from .sources import (
     from_columns,

@@ -572,15 +572,28 @@ class DataFrame:
             rng = F.lit(True)
         cond = rng if cond is None else (cond & rng)
         joined = lsdf.join(rsdf, cond, "left")
-        dist = F.abs(lsdf[on].cast("double") - joined[ron].cast("double")) if strategy == "nearest" else (
-            (lsdf[on].cast("double") - joined[ron].cast("double")).cast("double")
-        )
-        if strategy == "forward":
-            dist = (joined[ron].cast("double") - lsdf[on].cast("double")).cast("double")
+        lnum = self._asof_numeric(lsdf[on], self.dtypes.get(on))
+        rnum = self._asof_numeric(joined[ron], other.dtypes.get(on))
+        if strategy == "nearest":
+            dist = F.abs(lnum - rnum)
+        elif strategy == "forward":
+            dist = rnum - lnum
+        else:
+            dist = lnum - rnum
         w = W.partitionBy("__lid__").orderBy(F.when(joined[ron].isNull(), None).otherwise(dist).asc_nulls_last())
         out = joined.withColumn("__rn__", F.row_number().over(w)).filter(F.col("__rn__") == 1)
         out = out.drop("__rn__", "__lid__", ron, *[f"__r_{b}__" for b in by])
         return DataFrame(out, groups=self.groups, has_order=True)
+
+    @staticmethod
+    def _asof_numeric(c: Column, dtype) -> Column:
+        """A numeric (double) sort key for asof distance — timestamps go
+        through µs since NTZ/LTZ can't cast to double directly."""
+        if isinstance(dtype, tuple) and dtype[0] in ("naive_datetime", "datetime"):
+            return F.unix_micros(c.cast("timestamp_ltz")).cast("double")
+        if dtype == "date":
+            return F.unix_date(c).cast("double")
+        return c.cast("double")
 
     def concat_rows(self, *others: "DataFrame") -> "DataFrame":
         """Vertical union by name with dtype merging
@@ -822,6 +835,35 @@ class DataFrame:
             [T.StructField("names", T.StringType())] + [T.StructField(c, T.DoubleType()) for c in cols]
         )
         return DataFrame(spark.createDataFrame(data, schema), has_order=False)
+
+    # ------------------------------------------------------------------
+    # row UDF (reference data_frame.ex:4613-4626 — there it materializes
+    # rows through the BEAM; here it stays distributed via mapInPandas)
+    # ------------------------------------------------------------------
+    def transform(self, fn: Callable[[dict], dict], schema: Mapping | str) -> "DataFrame":
+        """Apply a row->dict function; returned keys become new columns
+        appended to the frame. ``schema`` maps new column names to dtypes
+        (or is a Spark DDL string for the FULL output schema)."""
+        base = self._ordered()
+        in_schema = base._sdf.schema
+        if isinstance(schema, str):
+            out_schema = schema
+            new_fields = None
+        else:
+            new_fields = [(n, dt.to_spark(d)) for n, d in schema.items()]
+            out_schema = T.StructType(list(in_schema.fields) + [T.StructField(n, t) for n, t in new_fields])
+
+        def op(batches):
+            for pdf in batches:
+                rows = pdf.to_dict("records")
+                for r in rows:
+                    r.update(fn({k: v for k, v in r.items() if k != ORDER_COL}))
+                import pandas as pd
+
+                yield pd.DataFrame(rows)
+
+        out = base._sdf.mapInPandas(op, out_schema)
+        return DataFrame(out, groups=self.groups, has_order=ORDER_COL in out.columns)
 
     # ------------------------------------------------------------------
     # EWM / binning (composite operators)

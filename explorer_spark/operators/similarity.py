@@ -21,7 +21,20 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame as SDF, Window as W, functions as F
 
 
-def dot(a: Column, b: Column) -> Column:
+def dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Dot product, double accumulation in element order.
+
+    With ``dim`` known, expands to an explicit codegen'd sum (higher-order
+    aggregate/zip_with run interpreted — ~5-10x slower in the pair-join
+    hot path); falls back to the generic form otherwise. Both forms
+    accumulate left-to-right, so results match the DuckDB oracle exactly.
+    """
+    if dim is not None:
+        terms = [a[i].cast("double") * b[i].cast("double") for i in range(dim)]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -29,12 +42,14 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def norm(a: Column) -> Column:
+def norm(a: Column, dim: int | None = None) -> Column:
+    if dim is not None:
+        return F.sqrt(dot(a, a, dim))
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
+    return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
 
 
 def brute_force_topk(
@@ -43,16 +58,23 @@ def brute_force_topk(
     k: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    dim: int | None = None,
 ) -> SDF:
     """Exact top-k neighbors per query row (excluding identical ids).
 
-    Output: query_id, neighbor_id, cosine — deterministic tie-break on
+    Norms are precomputed per row BEFORE the pair join (never per pair);
+    with ``dim`` the dot product is a codegen'd expression. Output:
+    query_id, neighbor_id, cosine — deterministic tie-break on
     neighbor_id.
     """
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv__"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv__"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv__"), norm(F.col(vec_col), dim).alias("__qn__")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv__"), norm(F.col(vec_col), dim).alias("__cn__")
+    )
     joined = c.crossJoin(F.broadcast(q)).filter(F.col("neighbor_id") != F.col("query_id"))
-    sim = F.round(cosine(F.col("__qv__"), F.col("__cv__")), 6)
+    sim = F.round(dot(F.col("__qv__"), F.col("__cv__"), dim) / (F.col("__qn__") * F.col("__cn__")), 6)
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
         joined.withColumn("cosine", sim)
@@ -69,6 +91,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     cell_col: str = "label",
+    dim: int | None = None,
 ) -> SDF:
     """Approximate top-k searching only the query's coarse cell.
 
@@ -78,13 +101,19 @@ def ivf_topk(
     per-cell, broadcast-friendly, and survives a 100x corpus scale-up.
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv__"), F.col(cell_col).alias("__cell__")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv__"),
+        F.col(cell_col).alias("__cell__"),
+        norm(F.col(vec_col), dim).alias("__qn__"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv__"), F.col(cell_col).alias("__ccell__")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv__"),
+        F.col(cell_col).alias("__ccell__"),
+        norm(F.col(vec_col), dim).alias("__cn__"),
     )
     joined = c.join(F.broadcast(q), (F.col("__cell__") == F.col("__ccell__")) & (F.col("neighbor_id") != F.col("query_id")))
-    sim = F.round(cosine(F.col("__qv__"), F.col("__cv__")), 6)
+    sim = F.round(dot(F.col("__qv__"), F.col("__cv__"), dim) / (F.col("__qn__") * F.col("__cn__")), 6)
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
         joined.withColumn("cosine", sim)
@@ -112,16 +141,22 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     block_col: str | None = "label",
+    dim: int | None = None,
 ) -> SDF:
     """Pairs with cosine >= threshold, blocked by a coarse column so the
-    pair join never goes global (embedding-cosine near-dup dedup)."""
-    cols = [F.col(id_col), F.col(vec_col)] + ([F.col(block_col)] if block_col else [])
+    pair join never goes global (embedding-cosine near-dup dedup).
+    Norms are computed once per row, not per pair."""
+    cols = [F.col(id_col), F.col(vec_col), norm(F.col(vec_col), dim).alias("__n__")] + (
+        [F.col(block_col)] if block_col else []
+    )
     base = sdf.select(*cols)
     a, b = base.alias("a"), base.alias("b")
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     if block_col:
         cond = (F.col(f"a.{block_col}") == F.col(f"b.{block_col}")) & cond
-    sim = F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6)
+    sim = F.round(
+        dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"), dim) / (F.col("a.__n__") * F.col("b.__n__")), 6
+    )
     return (
         a.join(b, cond)
         .select(

@@ -586,6 +586,7 @@ def q_explode_list(spark, sf_dir):
     )
 
 
-# LLM-data-pipeline queries register themselves on import (bottom of file
+# Extended query modules register themselves on import (bottom of file
 # so the registry decorators above are defined first).
 from . import queries_llm  # noqa: E402,F401  isort: skip
+from . import queries_ext  # noqa: E402,F401  isort: skip

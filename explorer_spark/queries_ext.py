@@ -1,0 +1,270 @@
+"""Extended parity queries: asof join, outer join, combinators, null
+strategies, regex/strftime, one-hot, peaks, positional slicing, weighted
+rolling — each exercising a SURVEY.md §2 verb with a DuckDB oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as SF
+
+from . import functions as f
+from .expr import col, lit, raw
+from .queries import query
+from .sources import load_table
+
+
+def _t(spark, sf_dir, name):
+    return load_table(sf_dir, name, spark=spark)
+
+
+@query(
+    "q_join_asof_backward",
+    """
+    SELECT e.event_id, p.event_id AS last_purchase_id
+    FROM events e
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+)
+def q_join_asof_backward(spark, sf_dir):
+    """join_asof backward with by-keys: each event matched to the same
+    user's most recent purchase at-or-before it (SURVEY §2.4)."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(col("event_type") == lit("purchase")).select(["user_id", "ts", "event_id"]).rename(
+        {"event_id": "last_purchase_id"}
+    )
+    joined = ev.join_asof(purchases, on="ts", by=["user_id"], strategy="backward")
+    return joined.select(["event_id", "last_purchase_id"]).lazy_sdf()
+
+
+@query(
+    "q_join_outer",
+    """
+    SELECT COUNT(*) AS n_rows,
+           COUNT(CASE WHEN o_orderkey IS NULL THEN 1 END) AS cust_without_orders,
+           COUNT(CASE WHEN c_custkey IS NULL THEN 1 END) AS orders_without_cust,
+           ROUND(SUM(COALESCE(o_totalprice, 0)), 2) AS total
+    FROM customer FULL OUTER JOIN orders ON c_custkey = o_custkey
+    """,
+)
+def q_join_outer(spark, sf_dir):
+    """Full outer join keeps both key columns (reference outer-join rule)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    joined = cust.join(orders, on=[("c_custkey", "o_custkey")], how="outer")
+    return joined.summarise(
+        n_rows=f.size(col("c_custkey")),
+        cust_without_orders=f.count(f.select(col("o_orderkey").is_nil(), lit(1), lit(None).cast(("s", 32)))),
+        orders_without_cust=f.count(f.select(col("c_custkey").is_nil(), lit(1), lit(None).cast(("s", 32)))),
+        total=f.round(f.sum(f.coalesce(col("o_totalprice"), lit(0.0))), 2),
+    ).lazy_sdf()
+
+
+@query(
+    "q_concat_rows",
+    """
+    SELECT kind, COUNT(*) AS n, ROUND(AVG(bal), 6) AS avg_bal
+    FROM (
+        SELECT 'customer' AS kind, c_acctbal AS bal FROM customer
+        UNION ALL
+        SELECT 'supplier' AS kind, s_acctbal AS bal FROM supplier
+    )
+    GROUP BY kind
+    """,
+)
+def q_concat_rows(spark, sf_dir):
+    """concat_rows with column matching (SURVEY §2.4 combinators)."""
+    cust = _t(spark, sf_dir, "customer").select(["c_acctbal"]).rename({"c_acctbal": "bal"}).mutate(kind=lit("customer"))
+    supp = _t(spark, sf_dir, "supplier").select(["s_acctbal"]).rename({"s_acctbal": "bal"}).mutate(kind=lit("supplier"))
+    return (
+        cust.concat_rows(supp)
+        .group_by("kind")
+        .summarise(n=f.size(col("bal")), avg_bal=f.round(f.mean(col("bal")), 6))
+        .lazy_sdf()
+    )
+
+
+@query(
+    "q_fill_forward",
+    """
+    SELECT event_id,
+           ROUND(last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS filled
+    FROM (
+        SELECT event_id, user_id, ts,
+               CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+        FROM events
+    )
+    """,
+)
+def q_fill_forward(spark, sf_dir):
+    """fill_missing(:forward) over synthesized nulls (SURVEY §2.9)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.sort_by("ts", "event_id")
+        .mutate(v=f.select(col("event_type") == lit("error"), lit(None).cast(("f", 64)), col("value")))
+        .group_by("user_id")
+        .mutate(filled=f.round(f.fill_missing(col("v"), "forward"), 4))
+        .ungroup()
+        .select(["event_id", "filled"])
+        .lazy_sdf()
+    )
+
+
+@query(
+    "q_regex_ops",
+    """
+    SELECT p_partkey,
+           len(regexp_extract_all(p_name, '[aeiou]')) AS n_vowels,
+           CASE WHEN regexp_matches(p_name, '^[a-m]') THEN TRUE ELSE FALSE END AS starts_early,
+           regexp_replace(p_name, '[0-9]+', '#', 'g') AS name_masked,
+           regexp_extract(p_type, '([A-Za-z]+)$', 1) AS type_last
+    FROM part
+    """,
+)
+def q_regex_ops(spark, sf_dir):
+    """Regex vocabulary: count/contains/replace/extract (SURVEY §2.9)."""
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.mutate(
+            n_vowels=f.re_count_matches(col("p_name"), "[aeiou]"),
+            starts_early=f.re_contains(col("p_name"), "^[a-m]"),
+            name_masked=f.re_replace(col("p_name"), "[0-9]+", "#"),
+            type_last=raw(SF.regexp_extract(SF.col("p_type"), r"([A-Za-z]+)$", 1)),
+        )
+        .select(["p_partkey", "n_vowels", "starts_early", "name_masked", "type_last"])
+        .lazy_sdf()
+    )
+
+
+@query(
+    "q_strftime_buckets",
+    """
+    SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+           COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders GROUP BY 1
+    """,
+)
+def q_strftime_buckets(spark, sf_dir):
+    """strftime month bucketing (chrono-token -> JVM-pattern shim)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.mutate(ym=f.strftime(col("o_orderdate"), "%Y-%m"))
+        .group_by("ym")
+        .summarise(n=f.size(col("o_orderkey")), total=f.round(f.sum(col("o_totalprice")), 2))
+        .lazy_sdf()
+    )
+
+
+@query(
+    "q_dummies_onehot",
+    """
+    SELECT c_nationkey,
+           SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS seg_AUTOMOBILE,
+           SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS seg_BUILDING,
+           SUM(CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 ELSE 0 END) AS seg_FURNITURE,
+           SUM(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 ELSE 0 END) AS seg_HOUSEHOLD,
+           SUM(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END) AS seg_MACHINERY
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def q_dummies_onehot(spark, sf_dir):
+    """dummies (one-hot) then per-nation sums (SURVEY §2.8)."""
+    cust = _t(spark, sf_dir, "customer")
+    hot = cust.select(["c_nationkey", "c_mktsegment"]).dummies(["c_mktsegment"]).rename_with(
+        lambda c: c.replace("c_mktsegment_", "seg_") if c.startswith("c_mktsegment_") else c
+    )
+    seg_cols = [c for c in hot.names if c.startswith("seg_")]
+    return (
+        hot.group_by("c_nationkey")
+        .summarise(**{c: f.sum(col(c)) for c in seg_cols})
+        .lazy_sdf()
+    )
+
+
+@query(
+    "q_peaks",
+    """
+    SELECT user_id, COUNT(CASE WHEN is_peak THEN 1 END) AS n_peaks
+    FROM (
+        SELECT user_id,
+               value > COALESCE(lag(value) OVER w, CAST('-infinity' AS DOUBLE))
+               AND value > COALESCE(lead(value) OVER w, CAST('-infinity' AS DOUBLE)) AS is_peak
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    GROUP BY user_id
+    """,
+)
+def q_peaks(spark, sf_dir):
+    """peaks(:max): local maxima per user series (SURVEY §2.6)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.sort_by("ts", "event_id")
+        .group_by("user_id")
+        .mutate(is_peak=f.peaks(col("value"), "max"))
+        .summarise(n_peaks=f.count(f.select(col("is_peak"), lit(1), lit(None).cast(("s", 32)))))
+        .lazy_sdf()
+    )
+
+
+@query(
+    "q_slice_offset",
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 10 OFFSET 5
+    """,
+)
+def q_slice_offset(spark, sf_dir):
+    """Positional slice on a sorted frame (ordered-row machinery)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.sort_by("l_extendedprice", "l_orderkey", "l_linenumber", descending=[True, False, False])
+        .slice(5, 10)
+        .select(["l_orderkey", "l_linenumber", "l_extendedprice"])
+        .lazy_sdf()
+    )
+
+
+@query(
+    "q_window_weighted",
+    """
+    SELECT o_orderkey,
+           ROUND(COALESCE(0.25 * lag(o_totalprice) OVER w, 0) + 0.75 * o_totalprice, 4) AS wsum
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q_window_weighted(spark, sf_dir):
+    """Weighted rolling sum (weights [0.25, 0.75], oldest first)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.sort_by("o_orderdate", "o_orderkey")
+        .group_by("o_custkey")
+        .mutate(wsum=f.round(f.window_sum(col("o_totalprice"), 2, weights=[0.25, 0.75]), 4))
+        .ungroup()
+        .select(["o_orderkey", "wsum"])
+        .lazy_sdf()
+    )
+
+
+@query(
+    "q_at_every",
+    """
+    SELECT l_orderkey, l_linenumber
+    FROM lineitem
+    QUALIFY (row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1) % 100 = 0
+    """,
+)
+def q_at_every(spark, sf_dir):
+    """at_every(100) on a sorted frame — contiguous row-index machinery
+    (per-partition offsets, no global single-partition window)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.sort_by("l_orderkey", "l_linenumber")
+        .at_every(100)
+        .select(["l_orderkey", "l_linenumber"])
+        .lazy_sdf()
+    )

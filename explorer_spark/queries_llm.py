@@ -108,24 +108,51 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 @query(
     "q_dedup_ngram_jaccard",
     f"""
-    WITH s AS (
-        SELECT doc_id, lang, {_SHINGLES3.format(w="ws")} AS sh
-        FROM (SELECT doc_id, lang, {_WORDS.format(t="text")} AS ws FROM documents)
+    WITH sh AS (
+        SELECT doc_id, {_SHINGLES3.format(w="ws")} AS sh
+        FROM (SELECT doc_id, {_WORDS.format(t="text")} AS ws FROM documents)
+    ),
+    sig AS (
+        SELECT doc_id, {", ".join(f"{_minhash_sql(i)} AS mh{i}" for i in range(8))}
+        FROM sh
+    ),
+    bands AS (
+        {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, md5(mh{2 * b} || '|' || mh{2 * b + 1}) AS bucket FROM sig" for b in range(4))}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
     )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                 / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
-    FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    SELECT id_a, id_b,
+           ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
+    FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
     ORDER BY jaccard DESC, id_a, id_b
     LIMIT 10
     """,
 )
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    """Top-10 most-similar doc pairs by 3-gram Jaccard, blocked by lang."""
-    from .operators.dedup import ngram_jaccard_pairs
+    """The full near-dup pipeline: MinHash -> LSH candidate pairs ->
+    exact 3-gram Jaccard verification -> top-10. The pair join touches
+    only LSH candidates, never the quadratic block — the shape that
+    survives a 100x corpus."""
+    from .operators.dedup import lsh_buckets, lsh_candidate_pairs, with_minhash
+    from .operators.text import shingle_set
 
     docs = _t(spark, sf_dir, "documents").lazy_sdf()
-    pairs = ngram_jaccard_pairs(docs, block_col="lang", shingle_n=3, threshold=-1.0)
+    sig = with_minhash(docs, num_hashes=8, shingle_n=3)
+    cand = lsh_candidate_pairs(lsh_buckets(sig, num_hashes=8, bands=4))
+    sh = docs.select("doc_id", shingle_set(SF.col("text"), 3).alias("sh"))
+    sa = sh.select(SF.col("doc_id").alias("id_a"), SF.col("sh").alias("__sha__"))
+    sb = sh.select(SF.col("doc_id").alias("id_b"), SF.col("sh").alias("__shb__"))
+    inter = SF.size(SF.array_intersect(SF.col("__sha__"), SF.col("__shb__")))
+    union = SF.size(SF.array_union(SF.col("__sha__"), SF.col("__shb__")))
+    pairs = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", SF.round(inter.cast("double") / union, 6).alias("jaccard"))
+    )
     return pairs.orderBy(SF.col("jaccard").desc(), SF.col("id_a"), SF.col("id_b")).limit(10)
 
 
@@ -191,7 +218,7 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     from .operators.similarity import embedding_neardup_pairs
 
     emb = _t(spark, sf_dir, "embeddings").lazy_sdf()
-    pairs = embedding_neardup_pairs(emb, threshold=-2.0, block_col="label")
+    pairs = embedding_neardup_pairs(emb, threshold=-2.0, block_col="label", dim=64)
     return pairs.orderBy(SF.col("cosine").desc(), SF.col("id_a"), SF.col("id_b")).limit(10)
 
 
@@ -216,7 +243,7 @@ def q_ann_bruteforce_topk(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings").lazy_sdf()
     queries = emb.filter(SF.col("vec_id") < 10)
-    return brute_force_topk(emb, queries, k=5)
+    return brute_force_topk(emb, queries, k=5, dim=64)
 
 
 @query(
@@ -236,7 +263,7 @@ def q_ann_ivf_topk(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings").lazy_sdf()
     queries = emb.filter(SF.col("vec_id") < 10)
-    return ivf_topk(emb, queries, k=5, cell_col="label")
+    return ivf_topk(emb, queries, k=5, cell_col="label", dim=64)
 
 
 # ---------------------------------------------------------------------------

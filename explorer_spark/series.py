@@ -1,0 +1,256 @@
+"""Series: the 1-D column abstraction (reference lib/explorer/series.ex).
+
+A Series is a named single-column DataFrame plus the expression
+vocabulary as methods. Construction from Python lists materializes
+through Arrow; all operations stay lazy/distributed — unlike the
+reference's eager ``Series.transform`` (which round-trips the BEAM,
+polars_backend/series.ex:676-681), ``transform`` here is an Arrow-batched
+pandas UDF.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from . import dtypes as dt
+from .expr import Expr, col, lit
+from .frame import ORDER_COL, DataFrame
+
+
+class Series:
+    def __init__(self, frame: DataFrame, name: str = "values"):
+        self._frame = frame
+        self.name = name
+
+    # -- construction -------------------------------------------------------
+    @staticmethod
+    def from_list(values: list, dtype=None, name: str = "values", spark=None) -> "Series":
+        import pandas as pd
+
+        from .session import get_spark
+        from .sources import from_pandas
+
+        spark = spark or get_spark()
+        if dtype is not None:
+            from pyspark.sql import types as T
+
+            schema = T.StructType([T.StructField(name, dt.to_spark(dtype))])
+            sdf = spark.createDataFrame([(v,) for v in values], schema)
+            frame = DataFrame(sdf.withColumn(ORDER_COL, F.monotonically_increasing_id()), has_order=True)
+        else:
+            frame = from_pandas(pd.DataFrame({name: values}), spark=spark)
+        return Series(frame, name)
+
+    # -- materialization ----------------------------------------------------
+    def to_list(self) -> list:
+        return self._frame.to_columns()[self.name]
+
+    def to_frame(self) -> DataFrame:
+        return self._frame.select([self.name])
+
+    @property
+    def dtype(self):
+        return self._frame.dtypes[self.name]
+
+    def size(self) -> int:
+        return self._frame.n_rows()
+
+    def __len__(self):
+        return self.size()
+
+    # -- expression application ---------------------------------------------
+    def _apply(self, expr: Expr, name: str | None = None) -> "Series":
+        out_name = name or self.name
+        nf = self._frame.mutate(**{out_name: expr})
+        return Series(nf.select([out_name]), out_name)
+
+    def _agg(self, expr: Expr):
+        return self._frame.summarise(__out__=expr).to_columns()["__out__"][0]
+
+    def _c(self) -> Expr:
+        return col(self.name)
+
+    # -- aggregations (reference series.ex:2400-3102) -----------------------
+    def sum(self):
+        return self._agg(Expr("sum", self._c()))
+
+    def min(self):
+        return self._agg(Expr("min", self._c()))
+
+    def max(self):
+        return self._agg(Expr("max", self._c()))
+
+    def mean(self):
+        return self._agg(Expr("mean", self._c()))
+
+    def median(self):
+        return self._agg(Expr("median", self._c()))
+
+    def mode(self):
+        return self._agg(Expr("mode", self._c()))
+
+    def product(self):
+        return self._agg(Expr("product", self._c()))
+
+    def count(self):
+        return self._agg(Expr("count", self._c()))
+
+    def nil_count(self):
+        return self._agg(Expr("nil_count", self._c()))
+
+    def n_distinct(self):
+        return self._agg(Expr("n_distinct", self._c()))
+
+    def variance(self, ddof: int = 1):
+        return self._agg(Expr("variance", self._c(), ddof))
+
+    def standard_deviation(self, ddof: int = 1):
+        return self._agg(Expr("standard_deviation", self._c(), ddof))
+
+    def quantile(self, q: float):
+        return self._agg(Expr("quantile", self._c(), q))
+
+    def skew(self, bias: bool = True):
+        return self._agg(Expr("skew", self._c(), bias))
+
+    def all(self):
+        return self._agg(Expr("all", self._c()))
+
+    def any(self):
+        return self._agg(Expr("any", self._c()))
+
+    def first(self):
+        vals = self._frame.head(1).to_columns()[self.name]
+        return vals[0] if vals else None
+
+    def last(self):
+        vals = self._frame.tail(1).to_columns()[self.name]
+        return vals[0] if vals else None
+
+    def at(self, i: int):
+        vals = self._frame.slice(i, 1).to_columns()[self.name]
+        return vals[0] if vals else None
+
+    def argmin(self) -> int:
+        f = self._frame._with_row_index("__idx__")
+        row = f._sdf.orderBy(F.col(self.name).asc_nulls_last(), F.col("__idx__")).limit(1).collect()
+        return row[0]["__idx__"] if row else None
+
+    def argmax(self) -> int:
+        f = self._frame._with_row_index("__idx__")
+        row = f._sdf.orderBy(F.col(self.name).desc_nulls_last(), F.col("__idx__")).limit(1).collect()
+        return row[0]["__idx__"] if row else None
+
+    # -- element-wise (any Expr op by name) ----------------------------------
+    def map(self, fn: Callable[[Expr], Expr]) -> "Series":
+        """Apply an expression builder to the series (the ``_`` variable
+        of the reference's single-series query DSL, series.ex:1752-1998)."""
+        return self._apply(fn(self._c()))
+
+    def cast(self, dtype) -> "Series":
+        return self._apply(Expr("cast", self._c(), dtype))
+
+    def filter(self, fn: Callable[[Expr], Expr]) -> "Series":
+        nf = self._frame.filter_with(fn(self._c()))
+        return Series(nf, self.name)
+
+    def sort(self, descending: bool = False, nils_last: bool = True) -> "Series":
+        return Series(self._frame.sort_by(self.name, descending=descending, nils_last=nils_last), self.name)
+
+    def argsort(self, descending: bool = False) -> list[int]:
+        f = self._frame._with_row_index("__idx__")
+        key = F.col(self.name).desc_nulls_last() if descending else F.col(self.name).asc_nulls_last()
+        rows = f._sdf.orderBy(key, F.col("__idx__")).select("__idx__").collect()
+        return [r["__idx__"] for r in rows]
+
+    def reverse(self) -> "Series":
+        base = self._frame._ordered()
+        out = base._sdf.orderBy(F.col(ORDER_COL).desc()).drop(ORDER_COL).withColumn(
+            ORDER_COL, F.monotonically_increasing_id()
+        )
+        return Series(DataFrame(out, has_order=True), self.name)
+
+    def distinct(self) -> "Series":
+        return Series(self._frame.distinct([self.name]), self.name)
+
+    def unordered_distinct(self) -> "Series":
+        return Series(self._frame.unordered_distinct([self.name]), self.name)
+
+    def head(self, n: int = 5) -> "Series":
+        return Series(self._frame.head(n), self.name)
+
+    def tail(self, n: int = 5) -> "Series":
+        return Series(self._frame.tail(n), self.name)
+
+    def slice(self, offset, length=None) -> "Series":
+        return Series(self._frame.slice(offset, length), self.name)
+
+    def at_every(self, n: int) -> "Series":
+        return Series(self._frame.at_every(n), self.name)
+
+    def sample(self, n_or_frac, replace: bool = False, seed: int | None = None) -> "Series":
+        return Series(self._frame.sample(n_or_frac, replace=replace, seed=seed), self.name)
+
+    def shift(self, offset: int, default=None) -> "Series":
+        return self._apply(Expr("shift", self._c(), offset, default))
+
+    def rank(self, method: str = "ordinal", descending: bool = False) -> "Series":
+        return self._apply(Expr("rank", self._c(), method, descending))
+
+    def fill_missing(self, strategy_or_value) -> "Series":
+        from . import functions as fns
+
+        return self._apply(fns.fill_missing(self._c(), strategy_or_value))
+
+    def frequencies(self) -> DataFrame:
+        return self._frame.rename({self.name: "values"}).frequencies("values")
+
+    # -- categorical emulation (reference series.ex:1327-1438) ---------------
+    def categorise(self, categories: list[str]) -> "Series":
+        """Map integer codes -> category strings (dictionary decode)."""
+        mapping = F.array(*[F.lit(c) for c in categories])
+        decoded = F.when(F.col(self.name).isNotNull(), mapping[F.col(self.name).cast("int")])
+        return self._apply(Expr("raw", decoded))
+
+    def categories(self) -> list[str]:
+        """Distinct values in first-appearance order (dictionary levels)."""
+        f = self._frame._ordered()
+        rows = (
+            f._sdf.groupBy(self.name)
+            .agg(F.min(ORDER_COL).alias("__o__"))
+            .orderBy("__o__")
+            .select(self.name)
+            .collect()
+        )
+        return [r[0] for r in rows if r[0] is not None]
+
+    def cut(self, breaks: list, labels=None, left_close: bool = False) -> DataFrame:
+        return self._frame.rename({self.name: "values"}).cut("values", breaks, labels, left_close)
+
+    def qcut(self, quantiles: list, labels=None, left_close: bool = False) -> DataFrame:
+        return self._frame.rename({self.name: "values"}).qcut("values", quantiles, labels, left_close)
+
+    # -- scalar UDF (Arrow-batched, unlike the reference's eager loop) -------
+    def transform(self, fn: Callable, dtype=None) -> "Series":
+        from pyspark.sql import types as T
+
+        ret = dt.to_spark(dtype) if dtype is not None else self._frame._sdf.schema[self.name].dataType
+
+        def kernel(s: pd.Series) -> pd.Series:
+            return s.map(lambda v: fn(v) if v is not None else None)
+
+        udf = F.pandas_udf(kernel, ret)
+        base = self._frame._sdf.withColumn(self.name, udf(F.col(self.name)))
+        return Series(DataFrame(base, has_order=self._frame._has_order), self.name)
+
+    def index_of(self, value) -> int | None:
+        f = self._frame._with_row_index("__idx__")
+        rows = f._sdf.filter(F.col(self.name) == F.lit(value)).orderBy("__idx__").limit(1).collect()
+        return rows[0]["__idx__"] if rows else None
+
+    def __repr__(self):
+        vals = self.head(10).to_list()
+        return f"Series[{self.name} :: {self.dtype}] {vals}"

@@ -1,0 +1,82 @@
+"""Series API tests, doctest-style exact expectations."""
+
+import pytest
+
+import explorer_spark as ex
+from explorer_spark import Series
+
+
+@pytest.fixture(scope="module")
+def s(spark):
+    return Series.from_list([3, 1, None, 4, 1, 5], name="x", dtype=("s", 64), spark=spark)
+
+
+def test_roundtrip(s):
+    assert s.to_list() == [3, 1, None, 4, 1, 5]
+    assert s.dtype == ("s", 64)
+    assert len(s) == 6
+
+
+def test_aggregates(s):
+    assert s.sum() == 14
+    assert s.min() == 1
+    assert s.max() == 5
+    assert s.mean() == pytest.approx(2.8)
+    assert s.count() == 5
+    assert s.nil_count() == 1
+    assert s.n_distinct() == 4  # null not counted
+    assert s.first() == 3
+    assert s.last() == 5
+    assert s.at(3) == 4
+
+
+def test_argminmax(s):
+    assert s.argmin() == 1  # first occurrence of 1
+    assert s.argmax() == 5
+
+
+def test_sort_reverse_distinct(s):
+    assert s.sort().to_list() == [1, 1, 3, 4, 5, None]
+    assert s.sort(descending=True).to_list() == [5, 4, 3, 1, 1, None]
+    assert s.reverse().to_list() == [5, 1, 4, None, 1, 3]
+    assert s.distinct().sort().to_list() == [1, 3, 4, 5, None]
+
+
+def test_argsort(s):
+    assert s.argsort() == [1, 4, 0, 3, 5, 2]
+
+
+def test_map_filter(s):
+    assert s.map(lambda c: c * 2).to_list() == [6, 2, None, 8, 2, 10]
+    assert s.filter(lambda c: c > 2).to_list() == [3, 4, 5]
+
+
+def test_shift_fill(s):
+    assert s.shift(1).to_list() == [None, 3, 1, None, 4, 1]
+    assert s.fill_missing("forward").to_list() == [3, 1, 1, 4, 1, 5]
+    assert s.fill_missing(0).to_list() == [3, 1, 0, 4, 1, 5]
+
+
+def test_transform_udf(s):
+    out = s.transform(lambda v: v * 10, dtype=("s", 64))
+    assert out.to_list() == [30, 10, None, 40, 10, 50]
+
+
+def test_categories(spark):
+    c = Series.from_list(["b", "a", "b", "c"], name="c", spark=spark)
+    assert c.categories() == ["b", "a", "c"]
+    codes = Series.from_list([0, 1, None, 2], name="k", dtype=("s", 64), spark=spark)
+    assert codes.categorise(["x", "y", "z"]).to_list() == ["x", "y", None, "z"]
+
+
+def test_index_of(s):
+    assert s.index_of(4) == 3
+    assert s.index_of(99) is None
+
+
+def test_rank(spark):
+    r = Series.from_list([10.0, 30.0, 20.0, 30.0], name="v", spark=spark)
+    assert r.rank("ordinal").to_list() == [1, 2, 4, 3] or r.rank("ordinal").to_list() == [1, 3, 2, 4]
+    assert r.rank("dense").to_list() == [1, 3, 2, 3]
+    assert r.rank("min").to_list() == [1, 3, 2, 3]
+    assert r.rank("average").to_list() == [1.0, 3.5, 2.0, 3.5]
