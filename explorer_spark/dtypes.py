@@ -106,6 +106,10 @@ def to_spark(dtype) -> T.DataType:
         return T.ArrayType(to_spark(dtype[1]))
     if kind == "struct":
         return T.StructType([T.StructField(name, to_spark(inner)) for name, inner in dtype[1]])
+    if kind == "map":
+        # Spark-extra: the reference has no map dtype (SURVEY §1.2); we
+        # pass MapType columns through rather than reject them
+        return T.MapType(to_spark(dtype[1]), to_spark(dtype[2]))
     raise ValueError(f"unknown dtype: {dtype!r}")
 
 
@@ -147,6 +151,8 @@ def from_spark(st: T.DataType):
         return ("list", from_spark(st.elementType))
     if isinstance(st, T.StructType):
         return ("struct", [(f.name, from_spark(f.dataType)) for f in st.fields])
+    if isinstance(st, T.MapType):
+        return ("map", from_spark(st.keyType), from_spark(st.valueType))
     if isinstance(st, T.NullType):
         return "null"
     raise ValueError(f"unmapped Spark type: {st!r}")

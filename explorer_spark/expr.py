@@ -531,6 +531,15 @@ _LOWER = {
     "count_matches": lambda ctx, a, pat: F.size(F.split(_c(a, ctx), F.lit(pat).cast("string"), -1)) - 1,
     "re_count_matches": lambda ctx, a, pat: F.regexp_count(_c(a, ctx), F.lit(pat)),
     "re_scan": lambda ctx, a, pat: F.regexp_extract_all(_c(a, ctx), F.lit(pat), 0),
+    "split_into": lambda ctx, a, sep, fields: F.struct(
+        *[
+            F.get(F.split(_c(a, ctx), F.lit(sep).cast("string"), len(fields)), i).alias(name)
+            for i, name in enumerate(fields)
+        ]
+    ),
+    "re_named_captures": lambda ctx, a, pat, names: F.struct(
+        *[F.regexp_extract(_c(a, ctx), pat, i + 1).alias(n) for i, n in enumerate(names)]
+    ),
     "string_length": _unop(F.length),
     "concat": lambda ctx, *xs: F.concat(*[_c(x, ctx).cast("string") for x in xs]),
     "format": lambda ctx, xs: F.concat(*[_c(x, ctx).cast("string") for x in xs]),
@@ -560,6 +569,7 @@ _LOWER = {
     # structs / json
     "field": lambda ctx, a, name: _c(a, ctx).getField(name),
     "json_path_match": lambda ctx, a, path: F.get_json_object(_c(a, ctx), path),
+    "json_decode": lambda ctx, a, dtype: F.from_json(_c(a, ctx), dt.to_spark(dtype)),
     # raw escape hatch: wrap an existing Column
     "raw": lambda ctx, column: column,
 }

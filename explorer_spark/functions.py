@@ -299,5 +299,20 @@ def json_path_match(a, path: str):
     return Expr("json_path_match", _wrap(a), path)
 
 
+def json_decode(a, dtype):
+    return Expr("json_decode", _wrap(a), dtype)
+
+
+def split_into(a, sep: str, fields: list[str]):
+    """Split into a struct with named fields (reference expressions.rs:1186)."""
+    return Expr("split_into", _wrap(a), sep, list(fields))
+
+
+def re_named_captures(a, pattern: str, names: list[str]):
+    """Regex named-capture groups -> struct (reference expressions.rs:1230).
+    ``names`` lists the capture groups in order."""
+    return Expr("re_named_captures", _wrap(a), pattern, list(names))
+
+
 def cast(a, dtype):
     return Expr("cast", _wrap(a), dtype)

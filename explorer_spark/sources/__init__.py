@@ -200,6 +200,70 @@ def from_query(url: str, query: str, spark: SparkSession | None = None) -> DataF
     return _attach_order(sdf)
 
 
+def read_ipc_stream(path: str, columns=None, spark: SparkSession | None = None) -> DataFrame:
+    """Arrow IPC streaming format (reference from_ipc_stream)."""
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
+    spark = spark or get_spark()
+    with open(path, "rb") as fh:
+        table = ipc.open_stream(fh).read_all()
+    if columns:
+        table = table.select(columns)
+    return _attach_order(spark.createDataFrame(table.to_pandas()))
+
+
+def write_ipc_stream(df: DataFrame, path: str) -> str:
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
+    table = pa.Table.from_pandas(df.to_pandas())
+    with pa.OSFile(path, "wb") as sink, ipc.new_stream(sink, table.schema) as writer:
+        writer.write_table(table)
+    return path
+
+
+def dump_csv(df: DataFrame, header: bool = True, delimiter: str = ",") -> str:
+    """CSV as an in-memory string (reference dump_csv)."""
+    return df.to_pandas().to_csv(index=False, header=header, sep=delimiter)
+
+
+def dump_ndjson(df: DataFrame) -> str:
+    return df.to_pandas().to_json(orient="records", lines=True)
+
+
+def load_csv(contents: str, spark: SparkSession | None = None, **opts) -> DataFrame:
+    """Parse CSV from an in-memory string (reference load_csv)."""
+    import tempfile
+
+    with tempfile.NamedTemporaryFile("w", suffix=".csv", delete=False) as fh:
+        fh.write(contents)
+        path = fh.name
+    return read_csv(path, spark=spark, **opts)
+
+
+def load_ndjson(contents: str, spark: SparkSession | None = None) -> DataFrame:
+    import tempfile
+
+    with tempfile.NamedTemporaryFile("w", suffix=".ndjson", delete=False) as fh:
+        fh.write(contents)
+        path = fh.name
+    return read_ndjson(path, spark=spark)
+
+
+# reference-style aliases (from_* readers / to_* writers)
+from_csv = read_csv
+from_parquet = read_parquet
+from_ndjson = read_ndjson
+from_ipc = read_ipc
+from_ipc_stream = read_ipc_stream
+to_csv = write_csv
+to_parquet = write_parquet
+to_ndjson = write_ndjson
+to_ipc = write_ipc
+to_ipc_stream = write_ipc_stream
+
+
 def load_table(sf_dir: str, name: str, spark: SparkSession | None = None) -> DataFrame:
     """Convenience: one of the driver's testdata tables."""
     return read_parquet(os.path.join(sf_dir, f"{name}.parquet"), spark=spark)

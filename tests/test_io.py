@@ -1,0 +1,124 @@
+"""IO round-trips per format (reference test strategy: csv/parquet/ipc/
+ipc_stream/ndjson suites, SURVEY §5)."""
+
+import pytest
+
+import explorer_spark as ex
+from explorer_spark import sources
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    return ex.from_columns(
+        {
+            "i": [1, 2, 3],
+            "x": [1.5, None, -2.25],
+            "s": ["a", "b,c", "naïve"],
+            "b": [True, False, None],
+        },
+        spark=spark,
+    )
+
+
+def _cols(d):
+    return d.sort_by("i").to_columns()
+
+
+def test_parquet_roundtrip(df, tmp_path):
+    p = str(tmp_path / "t.parquet")
+    sources.write_parquet(df, p, compression="zstd")
+    back = sources.read_parquet(p)
+    assert _cols(back) == _cols(df)
+    assert back.dtypes == df.dtypes
+
+
+def test_parquet_column_projection(df, tmp_path):
+    p = str(tmp_path / "t2.parquet")
+    sources.write_parquet(df, p)
+    back = sources.read_parquet(p, columns=["i", "s"])
+    assert back.names == ["i", "s"]
+
+
+def test_csv_roundtrip(df, tmp_path):
+    p = str(tmp_path / "t_csv")
+    sources.write_csv(df, p)
+    back = sources.read_csv(p)
+    got = _cols(back)
+    assert got["i"] == [1, 2, 3]
+    assert got["s"] == ["a", "b,c", "naïve"]  # quoted comma survives
+    assert got["x"] == [1.5, None, -2.25]
+
+
+def test_csv_options(spark, tmp_path):
+    p = str(tmp_path / "semi.csv")
+    with open(p, "w") as fh:
+        fh.write("a;b\n1;x\n2;NULL\n3;z\n")
+    back = sources.read_csv(p, delimiter=";", nil_values=["NULL"])
+    got = _cols(back.rename({"a": "i"}))
+    assert got["b"] == ["x", None, "z"]
+    limited = sources.read_csv(p, delimiter=";", max_rows=2)
+    assert limited.n_rows() == 2
+
+
+def test_csv_explicit_dtypes(spark, tmp_path):
+    p = str(tmp_path / "typed.csv")
+    with open(p, "w") as fh:
+        fh.write("a,b\n1,2.5\n")
+    back = sources.read_csv(p, dtypes={"a": ("s", 32), "b": ("f", 64)})
+    assert back.dtypes == {"a": ("s", 32), "b": ("f", 64)}
+
+
+def test_ndjson_roundtrip(df, tmp_path):
+    p = str(tmp_path / "t_json")
+    sources.write_ndjson(df, p)
+    back = sources.read_ndjson(p)
+    got = _cols(back.select(["i", "s"]))
+    assert got["s"] == ["a", "b,c", "naïve"]
+
+
+def test_ipc_file_roundtrip(df, tmp_path):
+    p = str(tmp_path / "t.arrow")
+    sources.write_ipc(df, p)
+    back = sources.read_ipc(p)
+    assert _cols(back)["s"] == ["a", "b,c", "naïve"]
+
+
+def test_ipc_stream_roundtrip(df, tmp_path):
+    p = str(tmp_path / "t.arrows")
+    sources.write_ipc_stream(df, p)
+    back = sources.read_ipc_stream(p)
+    assert _cols(back)["x"] == [1.5, None, -2.25]
+    # the file reader also detects stream format (reference fallback)
+    back2 = sources.read_ipc(p)
+    assert back2.n_rows() == 3
+
+
+def test_dump_load_csv(df):
+    text = sources.dump_csv(df)
+    assert text.splitlines()[0] == "i,x,s,b"
+    back = sources.load_csv(text)
+    assert back.n_rows() == 3
+
+
+def test_dump_load_ndjson(df):
+    text = sources.dump_ndjson(df)
+    back = sources.load_ndjson(text)
+    assert back.n_rows() == 3
+
+
+def test_nested_parquet_roundtrip(spark, tmp_path):
+    sdf = spark.createDataFrame(
+        [(1, [1, 2], ("x", 9)), (2, [], ("y", 8))],
+        "id long, xs array<long>, st struct<a: string, b: long>",
+    )
+    from explorer_spark.frame import ORDER_COL, DataFrame
+    from pyspark.sql import functions as F
+
+    d = DataFrame(sdf.withColumn(ORDER_COL, F.monotonically_increasing_id()), has_order=True)
+    p = str(tmp_path / "nested.parquet")
+    sources.write_parquet(d, p)
+    back = sources.read_parquet(p)
+    assert back.dtypes["xs"] == ("list", ("s", 64))
+    assert back.dtypes["st"][0] == "struct"
+    got = back.sort_by("id").to_rows()
+    assert got[0]["st"] == {"a": "x", "b": 9}

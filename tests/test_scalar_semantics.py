@@ -1,0 +1,167 @@
+"""Edge-semantics tests for the scalar library (SURVEY §2.9 'hard parts':
+remainder sign, quotient, clip, rounding, temporal parts, json, lists,
+structs, split_into, named captures)."""
+
+import math
+
+import pytest
+
+import explorer_spark as ex
+from explorer_spark import col, f, lit
+
+
+def test_remainder_and_quotient(spark):
+    d = ex.from_columns({"a": [7, -7, 7, -7], "b": [3, 3, -3, -3]}, spark=spark)
+    out = d.mutate(r=col("a") % col("b"), q=f.quotient(col("a"), col("b"))).to_columns()
+    # Spark % follows sign-of-dividend (same as Rust/Polars)
+    assert out["r"] == [1, -1, 1, -1]
+    # quotient = floor division
+    assert out["q"] == [2, -3, -3, 2]
+
+
+def test_clip_round_log_exp(spark):
+    d = ex.from_columns({"x": [-5.0, 0.5, 9.0]}, spark=spark)
+    out = d.mutate(
+        c=f.clip(col("x"), 0.0, 1.0),
+        r=f.round(col("x"), 0),
+        ln=f.log_natural(col("x")),
+        l2=f.log(col("x"), 2),
+        e=f.exp(lit(0.0)),
+        sq=f.sqrt(f.abs(col("x"))),
+    ).to_columns()
+    assert out["c"] == [0.0, 0.5, 1.0]
+    assert out["ln"][0] is None or math.isnan(out["ln"][0])  # log of negative
+    assert out["l2"][2] == pytest.approx(math.log2(9.0))
+    assert out["e"] == [1.0, 1.0, 1.0]
+
+
+def test_trig(spark):
+    d = ex.from_columns({"x": [0.0, math.pi / 2]}, spark=spark)
+    out = d.mutate(
+        s=f.sin(col("x")), c=f.cos(col("x")), deg=f.degrees(col("x")), rad=f.radians(f.degrees(col("x")))
+    ).to_columns()
+    assert out["s"] == pytest.approx([0.0, 1.0])
+    assert out["deg"] == pytest.approx([0.0, 90.0])
+    assert out["rad"] == pytest.approx([0.0, math.pi / 2])
+
+
+def test_is_finite_nan(spark):
+    # NB: NaN must be synthesized in-engine — pandas ingestion reads
+    # float('nan') as SQL NULL (nil), matching Explorer's nil-vs-NaN split
+    d = ex.from_columns({"i": [0, 1, 2, 3]}, spark=spark).mutate(
+        x=f.select(col("i") == lit(0), lit(1.0), f.select(col("i") == lit(1), lit(float("nan")), f.select(col("i") == lit(2), lit(float("inf")), lit(float("-inf")))))
+    )
+    out = d.mutate(
+        fin=f.is_finite(col("x")), nan=f.is_nan(col("x")), inf=f.is_infinite(col("x"))
+    ).sort_by("i").to_columns()
+    assert out["nan"] == [False, True, False, False]
+    assert out["inf"] == [False, False, True, True]
+    assert out["fin"] == [True, False, False, False]
+
+
+def test_string_edges(spark):
+    d = ex.from_columns({"s": ["  pad  ", "héllo", "", "a,b,c"]}, spark=spark)
+    out = d.mutate(
+        t=f.strip(col("s")),
+        lt=f.lstrip(col("s")),
+        ln=f.string_length(col("s")),
+        up=f.upcase(col("s")),
+        sub=f.substring(col("s"), 1, 3),
+        neg=f.substring(col("s"), -3),
+    ).to_columns()
+    assert out["t"][0] == "pad"
+    assert out["ln"] == [7, 5, 0, 5]  # unicode length, not bytes
+    assert out["sub"][3] == ",b,"
+    assert out["neg"][3] == "b,c"
+
+
+def test_split_into_and_captures(spark):
+    d = ex.from_columns({"s": ["2024-01-15", "1999-12-31"]}, spark=spark)
+    out = d.mutate(parts=f.split_into(col("s"), "-", ["y", "m", "d"])).unnest(["parts"]).to_columns()
+    assert out["y"] == ["2024", "1999"]
+    assert out["d"] == ["15", "31"]
+    cap = d.mutate(g=f.re_named_captures(col("s"), r"(\d+)-(\d+)-(\d+)", ["yy", "mm", "dd"]))
+    g = cap.unnest(["g"]).to_columns()
+    assert g["mm"] == ["01", "12"]
+
+
+def test_json_decode(spark):
+    d = ex.from_columns({"j": ['{"a": 1, "b": "x"}', '{"a": 2, "b": "y"}']}, spark=spark)
+    out = d.mutate(o=f.json_decode(col("j"), ("struct", [("a", ("s", 64)), ("b", "string")])))
+    flat = out.unnest(["o"]).to_columns()
+    assert flat["a"] == [1, 2]
+    assert flat["b"] == ["x", "y"]
+    path = d.mutate(v=f.json_path_match(col("j"), "$.b")).to_columns()
+    assert path["v"] == ["x", "y"]
+
+
+def test_list_ops(spark):
+    d = ex.from_rows([{"xs": ["a", "b"]}, {"xs": []}], spark=spark)
+    out = d.mutate(
+        j=f.join(col("xs"), "-"), n=f.list_lengths(col("xs")), m=f.member(col("xs"), "a")
+    ).to_columns()
+    assert out["j"] == ["a-b", ""]
+    assert out["n"] == [2, 0]
+    assert out["m"] == [True, False]
+
+
+def test_struct_field(spark):
+    d = ex.from_rows([{"st": {"a": 1, "b": "x"}}], spark=spark)
+    out = d.mutate(v=f.field(col("st"), "b")).to_columns()
+    assert out["v"] == ["x"]
+
+
+def test_temporal_parts_and_strftime(spark):
+    import datetime
+
+    d = ex.from_columns({"t": [datetime.datetime(2024, 2, 29, 13, 45, 31)]}, spark=spark)
+    out = d.mutate(
+        y=f.year(col("t")),
+        mo=f.month(col("t")),
+        dom=f.day_of_month(col("t")),
+        dow=f.day_of_week(col("t")),
+        doy=f.day_of_year(col("t")),
+        q=f.quarter_of_year(col("t")),
+        h=f.hour(col("t")),
+        mi=f.minute(col("t")),
+        s=f.second(col("t")),
+        leap=f.is_leap_year(col("t")),
+        fmt=f.strftime(col("t"), "%Y/%m/%d %H:%M"),
+    ).to_columns()
+    assert out["y"] == [2024] and out["mo"] == [2] and out["dom"] == [29]
+    assert out["dow"] == [4]  # Thursday, Monday=1
+    assert out["doy"] == [60]
+    assert out["leap"] == [True]
+    assert out["fmt"] == ["2024/02/29 13:45"]
+
+
+def test_strptime(spark):
+    d = ex.from_columns({"s": ["2024/01/15 08:30"]}, spark=spark)
+    out = d.mutate(t=f.strptime(col("s"), "%Y/%m/%d %H:%M")).to_columns()
+    assert str(out["t"][0]) == "2024-01-15 08:30:00"
+
+
+def test_coalesce_select_between(spark):
+    d = ex.from_columns({"a": [None, 2], "b": [10, 20]}, spark=spark)
+    out = d.mutate(
+        c=f.coalesce(col("a"), col("b")),
+        w=f.select(col("b") > lit(15), lit("big"), lit("small")),
+        btw=f.between(col("b"), 5, 15),
+    ).to_columns()
+    assert out["c"] == [10, 2]
+    assert out["w"] == ["small", "big"]
+    assert out["btw"] == [True, False]
+
+
+def test_cumulative_reverse(spark):
+    d = ex.from_columns({"x": [1, 2, 3]}, spark=spark)
+    out = d.mutate(r=f.cumulative_sum(col("x"), reverse=True)).to_columns()
+    assert out["r"] == [6, 5, 3]
+
+
+def test_cast_widths(spark):
+    d = ex.from_columns({"x": [200, -5]}, spark=spark)
+    out = d.mutate(b=f.cast(col("x"), ("s", 8)), s=f.cast(col("x"), "string"), fl=f.cast(col("x"), ("f", 32)))
+    assert out.dtypes["b"] == ("s", 8)
+    assert out.dtypes["s"] == "string"
+    assert out.dtypes["fl"] == ("f", 32)
