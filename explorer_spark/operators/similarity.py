@@ -137,7 +137,7 @@ def assign_cells(corpus: SDF, centroids: SDF, vec_col: str = "embedding", centro
 
 def embedding_neardup_pairs(
     sdf: SDF,
-    threshold: float = 0.95,
+    threshold: float | None = 0.95,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     block_col: str | None = "label",
@@ -157,12 +157,13 @@ def embedding_neardup_pairs(
     sim = F.round(
         dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"), dim) / (F.col("a.__n__") * F.col("b.__n__")), 6
     )
-    return (
-        a.join(b, cond)
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            sim.alias("cosine"),
-        )
-        .filter(F.col("cosine") >= threshold)
+    out = a.join(b, cond).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        sim.alias("cosine"),
     )
+    if threshold is not None:
+        # NB: the Filter inlines the cosine expression a second time inside
+        # codegen — pass threshold=None for top-k flows that don't filter
+        out = out.filter(F.col("cosine") >= threshold)
+    return out

@@ -119,7 +119,22 @@ def predict_lang(text: Column) -> Column:
 def fingerprint(text: Column, n: int = 5) -> Column:
     """Document fingerprint: the minimum md5 of the word n-gram shingles
     (MinHash with k=1) — stable under word reordering outside the minimal
-    window, the classic cheap near-dup prefilter."""
+    window, the classic cheap near-dup prefilter.
+
+    NB: higher-order expression form (interpreted); bulk pipelines should
+    use ``fingerprint_table`` (explode + codegen min agg)."""
     shingles = word_shingles(text, n)
     hashed = F.transform(shingles, lambda s: F.md5(s))
     return F.when(F.size(shingles) > 0, F.array_min(hashed)).otherwise(F.md5(text))
+
+
+def fingerprint_table(sdf, key_col: str = "doc_id", text_col: str = "text", n: int = 5):
+    """(key, fingerprint) via explode -> codegen'd min(md5) aggregate —
+    the scale path (same output as ``fingerprint``)."""
+    sh = sdf.select(F.col(key_col), F.explode_outer(word_shingles(F.col(text_col), n)).alias("__s__"))
+    sig = sh.groupBy(key_col).agg(F.min(F.md5(F.col("__s__"))).alias("fingerprint"))
+    fallback = sdf.select(F.col(key_col), F.md5(F.col(text_col)).alias("__fb__"))
+    return (
+        fallback.join(sig, key_col, "left")
+        .select(F.col(key_col), F.coalesce("fingerprint", "__fb__").alias("fingerprint"))
+    )

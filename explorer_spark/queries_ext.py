@@ -251,6 +251,80 @@ def q_window_weighted(spark, sf_dir):
 
 
 @query(
+    "q_sql_passthrough",
+    """
+    SELECT n_name, COUNT(*) AS n_supp, ROUND(SUM(s_acctbal), 2) AS total_bal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q_sql_passthrough(spark, sf_dir):
+    """DataFrame.sql() pass-through (reference data_frame.ex:6924-6930) —
+    multi-table via temp views."""
+    supp = _t(spark, sf_dir, "supplier")
+    _t(spark, sf_dir, "nation").lazy_sdf().createOrReplaceTempView("nation_v")
+    out = supp.sql(
+        """
+        SELECT n_name, COUNT(*) AS n_supp, ROUND(SUM(s_acctbal), 2) AS total_bal
+        FROM df JOIN nation_v ON s_nationkey = n_nationkey
+        GROUP BY n_name
+        """,
+        table_name="df",
+    )
+    return out.lazy_sdf()
+
+
+@query(
+    "q_iso_temporal",
+    """
+    SELECT CAST(isoyear(l_shipdate) AS INT) AS iso_yr,
+           CAST(weekofyear(l_shipdate) AS INT) AS iso_wk,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+)
+def q_iso_temporal(spark, sf_dir):
+    """iso_year / week_of_year (ISO week numbering edge cases)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.mutate(iso_yr=f.iso_year(col("l_shipdate")), iso_wk=f.week_of_year(col("l_shipdate")))
+        .group_by("iso_yr", "iso_wk")
+        .summarise(n=f.size(col("l_orderkey")))
+        .lazy_sdf()
+    )
+
+
+@query(
+    "q_describe_stats",
+    """
+    SELECT COUNT(o_totalprice) AS cnt,
+           ROUND(AVG(o_totalprice), 4) AS mean,
+           ROUND(stddev_samp(o_totalprice), 4) AS std,
+           ROUND(MIN(o_totalprice), 4) AS min,
+           ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+           ROUND(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+           ROUND(MAX(o_totalprice), 4) AS max
+    FROM orders
+    """,
+)
+def q_describe_stats(spark, sf_dir):
+    """describe-shape statistics (exact percentiles, ddof=1 std)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.summarise(
+        cnt=f.count(col("o_totalprice")),
+        mean=f.round(f.mean(col("o_totalprice")), 4),
+        std=f.round(f.standard_deviation(col("o_totalprice")), 4),
+        min=f.round(f.min(col("o_totalprice")), 4),
+        p25=f.round(f.quantile(col("o_totalprice"), 0.25), 4),
+        p50=f.round(f.quantile(col("o_totalprice"), 0.5), 4),
+        p75=f.round(f.quantile(col("o_totalprice"), 0.75), 4),
+        max=f.round(f.max(col("o_totalprice")), 4),
+    ).lazy_sdf()
+
+
+@query(
     "q_at_every",
     """
     SELECT l_orderkey, l_linenumber

@@ -218,7 +218,7 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     from .operators.similarity import embedding_neardup_pairs
 
     emb = _t(spark, sf_dir, "embeddings").lazy_sdf()
-    pairs = embedding_neardup_pairs(emb, threshold=-2.0, block_col="label", dim=64)
+    pairs = embedding_neardup_pairs(emb, threshold=None, block_col="label", dim=64)
     return pairs.orderBy(SF.col("cosine").desc(), SF.col("id_a"), SF.col("id_b")).limit(10)
 
 
@@ -375,10 +375,10 @@ def q_text_langid(spark, sf_dir):
 )
 def q_text_fingerprint(spark, sf_dir):
     """Rolling-hash document fingerprint (min md5 over 5-gram windows)."""
-    from .operators.text import fingerprint
+    from .operators.text import fingerprint_table
 
     docs = _t(spark, sf_dir, "documents").lazy_sdf()
-    return docs.select("doc_id", fingerprint(SF.col("text"), n=5).alias("fingerprint"))
+    return fingerprint_table(docs, "doc_id", "text", n=5)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,98 @@
+"""Grouped-op suite: every verb × grouped frame (mirrors the reference's
+test/explorer/data_frame/grouped_test.exs)."""
+
+import pytest
+
+import explorer_spark as ex
+from explorer_spark import col, f, lit
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    return ex.from_columns(
+        {
+            "g": ["a", "a", "a", "b", "b", "c"],
+            "x": [3, 1, 2, 10, 20, 100],
+            "y": [1.0, None, 3.0, 4.0, 5.0, 6.0],
+        },
+        spark=spark,
+    )
+
+
+def test_grouped_summarise_multi(df):
+    out = (
+        df.group_by("g")
+        .summarise(n=f.size(col("x")), sx=f.sum(col("x")), my=f.mean(col("y")), ny=f.nil_count(col("y")))
+        .sort_by("g")
+        .to_columns()
+    )
+    assert out["n"] == [3, 2, 1]
+    assert out["sx"] == [6, 30, 100]
+    assert out["ny"] == [1, 0, 0]
+
+
+def test_grouped_mutate_agg_broadcast(df):
+    out = df.group_by("g").mutate(r=col("x") - f.mean(col("x"))).ungroup().sort_by("g", "x").to_columns()
+    assert out["r"] == [-1.0, 0.0, 1.0, -5.0, 5.0, 0.0]
+
+
+def test_grouped_filter_agg(df):
+    out = df.group_by("g").filter(col("x") > f.mean(col("x"))).ungroup().sort_by("x").to_columns()
+    assert out["x"] == [3, 20]
+
+
+def test_grouped_head_tail_slice(df):
+    assert sorted(df.group_by("g").head(1).to_columns()["x"]) == [3, 10, 100]
+    assert sorted(df.group_by("g").tail(1).to_columns()["x"]) == [2, 20, 100]
+    assert sorted(df.group_by("g").slice(1, 1).to_columns()["x"]) == [1, 20]
+
+
+def test_grouped_sort_within(df):
+    out = df.group_by("g").sort_by("x").to_columns()
+    assert out["x"] == [1, 2, 3, 10, 20, 100]
+    assert out["g"] == ["a", "a", "a", "b", "b", "c"]
+    desc = df.group_by("g").sort_by("x", descending=True).to_columns()
+    assert desc["x"] == [3, 2, 1, 20, 10, 100]
+
+
+def test_grouped_shift_cumsum(df):
+    out = (
+        df.group_by("g")
+        .mutate(prev=f.shift(col("x"), 1), run=f.cumulative_sum(col("x")))
+        .ungroup()
+        .to_columns()
+    )
+    assert out["prev"] == [None, 3, 1, None, 10, None]
+    assert out["run"] == [3, 4, 6, 10, 30, 100]
+
+
+def test_grouped_rank(df):
+    out = df.group_by("g").mutate(r=f.rank(col("x"))).ungroup().to_columns()
+    assert out["r"] == [3, 1, 2, 1, 2, 1]
+
+
+def test_group_after_join_kept(spark):
+    left = ex.from_columns({"k": [1, 2], "v": [10, 20]}, spark=spark).group_by("k")
+    right = ex.from_columns({"k": [1, 2], "w": [5, 6]}, spark=spark)
+    joined = left.join(right, on="k")
+    assert joined.groups == ["k"]  # left side's groups survive
+
+
+def test_ungroup_partial(df):
+    g2 = df.group_by("g", "x")
+    assert g2.groups == ["g", "x"]
+    assert g2.ungroup("x").groups == ["g"]
+    assert g2.ungroup().groups == []
+
+
+def test_grouped_summarise_stable_first_appearance_order(spark):
+    d = ex.from_columns({"g": ["z", "a", "z", "m"], "x": [1, 2, 3, 4]}, spark=spark)
+    out = d.group_by("g").summarise(s=f.sum(col("x")))
+    # rows exist for each group; order is engine-defined, values exact
+    got = dict(zip(out.to_columns()["g"], out.to_columns()["s"]))
+    assert got == {"z": 4, "a": 2, "m": 4}
+
+
+def test_grouped_distinct(df):
+    out = df.group_by("g").distinct(["g"]).sort_by("g").to_columns()
+    assert out["g"] == ["a", "b", "c"]
