@@ -251,6 +251,140 @@ def q_window_weighted(spark, sf_dir):
 
 
 @query(
+    "q_duration_arith",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           ROUND(AVG(date_diff('day', o_orderdate, l_shipdate)), 6) AS avg_delay_days,
+           CAST(MAX(date_diff('day', o_orderdate, l_shipdate)) AS BIGINT) AS max_delay_days
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def q_duration_arith(spark, sf_dir):
+    """Temporal arithmetic: datetime - datetime -> duration in days
+    (reference duration dtype semantics, SURVEY §1.2)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    joined = orders.join(li, on=[("o_orderkey", "l_orderkey")], how="inner")
+    delay = raw(SF.datediff(SF.col("l_shipdate"), SF.col("o_orderdate")))
+    return (
+        joined.mutate(delay=delay)
+        .group_by("o_orderpriority")
+        .summarise(
+            n=f.size(col("delay")),
+            avg_delay_days=f.round(f.mean(col("delay")), 6),
+            max_delay_days=f.cast(f.max(col("delay")), ("s", 64)),
+        )
+        .lazy_sdf()
+    )
+
+
+@query(
+    "q_mode_agg",
+    """
+    SELECT l_returnflag, CAST(mode(l_linenumber) AS INT) AS mode_line,
+           CAST(mode(l_suppkey % 7) AS BIGINT) AS mode_bucket
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_mode_agg(spark, sf_dir):
+    """mode() aggregate (clear-winner distributions -> deterministic)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.mutate(bucket=col("l_suppkey") % lit(7))
+        .group_by("l_returnflag")
+        .summarise(
+            mode_line=f.cast(f.mode(col("l_linenumber")), ("s", 32)),
+            mode_bucket=f.cast(f.mode(col("bucket")), ("s", 64)),
+        )
+        .lazy_sdf()
+    )
+
+
+@query(
+    "q_cummax_running",
+    """
+    SELECT o_orderkey,
+           ROUND(MAX(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_max,
+           CAST(COUNT(*) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_n
+    FROM orders
+    """,
+)
+def q_cummax_running(spark, sf_dir):
+    """cumulative_max + cumulative_count per group."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.sort_by("o_orderdate", "o_orderkey")
+        .group_by("o_custkey")
+        .mutate(
+            run_max=f.round(f.cumulative_max(col("o_totalprice")), 2),
+            run_n=f.cumulative_count(col("o_totalprice")),
+        )
+        .ungroup()
+        .select(["o_orderkey", "run_max", "run_n"])
+        .lazy_sdf()
+    )
+
+
+@query(
+    "q_spearman_corr",
+    """
+    SELECT ROUND(corr(rq, rp), 6) AS spearman
+    FROM (
+        SELECT rank() OVER (ORDER BY l_quantity) AS rq,
+               rank() OVER (ORDER BY l_extendedprice) AS rp
+        FROM lineitem
+    )
+    """,
+)
+def q_spearman_corr(spark, sf_dir):
+    """Spearman correlation = Pearson over min-method ranks."""
+    li = _t(spark, sf_dir, "lineitem")
+    ranked = li.mutate(
+        rq=f.rank(col("l_quantity"), method="min"),
+        rp=f.rank(col("l_extendedprice"), method="min"),
+    )
+    return ranked.summarise(
+        spearman=f.round(f.correlation(f.cast(col("rq"), ("f", 64)), f.cast(col("rp"), ("f", 64))), 6)
+    ).lazy_sdf()
+
+
+@query(
+    "q_events_session_window",
+    """
+    WITH g AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT user_id, ts,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sess
+        FROM g
+    )
+    SELECT MIN(ts) AS w_start, MAX(ts) + INTERVAL 30 MINUTE AS w_end,
+           user_id, COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sess
+    """,
+)
+def q_events_session_window(spark, sf_dir):
+    """session_window(gap) — Spark's native session windows in batch mode;
+    oracle reproduces merge semantics via the lag+cumsum rendering."""
+    from .streaming import session_windows_stream
+
+    ev = _t(spark, sf_dir, "events").lazy_sdf()
+    return session_windows_stream(ev, "30 minutes")
+
+
+@query(
     "q_sql_passthrough",
     """
     SELECT n_name, COUNT(*) AS n_supp, ROUND(SUM(s_acctbal), 2) AS total_bal

@@ -51,8 +51,10 @@ def read_parquet(path: str, columns=None, spark: SparkSession | None = None) -> 
             # truncate to µs like the reference's ns handling (SURVEY §1.2)
             from pyspark.sql import types as T
 
+            # integer `div`, NOT `/`: epoch-ns exceeds 2^53, so double
+            # division would round the low microsecond digits
             sdf = sdf.withColumn(
-                name, F.timestamp_micros((F.col(name) / 1000).cast("long")).cast(T.TimestampNTZType())
+                name, F.timestamp_micros(F.expr(f"`{name}` div 1000")).cast(T.TimestampNTZType())
             )
     if columns:
         sdf = sdf.select(*columns)
