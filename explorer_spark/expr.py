@@ -260,10 +260,13 @@ def _cum(aggfn, count=False):
     return low
 
 
-def _rank(ctx, a, method="ordinal", descending=False):
+def _rank(ctx, a, method="ordinal", descending=False, seed=None):
     c = _c(a, ctx)
     key = c.desc() if descending else c.asc()
     base = W.partitionBy(*ctx.groups) if ctx.groups else W.partitionBy()
+    if method == "random":
+        # ties broken by a seeded shuffle (reference rank :random + seed)
+        return F.row_number().over(base.orderBy(key, F.rand(seed)))
     w = base.orderBy(key, F.col(ctx.order).asc()) if ctx.order is not None else base.orderBy(key)
     wv = base.orderBy(key)
     if method == "ordinal":

@@ -145,8 +145,8 @@ def row_index():
     return Expr("row_index")
 
 
-def rank(a, method: str = "ordinal", descending: bool = False):
-    return Expr("rank", _wrap(a), method, descending)
+def rank(a, method: str = "ordinal", descending: bool = False, seed: int | None = None):
+    return Expr("rank", _wrap(a), method, descending, seed)
 
 
 def cumulative_sum(a, reverse: bool = False):

@@ -1,0 +1,56 @@
+"""Bucketed tables: shuffle-free co-located joins (the 100 TB join path).
+
+At cluster scale the dominant cost of a big-fact ⋈ big-fact join is the
+shuffle. Writing both sides bucketed by the join key
+(``bucketBy(n, key).sortBy(key)``) lets Spark plan a SortMergeJoin with
+NO Exchange on either side — each bucket pairs off locally. This module
+wraps the write/read/verify cycle; `tests/test_scale.py` asserts the
+exchange-free plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame as SDF, SparkSession
+
+
+def write_bucketed(
+    sdf: SDF, table: str, key: str, buckets: int = 8, sort: bool = True, mode: str = "overwrite"
+) -> None:
+    spark = sdf.sparkSession
+    # managed-table location can outlive the (in-memory) catalog entry
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").replace("file:", "")
+    import shutil
+
+    shutil.rmtree(f"{warehouse}/{table}", ignore_errors=True)
+    writer = sdf.write.mode(mode).format("parquet").bucketBy(buckets, key)
+    if sort:
+        writer = writer.sortBy(key)
+    writer.saveAsTable(table)
+
+
+def read_table(spark: SparkSession, table: str) -> SDF:
+    return spark.table(table)
+
+
+def cocated_join_plan_is_shuffle_free(spark: SparkSession, left: str, right: str, key: str) -> bool:
+    """True when the bucketed-table join plans without any Exchange.
+
+    Broadcast is disabled during the check: with a broadcastable side the
+    planner ignores bucketing (correct at small scale); the point of
+    bucketing is the big-⋈-big case, so that's what we assert.
+    """
+    import io
+    from contextlib import redirect_stdout
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table(left).join(spark.table(right), key)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        return "Exchange" not in plan and "SortMergeJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -1,0 +1,92 @@
+"""Scale-path evidence tests: bucketed co-located joins (no Exchange),
+plan pushdown invariants, stateful streaming operator."""
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path_factory):
+    from explorer_spark.operators.bucketing import (
+        cocated_join_plan_is_shuffle_free,
+        write_bucketed,
+    )
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").withColumnRenamed(
+        "o_orderkey", "l_orderkey"
+    )
+    write_bucketed(li.select("l_orderkey", "l_quantity"), "t_li_b", "l_orderkey", buckets=4)
+    write_bucketed(orders.select("l_orderkey", "o_totalprice"), "t_ord_b", "l_orderkey", buckets=4)
+    assert cocated_join_plan_is_shuffle_free(spark, "t_li_b", "t_ord_b", "l_orderkey")
+    # and the join still returns correct rows
+    got = spark.table("t_li_b").join(spark.table("t_ord_b"), "l_orderkey").count()
+    want = li.join(orders, "l_orderkey").count()
+    assert got == want
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    from explorer_spark.sources import read_parquet
+    from explorer_spark.expr import col, lit
+
+    df = read_parquet("/root/testdata/sf0.001/lineitem.parquet")
+    out = df.filter(col("l_quantity") < lit(10)).select(["l_orderkey", "l_quantity"])
+    plan = _plan(out.lazy_sdf())
+    assert "PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity,10.0)]" in plan
+    # hidden order column pruned from the parquet read
+    assert "__row_order__" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_hidden_order_column_pruned_in_agg(spark):
+    from explorer_spark.sources import read_parquet
+    from explorer_spark import f
+    from explorer_spark.expr import col
+
+    df = read_parquet("/root/testdata/sf0.001/lineitem.parquet")
+    out = df.group_by("l_returnflag").summarise(s=f.sum(col("l_quantity")))
+    first_read = _plan(out.lazy_sdf()).split("ReadSchema: ")[1].splitlines()[0]
+    assert "__row_order__" not in first_read
+    assert "l_returnflag" in first_read
+
+
+def test_stateful_running_totals_matches_batch(spark):
+    from explorer_spark.streaming.stateful import run_stateful_once
+    from explorer_spark.sources import read_parquet
+    import tempfile
+
+    ev = read_parquet("/root/testdata/sf0.001/events.parquet").lazy_sdf()
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/events"
+        ev.write.mode("overwrite").parquet(path)
+        out = run_stateful_once(spark, path).toPandas()
+    batch = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .toPandas()
+    )
+    got = out.sort_values("user_id").reset_index(drop=True)
+    want = batch.sort_values("user_id").reset_index(drop=True)
+    assert (got["n_events"].values == want["n_events"].values).all()
+    assert (abs(got["total_value"].values - want["total_value"].values) < 1e-6).all()
+
+
+def test_rank_random_seeded(spark):
+    import explorer_spark as ex
+    from explorer_spark import col, f
+
+    d = ex.from_columns({"x": [1, 1, 1, 2]}, spark=spark)
+    r1 = d.mutate(r=f.rank(col("x"), method="random", seed=7)).to_columns()["r"]
+    r2 = d.mutate(r=f.rank(col("x"), method="random", seed=7)).to_columns()["r"]
+    assert sorted(r1) == [1, 2, 3, 4]
+    assert r1 == r2  # seeded determinism
+    assert r1[3] == 4  # the non-tied max value always ranks last
