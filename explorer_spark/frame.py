@@ -109,6 +109,12 @@ class DataFrame:
     def to_rows(self) -> list[dict]:
         return [r.asDict(recursive=True) for r in self.to_sdf().collect()]
 
+    def to_rows_stream(self):
+        """Lazily stream rows to the driver in partition-sized chunks
+        (reference to_rows_stream, data_frame.ex:2125-2143)."""
+        for r in self.to_sdf().toLocalIterator():
+            yield r.asDict(recursive=True)
+
     def to_columns(self) -> dict[str, list]:
         pdf = self.to_pandas()
         out = {}

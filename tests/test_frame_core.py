@@ -214,6 +214,35 @@ def test_sql(df):
     assert out.to_columns() == {"g": ["x", "y"], "s": [9, 12]}
 
 
+def test_sort_by_expression_key(df):
+    out = df.sort_by(f.coalesce(col("b"), lit(-1.0)), descending=True).to_columns()
+    assert out["b"] == [5.0, 4.0, 3.0, 2.0, 1.0, None]
+
+
+def test_mask(df):
+    from pyspark.sql import functions as SF
+
+    out = df.mask(SF.col("a") % 2 == 0).to_columns()
+    assert out["a"] == [2, 4, 6]
+
+
+def test_drop_nil(df):
+    assert df.drop_nil(["b"]).n_rows() == 5
+    assert df.drop_nil().n_rows() == 5
+
+
+def test_to_rows_stream(df):
+    rows = list(df.to_rows_stream())
+    assert len(rows) == 6
+    assert rows[0] == {"a": 1, "b": 5.0, "g": "x"}
+
+
+def test_collect_materializes(df):
+    out = df.filter(col("a") > lit(3)).collect()
+    assert out.n_rows() == 3  # cached count
+    assert out.to_columns()["a"] == [4, 5, 6]
+
+
 def test_sample_seeded(df):
     out = df.sample(3, seed=42)
     assert out.n_rows() == 3
