@@ -44,17 +44,23 @@ def _attach_order(sdf) -> DataFrame:
 
 def read_parquet(path: str, columns=None, spark: SparkSession | None = None) -> DataFrame:
     spark = spark or get_spark()
+    nanos_cols = _nanos_timestamp_cols(path)
+    if nanos_cols:
+        # defensively enable on the CALLER's session too (the driver hands
+        # us its own SparkSession): without it, TIMESTAMP(NANOS) parquet
+        # throws PARQUET_TYPE_ILLEGAL at scan time
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     sdf = spark.read.parquet(path)
-    for name in _nanos_timestamp_cols(path):
+    for name in nanos_cols:
         if name in sdf.columns:
-            # stored as int64 nanos (spark.sql.legacy.parquet.nanosAsLong);
-            # truncate to µs like the reference's ns handling (SURVEY §1.2)
-            from pyspark.sql import types as T
-
-            # integer `div`, NOT `/`: epoch-ns exceeds 2^53, so double
-            # division would round the low microsecond digits
+            # stored as int64 nanos; truncate to µs like the reference's
+            # ns handling (SURVEY §1.2). Integer `div`, NOT `/`: epoch-ns
+            # exceeds 2^53 and double division rounds the µs digits.
+            # timestampadd on an NTZ epoch keeps the conversion free of
+            # the session timezone (the driver's session may not be UTC).
             sdf = sdf.withColumn(
-                name, F.timestamp_micros(F.expr(f"`{name}` div 1000")).cast(T.TimestampNTZType())
+                name,
+                F.expr(f"timestampadd(MICROSECOND, `{name}` div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"),
             )
     if columns:
         sdf = sdf.select(*columns)

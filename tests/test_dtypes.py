@@ -1,0 +1,112 @@
+"""Dtype system: mapping table, promotion/merge rules (SURVEY §1.2), and
+the logical-over-physical emulations (u64, time, duration)."""
+
+import pytest
+from pyspark.sql import types as T
+
+from explorer_spark import dtypes as dt
+
+
+def test_atom_mappings():
+    assert dt.to_spark("boolean") == T.BooleanType()
+    assert dt.to_spark("string") == T.StringType()
+    assert dt.to_spark("binary") == T.BinaryType()
+    assert dt.to_spark("category") == T.StringType()
+    assert dt.to_spark("date") == T.DateType()
+    assert dt.to_spark("time") == T.LongType()  # nanos since midnight
+
+
+def test_int_widths():
+    assert dt.to_spark(("s", 8)) == T.ByteType()
+    assert dt.to_spark(("s", 16)) == T.ShortType()
+    assert dt.to_spark(("s", 32)) == T.IntegerType()
+    assert dt.to_spark(("s", 64)) == T.LongType()
+    # unsigned promote to next wider signed; u64 -> decimal(20,0)
+    assert dt.to_spark(("u", 8)) == T.ShortType()
+    assert dt.to_spark(("u", 32)) == T.LongType()
+    assert dt.to_spark(("u", 64)) == T.DecimalType(20, 0)
+
+
+def test_temporal_mappings():
+    assert dt.to_spark(("naive_datetime", "us")) == T.TimestampNTZType()
+    assert dt.to_spark(("naive_datetime", "ns")) == T.TimestampNTZType()  # ns truncates
+    assert dt.to_spark(("datetime", "us", "Etc/UTC")) == T.TimestampType()
+    assert dt.to_spark(("duration", "us")) == T.LongType()
+    assert dt.to_spark(("decimal", 38, 10)) == T.DecimalType(38, 10)
+
+
+def test_nested_mappings_roundtrip():
+    nested = ("struct", [("a", ("list", ("f", 32))), ("b", "string")])
+    st = dt.to_spark(nested)
+    assert dt.from_spark(st) == nested
+
+
+def test_aliases():
+    assert dt.normalize("integer") == ("s", 64)
+    assert dt.normalize("float") == ("f", 64)
+    assert dt.normalize("duration") == ("duration", "us")
+
+
+def test_numeric_promotion():
+    # same family -> wider
+    assert dt.merge_numeric(("s", 32), ("s", 64)) == ("s", 64)
+    # unsigned+signed -> signed at 2x width, capped 64
+    assert dt.merge_numeric(("u", 32), ("s", 32)) == ("s", 64)
+    assert dt.merge_numeric(("u", 8), ("s", 8)) == ("s", 16)
+    # int + float -> the float dtype
+    assert dt.merge_numeric(("s", 64), ("f", 32)) == ("f", 32)
+    assert dt.merge_numeric(("f", 32), ("f", 64)) == ("f", 64)
+
+
+def test_merge_dtype_for_concat():
+    assert dt.merge_dtype("null", "string") == "string"
+    assert dt.merge_dtype(("s", 64), ("f", 64)) == ("f", 64)
+    assert dt.merge_dtype(("list", ("s", 32)), ("list", ("s", 64))) == ("list", ("s", 64))
+    assert dt.merge_dtype("category", "string") == "string"
+    with pytest.raises(ValueError):
+        dt.merge_dtype("string", ("s", 64))
+
+
+def test_u64_values_roundtrip(spark):
+    """u64 emulation: values above 2^63 survive via decimal(20,0)."""
+    import explorer_spark as ex
+    from explorer_spark import Series
+
+    big = [2**63 + 5, 2**64 - 1, 0]
+    s = Series.from_list([str(v) for v in big], name="u", dtype="string", spark=spark).cast(("u", 64))
+    assert s.dtype == ("decimal", 20, 0)
+    from decimal import Decimal
+
+    assert s.to_list() == [Decimal(v) for v in big]
+    assert s.max() == Decimal(2**64 - 1)
+
+
+def test_duration_from_subtraction(spark):
+    """datetime - datetime -> duration (DayTimeInterval read back)."""
+    import datetime
+
+    import explorer_spark as ex
+    from explorer_spark import col
+
+    d = ex.from_columns(
+        {
+            "a": [datetime.datetime(2024, 1, 2, 0, 0, 1)],
+            "b": [datetime.datetime(2024, 1, 1, 0, 0, 0)],
+        },
+        spark=spark,
+    )
+    out = d.mutate(dur=col("a") - col("b"))
+    assert out.dtypes["dur"] == ("duration", "us")
+    val = out.to_rows()[0]["dur"]
+    assert val == datetime.timedelta(days=1, seconds=1)
+
+
+def test_time_as_nanos(spark):
+    """time emulation: nanos-since-midnight in a LongType column."""
+    import explorer_spark as ex
+    from explorer_spark import Series
+
+    nanos = [0, 12 * 3600 * 10**9 + 345, 86399 * 10**9]
+    s = Series.from_list(nanos, name="t", dtype="time", spark=spark)
+    assert s.dtype == ("s", 64)  # physical; logical 'time' tracked by caller
+    assert s.to_list() == nanos
