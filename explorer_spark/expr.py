@@ -412,6 +412,11 @@ def _strftime_to_java(fmt: str) -> str:
     return "".join(out)
 
 
+def _rx_quote(sep: str) -> str:
+    """Quote a literal separator for Java-regex consumers (\\Q...\\E)."""
+    return "\\Q" + sep + "\\E"
+
+
 def _trim_side(c: Column, chars: str, leading: bool) -> Column:
     pat = "^[{0}]+".format(chars.replace("\\", "\\\\").replace("]", "\\]")) if leading else "[{0}]+$".format(
         chars.replace("\\", "\\\\").replace("]", "\\]")
@@ -528,15 +533,17 @@ _LOWER = {
     "lstrip": lambda ctx, a, chars=None: F.ltrim(_c(a, ctx)) if chars is None else _trim_side(_c(a, ctx), chars, True),
     "rstrip": lambda ctx, a, chars=None: F.rtrim(_c(a, ctx)) if chars is None else _trim_side(_c(a, ctx), chars, False),
     "substring": _substring,
-    "split": lambda ctx, a, sep: F.split(_c(a, ctx), F.lit(sep).cast("string"), -1),
+    # reference split/count_matches take LITERAL separators (series.ex);
+    # F.split interprets regex, so quote with \Q...\E
+    "split": lambda ctx, a, sep: F.split(_c(a, ctx), _rx_quote(sep), -1),
     "replace": lambda ctx, a, pat, repl: F.replace(_c(a, ctx), F.lit(pat), F.lit(repl)),
     "re_replace": lambda ctx, a, pat, repl: F.regexp_replace(_c(a, ctx), pat, repl),
-    "count_matches": lambda ctx, a, pat: F.size(F.split(_c(a, ctx), F.lit(pat).cast("string"), -1)) - 1,
+    "count_matches": lambda ctx, a, pat: F.size(F.split(_c(a, ctx), _rx_quote(pat), -1)) - 1,
     "re_count_matches": lambda ctx, a, pat: F.regexp_count(_c(a, ctx), F.lit(pat)),
     "re_scan": lambda ctx, a, pat: F.regexp_extract_all(_c(a, ctx), F.lit(pat), 0),
     "split_into": lambda ctx, a, sep, fields: F.struct(
         *[
-            F.get(F.split(_c(a, ctx), F.lit(sep).cast("string"), len(fields)), i).alias(name)
+            F.get(F.split(_c(a, ctx), _rx_quote(sep), len(fields)), i).alias(name)
             for i, name in enumerate(fields)
         ]
     ),

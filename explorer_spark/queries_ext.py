@@ -385,6 +385,28 @@ def q_events_session_window(spark, sf_dir):
 
 
 @query(
+    "q_events_sliding",
+    """
+    -- 1h windows sliding every 30min: each event falls in exactly two
+    -- windows, whose starts are the 30min bucket and the one before it
+    WITH w AS (
+        SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS w_start, value FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE, value FROM events
+    )
+    SELECT w_start, ROUND(AVG(value), 6) AS avg_value, COUNT(*) AS n
+    FROM w GROUP BY w_start
+    """,
+)
+def q_events_sliding(spark, sf_dir):
+    """Sliding event-time windows (1h / 30min hop)."""
+    from .streaming import sliding_means
+
+    ev = _t(spark, sf_dir, "events").lazy_sdf()
+    return sliding_means(ev, "1 hour", "30 minutes")
+
+
+@query(
     "q_sql_passthrough",
     """
     SELECT n_name, COUNT(*) AS n_supp, ROUND(SUM(s_acctbal), 2) AS total_bal

@@ -118,6 +118,33 @@ def test_streaming_session_window(spark, tmp_path):
     assert n == batch
 
 
+def test_bpe_ish_token_count(spark):
+    from explorer_spark.operators.text import bpe_ish_token_count, token_count
+
+    rows = [(1, "hello, world!"), (2, "plain words here"), (3, "")]
+    sdf = spark.createDataFrame(rows, ["id", "text"])
+    out = {
+        r.id: (r.ws, r.bpe)
+        for r in sdf.select(
+            "id",
+            token_count(F.col("text")).alias("ws"),
+            bpe_ish_token_count(F.col("text")).alias("bpe"),
+        ).collect()
+    }
+    assert out[2] == (3, 3)  # plain words: same either way
+    assert out[1][0] == 2  # whitespace: "hello," "world!"
+    assert out[1][1] == 4  # bpe-ish: "hello" "," "world" "!"
+    assert out[3][0] == 0
+
+
+def test_quality_score_bounds(docs):
+    from explorer_spark.operators.text import quality_score
+
+    scores = [r.q for r in docs.select(quality_score(F.col("text")).alias("q")).collect()]
+    assert all(0.0 <= s <= 1.0 for s in scores)
+    assert len(set(scores)) > 1  # discriminates between documents
+
+
 def test_ann_recall_vs_bruteforce(spark):
     """IVF (label cells) returns a subset; measure recall vs brute force."""
     from explorer_spark.operators.similarity import brute_force_topk, ivf_topk

@@ -95,6 +95,24 @@ def test_json_decode(spark):
     assert path["v"] == ["x", "y"]
 
 
+def test_split_literal_not_regex(spark):
+    d = ex.from_columns({"s": ["a.b.c", "x|y", "1+2+3"]}, spark=spark)
+    out = d.mutate(
+        parts=f.list_lengths(f.split(col("s"), ".")),
+        pipe=f.list_lengths(f.split(col("s"), "|")),
+        plus=f.count_matches(col("s"), "+"),
+    ).to_columns()
+    assert out["parts"] == [3, 1, 1]  # '.' is literal, not any-char
+    assert out["pipe"] == [1, 2, 1]  # '|' is literal, not alternation
+    assert out["plus"] == [0, 0, 2]
+
+
+def test_re_scan(spark):
+    d = ex.from_columns({"s": ["a1b22c333"]}, spark=spark)
+    out = d.mutate(nums=f.re_scan(col("s"), r"\d+")).to_columns()
+    assert list(out["nums"][0]) == ["1", "22", "333"]
+
+
 def test_list_ops(spark):
     d = ex.from_rows([{"xs": ["a", "b"]}, {"xs": []}], spark=spark)
     out = d.mutate(
