@@ -225,6 +225,7 @@ AGG_OPS = {
     "covariance",
     "all",
     "any",
+    "all_equal",
 }
 
 # order-dependent ops (consume ctx.order); documented for frame verbs
@@ -484,6 +485,7 @@ _LOWER = {
     "is_finite": _unop(lambda a: ~F.isnan(a) & (F.abs(a) != F.lit(float("inf")))),
     "is_infinite": _unop(lambda a: F.abs(a) == F.lit(float("inf"))),
     "between": _between,
+    "all_equal": lambda ctx, a, b: F.bool_and(_c(a, ctx).eqNullSafe(_c(b, ctx))),
     # conditional / null handling
     "select": lambda ctx, p, t, f: F.when(_c(p, ctx), _c(t, ctx)).otherwise(_c(f, ctx)),
     "coalesce": lambda ctx, *xs: F.coalesce(*[_c(x, ctx) for x in xs]),

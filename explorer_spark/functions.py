@@ -109,6 +109,12 @@ def between(a, lo, hi):
     return Expr("between", _wrap(a), _wrap(lo), _wrap(hi))
 
 
+def all_equal(a, b):
+    """True when the two series are element-wise equal (nil == nil),
+    reference Series.all_equal."""
+    return Expr("all_equal", _wrap(a), _wrap(b))
+
+
 # conditional / null handling ------------------------------------------------
 def select(predicate, on_true, on_false):
     """reference: if/cond in the query DSL (query.ex:692-722)."""

@@ -67,8 +67,14 @@ def read_parquet(path: str, columns=None, spark: SparkSession | None = None) -> 
     return _attach_order(sdf)
 
 
+_NANOS_CACHE: dict[str, list[str]] = {}
+
+
 def _nanos_timestamp_cols(path: str) -> list[str]:
-    """Column names with parquet TIMESTAMP(NANOS) logical type."""
+    """Column names with parquet TIMESTAMP(NANOS) logical type (cached —
+    the footer probe costs ~10ms per query otherwise)."""
+    if path in _NANOS_CACHE:
+        return _NANOS_CACHE[path]
     import pyarrow.dataset as ds
     import pyarrow as pa
 
@@ -80,6 +86,7 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
     for field in schema:
         if isinstance(field.type, pa.TimestampType) and field.type.unit == "ns":
             out.append(field.name)
+    _NANOS_CACHE[path] = out
     return out
 
 
@@ -272,6 +279,15 @@ to_ipc = write_ipc
 to_ipc_stream = write_ipc_stream
 
 
+_TABLE_CACHE: dict[tuple, DataFrame] = {}
+
+
 def load_table(sf_dir: str, name: str, spark: SparkSession | None = None) -> DataFrame:
-    """Convenience: one of the driver's testdata tables."""
-    return read_parquet(os.path.join(sf_dir, f"{name}.parquet"), spark=spark)
+    """Convenience: one of the driver's testdata tables. The (immutable)
+    scan DataFrame is cached per session so repeated queries skip file
+    listing and schema probing."""
+    spark = spark or get_spark()
+    key = (id(spark), sf_dir, name)
+    if key not in _TABLE_CACHE:
+        _TABLE_CACHE[key] = read_parquet(os.path.join(sf_dir, f"{name}.parquet"), spark=spark)
+    return _TABLE_CACHE[key]

@@ -177,6 +177,12 @@ def test_cumulative_reverse(spark):
     assert out["r"] == [6, 5, 3]
 
 
+def test_all_equal(spark):
+    d = ex.from_columns({"a": [1, None, 3], "b": [1, None, 3], "c": [1, 2, 3]}, spark=spark)
+    out = d.summarise(ab=f.all_equal(col("a"), col("b")), ac=f.all_equal(col("a"), col("c"))).to_columns()
+    assert out == {"ab": [True], "ac": [False]}
+
+
 def test_cast_widths(spark):
     d = ex.from_columns({"x": [200, -5]}, spark=spark)
     out = d.mutate(b=f.cast(col("x"), ("s", 8)), s=f.cast(col("x"), "string"), fl=f.cast(col("x"), ("f", 32)))
