@@ -67,11 +67,14 @@ def brute_force_topk(
     query_id, neighbor_id, cosine — deterministic tie-break on
     neighbor_id.
     """
+    # norms run once per ROW (not per pair): the compact aggregate form
+    # avoids compiling another giant expanded expression — codegen compile
+    # time dominates at moderate scale, per-row interpretation is cheap here
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv__"), norm(F.col(vec_col), dim).alias("__qn__")
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv__"), norm(F.col(vec_col)).alias("__qn__")
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv__"), norm(F.col(vec_col), dim).alias("__cn__")
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv__"), norm(F.col(vec_col)).alias("__cn__")
     )
     joined = c.crossJoin(F.broadcast(q)).filter(F.col("neighbor_id") != F.col("query_id"))
     sim = F.round(dot(F.col("__qv__"), F.col("__cv__"), dim) / (F.col("__qn__") * F.col("__cn__")), 6)
@@ -104,13 +107,13 @@ def ivf_topk(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv__"),
         F.col(cell_col).alias("__cell__"),
-        norm(F.col(vec_col), dim).alias("__qn__"),
+        norm(F.col(vec_col)).alias("__qn__"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv__"),
         F.col(cell_col).alias("__ccell__"),
-        norm(F.col(vec_col), dim).alias("__cn__"),
+        norm(F.col(vec_col)).alias("__cn__"),
     )
     joined = c.join(F.broadcast(q), (F.col("__cell__") == F.col("__ccell__")) & (F.col("neighbor_id") != F.col("query_id")))
     sim = F.round(dot(F.col("__qv__"), F.col("__cv__"), dim) / (F.col("__qn__") * F.col("__cn__")), 6)
@@ -146,7 +149,7 @@ def embedding_neardup_pairs(
     """Pairs with cosine >= threshold, blocked by a coarse column so the
     pair join never goes global (embedding-cosine near-dup dedup).
     Norms are computed once per row, not per pair."""
-    cols = [F.col(id_col), F.col(vec_col), norm(F.col(vec_col), dim).alias("__n__")] + (
+    cols = [F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("__n__")] + (
         [F.col(block_col)] if block_col else []
     )
     base = sdf.select(*cols)

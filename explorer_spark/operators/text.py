@@ -116,6 +116,31 @@ def predict_lang(text: Column) -> Column:
     return best_lang
 
 
+def predict_lang_table(sdf, key_col: str = "doc_id", text_col: str = "text"):
+    """(key, predicted) language table — explode + per-lang conditional
+    sums (codegen) instead of per-row interpreted lambdas; same greedy
+    first-max semantics as ``predict_lang``."""
+    ws = sdf.select(F.col(key_col), F.explode(words(F.lower(F.col(text_col)))).alias("__w__"))
+    aggs = [
+        F.sum(F.when(F.col("__w__").isin(markers), 1).otherwise(0)).alias(f"__s_{lang}__")
+        for lang, markers in LANG_MARKERS.items()
+    ]
+    scores = ws.groupBy(key_col).agg(*aggs)
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang in LANG_MARKERS:
+        s = F.coalesce(F.col(f"__s_{lang}__"), F.lit(0))
+        is_better = s > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, s).otherwise(best_score)
+    # left join keeps empty-text docs (no words) as 'und'
+    return (
+        sdf.select(F.col(key_col))
+        .join(scores, key_col, "left")
+        .select(F.col(key_col), best_lang.alias("predicted"))
+    )
+
+
 def fingerprint(text: Column, n: int = 5) -> Column:
     """Document fingerprint: the minimum md5 of the word n-gram shingles
     (MinHash with k=1) — stable under word reordering outside the minimal

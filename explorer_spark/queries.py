@@ -297,7 +297,7 @@ def q_window_rank(spark, sf_dir):
     part = _t(spark, sf_dir, "part")
     return (
         part.group_by("p_brand")
-        .mutate(price_rank=f.rank(col("p_retailprice"), method="dense", descending=True))
+        .mutate(price_rank=f.cast(f.rank(col("p_retailprice"), method="dense", descending=True), ("s", 64)))
         .ungroup()
         .select(["p_partkey", "p_brand", "price_rank"])
         .lazy_sdf()
@@ -361,7 +361,7 @@ def q_string_ops(spark, sf_dir):
     return (
         part.mutate(
             brand_up=f.upcase(col("p_brand")),
-            name_len=f.string_length(col("p_name")),
+            name_len=f.cast(f.string_length(col("p_name")), ("s", 64)),
             has_green=f.contains(col("p_name"), "green"),
             type5=f.substring(col("p_type"), 0, 5),
             name_us=f.replace(col("p_name"), " ", "_"),

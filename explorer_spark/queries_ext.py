@@ -127,7 +127,7 @@ def q_regex_ops(spark, sf_dir):
     part = _t(spark, sf_dir, "part")
     return (
         part.mutate(
-            n_vowels=f.re_count_matches(col("p_name"), "[aeiou]"),
+            n_vowels=f.cast(f.re_count_matches(col("p_name"), "[aeiou]"), ("s", 64)),
             starts_early=f.re_contains(col("p_name"), "^[a-m]"),
             name_masked=f.re_replace(col("p_name"), "[0-9]+", "#"),
             type_last=raw(SF.regexp_extract(SF.col("p_type"), r"([A-Za-z]+)$", 1)),
@@ -160,11 +160,11 @@ def q_strftime_buckets(spark, sf_dir):
     "q_dummies_onehot",
     """
     SELECT c_nationkey,
-           SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS seg_AUTOMOBILE,
-           SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS seg_BUILDING,
-           SUM(CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 ELSE 0 END) AS seg_FURNITURE,
-           SUM(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 ELSE 0 END) AS seg_HOUSEHOLD,
-           SUM(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END) AS seg_MACHINERY
+           CAST(SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS BIGINT) AS seg_AUTOMOBILE,
+           CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS seg_BUILDING,
+           CAST(SUM(CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 ELSE 0 END) AS BIGINT) AS seg_FURNITURE,
+           CAST(SUM(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 ELSE 0 END) AS BIGINT) AS seg_HOUSEHOLD,
+           CAST(SUM(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END) AS BIGINT) AS seg_MACHINERY
     FROM customer GROUP BY c_nationkey
     """,
 )

@@ -347,12 +347,15 @@ def _langid_oracle() -> str:
 
 @query("q_text_langid", _langid_oracle())
 def q_text_langid(spark, sf_dir):
-    """Heuristic n-gram language ID vs the labeled lang."""
-    from .operators.text import predict_lang
+    """Heuristic n-gram language ID vs the labeled lang (explode +
+    codegen conditional sums — the scale shape)."""
+    from .operators.text import predict_lang_table
 
     docs = _t(spark, sf_dir, "documents").lazy_sdf()
+    pred = predict_lang_table(docs, "doc_id", "text")
     return (
-        docs.select("lang", predict_lang(SF.col("text")).alias("predicted"))
+        docs.select("doc_id", "lang")
+        .join(pred, "doc_id")
         .groupBy("lang", "predicted")
         .agg(SF.count(SF.lit(1)).alias("n"))
     )
