@@ -127,6 +127,13 @@ class DataFrame:
     def to_series(self, name: str) -> list:
         return [r[0] for r in self.to_sdf().select(name).collect()]
 
+    def to_numpy(self):
+        """Numeric columns as a 2-D numpy array (the reference's
+        TensorFrame/Nx bridge rendered through Arrow, SURVEY §1.1)."""
+        pdf = self.to_pandas()
+        numeric = pdf.select_dtypes("number")
+        return numeric.to_numpy()
+
     def print(self, n: int = 20):
         self.to_sdf().show(n)
 
