@@ -70,6 +70,20 @@ def minhash_signature(text: Column, num_hashes: int = 8, shingle_n: int = 3) -> 
     return out
 
 
+# universal-hash family parameters: h_i = (A[i] * h32 + B[i]) mod P32,
+# where h32 = (first 15 md5 hex chars as int) mod P32. One md5 per
+# shingle total — the standard published MinHash construction.
+MINHASH_P32 = 4294967291  # largest 32-bit prime
+MINHASH_A = [5, 13, 31, 61, 127, 251, 509, 1021, 2039, 4093, 8191, 16381, 32749, 65521, 131071, 262139]
+MINHASH_B = [7, 11, 17, 23, 43, 83, 163, 331, 641, 1283, 2557, 5119, 10243, 20479, 40961, 81929]
+
+
+def _base_hash32(s: Column) -> Column:
+    """md5 hex -> 60-bit int -> mod P32 (expressible in any SQL engine)."""
+    h = F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+    return h % MINHASH_P32
+
+
 def with_minhash(
     sdf: SDF,
     text_col: str = "text",
@@ -78,23 +92,30 @@ def with_minhash(
     prefix: str = "mh",
     key_col: str = "doc_id",
 ) -> SDF:
-    """Append mh0..mh{k-1} signature columns.
+    """Append mh0..mh{k-1} numeric signature columns.
 
-    Plan shape: explode(shingles) -> groupBy(key) with k codegen'd
-    ``min(md5(seed:shingle))`` aggregates (map-side combined) -> join
-    back. ~20x faster than per-row higher-order lambdas at sf0.1 and
-    scales with ordinary shuffle mechanics (the signature table is tiny).
+    Plan shape: explode(shingles) -> ONE md5 per shingle -> k universal
+    hashes ``(A[i]*h + B[i]) mod P`` -> groupBy(key) with k codegen'd min
+    aggregates (map-side combined) -> join back. Scales with ordinary
+    shuffle mechanics; the signature table is tiny.
     """
     sh = sdf.select(F.col(key_col), F.explode_outer(shingle_set(F.col(text_col), shingle_n)).alias("__s__"))
+    sh = sh.withColumn("__h__", _base_hash32(F.col("__s__")))
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("__s__")))).alias(f"{prefix}{i}")
+        F.min((F.lit(MINHASH_A[i]) * F.col("__h__") + F.lit(MINHASH_B[i])) % MINHASH_P32).alias(f"{prefix}{i}")
         for i in range(num_hashes)
     ]
     sig = sh.groupBy(key_col).agg(*aggs)
-    fallback = F.md5(F.col(text_col))  # empty-shingle docs hash the raw text
+    # empty-shingle docs hash the raw text through the same family
+    fb = _base_hash32(F.col(text_col))
     joined = sdf.join(sig, key_col, "left")
     return joined.withColumns(
-        {f"{prefix}{i}": F.coalesce(F.col(f"{prefix}{i}"), fallback) for i in range(num_hashes)}
+        {
+            f"{prefix}{i}": F.coalesce(
+                F.col(f"{prefix}{i}"), (F.lit(MINHASH_A[i]) * fb + F.lit(MINHASH_B[i])) % MINHASH_P32
+            )
+            for i in range(num_hashes)
+        }
     )
 
 

@@ -61,8 +61,25 @@ def q_dedup_exact(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def _hex15_sql(expr: str) -> str:
+    """First 15 md5 hex chars of ``expr`` as a BIGINT (nibble expansion —
+    works in any SQL engine without a conv() builtin)."""
+    terms = []
+    for k in range(1, 16):
+        nib = (
+            f"(CASE WHEN ascii(substr(md5({expr}), {k}, 1)) <= 57 "
+            f"THEN ascii(substr(md5({expr}), {k}, 1)) - 48 "
+            f"ELSE ascii(substr(md5({expr}), {k}, 1)) - 87 END)"
+        )
+        terms.append(f"CAST({nib} AS BIGINT) * {16 ** (15 - k)}")
+    return "(" + " + ".join(terms) + ")"
+
+
 def _minhash_sql(i: int) -> str:
-    return f"list_min(list_transform(sh, s -> md5('{i}:' || s)))"
+    from .operators.dedup import MINHASH_A, MINHASH_B, MINHASH_P32
+
+    base = f"({_hex15_sql('s')} % {MINHASH_P32})"
+    return f"list_min(list_transform(sh, s -> ({MINHASH_A[i]} * {base} + {MINHASH_B[i]}) % {MINHASH_P32}))"
 
 
 _MINHASH_ORACLE = f"""
