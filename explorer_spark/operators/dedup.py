@@ -99,7 +99,9 @@ def with_minhash(
     aggregates (map-side combined) -> join back. Scales with ordinary
     shuffle mechanics; the signature table is tiny.
     """
-    sh = sdf.select(F.col(key_col), F.explode_outer(shingle_set(F.col(text_col), shingle_n)).alias("__s__"))
+    from .text import shingle_rows
+
+    sh = shingle_rows(sdf, key_col, text_col, shingle_n).withColumnRenamed("shingle", "__s__")
     sh = sh.withColumn("__h__", _base_hash32(F.col("__s__")))
     aggs = [
         F.min((F.lit(MINHASH_A[i]) * F.col("__h__") + F.lit(MINHASH_B[i])) % MINHASH_P32).alias(f"{prefix}{i}")

@@ -59,6 +59,23 @@ def shingle_set(text: Column, n: int) -> Column:
     return F.array_distinct(word_shingles(text, n))
 
 
+def shingle_rows(sdf, key_col: str, text_col: str, n: int):
+    """(key, shingle) rows via posexplode + window leads — fully codegen'd
+    (the expression form above runs interpreted: ~6x slower in bulk).
+    Docs with fewer than ``n`` words produce no rows (callers fall back
+    to hashing the raw text)."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(key_col).orderBy("__pos__")
+    out = sdf.select(F.col(key_col), F.posexplode(words(F.col(text_col))).alias("__pos__", "__w0__"))
+    parts = [F.col("__w0__")]
+    for i in range(1, n):
+        out = out.withColumn(f"__w{i}__", F.lead("__w0__", i).over(w))
+        parts.append(F.col(f"__w{i}__"))
+    out = out.filter(F.col(f"__w{n - 1}__").isNotNull())
+    return out.select(F.col(key_col), F.concat_ws(" ", *parts).alias("shingle"))
+
+
 def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
     sw = stopwords or STOPWORDS
     ws = words(F.lower(text))
@@ -154,10 +171,10 @@ def fingerprint(text: Column, n: int = 5) -> Column:
 
 
 def fingerprint_table(sdf, key_col: str = "doc_id", text_col: str = "text", n: int = 5):
-    """(key, fingerprint) via explode -> codegen'd min(md5) aggregate —
+    """(key, fingerprint) via codegen shingle rows -> min(md5) aggregate —
     the scale path (same output as ``fingerprint``)."""
-    sh = sdf.select(F.col(key_col), F.explode_outer(word_shingles(F.col(text_col), n)).alias("__s__"))
-    sig = sh.groupBy(key_col).agg(F.min(F.md5(F.col("__s__"))).alias("fingerprint"))
+    sh = shingle_rows(sdf, key_col, text_col, n)
+    sig = sh.groupBy(key_col).agg(F.min(F.md5(F.col("shingle"))).alias("fingerprint"))
     fallback = sdf.select(F.col(key_col), F.md5(F.col(text_col)).alias("__fb__"))
     return (
         fallback.join(sig, key_col, "left")

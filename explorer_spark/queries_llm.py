@@ -155,12 +155,18 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     only LSH candidates, never the quadratic block — the shape that
     survives a 100x corpus."""
     from .operators.dedup import lsh_buckets, lsh_candidate_pairs, with_minhash
-    from .operators.text import shingle_set
+    from .operators.text import shingle_rows
 
     docs = _t(spark, sf_dir, "documents").lazy_sdf()
     sig = with_minhash(docs, num_hashes=8, shingle_n=3)
     cand = lsh_candidate_pairs(lsh_buckets(sig, num_hashes=8, bands=4))
-    sh = docs.select("doc_id", shingle_set(SF.col("text"), 3).alias("sh"))
+    # shingle SETS built from codegen shingle rows (collect_set) — the
+    # expression form runs interpreted and costs ~6x in bulk
+    sh = (
+        shingle_rows(docs, "doc_id", "text", 3)
+        .groupBy("doc_id")
+        .agg(SF.collect_set("shingle").alias("sh"))
+    )
     sa = sh.select(SF.col("doc_id").alias("id_a"), SF.col("sh").alias("__sha__"))
     sb = sh.select(SF.col("doc_id").alias("id_b"), SF.col("sh").alias("__shb__"))
     inter = SF.size(SF.array_intersect(SF.col("__sha__"), SF.col("__shb__")))
