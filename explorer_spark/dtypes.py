@@ -18,6 +18,8 @@ trick the reference plays for categories (dictionary codes over strings).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import types as T
 
 # ---------------------------------------------------------------------------
@@ -43,9 +45,14 @@ _ALIASES = {
 
 
 def normalize(dtype):
-    """Normalize aliases the way the reference does (shared.ex:52-114)."""
-    if isinstance(dtype, str) and dtype in _ALIASES:
-        return _ALIASES[dtype]
+    """Normalize aliases the way the reference does (shared.ex:52-114),
+    including the short atoms ``:s32/:u16/:f64`` etc."""
+    if isinstance(dtype, str):
+        if dtype in _ALIASES:
+            return _ALIASES[dtype]
+        m = re.fullmatch(r"([suf])(8|16|32|64)", dtype)
+        if m:
+            return (m.group(1), int(m.group(2)))
     return dtype
 
 

@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from . import dtypes as dt
-from .expr import Expr, LowerCtx, col, lit
+from .expr import AGG_OPS, Expr, LowerCtx, col, lit
 
 ORDER_COL = "__row_order__"
 
@@ -41,10 +41,21 @@ ORDER_COL = "__row_order__"
 class DataFrame:
     """Immutable wrapper; every verb returns a new DataFrame."""
 
-    def __init__(self, sdf: SDF, groups: list[str] | None = None, has_order: bool | None = None):
+    def __init__(
+        self,
+        sdf: SDF,
+        groups: list[str] | None = None,
+        has_order: bool | None = None,
+        aligned: bool = False,
+    ):
         self._sdf = sdf
         self.groups = list(groups or [])
         self._has_order = ORDER_COL in sdf.columns if has_order is None else has_order
+        # True iff the physical layout still matches ORDER_COL: ascending
+        # partition id == ascending order, rows in order within partitions.
+        # Shuffling verbs (joins, grouped windows) clear it; order-dependent
+        # kernels re-align with one range shuffle when it's False.
+        self._aligned = aligned and self._has_order
 
     # ------------------------------------------------------------------
     # basics
@@ -67,18 +78,22 @@ class DataFrame:
     def shape(self) -> tuple[int, int]:
         return (self.n_rows(), self.n_columns())
 
-    def _replace(self, sdf: SDF, groups=None, has_order=None) -> "DataFrame":
+    def _replace(self, sdf: SDF, groups=None, has_order=None, aligned: bool = False) -> "DataFrame":
         return DataFrame(
             sdf,
             self.groups if groups is None else groups,
             self._has_order if has_order is None else has_order,
+            aligned=aligned,
         )
 
     def _ordered(self) -> "DataFrame":
         """Ensure the hidden row-order column exists."""
         if self._has_order:
             return self
-        return self._replace(self._sdf.withColumn(ORDER_COL, F.monotonically_increasing_id()), has_order=True)
+        # a fresh monotonically_increasing_id IS the physical layout order
+        return self._replace(
+            self._sdf.withColumn(ORDER_COL, F.monotonically_increasing_id()), has_order=True, aligned=True
+        )
 
     def _ctx(self, summarise: bool = False, ordered: bool = False) -> LowerCtx:
         return LowerCtx(
@@ -180,7 +195,9 @@ class DataFrame:
     def select(self, selector) -> "DataFrame":
         cols = self._resolve(selector)
         keep = cols + ([ORDER_COL] if self._has_order else [])
-        return self._replace(self._sdf.select(*keep), groups=[g for g in self.groups if g in cols])
+        return self._replace(
+            self._sdf.select(*keep), groups=[g for g in self.groups if g in cols], aligned=self._aligned
+        )
 
     def discard(self, selector) -> "DataFrame":
         drop = set(self._resolve(selector))
@@ -193,7 +210,7 @@ class DataFrame:
             pairs = dict(zip(self.names, list(mapping)))
         sdf = self._sdf.withColumnsRenamed(pairs)
         groups = [pairs.get(g, g) for g in self.groups]
-        return self._replace(sdf, groups=groups)
+        return self._replace(sdf, groups=groups, aligned=self._aligned)
 
     def rename_with(self, fun: Callable[[str], str], selector=None) -> "DataFrame":
         cols = self._resolve(selector)
@@ -220,7 +237,7 @@ class DataFrame:
         vals = spark.createDataFrame([(i, v) for i, v in enumerate(values)], ["__pos__", name])
         left = idx_df._sdf.drop(name) if name in self.names else idx_df._sdf
         joined = left.join(F.broadcast(vals), "__pos__", "left")
-        return idx_df._replace(joined.drop("__pos__"))
+        return idx_df._replace(joined.drop("__pos__"), aligned=True)
 
     # ------------------------------------------------------------------
     # filter / mutate / summarise
@@ -229,6 +246,17 @@ class DataFrame:
         """Row filter; aggregations in the predicate broadcast per group
         (reference polars_backend/lazy_frame.ex:437-448)."""
         needs_order = any(_tree_has(p, *ORDERED_EXPR_OPS) for p in predicates)
+        has_agg = any(isinstance(p, Expr) and p.references_agg() for p in predicates)
+        if not self.groups and (needs_order or has_agg):
+            # ungrouped ordered/agg predicates: distributed kernels, not a
+            # single-partition global window
+            mat, rewritten = self._materialize_distributed(list(predicates))
+            out = mat._sdf
+            for i, p in enumerate(rewritten):
+                tmp = f"__pred_{i}__"
+                out = out.withColumn(tmp, p.lower(LowerCtx())).filter(F.col(tmp)).drop(tmp)
+            keep = self.names + ([ORDER_COL] if mat._has_order else [])
+            return mat._replace(out.select(*keep))
         base = self._ordered() if needs_order else self
         ctx = base._ctx()
         out = base._sdf
@@ -241,21 +269,137 @@ class DataFrame:
                 out = out.withColumn(tmp, c).filter(F.col(tmp)).drop(tmp)
             else:
                 out = out.filter(c)
-        return base._replace(out)
+        return base._replace(out, aligned=base._aligned and not (needs_order or has_agg))
 
     filter = filter_with
 
     def mask(self, bool_col: Column) -> "DataFrame":
-        return self._replace(self._sdf.filter(bool_col))
+        return self._replace(self._sdf.filter(bool_col), aligned=self._aligned)
 
     def mutate_with(self, **exprs) -> "DataFrame":
         """Add/replace columns. Grouped frame: aggregations lower to
-        window functions over the groups (reference lazy_frame.ex:503-521)."""
+        window functions over the groups (reference lazy_frame.ex:503-521).
+        Ungrouped frame: aggregations broadcast as a one-row cross join and
+        order-dependent ops run through the distributed kernels of
+        operators/ordered.py — never a whole-frame single-partition window."""
         needs_order = any(_tree_has(e, *ORDERED_EXPR_OPS) for e in exprs.values())
+        has_agg = any(isinstance(e, Expr) and e.references_agg() for e in exprs.values())
+        if not self.groups and (needs_order or has_agg):
+            mat, rewritten = self._materialize_distributed(list(exprs.values()))
+            cols = {
+                name: (e.lower(LowerCtx()) if isinstance(e, Expr) else F.lit(e))
+                for name, e in zip(exprs.keys(), rewritten)
+            }
+            out = mat._sdf.withColumns(cols)
+            keep = list(dict.fromkeys(self.names + list(exprs.keys())))
+            keep += [ORDER_COL] if mat._has_order else []
+            return mat._replace(out.select(*keep))
         base = self._ordered() if needs_order else self
         ctx = base._ctx()
         cols = {name: (e.lower(ctx) if isinstance(e, Expr) else F.lit(e)) for name, e in exprs.items()}
-        return base._replace(base._sdf.withColumns(cols))
+        return base._replace(base._sdf.withColumns(cols), aligned=base._aligned and not (needs_order or has_agg))
+
+    # -- distributed rendering of ungrouped ordered/agg expressions --------
+    _IDX = "__gidx__"
+
+    def _materialize_distributed(self, exprs: list) -> tuple["DataFrame", list]:
+        """Rewrite every order-dependent or aggregate node in ``exprs``
+        into a precomputed column on the frame (distributed kernels of
+        operators/ordered.py or broadcast one-row aggregates); returns the
+        augmented frame plus the rewritten trees (now plain row-wise)."""
+        from .operators import ordered as ordk
+        from .operators.rolling import _ROLL_FNS, _frame_bounds
+
+        needs_idx = any(_tree_has(e, *ORDERED_EXPR_OPS) for e in exprs)
+        base = self._with_row_index(self._IDX) if needs_idx else self._ordered()
+        state = {"sdf": base._sdf, "n": 0}
+        plain = LowerCtx()
+
+        def tmp() -> str:
+            state["n"] += 1
+            return f"__m{state['n']}__"
+
+        def as_col(e) -> str:
+            """Materialize a pure (already rewritten) expr as a column name."""
+            if isinstance(e, Expr) and e.op == "column":
+                return e.args[0]
+            name = tmp()
+            state["sdf"] = state["sdf"].withColumn(name, e.lower(plain) if isinstance(e, Expr) else F.lit(e))
+            return name
+
+        def bounded(node: Expr, value: str, before: int, after: int, params: tuple) -> str:
+            """shift/peaks/rolling: exact inside index buckets with
+            duplicated boundary rows; reuses the op's window lowering."""
+            from .expr import _LOWER
+
+            u = ordk.with_boundary_context(state["sdf"], self._IDX, before, after)
+            ctx2 = LowerCtx(groups=[ordk.BUCKET], order=self._IDX)
+            c = _LOWER[node.op](ctx2, col(value), *params)
+            name = tmp()
+            state["sdf"] = ordk.strip_boundary_context(u.withColumn(name, c))
+            return name
+
+        def mat_ordered(node: Expr) -> str:
+            op = node.op
+            if op == "row_index":
+                name = tmp()
+                state["sdf"] = state["sdf"].withColumn(name, F.col(self._IDX).cast("int"))
+                return name
+            value = as_col(node.args[0])
+            rest = node.args[1:]
+            name = tmp()
+            if op.startswith("cumulative_"):
+                kind = op.removeprefix("cumulative_")
+                reverse = bool(rest[0]) if rest else False
+                state["sdf"] = ordk.cumulative(state["sdf"], self._IDX, value, name, kind, reverse)
+            elif op in ("fill_missing_forward", "fill_missing_backward"):
+                state["sdf"] = ordk.fill_missing(
+                    state["sdf"], self._IDX, value, name, backward=op.endswith("backward")
+                )
+            elif op == "rank":
+                method = rest[0] if len(rest) > 0 else "ordinal"
+                descending = rest[1] if len(rest) > 1 else False
+                seed = rest[2] if len(rest) > 2 else None
+                state["sdf"] = ordk.global_rank(state["sdf"], self._IDX, value, name, method, descending, seed)
+            elif op == "shift":
+                offset = rest[0]
+                return bounded(node, value, max(offset, 0), max(-offset, 0), tuple(rest))
+            elif op == "peaks":
+                return bounded(node, value, 1, 1, tuple(rest))
+            elif op in _ROLL_FNS:
+                window_size = rest[0]
+                weights = rest[1] if len(rest) > 1 else None
+                center = rest[3] if len(rest) > 3 else False
+                if weights is not None:
+                    before, after = window_size - 1, 0
+                else:
+                    lo, hi = _frame_bounds(window_size, center)
+                    before, after = -lo, hi
+                return bounded(node, value, before, after, tuple(rest))
+            else:
+                raise NotImplementedError(f"distributed kernel for {op!r}")
+            return name
+
+        def mat_agg(node: Expr) -> str:
+            name = tmp()
+            aggc = node.lower(LowerCtx(order=self._IDX if needs_idx else None, summarise=True))
+            one = state["sdf"].agg(aggc.alias(name))
+            state["sdf"] = state["sdf"].crossJoin(F.broadcast(one))
+            return name
+
+        def rewrite(e):
+            if not isinstance(e, Expr):
+                return e
+            new_args = [rewrite(a) if isinstance(a, Expr) else a for a in e.args]
+            ne = Expr(e.op, *new_args)
+            if e.op in ORDERED_EXPR_OPS:
+                return col(mat_ordered(ne))
+            if e.op in AGG_OPS:
+                return col(mat_agg(ne))
+            return ne
+
+        rewritten = [rewrite(e) for e in exprs]
+        return base._replace(state["sdf"], aligned=False), rewritten
 
     mutate = mutate_with
 
@@ -318,7 +462,7 @@ class DataFrame:
             exprs.append(F.col(ORDER_COL).asc())
         out = sdf.orderBy(*exprs).drop(ORDER_COL, "__grp_order__")
         out = out.withColumn(ORDER_COL, F.monotonically_increasing_id())
-        return base._replace(out, has_order=True)
+        return base._replace(out, has_order=True, aligned=True)
 
     sort = sort_by
     arrange = sort_by
@@ -366,31 +510,29 @@ class DataFrame:
         if shuffle:
             out = out.withColumn("__r__", F.rand(seed)).orderBy("__r__").drop("__r__")
         out = out.withColumn(ORDER_COL, F.monotonically_increasing_id())
-        return DataFrame(out, groups=self.groups, has_order=True)
+        return DataFrame(out, groups=self.groups, has_order=True, aligned=True)
 
     def shuffle(self, seed: int | None = None) -> "DataFrame":
         out = self.lazy_sdf().withColumn("__r__", F.rand(seed)).orderBy("__r__").drop("__r__")
-        return DataFrame(out.withColumn(ORDER_COL, F.monotonically_increasing_id()), self.groups, True)
+        return DataFrame(out.withColumn(ORDER_COL, F.monotonically_increasing_id()), self.groups, True, aligned=True)
 
     # ------------------------------------------------------------------
     # positional row selection (ordered semantics)
     # ------------------------------------------------------------------
-    def _with_row_index(self, name: str = "__idx__") -> "DataFrame":
-        """Contiguous 0-based row index, scalable per-partition-offset
-        pattern: within-partition row_number + exclusive prefix sum of
-        partition counts (no single-partition global window)."""
+    def _with_row_index(self, name: str = "__idx__", total_col: str | None = None) -> "DataFrame":
+        """Contiguous 0-based row index in ORDER_COL order, built by the
+        scalable per-partition-offset pattern (operators/ordered.py).
+        When the physical layout no longer matches ORDER_COL (after a
+        join or any other shuffle) the kernel re-aligns with one range
+        shuffle first — partition ids never silently disagree with the
+        row order. ``total_col`` attaches the total row count for free."""
+        from .operators.ordered import with_global_index
+
         base = self._ordered()
-        sdf = base._sdf.withColumn("__pid__", F.spark_partition_id())
-        wp = W.partitionBy("__pid__").orderBy(F.col(ORDER_COL).asc())
-        sdf = sdf.withColumn("__local__", F.row_number().over(wp) - 1)
-        counts = sdf.groupBy("__pid__").agg(F.count(F.lit(1)).alias("__cnt__"))
-        wcum = W.orderBy("__pid__").rowsBetween(W.unboundedPreceding, -1)
-        offsets = counts.withColumn("__off__", F.coalesce(F.sum("__cnt__").over(wcum), F.lit(0))).drop("__cnt__")
-        sdf = sdf.join(F.broadcast(offsets), "__pid__", "left")
-        sdf = sdf.withColumn(name, (F.col("__off__") + F.col("__local__")).cast("long")).drop(
-            "__pid__", "__local__", "__off__"
+        sdf = with_global_index(
+            base._sdf, [F.col(ORDER_COL).asc()], name=name, aligned=base._aligned, total_col=total_col
         )
-        return base._replace(sdf)
+        return base._replace(sdf, aligned=True)
 
     def head(self, n: int = 5) -> "DataFrame":
         if self.groups:
@@ -430,12 +572,16 @@ class DataFrame:
                         F.col("__rn__") < F.col("__cnt__") + offset + length
                     )
                 return base._replace(sdf.filter(cond).drop("__rn__", "__cnt__"))
-            idxed = self._with_row_index("__idx__")
             if offset < 0:
-                total = self.n_rows()
-                offset = total + offset
+                # resolve the offset against the total inside one plan (the
+                # total rides along from the index kernel's broadcast table)
+                idxed = self._with_row_index("__idx__", total_col="__tot__")
+                start = F.col("__tot__") + offset
+                out = idxed._sdf.filter((F.col("__idx__") >= start) & (F.col("__idx__") < start + length))
+                return idxed._replace(out.drop("__idx__", "__tot__"), aligned=True)
+            idxed = self._with_row_index("__idx__")
             out = idxed._sdf.filter((F.col("__idx__") >= offset) & (F.col("__idx__") < offset + length))
-            return idxed._replace(out.drop("__idx__"))
+            return idxed._replace(out.drop("__idx__"), aligned=True)
         indices = list(offset_or_indices) if not isinstance(offset_or_indices, range) else list(offset_or_indices)
         idxed = self._with_row_index("__idx__")
         if self.groups:
@@ -444,11 +590,11 @@ class DataFrame:
             sdf = base._sdf.withColumn("__rn__", F.row_number().over(w) - 1)
             return base._replace(sdf.filter(F.col("__rn__").isin(indices)).drop("__rn__"))
         out = idxed._sdf.filter(F.col("__idx__").isin(indices))
-        return idxed._replace(out.drop("__idx__"))
+        return idxed._replace(out.drop("__idx__"), aligned=True)
 
     def at_every(self, n: int) -> "DataFrame":
         idxed = self._with_row_index("__idx__")
-        return idxed._replace(idxed._sdf.filter(F.col("__idx__") % n == 0).drop("__idx__"))
+        return idxed._replace(idxed._sdf.filter(F.col("__idx__") % n == 0).drop("__idx__"), aligned=True)
 
     # ------------------------------------------------------------------
     # joins & combinators (reference data_frame.ex:5137-5869)
@@ -626,7 +772,7 @@ class DataFrame:
         out = casted[0]
         for sdf in casted[1:]:
             out = out.unionByName(sdf, allowMissingColumns=False)
-        return DataFrame(out.withColumn(ORDER_COL, F.monotonically_increasing_id()), self.groups, True)
+        return DataFrame(out.withColumn(ORDER_COL, F.monotonically_increasing_id()), self.groups, True, aligned=True)
 
     def concat_columns(self, *others: "DataFrame") -> "DataFrame":
         """Horizontal concat, positional alignment via row index
@@ -699,7 +845,7 @@ class DataFrame:
         base = self._ordered()
         out = base._sdf.select(*keep, stack, F.col(ORDER_COL))
         out = out.drop(ORDER_COL).withColumn(ORDER_COL, F.monotonically_increasing_id())
-        return DataFrame(out, groups=self.groups, has_order=True)
+        return DataFrame(out, groups=self.groups, has_order=True, aligned=base._aligned)
 
     def explode(self, selector) -> "DataFrame":
         """Unnest list columns; multiple columns are zipped
@@ -716,7 +862,7 @@ class DataFrame:
                 out = out.withColumn(c, F.col("__z__").getField(c))
             out = out.drop("__z__")
         out = out.drop(ORDER_COL).withColumn(ORDER_COL, F.monotonically_increasing_id())
-        return DataFrame(out, groups=self.groups, has_order=True)
+        return DataFrame(out, groups=self.groups, has_order=True, aligned=base._aligned)
 
     def unnest(self, selector) -> "DataFrame":
         """Struct fields to top-level columns (reference data_frame.ex:6341-6382)."""
@@ -828,8 +974,12 @@ class DataFrame:
         numeric = [f.name for f in sdf.schema.fields if isinstance(f.dataType, T.NumericType)]
         cols = [c for c in (self._resolve(selector) if selector else numeric) if c in numeric]
         if method == "spearman":
+            # tie-corrected average ranks (what Polars/pandas compute), via
+            # the distributed rank kernel — no single-partition window
+            from .operators.ordered import global_rank
+
             for c in cols:
-                sdf = sdf.withColumn(c, F.rank().over(W.orderBy(F.col(c))).cast("double"))
+                sdf = global_rank(sdf, None, c, c, method="average")
         aggs = []
         for a in cols:
             for b in cols:
@@ -876,7 +1026,7 @@ class DataFrame:
                 yield pd.DataFrame(rows)
 
         out = base._sdf.mapInPandas(op, out_schema)
-        return DataFrame(out, groups=self.groups, has_order=ORDER_COL in out.columns)
+        return DataFrame(out, groups=self.groups, has_order=ORDER_COL in out.columns, aligned=base._aligned)
 
     # ------------------------------------------------------------------
     # EWM / binning (composite operators)
@@ -918,16 +1068,5 @@ def _tree_has(e, *ops) -> bool:
     return any(_tree_has(a, *ops) for a in e.args if isinstance(a, Expr))
 
 
-ORDERED_EXPR_OPS = (
-    "shift",
-    "row_index",
-    "rank",
-    "peaks",
-    "fill_missing_forward",
-    "fill_missing_backward",
-    "cumulative_sum",
-    "cumulative_min",
-    "cumulative_max",
-    "cumulative_product",
-    "cumulative_count",
-)
+# the live set from expr (rolling.register extends it with window_* ops)
+from .expr import ORDERED_OPS as ORDERED_EXPR_OPS  # noqa: E402

@@ -336,21 +336,25 @@ def q_cummax_running(spark, sf_dir):
     """
     SELECT ROUND(corr(rq, rp), 6) AS spearman
     FROM (
-        SELECT rank() OVER (ORDER BY l_quantity) AS rq,
-               rank() OVER (ORDER BY l_extendedprice) AS rp
+        SELECT (CAST(rank() OVER (ORDER BY l_quantity) AS DOUBLE) * 2
+                + COUNT(*) OVER (PARTITION BY l_quantity) - 1) / 2.0 AS rq,
+               (CAST(rank() OVER (ORDER BY l_extendedprice) AS DOUBLE) * 2
+                + COUNT(*) OVER (PARTITION BY l_extendedprice) - 1) / 2.0 AS rp
         FROM lineitem
     )
     """,
 )
 def q_spearman_corr(spark, sf_dir):
-    """Spearman correlation = Pearson over min-method ranks."""
+    """Spearman correlation = Pearson over tie-corrected AVERAGE ranks
+    (what Polars/pandas compute). The rank runs through the distributed
+    kernel (operators/ordered.py) — no single-partition global window."""
     li = _t(spark, sf_dir, "lineitem")
     ranked = li.mutate(
-        rq=f.rank(col("l_quantity"), method="min"),
-        rp=f.rank(col("l_extendedprice"), method="min"),
+        rq=f.rank(col("l_quantity"), method="average"),
+        rp=f.rank(col("l_extendedprice"), method="average"),
     )
     return ranked.summarise(
-        spearman=f.round(f.correlation(f.cast(col("rq"), ("f", 64)), f.cast(col("rp"), ("f", 64))), 6)
+        spearman=f.round(f.correlation(col("rq"), col("rp")), 6)
     ).lazy_sdf()
 
 
