@@ -562,9 +562,9 @@ _LOWER = {
     "day_of_week": _day_of_week,
     "day_of_year": _unop(F.dayofyear),
     "week_of_year": _week_of_year,
-    "iso_year": lambda ctx, a: F.year(_c(a, ctx)) + F.when(
-        (F.month(_c(a, ctx)) == 1) & (F.weekofyear(_c(a, ctx)) > 50), -1
-    ).when((F.month(_c(a, ctx)) == 12) & (F.weekofyear(_c(a, ctx)) == 1), 1).otherwise(0),
+    # ISO-8601 year = calendar year of the Thursday in the date's ISO week
+    # (exact by definition; weekday() is Mon=0, so Thursday = d + (3 - wd))
+    "iso_year": lambda ctx, a: F.year(F.date_add(F.to_date(_c(a, ctx)), 3 - F.weekday(_c(a, ctx)))),
     "quarter_of_year": _unop(F.quarter),
     "hour": _unop(F.hour),
     "minute": _unop(F.minute),

@@ -276,12 +276,26 @@ class DataFrame:
     def mask(self, bool_col: Column) -> "DataFrame":
         return self._replace(self._sdf.filter(bool_col), aligned=self._aligned)
 
-    def mutate_with(self, **exprs) -> "DataFrame":
+    def mutate_with(self, keep: str = "all", **exprs) -> "DataFrame":
         """Add/replace columns. Grouped frame: aggregations lower to
         window functions over the groups (reference lazy_frame.ex:503-521).
         Ungrouped frame: aggregations broadcast as a one-row cross join and
         order-dependent ops run through the distributed kernels of
-        operators/ordered.py — never a whole-frame single-partition window."""
+        operators/ordered.py — never a whole-frame single-partition window.
+
+        ``keep="none"`` returns only the group columns plus the newly
+        created ones (reference data_frame.ex:2915-2930); a column named
+        ``keep`` must be assigned via ``mutate_with(**{"keep": ...})``-free
+        call styles (rename first)."""
+        if keep not in ("all", "none"):
+            raise ValueError(f"keep must be 'all' or 'none', got {keep!r}")
+        out = self._mutate_all(exprs)
+        if keep == "none":
+            cols = list(dict.fromkeys(self.groups + list(exprs.keys())))
+            return out.select(cols)
+        return out
+
+    def _mutate_all(self, exprs: dict) -> "DataFrame":
         needs_order = any(_tree_has(e, *ORDERED_EXPR_OPS) for e in exprs.values())
         has_agg = any(isinstance(e, Expr) and e.references_agg() for e in exprs.values())
         if not self.groups and (needs_order or has_agg):
@@ -493,7 +507,28 @@ class DataFrame:
         return self._replace(self._sdf.dropna(subset=subset))
 
     def sample(self, n_or_frac, replace: bool = False, seed: int | None = None, shuffle: bool = False) -> "DataFrame":
-        """n or fraction sampling with seed (reference data_frame.ex:4475-4540)."""
+        """n or fraction sampling with seed (reference data_frame.ex:4475-4540).
+        Grouped frame samples per group (polars_backend/data_frame.ex:779-796):
+        n rows (or floor(frac*len)) from each group, one hash shuffle on the
+        group keys."""
+        if self.groups and replace:
+            raise NotImplementedError("grouped sample with replace=True is not supported")
+        if self.groups:
+            base = self._ordered()
+            w = W.partitionBy(*self.groups).orderBy(F.rand(seed))
+            sdf = base._sdf.withColumn("__rn__", F.row_number().over(w))
+            if isinstance(n_or_frac, float):
+                wc = W.partitionBy(*self.groups)
+                sdf = sdf.withColumn("__gn__", F.count(F.lit(1)).over(wc))
+                out = sdf.filter(F.col("__rn__") <= F.floor(F.col("__gn__") * n_or_frac)).drop("__rn__", "__gn__")
+            else:
+                out = sdf.filter(F.col("__rn__") <= n_or_frac).drop("__rn__")
+            if not shuffle:
+                out = out.orderBy(F.col(ORDER_COL).asc())
+            else:
+                out = out.orderBy(F.rand(seed))
+            out = out.drop(ORDER_COL).withColumn(ORDER_COL, F.monotonically_increasing_id())
+            return DataFrame(out, groups=self.groups, has_order=True, aligned=True)
         sdf = self.lazy_sdf()
         if isinstance(n_or_frac, float) and not replace:
             out = sdf.sample(fraction=n_or_frac, seed=seed)
@@ -739,7 +774,11 @@ class DataFrame:
             dist = rnum - lnum
         else:
             dist = lnum - rnum
-        w = W.partitionBy("__lid__").orderBy(F.when(joined[ron].isNull(), None).otherwise(dist).asc_nulls_last())
+        # secondary key: deterministic tie-break toward the EARLIER right
+        # key when a nearest match is equidistant before and after
+        w = W.partitionBy("__lid__").orderBy(
+            F.when(joined[ron].isNull(), None).otherwise(dist).asc_nulls_last(), rnum.asc_nulls_last()
+        )
         out = joined.withColumn("__rn__", F.row_number().over(w)).filter(F.col("__rn__") == 1)
         out = out.drop("__rn__", "__lid__", ron, *[f"__r_{b}__" for b in by])
         return DataFrame(out, groups=self.groups, has_order=True)
@@ -797,9 +836,13 @@ class DataFrame:
         id_columns=None,
         names_prefix: str = "",
         values=None,
+        agg: str = "first",
     ) -> "DataFrame":
         """Spread rows into columns; duplicate cells take the FIRST value
-        (reference data_frame.ex:5102-5188, dataframe.rs:463).
+        in frame order (reference data_frame.ex:5102-5188, dataframe.rs:463
+        PivotAgg::First), rendered as ``min_by(value, row_order)`` so the
+        result is deterministic across partitions. ``agg`` accepts any
+        Spark aggregate name (mean/sum/min/max/count/...) as an extension.
 
         Passing ``values`` (the expected distinct names) avoids the extra
         distinct-collect job Spark otherwise runs — at scale always pass it.
@@ -809,12 +852,16 @@ class DataFrame:
             c for c in self.names if c != names_from and c not in vals
         ]
         base = self._ordered()
+        if agg == "first":
+            aggfn = lambda v: F.min_by(F.col(v), F.col(ORDER_COL))  # noqa: E731
+        else:
+            aggfn = lambda v: getattr(F, agg)(F.col(v))  # noqa: E731
         gb = base._sdf.groupBy(*ids)
         piv = gb.pivot(names_from, values) if values else gb.pivot(names_from)
         if len(vals) == 1:
-            out = piv.agg(F.first(F.col(vals[0])))
+            out = piv.agg(aggfn(vals[0]))
         else:
-            out = piv.agg(*[F.first(F.col(v)).alias(v) for v in vals])
+            out = piv.agg(*[aggfn(v).alias(v) for v in vals])
         if names_prefix:
             for c in out.columns:
                 if c not in ids:

@@ -469,19 +469,14 @@ def q_json_extract(spark, sf_dir):
     """,
 )
 def q_pivot_wider(spark, sf_dir):
-    """pivot_wider with a mean cell aggregate (driver-friendly variant of
-    the reference's first-value pivot)."""
-    from pyspark.sql import functions as SF
-
+    """pivot_wider (the wrapper verb) with a mean cell aggregate —
+    the reference's first-value pivot is oracled by q_pivot_first."""
     cust = _t(spark, sf_dir, "customer")
     segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
-    out = (
-        cust.lazy_sdf()
-        .groupBy("c_nationkey")
-        .pivot("c_mktsegment", segs)
-        .agg(SF.round(SF.avg("c_acctbal"), 6))
+    wide = cust.select(["c_nationkey", "c_mktsegment", "c_acctbal"]).pivot_wider(
+        "c_mktsegment", "c_acctbal", id_columns=["c_nationkey"], values=segs, agg="mean"
     )
-    return out
+    return wide.mutate(**{s: f.round(col(s), 6) for s in segs}).lazy_sdf()
 
 
 @query(
@@ -590,3 +585,4 @@ def q_explode_list(spark, sf_dir):
 # so the registry decorators above are defined first).
 from . import queries_llm  # noqa: E402,F401  isort: skip
 from . import queries_ext  # noqa: E402,F401  isort: skip
+from . import queries_ops  # noqa: E402,F401  isort: skip

@@ -79,13 +79,17 @@ def _minhash_sql(i: int) -> str:
     from .operators.dedup import MINHASH_A, MINHASH_B, MINHASH_P32
 
     base = f"({_hex15_sql('s')} % {MINHASH_P32})"
-    return f"list_min(list_transform(sh, s -> ({MINHASH_A[i]} * {base} + {MINHASH_B[i]}) % {MINHASH_P32}))"
+    mh = f"list_min(list_transform(sh, s -> ({MINHASH_A[i]} * {base} + {MINHASH_B[i]}) % {MINHASH_P32}))"
+    # docs with <3 words have no shingles: hash the raw text through the
+    # same universal-hash family, mirroring with_minhash's coalesce
+    fb = f"({MINHASH_A[i]} * ({_hex15_sql('text')} % {MINHASH_P32}) + {MINHASH_B[i]}) % {MINHASH_P32}"
+    return f"COALESCE({mh}, {fb})"
 
 
 _MINHASH_ORACLE = f"""
     WITH sh AS (
-        SELECT doc_id, {_SHINGLES3.format(w="ws")} AS sh
-        FROM (SELECT doc_id, {_WORDS.format(t="text")} AS ws FROM documents)
+        SELECT doc_id, text, {_SHINGLES3.format(w="ws")} AS sh
+        FROM (SELECT doc_id, text, {_WORDS.format(t="text")} AS ws FROM documents)
     ),
     sig AS (
         SELECT doc_id, {", ".join(f"{_minhash_sql(i)} AS mh{i}" for i in range(8))}
@@ -126,8 +130,8 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     "q_dedup_ngram_jaccard",
     f"""
     WITH sh AS (
-        SELECT doc_id, {_SHINGLES3.format(w="ws")} AS sh
-        FROM (SELECT doc_id, {_WORDS.format(t="text")} AS ws FROM documents)
+        SELECT doc_id, text, {_SHINGLES3.format(w="ws")} AS sh
+        FROM (SELECT doc_id, text, {_WORDS.format(t="text")} AS ws FROM documents)
     ),
     sig AS (
         SELECT doc_id, {", ".join(f"{_minhash_sql(i)} AS mh{i}" for i in range(8))}

@@ -1,0 +1,481 @@
+"""Per-operator oracle queries (round 2): every SURVEY §2 verb that was
+unit-test-only in round 1 gets its own driver-checked CORRECTNESS entry —
+mask, put, concat_columns, Series.transform, ewm, argmin/argmax, cut with
+explicit breaks, categorise, fill min/max/mean, rank tie methods, asof
+forward/nearest, unnest, transpose, grouped head/tail/slice/sample,
+distinct keep-first, seeded sample, mutate keep:, first-value pivot, and
+ISO-year edges."""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+from pyspark.sql import functions as SF
+
+from . import functions as f
+from .expr import col, lit
+from .queries import query
+from .series import Series
+from .sources import from_columns, load_table
+
+
+def _t(spark, sf_dir, name):
+    return load_table(sf_dir, name, spark=spark)
+
+
+# ---------------------------------------------------------------------------
+# row selection / projection edges (SURVEY §2.2)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_mask",
+    """
+    SELECT COUNT(*) AS n, ROUND(SUM(c_acctbal), 2) AS total
+    FROM customer WHERE c_acctbal > 5000 AND c_nationkey < 10
+    """,
+)
+def q_mask(spark, sf_dir):
+    """DataFrame.mask with a raw boolean column (SURVEY §2.2;
+    reference data_frame.ex mask/2)."""
+    cust = _t(spark, sf_dir, "customer")
+    masked = cust.mask((SF.col("c_acctbal") > 5000) & (SF.col("c_nationkey") < 10))
+    return masked.summarise(
+        n=f.size(col("c_custkey")), total=f.round(f.sum(col("c_acctbal")), 2)
+    ).lazy_sdf()
+
+
+@query(
+    "q_put",
+    """
+    SELECT r_regionkey, r_name,
+           CASE r_regionkey WHEN 0 THEN 'c0' WHEN 1 THEN 'c1' WHEN 2 THEN 'c2'
+                            WHEN 3 THEN 'c3' ELSE 'c4' END AS code
+    FROM region
+    """,
+)
+def q_put(spark, sf_dir):
+    """DataFrame.put: positional column insertion from a list
+    (reference data_frame.ex put/3)."""
+    reg = _t(spark, sf_dir, "region").sort_by("r_regionkey")
+    return reg.put("code", ["c0", "c1", "c2", "c3", "c4"]).select(
+        ["r_regionkey", "r_name", "code"]
+    ).lazy_sdf()
+
+
+@query(
+    "q_concat_columns",
+    """
+    SELECT a.r_regionkey, a.r_name, b.r_name AS rev_name
+    FROM region a JOIN region b ON b.r_regionkey = 4 - a.r_regionkey
+    """,
+)
+def q_concat_columns(spark, sf_dir):
+    """concat_columns: horizontal positional concatenation
+    (reference data_frame.ex:5719-5760)."""
+    reg = _t(spark, sf_dir, "region")
+    asc = reg.sort_by("r_regionkey").select(["r_regionkey", "r_name"])
+    desc = reg.sort_by("r_regionkey", descending=True).select(["r_name"]).rename({"r_name": "rev_name"})
+    return asc.concat_columns(desc).lazy_sdf()
+
+
+@query(
+    "q_distinct_first",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn FROM orders)
+    WHERE rn = 1
+    """,
+)
+def q_distinct_first(spark, sf_dir):
+    """distinct(keep_all=True) keeps the whole FIRST row per key in frame
+    order (reference lazyframe.rs UniqueKeepStrategy::First)."""
+    orders = _t(spark, sf_dir, "orders").sort_by("o_orderkey")
+    return orders.distinct(["o_custkey"], keep_all=True).select(
+        ["o_custkey", "o_orderkey", "o_totalprice"]
+    ).lazy_sdf()
+
+
+@query(
+    "q_sample_seeded",
+    "SELECT CAST(500 AS BIGINT) AS n_rows, CAST(500 AS BIGINT) AS n_unique",
+)
+def q_sample_seeded(spark, sf_dir):
+    """Seeded sample(n): shape contract — exactly n distinct rows (value
+    determinism is engine-specific; the reference seeds Polars' RNG the
+    same way, data_frame.ex:4475-4540)."""
+    li = _t(spark, sf_dir, "lineitem")
+    picked = li.sample(500, seed=7).mutate(key=col("l_orderkey") * lit(10) + col("l_linenumber"))
+    return picked.summarise(n_rows=f.size(col("key")), n_unique=f.n_distinct(col("key"))).lazy_sdf()
+
+
+@query(
+    "q_grouped_sample",
+    "SELECT c_nationkey, CAST(5 AS BIGINT) AS n FROM customer GROUP BY c_nationkey",
+)
+def q_grouped_sample(spark, sf_dir):
+    """Grouped sample: n rows drawn per group (reference
+    polars_backend/data_frame.ex:779-796); every nation has >= 43
+    customers so each group yields exactly 5."""
+    cust = _t(spark, sf_dir, "customer").group_by("c_nationkey")
+    return cust.sample(5, seed=11).summarise(n=f.size(col("c_custkey"))).lazy_sdf()
+
+
+# ---------------------------------------------------------------------------
+# grouped positional verbs (SURVEY §2.2 grouped semantics)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_grouped_head_tail",
+    """
+    WITH ranked AS (
+        SELECT o_orderpriority, o_orderkey,
+               row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey) AS rn,
+               row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey DESC) AS rrn
+        FROM orders
+    )
+    SELECT o_orderpriority, o_orderkey, 'head' AS kind FROM ranked WHERE rn <= 3
+    UNION ALL
+    SELECT o_orderpriority, o_orderkey, 'tail' AS kind FROM ranked WHERE rrn <= 3
+    """,
+)
+def q_grouped_head_tail(spark, sf_dir):
+    """Grouped head/tail: first/last n rows per group in frame order
+    (reference data_frame.ex head/tail grouped docs)."""
+    orders = _t(spark, sf_dir, "orders").sort_by("o_orderkey").group_by("o_orderpriority")
+    heads = orders.head(3).mutate(kind=lit("head"))
+    tails = orders.tail(3).mutate(kind=lit("tail"))
+    return heads.concat_rows(tails).select(["o_orderpriority", "o_orderkey", "kind"]).lazy_sdf()
+
+
+@query(
+    "q_grouped_slice",
+    """
+    SELECT o_orderpriority, o_orderkey
+    FROM (SELECT o_orderpriority, o_orderkey,
+                 row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey) AS rn
+          FROM orders)
+    WHERE rn BETWEEN 3 AND 5
+    """,
+)
+def q_grouped_slice(spark, sf_dir):
+    """Grouped slice(offset, length): positional within each group
+    (reference data_frame.ex:4238-4372)."""
+    orders = _t(spark, sf_dir, "orders").sort_by("o_orderkey").group_by("o_orderpriority")
+    return orders.slice(2, 3).select(["o_orderpriority", "o_orderkey"]).lazy_sdf()
+
+
+@query(
+    "q_mutate_keep_none",
+    """
+    SELECT c_nationkey, ROUND(AVG(c_acctbal) OVER (PARTITION BY c_nationkey), 6) AS bal_avg
+    FROM customer
+    """,
+)
+def q_mutate_keep_none(spark, sf_dir):
+    """Grouped mutate with keep: :none — only group + created columns
+    survive (reference data_frame.ex:2915-2930)."""
+    cust = _t(spark, sf_dir, "customer").group_by("c_nationkey")
+    return cust.mutate_with(keep="none", bal_avg=f.round(f.mean(col("c_acctbal")), 6)).lazy_sdf()
+
+
+# ---------------------------------------------------------------------------
+# scalar/series kernels (SURVEY §2.3, §2.9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_series_transform",
+    "SELECT reverse(lower(n_name)) AS n_name FROM nation",
+)
+def q_series_transform(spark, sf_dir):
+    """Series.transform: arbitrary Python over an Arrow-batched pandas_udf
+    (reference series.ex transform/2 — an eager element loop there)."""
+    names = _t(spark, sf_dir, "nation").select(["n_name"])
+    out = Series(names, "n_name").transform(lambda v: v.lower()[::-1])
+    return out.to_frame().lazy_sdf()
+
+
+@query(
+    "q_categorise",
+    """
+    SELECT CASE c_custkey % 4 WHEN 0 THEN 'gold' WHEN 1 THEN 'silver'
+                              WHEN 2 THEN 'bronze' ELSE 'iron' END AS code
+    FROM customer
+    """,
+)
+def q_categorise(spark, sf_dir):
+    """Series.categorise: integer codes -> category strings (dictionary
+    decode, reference series.ex:1327-1438)."""
+    cust = _t(spark, sf_dir, "customer").mutate(code=f.remainder(col("c_custkey"), lit(4)))
+    out = Series(cust.select(["code"]), "code").categorise(["gold", "silver", "bronze", "iron"])
+    return out.to_frame().lazy_sdf()
+
+
+@query(
+    "q_fill_stats",
+    """
+    SELECT event_id,
+           ROUND(COALESCE(v, MIN(v) OVER u), 4) AS f_min,
+           ROUND(COALESCE(v, MAX(v) OVER u), 4) AS f_max,
+           ROUND(COALESCE(v, AVG(v) OVER u), 4) AS f_mean
+    FROM (SELECT event_id, user_id,
+                 CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+          FROM events)
+    WINDOW u AS (PARTITION BY user_id)
+    """,
+)
+def q_fill_stats(spark, sf_dir):
+    """fill_missing with :min/:max/:mean strategies inside groups
+    (reference series.ex:5594-5628)."""
+    ev = _t(spark, sf_dir, "events")
+    v = f.select(col("event_type") == lit("error"), lit(None).cast(("f", 64)), col("value"))
+    return (
+        ev.mutate(v=v)
+        .group_by("user_id")
+        .mutate(
+            f_min=f.round(f.fill_missing(col("v"), "min"), 4),
+            f_max=f.round(f.fill_missing(col("v"), "max"), 4),
+            f_mean=f.round(f.fill_missing(col("v"), "mean"), 4),
+        )
+        .ungroup()
+        .select(["event_id", "f_min", "f_max", "f_mean"])
+        .lazy_sdf()
+    )
+
+
+@query(
+    "q_argminmax",
+    """
+    WITH x AS (SELECT value, row_number() OVER (ORDER BY ts, event_id) - 1 AS idx FROM events)
+    SELECT (SELECT idx FROM x ORDER BY value ASC, idx LIMIT 1) AS amin,
+           (SELECT idx FROM x ORDER BY value DESC, idx LIMIT 1) AS amax
+    """,
+)
+def q_argminmax(spark, sf_dir):
+    """Series.argmin/argmax: positional index of the extremum in frame
+    order, first occurrence on ties (reference series.ex argmin/argmax)."""
+    ev = _t(spark, sf_dir, "events").sort_by("ts", "event_id")
+    s = Series(ev.select(["value"]), "value")
+    return from_columns({"amin": [s.argmin()], "amax": [s.argmax()]}, spark=spark).lazy_sdf()
+
+
+@query(
+    "q_cut_breaks",
+    """
+    SELECT break_point, category, COUNT(*) AS n
+    FROM (
+        SELECT CASE WHEN l_quantity <= 10 THEN 10.0 WHEN l_quantity <= 25 THEN 25.0
+                    WHEN l_quantity <= 40 THEN 40.0 ELSE CAST('infinity' AS DOUBLE) END AS break_point,
+               CASE WHEN l_quantity <= 10 THEN '(-inf, 10.0]' WHEN l_quantity <= 25 THEN '(10.0, 25.0]'
+                    WHEN l_quantity <= 40 THEN '(25.0, 40.0]' ELSE '(40.0, inf]' END AS category
+        FROM lineitem
+    )
+    GROUP BY break_point, category
+    """,
+)
+def q_cut_breaks(spark, sf_dir):
+    """cut with explicit breaks: 3-column (values/break_point/category)
+    reference shape (series.ex cut/3), aggregated per bin."""
+    li = _t(spark, sf_dir, "lineitem")
+    binned = li.cut("l_quantity", [10.0, 25.0, 40.0])
+    return (
+        binned.group_by(["break_point", "category"])
+        .summarise(n=f.size(col("values")))
+        .lazy_sdf()
+    )
+
+
+@query(
+    "q_ewm_mean",
+    """
+    WITH x AS (
+        SELECT event_id, user_id, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS i
+        FROM events
+    )
+    SELECT event_id,
+           ROUND(SUM(value * POW(1.25, i)) OVER w / SUM(POW(1.25, i)) OVER w, 6) AS ewm
+    FROM x
+    WINDOW w AS (PARTITION BY user_id ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_ewm_mean(spark, sf_dir):
+    """Grouped ewm_mean(alpha=0.2, adjust=True); the oracle is the closed
+    form sum_j x_j (1-a)^(t-j) / sum_j (1-a)^(t-j) with the (1-a)^t factor
+    cancelled (reference series.ex:5344-5528)."""
+    ev = _t(spark, sf_dir, "events").sort_by("ts", "event_id").group_by("user_id")
+    out = ev.ewm(ewm=("mean", "value", 0.2, True))
+    return out.ungroup().mutate(ewm=f.round(col("ewm"), 6)).select(["event_id", "ewm"]).lazy_sdf()
+
+
+@query(
+    "q_rank_ties",
+    """
+    SELECT c_custkey,
+           CAST(rank() OVER (ORDER BY c_nationkey) AS DOUBLE)
+               + (COUNT(*) OVER (PARTITION BY c_nationkey) - 1) / 2.0 AS r_avg,
+           CAST(rank() OVER (ORDER BY c_nationkey) + COUNT(*) OVER (PARTITION BY c_nationkey) - 1
+                AS INTEGER) AS r_max,
+           CAST(dense_rank() OVER (ORDER BY c_nationkey) AS INTEGER) AS r_dense
+    FROM customer
+    """,
+)
+def q_rank_ties(spark, sf_dir):
+    """rank tie methods average/max/dense on a heavily tied column,
+    through the distributed global-rank kernel (reference series.ex rank;
+    operators/ordered.py global_rank)."""
+    cust = _t(spark, sf_dir, "customer")
+    return cust.mutate(
+        r_avg=f.rank(col("c_nationkey"), method="average"),
+        r_max=f.rank(col("c_nationkey"), method="max"),
+        r_dense=f.rank(col("c_nationkey"), method="dense"),
+    ).select(["c_custkey", "r_avg", "r_max", "r_dense"]).lazy_sdf()
+
+
+# ---------------------------------------------------------------------------
+# asof joins, forward & nearest (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_join_asof_forward",
+    """
+    SELECT e.event_id, p.event_id AS next_purchase_id
+    FROM events e
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id AND e.ts <= p.ts
+    """,
+)
+def q_join_asof_forward(spark, sf_dir):
+    """join_asof forward with by-keys: first purchase at-or-after each
+    event (reference data_frame.ex:5566-5690 strategy :forward)."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = (
+        ev.filter(col("event_type") == lit("purchase"))
+        .select(["user_id", "ts", "event_id"])
+        .rename({"event_id": "next_purchase_id"})
+    )
+    joined = ev.join_asof(purchases, on="ts", by=["user_id"], strategy="forward")
+    return joined.select(["event_id", "next_purchase_id"]).lazy_sdf()
+
+
+@query(
+    "q_join_asof_nearest",
+    """
+    WITH p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+    b AS (SELECT e.event_id, p.event_id AS bid, p.ts AS bts
+          FROM events e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts),
+    fw AS (SELECT e.event_id, p.event_id AS fid, p.ts AS fts
+           FROM events e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts <= p.ts)
+    SELECT e.event_id,
+           CASE WHEN bid IS NULL THEN fid
+                WHEN fid IS NULL THEN bid
+                WHEN (e.ts - bts) <= (fts - e.ts) THEN bid ELSE fid END AS near_purchase_id
+    FROM events e JOIN b USING (event_id) JOIN fw USING (event_id)
+    """,
+)
+def q_join_asof_nearest(spark, sf_dir):
+    """join_asof nearest with by-keys; equidistant ties resolve toward the
+    EARLIER right key (documented engine rule, matched in the oracle)."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = (
+        ev.filter(col("event_type") == lit("purchase"))
+        .select(["user_id", "ts", "event_id"])
+        .rename({"event_id": "near_purchase_id"})
+    )
+    joined = ev.join_asof(purchases, on="ts", by=["user_id"], strategy="nearest")
+    return joined.select(["event_id", "near_purchase_id"]).lazy_sdf()
+
+
+# ---------------------------------------------------------------------------
+# reshape edges (SURVEY §2.8)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_unnest_struct",
+    """
+    SELECT p_partkey, split_part(p_name, ' ', 1) AS adjective, split_part(p_name, ' ', 2) AS noun
+    FROM part
+    """,
+)
+def q_unnest_struct(spark, sf_dir):
+    """split_into -> struct column -> unnest to top-level fields
+    (reference data_frame.ex:6341-6382, series.ex split_into)."""
+    part = _t(spark, sf_dir, "part")
+    st = part.mutate(st=f.split_into(col("p_name"), " ", ["adjective", "noun"]))
+    return st.unnest("st").select(["p_partkey", "adjective", "noun"]).lazy_sdf()
+
+
+@query(
+    "q_transpose",
+    """
+    SELECT 'sum_qty' AS name, CAST(ROUND(SUM(l_quantity), 2) AS DOUBLE) AS value FROM lineitem
+    UNION ALL
+    SELECT 'avg_price', CAST(ROUND(AVG(l_extendedprice), 6) AS DOUBLE) FROM lineitem
+    UNION ALL
+    SELECT 'max_disc', CAST(MAX(l_discount) AS DOUBLE) FROM lineitem
+    """,
+)
+def q_transpose(spark, sf_dir):
+    """transpose of a one-row aggregate frame into (name, value) rows
+    (reference data_frame.ex:4630-4700)."""
+    li = _t(spark, sf_dir, "lineitem")
+    one = li.summarise(
+        sum_qty=f.round(f.sum(col("l_quantity")), 2),
+        avg_price=f.round(f.mean(col("l_extendedprice")), 6),
+        max_disc=f.max(col("l_discount")),
+    )
+    return one.transpose(columns=["value"]).lazy_sdf()
+
+
+@query(
+    "q_pivot_first",
+    """
+    SELECT o_custkey,
+           MIN(CASE WHEN o_orderpriority = '1-URGENT' THEN o_orderkey END) AS "p_1-URGENT",
+           MIN(CASE WHEN o_orderpriority = '2-HIGH' THEN o_orderkey END) AS "p_2-HIGH",
+           MIN(CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_orderkey END) AS "p_3-MEDIUM",
+           MIN(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN o_orderkey END) AS "p_4-NOT SPECIFIED",
+           MIN(CASE WHEN o_orderpriority = '5-LOW' THEN o_orderkey END) AS "p_5-LOW"
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def q_pivot_first(spark, sf_dir):
+    """pivot_wider with the reference's FIRST-value cell rule: first in
+    frame order (= min o_orderkey after the sort), deterministic via
+    min_by(value, row_order) (reference dataframe.rs:463 PivotAgg::First)."""
+    orders = _t(spark, sf_dir, "orders").sort_by("o_orderkey")
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    return orders.select(["o_custkey", "o_orderpriority", "o_orderkey"]).pivot_wider(
+        "o_orderpriority", "o_orderkey", id_columns=["o_custkey"], values=prios, names_prefix="p_"
+    ).lazy_sdf()
+
+
+# ---------------------------------------------------------------------------
+# temporal edge: ISO year over year boundaries (SURVEY §2.9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_iso_year_edges",
+    """
+    SELECT CAST(d AS DATE) AS d, CAST(isoyear(d) AS INTEGER) AS iso_yr,
+           CAST(weekofyear(d) AS INTEGER) AS iso_wk
+    FROM (SELECT unnest(generate_series(DATE '1993-12-20', DATE '1999-01-10', INTERVAL 1 DAY)) AS d)
+    """,
+)
+def q_iso_year_edges(spark, sf_dir):
+    """iso_year / week_of_year across every Dec-28..Jan-4 boundary of
+    1993-1999 (the dates where ISO year != calendar year; reference
+    series.ex temporal accessors)."""
+    days = [
+        _dt.date(1993, 12, 20) + _dt.timedelta(days=i)
+        for i in range((_dt.date(1999, 1, 10) - _dt.date(1993, 12, 20)).days + 1)
+    ]
+    frame = from_columns({"d": days}, spark=spark)
+    return frame.mutate(
+        iso_yr=f.iso_year(col("d")), iso_wk=f.week_of_year(col("d"))
+    ).lazy_sdf()

@@ -1,0 +1,92 @@
+"""Round-2 verb options: grouped sample, mutate keep:, pivot_wider agg/
+deterministic first, asof nearest tie-break."""
+
+import pandas as pd
+import pytest
+
+from explorer_spark import functions as fns
+from explorer_spark.expr import col, lit
+from explorer_spark.sources import from_pandas
+
+
+@pytest.fixture(scope="module")
+def grouped(spark):
+    pdf = pd.DataFrame(
+        {
+            "g": ["a"] * 6 + ["b"] * 4 + ["c"] * 2,
+            "x": list(range(12)),
+        }
+    )
+    return from_pandas(pdf, spark=spark)
+
+
+def test_grouped_sample_n_per_group(grouped):
+    out = grouped.group_by("g").sample(3, seed=5).to_pandas()
+    counts = out.groupby("g").size().to_dict()
+    assert counts == {"a": 3, "b": 3, "c": 2}
+    # sampled rows belong to their group
+    assert all(r.x // 2 in {0, 1, 2} if r.g == "a" else True for r in out.itertuples())
+
+
+def test_grouped_sample_deterministic(grouped):
+    a = grouped.group_by("g").sample(2, seed=9).to_pandas().sort_values(["g", "x"]).values.tolist()
+    b = grouped.group_by("g").sample(2, seed=9).to_pandas().sort_values(["g", "x"]).values.tolist()
+    assert a == b
+
+
+def test_grouped_sample_frac_floor(grouped):
+    out = grouped.group_by("g").sample(0.5, seed=1).to_pandas()
+    assert out.groupby("g").size().to_dict() == {"a": 3, "b": 2, "c": 1}
+
+
+def test_grouped_sample_replace_raises(grouped):
+    with pytest.raises(NotImplementedError):
+        grouped.group_by("g").sample(3, replace=True)
+
+
+def test_mutate_keep_none_grouped(grouped):
+    out = grouped.group_by("g").mutate_with(keep="none", avg=fns.mean(col("x")))
+    assert out.names == ["g", "avg"]
+    assert len(out.to_rows()) == 12
+    vals = {(r["g"], r["avg"]) for r in out.to_rows()}
+    assert vals == {("a", 2.5), ("b", 7.5), ("c", 10.5)}
+
+
+def test_mutate_keep_none_ungrouped(grouped):
+    out = grouped.mutate_with(keep="none", y=col("x") * lit(2))
+    assert out.names == ["y"]
+
+
+def test_mutate_keep_invalid(grouped):
+    with pytest.raises(ValueError):
+        grouped.mutate_with(keep="bogus", y=col("x"))
+
+
+def test_pivot_wider_first_is_frame_order(spark):
+    pdf = pd.DataFrame(
+        {
+            "id": [1, 1, 1, 2],
+            "k": ["x", "x", "y", "x"],
+            "v": [10, 20, 30, 40],
+        }
+    )
+    df = from_pandas(pdf, spark=spark)
+    out = df.pivot_wider("k", "v", id_columns=["id"], values=["x", "y"]).to_pandas()
+    out = out.sort_values("id").reset_index(drop=True)
+    # duplicate (1, x) takes the FIRST value in frame order
+    assert out.loc[0, "x"] == 10 and out.loc[0, "y"] == 30
+    assert out.loc[1, "x"] == 40 and pd.isna(out.loc[1, "y"])
+
+
+def test_pivot_wider_agg_param(spark):
+    pdf = pd.DataFrame({"id": [1, 1, 2], "k": ["x", "x", "x"], "v": [10.0, 20.0, 5.0]})
+    df = from_pandas(pdf, spark=spark)
+    out = df.pivot_wider("k", "v", id_columns=["id"], values=["x"], agg="mean").to_pandas()
+    assert dict(zip(out["id"], out["x"])) == {1: 15.0, 2: 5.0}
+
+
+def test_asof_nearest_tie_prefers_earlier(spark):
+    left = from_pandas(pd.DataFrame({"t": [10.0]}), spark=spark)
+    right = from_pandas(pd.DataFrame({"t": [8.0, 12.0], "tag": ["lo", "hi"]}), spark=spark)
+    out = left.join_asof(right, on="t", strategy="nearest").to_pandas()
+    assert out.loc[0, "tag"] == "lo"
