@@ -418,6 +418,41 @@ def _rx_quote(sep: str) -> str:
     return "\\Q" + sep + "\\E"
 
 
+_DUR_UNITS = {
+    "us": 1,
+    "microsecond": 1,
+    "ms": 1_000,
+    "millisecond": 1_000,
+    "s": 1_000_000,
+    "second": 1_000_000,
+    "ns": 1,  # multiplied below
+    "nanosecond": 1,
+}
+
+
+def _duration_total(ctx, a, precision: str = "us"):
+    """INTERVAL DAY TO SECOND -> integer count of ``precision`` units,
+    truncated toward zero — the reference's duration-to-integer cast
+    (duration values ARE counts there, shared.ex:12-22). Field extraction
+    is sign-consistent (all fields negative for negative intervals)."""
+    c = _c(a, ctx)
+    day = F.date_part(F.lit("DAY"), c).cast("long")
+    hour = F.date_part(F.lit("HOUR"), c).cast("long")
+    minute = F.date_part(F.lit("MINUTE"), c).cast("long")
+    sec = F.date_part(F.lit("SECOND"), c)  # decimal(8,6), signed, with µs
+    total_us = (
+        (((day * 24 + hour) * 60 + minute) * F.lit(60_000_000)).cast("long")
+        + (sec * F.lit(1_000_000)).cast("long")
+    )
+    if precision in ("ns", "nanosecond"):
+        return total_us * F.lit(1_000)
+    div = _DUR_UNITS[precision]
+    if div == 1:
+        return total_us
+    # integer division truncating toward zero (Spark % keeps dividend sign)
+    return ((total_us - total_us % div) / div).cast("long")
+
+
 def _trim_side(c: Column, chars: str, leading: bool) -> Column:
     pat = "^[{0}]+".format(chars.replace("\\", "\\\\").replace("]", "\\]")) if leading else "[{0}]+$".format(
         chars.replace("\\", "\\\\").replace("]", "\\]")
@@ -580,6 +615,7 @@ _LOWER = {
     "list_member": lambda ctx, a, v: F.array_contains(_c(a, ctx), v),
     # structs / json
     "field": lambda ctx, a, name: _c(a, ctx).getField(name),
+    "duration_total": _duration_total,
     "json_path_match": lambda ctx, a, path: F.get_json_object(_c(a, ctx), path),
     "json_decode": lambda ctx, a, dtype: F.from_json(_c(a, ctx), dt.to_spark(dtype)),
     # raw escape hatch: wrap an existing Column

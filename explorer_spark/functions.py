@@ -277,6 +277,14 @@ is_leap_year = _mk("is_leap_year")
 to_date = _mk("to_date")
 
 
+def duration_total(a, precision: str = "us"):
+    """Duration (datetime - datetime) -> integer count of units, truncated
+    toward zero — the reference's duration-to-integer cast (durations ARE
+    unit counts there, shared.ex:12-22). precision: us/ms/s/ns (+ long
+    names)."""
+    return Expr("duration_total", _wrap(a), precision)
+
+
 def strftime(a, fmt: str):
     return Expr("strftime", _wrap(a), fmt)
 

@@ -454,6 +454,37 @@ def q_pivot_first(spark, sf_dir):
     ).lazy_sdf()
 
 
+@query(
+    "q_duration_us",
+    """
+    WITH x AS (
+        SELECT user_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events
+    )
+    SELECT user_id, COUNT(prev) AS n_gaps,
+           CAST(MAX(date_diff('microsecond', prev, ts)) AS BIGINT) AS max_gap_us,
+           CAST(MIN(date_diff('microsecond', prev, ts) // 1000) AS BIGINT) AS min_gap_ms,
+           ROUND(AVG(date_diff('microsecond', prev, ts)), 4) AS avg_gap_us
+    FROM x GROUP BY user_id
+    """,
+)
+def q_duration_us(spark, sf_dir):
+    """datetime - datetime -> duration, converted to exact µs/ms counts
+    (reference duration precisions, shared.ex:12-22; duration_test.exs)."""
+    ev = _t(spark, sf_dir, "events").sort_by("ts", "event_id").group_by("user_id")
+    gaps = ev.mutate(
+        gap_us=f.duration_total(col("ts") - f.shift(col("ts"), 1), "us"),
+        gap_ms=f.duration_total(col("ts") - f.shift(col("ts"), 1), "ms"),
+    )
+    return gaps.summarise(
+        n_gaps=f.count(col("gap_us")),
+        max_gap_us=f.max(col("gap_us")),
+        min_gap_ms=f.min(col("gap_ms")),
+        avg_gap_us=f.round(f.mean(f.cast(col("gap_us"), ("f", 64))), 4),
+    ).lazy_sdf()
+
+
 # ---------------------------------------------------------------------------
 # temporal edge: ISO year over year boundaries (SURVEY §2.9)
 # ---------------------------------------------------------------------------

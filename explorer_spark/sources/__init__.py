@@ -38,13 +38,25 @@ __all__ = [
 ]
 
 
+def _fss_resolve(path: str, spark, config) -> str:
+    """s3:// URLs parse through the fss spec (reference fss.ex:30-140)
+    and come back as configured s3a:// paths; everything else passes
+    through."""
+    if isinstance(path, str) and path.startswith("s3://"):
+        from . import fss
+
+        return fss.resolve_path(path, spark, config)
+    return path
+
+
 def _attach_order(sdf) -> DataFrame:
     return DataFrame(sdf.withColumn(ORDER_COL, F.monotonically_increasing_id()), has_order=True)
 
 
-def read_parquet(path: str, columns=None, spark: SparkSession | None = None) -> DataFrame:
+def read_parquet(path: str, columns=None, spark: SparkSession | None = None, config=None) -> DataFrame:
     spark = spark or get_spark()
-    nanos_cols = _nanos_timestamp_cols(path)
+    path = _fss_resolve(path, spark, config)
+    nanos_cols = _nanos_timestamp_cols(path) if "://" not in path else []
     if nanos_cols:
         # defensively enable on the CALLER's session too (the driver hands
         # us its own SparkSession): without it, TIMESTAMP(NANOS) parquet
@@ -105,23 +117,28 @@ def read_csv(
     quote_char: str = '"',
     eol_delimiter: str | None = None,
     spark: SparkSession | None = None,
+    config=None,
 ) -> DataFrame:
     """CSV scan with the reference's option surface
     (reference data_frame.ex:607-868)."""
     spark = spark or get_spark()
+    path = _fss_resolve(path, spark, config)
     reader = (
         spark.read.option("header", header)
         .option("sep", delimiter)
         .option("quote", quote_char)
+        # standard-CSV doubled quotes ("") like the reference's parser,
+        # not Spark's backslash default
+        .option("escape", quote_char)
         .option("encoding", encoding)
         .option("mode", "PERMISSIVE")
     )
     if nil_values:
+        # Spark's CSV reader takes ONE nullValue; extra values are nulled
+        # column-wise after the scan (see below)
         reader = reader.option("nullValue", nil_values[0])
     if eol_delimiter:
         reader = reader.option("lineSep", eol_delimiter)
-    if skip_rows:
-        reader = reader.option("skipRows", skip_rows)
     if dtypes:
         from .. import dtypes as dt
         from pyspark.sql import types as T
@@ -132,7 +149,31 @@ def read_csv(
         reader = reader.option("inferSchema", "true").option("samplingRatio", 1.0)
     if parse_dates:
         reader = reader.option("inferSchema", "true").option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss")
-    sdf = reader.csv(path)
+    if skip_rows:
+        # reference skip_rows drops the first N physical lines BEFORE the
+        # header (data_frame.ex:607-868). Spark's CSV reader has no such
+        # option; zipWithIndex preserves file line order, and the reader
+        # accepts an RDD of lines.
+        lines = (
+            spark.sparkContext.textFile(path)
+            .zipWithIndex()
+            .filter(lambda t: t[1] >= skip_rows)
+            .map(lambda t: t[0])
+        )
+        sdf = reader.csv(lines)
+    else:
+        sdf = reader.csv(path)
+    if nil_values and len(nil_values) > 1:
+        from pyspark.sql import types as T
+
+        extra = list(nil_values)
+        sdf = sdf.withColumns(
+            {
+                f.name: F.when(F.col(f.name).isin(extra), None).otherwise(F.col(f.name))
+                for f in sdf.schema.fields
+                if isinstance(f.dataType, T.StringType)
+            }
+        )
     if columns:
         sdf = sdf.select(*columns)
     df = _attach_order(sdf)
@@ -141,10 +182,13 @@ def read_csv(
     return df
 
 
-def read_ndjson(path: str, infer_schema_length: int | None = None, spark: SparkSession | None = None) -> DataFrame:
+def read_ndjson(
+    path: str, infer_schema_length: int | None = None, spark: SparkSession | None = None, config=None
+) -> DataFrame:
     """Newline-delimited JSON — Spark's default JSON framing
     (reference data_frame.ex:1572-1740)."""
     spark = spark or get_spark()
+    path = _fss_resolve(path, spark, config)
     return _attach_order(spark.read.json(path))
 
 
@@ -166,13 +210,64 @@ def read_ipc(path: str, columns=None, spark: SparkSession | None = None) -> Data
     return _attach_order(sdf)
 
 
-def write_parquet(df: DataFrame, path: str, compression: str = "snappy", mode: str = "overwrite") -> str:
+def write_parquet(
+    df: DataFrame, path: str, compression: str = "snappy", mode: str = "overwrite", config=None
+) -> str:
+    path = _fss_resolve(path, df.lazy_sdf().sparkSession, config)
     df.lazy_sdf().write.mode(mode).parquet(path, compression=compression)
     return path
 
 
-def write_csv(df: DataFrame, path: str, header: bool = True, delimiter: str = ",", mode: str = "overwrite") -> str:
-    df.lazy_sdf().write.mode(mode).option("header", header).option("sep", delimiter).csv(path)
+def write_csv(
+    df: DataFrame,
+    path: str,
+    header: bool = True,
+    delimiter: str = ",",
+    mode: str = "overwrite",
+    quote_style: str = "necessary",
+) -> str:
+    """CSV sink with the reference's quote styles (data_frame.ex:684-747):
+    ``necessary`` (default), ``always``, ``non_numeric``, ``never``.
+    ``non_numeric`` pre-renders quoted strings engine-side (Spark has no
+    such writer mode); its header row is written unquoted, unlike the
+    reference's csv crate."""
+    from pyspark.sql import types as T
+
+    sdf = df.lazy_sdf()
+    if quote_style == "necessary":
+        sdf.write.mode(mode).option("header", header).option("sep", delimiter).option(
+            "escape", '"'
+        ).csv(path)
+    elif quote_style == "always":
+        sdf.write.mode(mode).option("header", header).option("sep", delimiter).option(
+            "escape", '"'
+        ).option("quoteAll", True).csv(path)
+    elif quote_style in ("never", "non_numeric"):
+        # Spark's writer can't express these (its "disabled quote" mode
+        # still wraps separator-containing fields in \x00), so render each
+        # row ourselves and use the text sink. Headers go into every part
+        # file — the same convention as Spark's own CSV writer.
+        fields = []
+        for fld in sdf.schema.fields:
+            c = F.col(fld.name).cast("string")
+            if quote_style == "non_numeric" and not isinstance(fld.dataType, T.NumericType):
+                c = F.concat(F.lit('"'), F.replace(c, F.lit('"'), F.lit('""')), F.lit('"'))
+            fields.append(F.coalesce(c, F.lit("")))
+        lines = sdf.select(F.concat_ws(delimiter, *fields).alias("value"))
+        if header:
+            hdr = delimiter.join(f.name for f in sdf.schema.fields)
+
+            def _inject(batches):
+                import pandas as pd
+
+                yield pd.DataFrame({"value": [hdr]})
+                for b in batches:
+                    yield b
+
+            lines = lines.mapInPandas(_inject, "value string")
+        lines.write.mode(mode).text(path)
+    else:
+        raise ValueError(f"unknown quote_style: {quote_style!r}")
     return path
 
 

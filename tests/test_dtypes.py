@@ -110,3 +110,77 @@ def test_time_as_nanos(spark):
     s = Series.from_list(nanos, name="t", dtype="time", spark=spark)
     assert s.dtype == ("s", 64)  # physical; logical 'time' tracked by caller
     assert s.to_list() == nanos
+
+
+def test_duration_total_precisions(spark):
+    """duration -> integer counts in us/ms/s/ns, truncation toward zero
+    (reference duration_test.exs cast semantics)."""
+    import datetime
+
+    import explorer_spark as ex
+    from explorer_spark import col
+    from explorer_spark import functions as fns
+
+    d = ex.from_columns(
+        {
+            "a": [
+                datetime.datetime(2024, 1, 2, 0, 0, 1, 500),
+                datetime.datetime(2024, 1, 1),
+            ],
+            "b": [
+                datetime.datetime(2024, 1, 1),
+                datetime.datetime(2024, 1, 2, 0, 0, 1, 500),
+            ],
+        },
+        spark=spark,
+    )
+    out = d.mutate(
+        us=fns.duration_total(col("a") - col("b"), "us"),
+        ms=fns.duration_total(col("a") - col("b"), "ms"),
+        s=fns.duration_total(col("a") - col("b"), "s"),
+        ns=fns.duration_total(col("a") - col("b"), "ns"),
+    ).to_columns()
+    day_us = 86_400_000_000 + 1_000_000 + 500
+    assert out["us"] == [day_us, -day_us]
+    assert out["ms"] == [day_us // 1000, -(day_us // 1000)]
+    assert out["s"] == [86401, -86401]
+    assert out["ns"] == [day_us * 1000, -day_us * 1000]
+
+
+def test_u64_parquet_roundtrip(spark, tmp_path):
+    """u64-as-decimal(20,0) survives a parquet write/read cycle."""
+    from decimal import Decimal
+
+    import explorer_spark as ex
+    from explorer_spark import Series, sources
+
+    big = [2**63 + 5, 2**64 - 1, 0]
+    s = Series.from_list([str(v) for v in big], name="u", dtype="string", spark=spark).cast(("u", 64))
+    p = str(tmp_path / "u64.parquet")
+    sources.write_parquet(s.to_frame(), p)
+    back = sources.read_parquet(p)
+    assert back.dtypes["u"] == ("decimal", 20, 0)
+    assert sorted(back.to_columns()["u"]) == sorted(Decimal(v) for v in big)
+
+
+def test_time_parquet_roundtrip(spark, tmp_path):
+    """time-as-nanos longs survive parquet and keep sub-µs digits."""
+    import explorer_spark as ex
+    from explorer_spark import Series, sources
+
+    nanos = [0, 12 * 3600 * 10**9 + 345, 86399 * 10**9 + 999_999_999]
+    s = Series.from_list(nanos, name="t", dtype="time", spark=spark)
+    p = str(tmp_path / "time.parquet")
+    sources.write_parquet(s.to_frame(), p)
+    back = sources.read_parquet(p)
+    assert sorted(back.to_columns()["t"]) == sorted(nanos)
+
+
+def test_duration_vs_oracle_truncation(duck):
+    """Engine ms truncation matches integer-division semantics, not
+    DuckDB's boundary-crossing date_diff."""
+    got = duck.execute(
+        "SELECT date_diff('microsecond', TIMESTAMP '2024-01-01 00:00:00.0009', "
+        "TIMESTAMP '2024-01-01 00:00:00.0021') // 1000"
+    ).fetchone()[0]
+    assert got == 1  # 1200us -> 1ms truncated

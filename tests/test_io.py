@@ -122,3 +122,86 @@ def test_nested_parquet_roundtrip(spark, tmp_path):
     assert back.dtypes["st"][0] == "struct"
     got = back.sort_by("id").to_rows()
     assert got[0]["st"] == {"a": "x", "b": 9}
+
+
+# ---------------------------------------------------------------------------
+# round-2 options: quote styles, skip_rows, multi nil_values
+# ---------------------------------------------------------------------------
+
+
+def _read_lines(dirpath):
+    import glob
+
+    out = []
+    for part in sorted(glob.glob(str(dirpath) + "/part-*")):
+        with open(part) as fh:
+            out.extend(line.rstrip("\n") for line in fh if line.strip())
+    return out
+
+
+@pytest.fixture(scope="module")
+def qdf(spark):
+    return ex.from_columns(
+        {"i": [1, 2], "s": ['plain', 'has "q" and ,comma'], "x": [1.5, -2.0]},
+        spark=spark,
+    )
+
+
+def test_csv_quote_necessary(qdf, tmp_path):
+    p = str(tmp_path / "nec")
+    sources.write_csv(qdf, p, quote_style="necessary")
+    lines = _read_lines(p)
+    assert any('"' in ln for ln in lines[1:])  # comma field got quoted
+    assert any('plain' in ln and '"plain"' not in ln for ln in lines)
+
+
+def test_csv_quote_always_roundtrip(qdf, tmp_path):
+    p = str(tmp_path / "alw")
+    sources.write_csv(qdf, p, quote_style="always")
+    lines = _read_lines(p)
+    assert all(ln.startswith('"') for ln in lines)
+    back = sources.read_csv(p, dtypes={"i": ("s", 64), "s": "string", "x": ("f", 64)})
+    assert back.sort_by("i").to_columns()["s"] == qdf.sort_by("i").to_columns()["s"]
+
+
+def test_csv_quote_never(spark, tmp_path):
+    d = ex.from_columns({"i": [1], "s": ["no quotes here"]}, spark=spark)
+    p = str(tmp_path / "nev")
+    sources.write_csv(d, p, quote_style="never")
+    lines = _read_lines(p)
+    assert all('"' not in ln for ln in lines)
+
+
+def test_csv_quote_non_numeric_roundtrip(qdf, tmp_path):
+    p = str(tmp_path / "nonnum")
+    sources.write_csv(qdf, p, quote_style="non_numeric")
+    data = [ln for ln in _read_lines(p) if not ln.startswith("i,")]
+    # strings quoted, numerics bare
+    assert all(ln.split(",")[0].isdigit() for ln in data)
+    assert all(',"' in ln for ln in data)
+    back = sources.read_csv(p, dtypes={"i": ("s", 64), "s": "string", "x": ("f", 64)})
+    assert back.sort_by("i").to_columns() == qdf.sort_by("i").to_columns()
+
+
+def test_csv_quote_style_invalid(qdf, tmp_path):
+    with pytest.raises(ValueError):
+        sources.write_csv(qdf, str(tmp_path / "zz"), quote_style="sometimes")
+
+
+def test_csv_skip_rows(spark, tmp_path):
+    p = tmp_path / "skip.csv"
+    p.write_text("garbage line 1\ngarbage line 2\na,b\n1,x\n2,y\n")
+    back = sources.read_csv(str(p), skip_rows=2, spark=spark)
+    assert back.names == ["a", "b"]
+    assert back.sort_by("a").to_columns()["b"] == ["x", "y"]
+
+
+def test_csv_multi_nil_values(spark, tmp_path):
+    p = tmp_path / "nils.csv"
+    p.write_text("a,b\nNA,x\nn/a,NA\n1,z\n")
+    back = sources.read_csv(
+        str(p), nil_values=["NA", "n/a"], dtypes={"a": "string", "b": "string"}, spark=spark
+    )
+    cols = back.to_columns()
+    assert cols["a"] == [None, None, "1"]
+    assert cols["b"] == ["x", None, "z"]

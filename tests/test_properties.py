@@ -82,3 +82,136 @@ def test_concat_rows_length(spark, xs):
     a = ex.from_columns({"v": xs}, spark=spark)
     b = ex.from_columns({"v": xs}, spark=spark)
     assert a.concat_rows(b).n_rows() == 2 * len(xs)
+
+
+# ---------------------------------------------------------------------------
+# round 2: recursive dtype space (reference test/support/generator.ex —
+# nested list/struct, empty lists, all-nil columns)
+# ---------------------------------------------------------------------------
+
+from explorer_spark import dtypes as dtm  # noqa: E402
+
+_physical_atoms = st.sampled_from(
+    ["boolean", "string", "binary", "date", ("s", 8), ("s", 16), ("s", 32), ("s", 64),
+     ("f", 32), ("f", 64), ("decimal", 20, 0), ("naive_datetime", "us")]
+)
+
+
+def _dtypes_strategy():
+    return st.recursive(
+        _physical_atoms,
+        lambda inner: st.one_of(
+            st.tuples(st.just("list"), inner).map(tuple),
+            st.lists(st.tuples(st.text("abcdef", min_size=1, max_size=4), inner),
+                     min_size=1, max_size=3, unique_by=lambda kv: kv[0])
+            .map(lambda fields: ("struct", [tuple(kv) for kv in fields])),
+        ),
+        max_leaves=4,
+    )
+
+
+@given(d=_dtypes_strategy())
+@settings(max_examples=200, deadline=None)
+def test_dtype_spark_roundtrip(d):
+    """from_spark(to_spark(d)) == d for every physical dtype, nested to
+    any depth (the reference's inference property shape)."""
+    assert dtm.from_spark(dtm.to_spark(d)) == d
+
+
+@given(d=_dtypes_strategy())
+@settings(max_examples=200, deadline=None)
+def test_spark_dtype_roundtrip(d):
+    """to_spark(from_spark(st)) == st — the Spark-side identity."""
+    stype = dtm.to_spark(d)
+    assert dtm.to_spark(dtm.from_spark(stype)) == stype
+
+
+_nested_ints = st.recursive(
+    st.one_of(st.none(), st.integers(min_value=-(2**31), max_value=2**31)),
+    lambda inner: st.lists(inner, max_size=4),
+    max_leaves=6,
+)
+
+
+def _depth(v):
+    if isinstance(v, list):
+        return 1 + max((_depth(x) for x in v), default=0)
+    return 0
+
+
+def _uniform_depth(vs, d):
+    def pad(v, k):
+        if k == 0:
+            return v if not isinstance(v, list) else None
+        if v is None:
+            return None
+        return [pad(x, k - 1) for x in v] if isinstance(v, list) else None
+
+    return [pad(v, d) for v in vs]
+
+
+def _unnumpy(v):
+    """to_pandas renders list cells as numpy arrays — normalize back."""
+    import numpy as np
+
+    if isinstance(v, np.ndarray):
+        return [_unnumpy(x) for x in v.tolist()]
+    if isinstance(v, list):
+        return [_unnumpy(x) for x in v]
+    if isinstance(v, np.integer):
+        return int(v)
+    if isinstance(v, (float, np.floating)):
+        # nulls inside int arrays surface as NaN through pandas
+        return None if math.isnan(v) else int(v) if float(v).is_integer() else float(v)
+    return v
+
+
+@given(vs=st.lists(_nested_ints, min_size=1, max_size=8), depth=st.integers(1, 3))
+@settings(**_SETTINGS)
+def test_nested_list_roundtrip(spark, vs, depth):
+    """Nested list columns (depth <= 3, with empty lists and nils at any
+    level) survive from_list -> to_list byte-for-byte."""
+    vals = _uniform_depth(vs, depth)
+    d = ("s", 64)
+    for _ in range(depth):
+        d = ("list", d)
+    s = Series.from_list(vals, dtype=d, name="v", spark=spark)
+    assert _unnumpy(s.to_list()) == vals
+    n_nil = sum(1 for v in vals if v is None)
+    assert s.nil_count() == n_nil
+
+
+@given(n=st.integers(1, 6))
+@settings(**_SETTINGS)
+def test_all_nil_column(spark, n):
+    s = Series.from_list([None] * n, dtype=("s", 64), name="v", spark=spark)
+    assert s.to_list() == [None] * n
+    assert s.sum() is None and s.nil_count() == n
+
+
+@given(
+    rows=st.lists(
+        st.one_of(
+            st.none(),
+            st.tuples(st.one_of(st.none(), st.integers(-1000, 1000)),
+                      st.one_of(st.none(), st.text("xyz", max_size=4))),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**_SETTINGS)
+def test_struct_column_roundtrip(spark, rows):
+    vals = [None if r is None else {"a": r[0], "b": r[1]} for r in rows]
+    d = ("struct", [("a", ("s", 64)), ("b", "string")])
+    s = Series.from_list([None if r is None else tuple(r) for r in rows], dtype=d, name="v", spark=spark)
+    got = s.to_list()
+
+    def as_dict(r):
+        if r is None:
+            return None
+        if isinstance(r, dict):
+            return {"a": r.get("a"), "b": r.get("b")}
+        return {"a": r["a"], "b": r["b"]}
+
+    assert [as_dict(r) for r in got] == vals
