@@ -43,6 +43,34 @@ BUCKET = "__bkt__"
 CTX = "__ctx__"
 
 
+def _tri_prefix(table: SDF, key: str, agg_col, out: str, descending: bool = False) -> SDF:
+    """Per-key prefix aggregate over a BOUNDED summary table via a
+    triangular self-join: for each row, ``out`` aggregates ``agg_col(b)``
+    over rows with strictly smaller (larger, if descending) key.  Replaces
+    an unpartitioned window — the table is ceil(n / BUCKET_SIZE) (or
+    #partitions) rows, so the O(k^2) pair join is trivially small and the
+    plan carries no single-partition WindowExec at all."""
+    a = table
+    b = table.select(F.col(key).alias("__k2__"), F.col(agg_col.col_name).alias("__v2__"))
+    cond = (F.col("__k2__") > F.col(key)) if descending else (F.col("__k2__") < F.col(key))
+    pre = (
+        a.select(key)
+        .join(F.broadcast(b), cond, "left")
+        .groupBy(key)
+        .agg(agg_col.fn(F.col("__v2__"), F.col("__k2__")).alias(out))
+    )
+    return a.join(F.broadcast(pre), key, "left")
+
+
+class _PrefixAgg:
+    """(source column, combining fn) pair for _tri_prefix; fn receives the
+    value and key columns of the joined smaller-key rows."""
+
+    def __init__(self, col_name, fn):
+        self.col_name = col_name
+        self.fn = fn
+
+
 def with_global_index(
     sdf: SDF,
     keys: list[Column],
@@ -65,14 +93,15 @@ def with_global_index(
     stats = s.groupBy("__pid__").agg(
         F.count(F.lit(1)).alias("__cnt__"), F.min("__mono__").alias("__mn__")
     )
-    # prefix sums over #partitions rows — bounded, broadcastable. The
-    # constant partition key marks the single-partition window as
-    # intentional (and keeps WindowExec from logging a scale warning).
-    wpre = W.partitionBy(F.lit(0)).orderBy("__pid__").rowsBetween(W.unboundedPreceding, -1)
-    offs = stats.withColumn("__off__", F.coalesce(F.sum("__cnt__").over(wpre), F.lit(0)))
+    # prefix sums over the #partitions-row summary — via a triangular
+    # self-join, NOT a window: an unpartitioned window would funnel the
+    # (tiny) table through WindowExec and log a misleading scale warning
+    offs = _tri_prefix(
+        stats, "__pid__", _PrefixAgg("__cnt__", lambda v, _k: F.coalesce(F.sum(v), F.lit(0))), "__off__"
+    )
     if total_col is not None:
-        wtot = W.partitionBy(F.lit(0)).orderBy("__pid__").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-        offs = offs.withColumn(total_col, F.sum("__cnt__").over(wtot))
+        tot = stats.agg(F.sum("__cnt__").alias(total_col))
+        offs = offs.crossJoin(F.broadcast(tot))
     offs = offs.drop("__cnt__")
     s = s.join(F.broadcast(offs), "__pid__", "left")
     s = s.withColumn(name, (F.col("__off__") + (F.col("__mono__") - F.col("__mn__"))).cast("long"))
@@ -122,10 +151,10 @@ def cumulative(sdf: SDF, idx_col: str, value_col: str, out_col: str, kind: str, 
     local = aggfn(F.col(value_col)).over(w)
     per = s.groupBy(BUCKET).agg(aggfn(F.col(value_col)).alias("__tot__"))
     prefix_fn = F.sum if kind in ("sum", "count") else aggfn
-    border = F.col(BUCKET).desc() if reverse else F.col(BUCKET).asc()
     # per-bucket summary table: ceil(n / BUCKET_SIZE) rows, bounded
-    wpre = W.partitionBy(F.lit(0)).orderBy(border).rowsBetween(W.unboundedPreceding, -1)
-    pre = per.withColumn("__pre__", prefix_fn(F.col("__tot__")).over(wpre)).drop("__tot__")
+    pre = _tri_prefix(
+        per, BUCKET, _PrefixAgg("__tot__", lambda v, _k: prefix_fn(v)), "__pre__", descending=reverse
+    ).drop("__tot__")
     s = s.withColumn("__loc__", local).join(F.broadcast(pre), BUCKET, "left")
     s = s.withColumn(out_col, _CUM_COMBINE[kind](F.col("__loc__"), F.col("__pre__")))
     return s.drop(BUCKET, "__loc__", "__pre__")
@@ -143,10 +172,17 @@ def fill_missing(sdf: SDF, idx_col: str, value_col: str, out_col: str, backward:
     per = s.groupBy(BUCKET).agg(
         pickfn(F.col(value_col), F.when(F.col(value_col).isNotNull(), F.col(idx_col))).alias("__lv__")
     )
-    border = F.col(BUCKET).desc() if backward else F.col(BUCKET).asc()
-    # per-bucket summary table — bounded, see cumulative()
-    wpre = W.partitionBy(F.lit(0)).orderBy(border).rowsBetween(W.unboundedPreceding, -1)
-    pre = per.withColumn("__pv__", F.last("__lv__", ignorenulls=True).over(wpre)).drop("__lv__")
+    # per-bucket summary table — bounded, see cumulative(); the carry is
+    # the value of the nearest preceding (following, if backward) bucket
+    # that has one: max_by/min_by over non-null rows of the triangle
+    carry_pick = F.min_by if backward else F.max_by
+    pre = _tri_prefix(
+        per,
+        BUCKET,
+        _PrefixAgg("__lv__", lambda v, k: carry_pick(v, F.when(v.isNotNull(), k))),
+        "__pv__",
+        descending=backward,
+    ).drop("__lv__")
     s = s.withColumn("__loc__", local).join(F.broadcast(pre), BUCKET, "left")
     s = s.withColumn(out_col, F.coalesce(F.col("__loc__"), F.col("__pv__")))
     return s.drop(BUCKET, "__loc__", "__pv__")
@@ -238,3 +274,193 @@ def global_rank(
     vals = vals.select(F.col(value_col).alias("__v2__"), "__rv__")
     joined = s.join(vals, c.eqNullSafe(F.col("__v2__")), "left")
     return joined.withColumn(out_col, F.col("__rv__")).drop("__v2__", "__rv__", "__rk__")
+
+
+# ---------------------------------------------------------------------------
+# global EWM: bucket-parallel prefix composition
+# ---------------------------------------------------------------------------
+#
+# EWM accumulators are first-order linear recurrences y_t = c*y_{t-1} + w_t
+# (c = 1-alpha for num/den, (1-alpha)^2 for the squared-weight terms), so
+# they compose across index buckets: a bucket's contribution to any later
+# row is its end-state scaled by c^distance.  Stages:
+#   1. per-bucket pandas kernel -> per-row LOCAL accumulators + end states
+#      (uniform hash exchange on the bucket id);
+#   2. bucket end states (ceil(n/B) rows, bounded) combine sequentially in
+#      one tiny task -> per-bucket incoming carries;
+#   3. broadcast-join carries back; per-row result is local + c^(i+1)*carry
+#      (c^distance underflows to 0 gracefully -- no overflow anywhere).
+# pandas semantics are matched exactly (adjust True/False, ignore_na=False
+# absolute positions, NaN==missing, bias=False variance).
+
+
+def _geo_scan(x, c):
+    """y_t = c*y_{t-1} + x_t as a chunked closed form (vectorized; chunk
+    sized so c^-chunk cannot overflow)."""
+    import math as _math
+
+    import numpy as np
+
+    n = len(x)
+    out = np.empty(n, dtype="float64")
+    if c <= 0.0:  # alpha == 1: y_t = x_t
+        return x.astype("float64")
+    chunk = 128 if c >= 0.02 else max(1, int(600.0 / -_math.log10(c)))
+    powc = c ** np.arange(1, chunk + 1, dtype="float64")
+    invc = (1.0 / c) ** np.arange(chunk, dtype="float64")
+    carry = 0.0
+    for s in range(0, n, chunk):
+        xa = x[s : s + chunk]
+        k = len(xa)
+        local = np.cumsum(xa * invc[:k]) * (powc[:k] / c)
+        y = local + powc[:k] * carry
+        out[s : s + k] = y
+        carry = y[-1]
+    return out
+
+
+def ewm_global(sdf: SDF, idx_col: str, specs: dict) -> SDF:
+    """Distributed ungrouped EWM over global index order.
+
+    specs: out_name -> (kind, src_col, alpha, adjust), kind in
+    {mean, variance, standard_deviation} — pandas-equivalent results
+    (adjust True/False, ignore_na=False, bias=False variance) without
+    ever funnelling the frame through one task.  Variance/std with
+    adjust=False falls back to NotImplementedError (use the grouped
+    path); mean supports both adjust modes.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    for out_name, (kind, _s, _a, adjust) in specs.items():
+        if kind != "mean" and not adjust:
+            raise NotImplementedError("distributed ewm variance/std requires adjust=True")
+
+    srcs = sorted({src for (_k, src, _a, _adj) in specs.values()})
+    alphas = sorted({a for (_k, _s, a, _adj) in specs.values()})
+    needs_sq = any(k != "mean" for (k, _s, _a, _adj) in specs.values())
+
+    s = sdf.withColumn(BUCKET, F.floor(F.col(idx_col) / F.lit(BUCKET_SIZE)))
+
+    # accumulator channels per (src, alpha): num/den at ratio c=(1-a), and
+    # ssq/dn2 at ratio c^2 when variance/std is requested
+    all_chans = []
+    for src in srcs:
+        for a in alphas:
+            all_chans += [("num", src, a, 1), ("den", src, a, 1)]
+            if needs_sq:
+                # ssq = sum w*x^2 shares the weight ratio c; only the
+                # squared-weight sum dn2 = sum w^2 decays at c^2
+                all_chans += [("ssq", src, a, 1), ("dn2", src, a, 2)]
+
+    def cname(kind, src, a):
+        return f"__{kind}_{src}_{str(a).replace('.', '_')}__"
+
+    fields = list(sdf.schema.fields) + [T.StructField(BUCKET, T.LongType())]
+    local_schema = T.StructType(
+        fields + [T.StructField(cname(k, s_, a), T.DoubleType()) for (k, s_, a, _p) in all_chans]
+    )
+
+    def local_pass(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(idx_col).reset_index(drop=True)
+        for (kind, src, a, power) in all_chans:
+            c = (1.0 - a) ** power
+            x = pdf[src].to_numpy(dtype="float64", na_value=np.nan)
+            valid = ~np.isnan(x)
+            if kind == "num":
+                w = np.where(valid, x, 0.0)
+            elif kind == "ssq":
+                w = np.where(valid, x * x, 0.0)
+            else:  # den / dn2
+                w = valid.astype("float64")
+            pdf[cname(kind, src, a)] = _geo_scan(w, c)
+        return pdf
+
+    local = s.groupBy(BUCKET).applyInPandas(local_pass, local_schema)
+
+    # bucket end states -> incoming carries (ceil(n/B) rows, one tiny task)
+    end_aggs = [F.max(F.col(idx_col)).alias("__last__")] + [
+        F.max_by(F.col(cname(k, s_, a)), F.col(idx_col)).alias(cname(k, s_, a))
+        for (k, s_, a, _p) in all_chans
+    ]
+    ends = local.groupBy(BUCKET).agg(*end_aggs)
+    ends = ends.withColumn("__len__", F.col("__last__") % F.lit(BUCKET_SIZE) + 1).drop("__last__")
+
+    carry_fields = [T.StructField(BUCKET, T.LongType())] + [
+        T.StructField("__carry_" + cname(k, s_, a), T.DoubleType()) for (k, s_, a, _p) in all_chans
+    ]
+
+    def combine(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(BUCKET).reset_index(drop=True)
+        out = {BUCKET: pdf[BUCKET]}
+        for (kind, src, a, power) in all_chans:
+            c = (1.0 - a) ** power
+            carries, running = [], 0.0
+            for end_val, blen in zip(pdf[cname(kind, src, a)], pdf["__len__"]):
+                carries.append(running)  # carry INTO this bucket
+                running = end_val + (c ** int(blen)) * running
+            out["__carry_" + cname(kind, src, a)] = carries
+        return pd.DataFrame(out)
+
+    # single group over the BOUNDED bucket-summary table (ceil(n/B) rows)
+    carries = (
+        ends.withColumn("__meta_g__", F.lit(0))
+        .groupBy("__meta_g__")
+        .applyInPandas(lambda p: combine(p.drop(columns="__meta_g__")), T.StructType(carry_fields))
+    )
+
+    j = local.join(F.broadcast(carries), BUCKET, "left")
+    pos1 = (F.col(idx_col) % F.lit(BUCKET_SIZE) + 1).cast("double")  # i+1
+
+    def total(kind, src, a, power):
+        c = float((1.0 - a) ** power)
+        carry = F.coalesce(F.col("__carry_" + cname(kind, src, a)), F.lit(0.0))
+        return F.col(cname(kind, src, a)) + F.pow(F.lit(c), pos1) * carry
+
+    # first-valid scalars, needed once per adjust=False source
+    fv_cols = []
+    for out_name, (kind, src, a, adjust) in specs.items():
+        if adjust:
+            continue
+        x0, j0 = f"__x0_{out_name}__", f"__j0_{out_name}__"
+        first = sdf.where(
+            F.col(src).isNotNull() & ~F.isnan(F.col(src).cast("double"))
+        ).agg(
+            F.min_by(F.col(src), F.col(idx_col)).alias(x0),
+            F.min(F.col(idx_col)).alias(j0),
+        )
+        j = j.crossJoin(F.broadcast(first))
+        fv_cols += [x0, j0]
+
+    out_cols = {}
+    for out_name, (kind, src, a, adjust) in specs.items():
+        num, den = total("num", src, a, 1), total("den", src, a, 1)
+        if not adjust:
+            # adjust=False gives the FIRST valid value weight 1 instead of
+            # alpha: num' = a*num + (1-a)*x0*c^(t-j0), same for den
+            x0, j0 = F.col(f"__x0_{out_name}__"), F.col(f"__j0_{out_name}__")
+            dist = (F.col(idx_col) - j0).cast("double")
+            cw = F.when(j0.isNotNull() & (F.col(idx_col) >= j0), F.pow(F.lit(1.0 - a), dist)).otherwise(
+                F.lit(0.0)
+            )
+            num = a * num + (1.0 - a) * cw * x0.cast("double")
+            den = a * den + (1.0 - a) * cw
+        mean = num / den
+        if kind == "mean":
+            expr = mean
+        else:
+            ssq, dn2 = total("ssq", src, a, 1), total("dn2", src, a, 2)
+            var_b = ssq / den - mean * mean
+            corr = (den * den) / (den * den - dn2)
+            expr = F.when(den * den > dn2, F.greatest(var_b * corr, F.lit(0.0))).otherwise(F.lit(None))
+            if kind == "standard_deviation":
+                expr = F.sqrt(expr)
+        out_cols[out_name] = F.when(den > 0, expr).otherwise(F.lit(None))
+
+    j = j.withColumns(out_cols)
+    drop = [cname(k, s_, a) for (k, s_, a, _p) in all_chans]
+    drop += ["__carry_" + cname(k, s_, a) for (k, s_, a, _p) in all_chans]
+    drop += [BUCKET] + fv_cols
+    return j.drop(*drop)

@@ -138,8 +138,18 @@ def ewm_columns(frame, specs: dict[str, tuple[str, str, float, bool]], order_col
 
     if groups:
         out = sdf.groupBy(*groups).applyInPandas(apply_fn, out_schema)
-    else:
+        return DataFrame(out, groups=groups, has_order=True)
+    # ungrouped: bucket-parallel prefix composition — one uniform hash
+    # exchange, never a single whole-frame task (operators/ordered.py)
+    try:
+        from .ordered import ewm_global
+
+        idxed = frame._with_row_index("__eidx__")
+        out = ewm_global(idxed._sdf, "__eidx__", specs).drop("__eidx__")
+        return DataFrame(out, groups=[], has_order=True)
+    except NotImplementedError:
+        # variance/std with adjust=False: sequential single-task fallback
         out = sdf.withColumn("__g__", F.lit(1)).groupBy("__g__").applyInPandas(
             lambda pdf: apply_fn(pdf.drop(columns="__g__")), out_schema
         )
-    return DataFrame(out, groups=groups, has_order=True)
+        return DataFrame(out, groups=groups, has_order=True)

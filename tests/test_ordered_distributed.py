@@ -183,3 +183,53 @@ def test_spearman_average_ranks(spark):
     got = d.correlation(method="spearman").to_pandas()
     want = pdf.corr(method="spearman")
     assert abs(got.loc[0, "b"] - want.loc["a", "b"]) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# distributed ungrouped EWM (bucket-parallel prefix composition)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("alpha", [0.2, 0.5, 0.9])
+@pytest.mark.parametrize("adjust", [True, False])
+def test_ewm_mean_matches_pandas(spark, pdf, alpha, adjust):
+    df = from_pandas(pdf, spark=spark)
+    out = df.ewm(e=("mean", "y", alpha, adjust)).to_pandas().sort_values("y", kind="stable")
+    want = pdf["y"].ewm(alpha=alpha, adjust=adjust, min_periods=1).mean()
+    got = df.ewm(e=("mean", "y", alpha, adjust)).to_columns()["e"]
+    import numpy as np
+
+    assert np.allclose(got, want.to_numpy(), rtol=1e-9, equal_nan=True)
+
+
+def test_ewm_mean_with_nulls_matches_pandas(spark):
+    vals = [None, None, 1.0, None, 4.0, 2.0, None, 8.0, None, None, 3.0] * 5
+    pdf2 = pd.DataFrame({"v": vals})
+    df = from_pandas(pdf2, spark=spark)
+    got = df.ewm(e=("mean", "v", 0.4, True)).to_columns()["e"]
+    want = pdf2["v"].ewm(alpha=0.4, adjust=True, min_periods=1, ignore_na=False).mean()
+    import numpy as np
+
+    w = want.to_numpy()
+    g = np.array([np.nan if x is None else x for x in got], dtype="float64")
+    assert np.allclose(g, w, rtol=1e-9, equal_nan=True)
+
+
+def test_ewm_var_std_match_pandas(spark, pdf):
+    df = from_pandas(pdf, spark=spark)
+    got = df.ewm(v=("variance", "y", 0.3, True), s=("standard_deviation", "y", 0.3, True)).to_columns()
+    ew = pdf["y"].ewm(alpha=0.3, adjust=True, min_periods=1)
+    import numpy as np
+
+    gv = np.array([np.nan if x is None else x for x in got["v"]], dtype="float64")
+    gs = np.array([np.nan if x is None else x for x in got["s"]], dtype="float64")
+    assert np.allclose(gv, ew.var(bias=False).to_numpy(), rtol=1e-8, equal_nan=True)
+    assert np.allclose(gs, ew.std(bias=False).to_numpy(), rtol=1e-8, equal_nan=True)
+
+
+def test_ewm_no_single_partition_window(spark, pdf):
+    """The ungrouped EWM plan must not contain a whole-frame single-task
+    stage: no Window without partitioning and no groupBy(lit(1))."""
+    df = from_pandas(pdf, spark=spark)
+    plan = df.ewm(e=("mean", "y", 0.5, True)).lazy_sdf()._jdf.queryExecution().executedPlan().toString()
+    assert "__g__" not in plan
