@@ -407,7 +407,12 @@ class DataFrame:
             new_args = [rewrite(a) if isinstance(a, Expr) else a for a in e.args]
             ne = Expr(e.op, *new_args)
             if e.op in ORDERED_EXPR_OPS:
-                return col(mat_ordered(ne))
+                name = mat_ordered(ne)
+                # pin between kernels: each kernel references its input
+                # from multiple branches, so an unpinned chain of k
+                # ordered ops re-executes the upstream 2^k times
+                state["sdf"] = state["sdf"].persist()
+                return col(name)
             if e.op in AGG_OPS:
                 return col(mat_agg(ne))
             return ne
@@ -731,15 +736,18 @@ class DataFrame:
         """Nearest-key join (reference data_frame.ex:5566-5690; Polars
         AsOfOptions lazyframe.rs:371-427).
 
-        Spark has no native as-of join; this compiles to a range join on
-        the ``by`` keys + key inequality, then a per-left-row top-1 window
-        on key distance. With equality ``by`` keys the join is a plain
-        shuffled equi-join + range filter — scalable; without ``by`` it
-        degenerates to a broadcast range join (right side should be the
-        smaller frame).
+        Spark has no native as-of join; with ``by`` keys this compiles to
+        an equi-join on the keys + range filter + per-left-row top-1
+        window (shuffle bounded by key cardinality). Without ``by`` it
+        runs the distributed merge-asof kernel (operators/asof.py): one
+        range shuffle co-locating both sides by key, bounded boundary
+        carries, one pandas pass per partition — never a quadratic range
+        join.
         """
         assert strategy in ("backward", "forward", "nearest")
         by = list(by or [])
+        if not by:
+            return self._asof_merge(other, on, strategy, suffix)
         left = self._ordered()
         lsdf = left._sdf.withColumn("__lid__", F.col(ORDER_COL))
         rsdf = other.lazy_sdf()
@@ -781,6 +789,26 @@ class DataFrame:
         )
         out = joined.withColumn("__rn__", F.row_number().over(w)).filter(F.col("__rn__") == 1)
         out = out.drop("__rn__", "__lid__", ron, *[f"__r_{b}__" for b in by])
+        return DataFrame(out, groups=self.groups, has_order=True)
+
+    def _asof_merge(self, other: "DataFrame", on: str, strategy: str, suffix: str) -> "DataFrame":
+        """Keyless as-of via the range-partitioned merge kernel."""
+        from .operators.asof import merge_asof
+
+        left = self._ordered()
+        rsdf = other.lazy_sdf()
+        left_names = set(self.names)
+        for c in list(rsdf.columns):
+            if c == on:
+                rsdf = rsdf.withColumnRenamed(c, "__rkey__")
+            elif c in left_names:
+                rsdf = rsdf.withColumnRenamed(c, f"{c}{suffix}")
+        ldt = self.dtypes.get(on)
+
+        def key_expr(c):
+            return self._asof_numeric(c, ldt)
+
+        out = merge_asof(left._sdf, rsdf, on, key_expr, strategy)
         return DataFrame(out, groups=self.groups, has_order=True)
 
     @staticmethod

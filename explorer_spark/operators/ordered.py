@@ -43,32 +43,25 @@ BUCKET = "__bkt__"
 CTX = "__ctx__"
 
 
-def _tri_prefix(table: SDF, key: str, agg_col, out: str, descending: bool = False) -> SDF:
-    """Per-key prefix aggregate over a BOUNDED summary table via a
-    triangular self-join: for each row, ``out`` aggregates ``agg_col(b)``
-    over rows with strictly smaller (larger, if descending) key.  Replaces
-    an unpartitioned window — the table is ceil(n / BUCKET_SIZE) (or
-    #partitions) rows, so the O(k^2) pair join is trivially small and the
-    plan carries no single-partition WindowExec at all."""
-    a = table
-    b = table.select(F.col(key).alias("__k2__"), F.col(agg_col.col_name).alias("__v2__"))
-    cond = (F.col("__k2__") > F.col(key)) if descending else (F.col("__k2__") < F.col(key))
-    pre = (
-        a.select(key)
-        .join(F.broadcast(b), cond, "left")
-        .groupBy(key)
-        .agg(agg_col.fn(F.col("__v2__"), F.col("__k2__")).alias(out))
-    )
-    return a.join(F.broadcast(pre), key, "left")
+def _meta_pass(table: SDF, key: str, fn, extra_fields) -> SDF:
+    """One pandas pass over a BOUNDED summary table (#partitions or
+    ceil(n / BUCKET_SIZE) rows): sort by ``key``, apply ``fn`` to append
+    prefix columns.  Runs as a single applyInPandas task — intentional
+    and scale-safe because the table is bounded; unlike an unpartitioned
+    window it emits no WindowExec scale warning and adds exactly ONE tiny
+    stage to the plan (the triangular-join alternative added two
+    broadcast joins per prefix and the per-stage overhead dominated)."""
+    import pandas as pd
+    from pyspark.sql import types as T
 
+    schema = T.StructType(list(table.schema.fields) + extra_fields)
 
-class _PrefixAgg:
-    """(source column, combining fn) pair for _tri_prefix; fn receives the
-    value and key columns of the joined smaller-key rows."""
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(key).reset_index(drop=True)
+        return fn(pdf)
 
-    def __init__(self, col_name, fn):
-        self.col_name = col_name
-        self.fn = fn
+    single = table.withColumn("__mg__", F.lit(0))
+    return single.groupBy("__mg__").applyInPandas(lambda p: run(p.drop(columns="__mg__")), schema)
 
 
 def with_global_index(
@@ -90,19 +83,28 @@ def with_global_index(
     # fresh id AFTER the sort: per-partition contiguous, iteration order
     s = s.withColumn("__mono__", F.monotonically_increasing_id())
     s = s.withColumn("__pid__", F.spark_partition_id())
+    # the frame feeds BOTH the stats branch and the final join; without a
+    # pin Spark re-executes the whole upstream (nondeterministic ids block
+    # exchange reuse) — and re-execution compounds exponentially when
+    # kernels chain (3 ranks in one mutate ran 25x slower than one)
+    s = s.persist()
     stats = s.groupBy("__pid__").agg(
         F.count(F.lit(1)).alias("__cnt__"), F.min("__mono__").alias("__mn__")
     )
-    # prefix sums over the #partitions-row summary — via a triangular
-    # self-join, NOT a window: an unpartitioned window would funnel the
-    # (tiny) table through WindowExec and log a misleading scale warning
-    offs = _tri_prefix(
-        stats, "__pid__", _PrefixAgg("__cnt__", lambda v, _k: F.coalesce(F.sum(v), F.lit(0))), "__off__"
-    )
+    # prefix sums over the #partitions-row summary — one bounded pandas
+    # pass, NOT a window (and not one broadcast join per prefix column)
+    from pyspark.sql import types as T
+
+    def _offsets(pdf):
+        pdf["__off__"] = pdf["__cnt__"].cumsum().shift(1, fill_value=0)
+        if total_col is not None:
+            pdf[total_col] = pdf["__cnt__"].sum()
+        return pdf
+
+    extra = [T.StructField("__off__", T.LongType())]
     if total_col is not None:
-        tot = stats.agg(F.sum("__cnt__").alias(total_col))
-        offs = offs.crossJoin(F.broadcast(tot))
-    offs = offs.drop("__cnt__")
+        extra.append(T.StructField(total_col, T.LongType()))
+    offs = _meta_pass(stats, "__pid__", _offsets, extra).drop("__cnt__")
     s = s.join(F.broadcast(offs), "__pid__", "left")
     s = s.withColumn(name, (F.col("__off__") + (F.col("__mono__") - F.col("__mn__"))).cast("long"))
     return s.drop("__pid__", "__mono__", "__mn__", "__off__")
@@ -145,16 +147,28 @@ _CUM_COMBINE = {
 def cumulative(sdf: SDF, idx_col: str, value_col: str, out_col: str, kind: str, reverse: bool = False) -> SDF:
     """Global cumulative sum/min/max/product/count over index order."""
     aggfn = _CUM_AGG[kind]
-    s = sdf.withColumn(BUCKET, F.floor(F.col(idx_col) / F.lit(BUCKET_SIZE)))
+    s = sdf.withColumn(BUCKET, F.floor(F.col(idx_col) / F.lit(BUCKET_SIZE))).persist()
     order = F.col(idx_col).desc() if reverse else F.col(idx_col).asc()
     w = W.partitionBy(BUCKET).orderBy(order).rowsBetween(W.unboundedPreceding, 0)
     local = aggfn(F.col(value_col)).over(w)
     per = s.groupBy(BUCKET).agg(aggfn(F.col(value_col)).alias("__tot__"))
-    prefix_fn = F.sum if kind in ("sum", "count") else aggfn
-    # per-bucket summary table: ceil(n / BUCKET_SIZE) rows, bounded
-    pre = _tri_prefix(
-        per, BUCKET, _PrefixAgg("__tot__", lambda v, _k: prefix_fn(v)), "__pre__", descending=reverse
-    ).drop("__tot__")
+    # exclusive prefix over the bounded per-bucket summary (pandas pass)
+    from pyspark.sql import types as T
+
+    _prefix = {"sum": "cumsum", "count": "cumsum", "min": "cummin", "max": "cummax", "product": "cumprod"}[kind]
+
+    def _pre(pdf):
+        if reverse:
+            pdf = pdf.iloc[::-1].reset_index(drop=True)
+        acc = getattr(pdf["__tot__"], _prefix)().shift(1)
+        pdf["__pre__"] = acc
+        if reverse:
+            pdf = pdf.iloc[::-1].reset_index(drop=True)
+        return pdf
+
+    pre = _meta_pass(per, BUCKET, _pre, [T.StructField("__pre__", per.schema["__tot__"].dataType)]).drop(
+        "__tot__"
+    )
     s = s.withColumn("__loc__", local).join(F.broadcast(pre), BUCKET, "left")
     s = s.withColumn(out_col, _CUM_COMBINE[kind](F.col("__loc__"), F.col("__pre__")))
     return s.drop(BUCKET, "__loc__", "__pre__")
@@ -162,7 +176,7 @@ def cumulative(sdf: SDF, idx_col: str, value_col: str, out_col: str, kind: str, 
 
 def fill_missing(sdf: SDF, idx_col: str, value_col: str, out_col: str, backward: bool = False) -> SDF:
     """Global forward/backward non-null carry over index order."""
-    s = sdf.withColumn(BUCKET, F.floor(F.col(idx_col) / F.lit(BUCKET_SIZE)))
+    s = sdf.withColumn(BUCKET, F.floor(F.col(idx_col) / F.lit(BUCKET_SIZE))).persist()
     order = F.col(idx_col).desc() if backward else F.col(idx_col).asc()
     w = W.partitionBy(BUCKET).orderBy(order).rowsBetween(W.unboundedPreceding, 0)
     local = F.last(F.col(value_col), ignorenulls=True).over(w)
@@ -172,17 +186,21 @@ def fill_missing(sdf: SDF, idx_col: str, value_col: str, out_col: str, backward:
     per = s.groupBy(BUCKET).agg(
         pickfn(F.col(value_col), F.when(F.col(value_col).isNotNull(), F.col(idx_col))).alias("__lv__")
     )
-    # per-bucket summary table — bounded, see cumulative(); the carry is
-    # the value of the nearest preceding (following, if backward) bucket
-    # that has one: max_by/min_by over non-null rows of the triangle
-    carry_pick = F.min_by if backward else F.max_by
-    pre = _tri_prefix(
-        per,
-        BUCKET,
-        _PrefixAgg("__lv__", lambda v, k: carry_pick(v, F.when(v.isNotNull(), k))),
-        "__pv__",
-        descending=backward,
-    ).drop("__lv__")
+    # bounded pandas pass: carry = nearest preceding (following, if
+    # backward) bucket's non-null value
+    from pyspark.sql import types as T
+
+    def _carry(pdf):
+        if backward:
+            pdf = pdf.iloc[::-1].reset_index(drop=True)
+        pdf["__pv__"] = pdf["__lv__"].ffill().shift(1)
+        if backward:
+            pdf = pdf.iloc[::-1].reset_index(drop=True)
+        return pdf
+
+    pre = _meta_pass(per, BUCKET, _carry, [T.StructField("__pv__", per.schema["__lv__"].dataType)]).drop(
+        "__lv__"
+    )
     s = s.withColumn("__loc__", local).join(F.broadcast(pre), BUCKET, "left")
     s = s.withColumn(out_col, F.coalesce(F.col("__loc__"), F.col("__pv__")))
     return s.drop(BUCKET, "__loc__", "__pv__")
@@ -203,6 +221,7 @@ def with_boundary_context(sdf: SDF, idx_col: str, need_before: int, need_after: 
     b = BUCKET_SIZE
     while need_before >= b or need_after >= b:
         b *= 2
+    sdf = sdf.persist()  # referenced by the base and each boundary copy
     bkt = F.floor(F.col(idx_col) / F.lit(b))
     pos = F.col(idx_col) % F.lit(b)
     base = sdf.withColumn(BUCKET, bkt).withColumn(CTX, F.lit(False))
@@ -244,36 +263,42 @@ def global_rank(
     """Global rank of ``value_col`` (reference series.ex rank/1-3;
     methods ordinal/min/max/dense/average/random).
 
-    ordinal/random come straight from the global position; min/max/
-    average/dense come from a per-value min/max-position aggregate
-    joined back on the value — ties never need to be colocated, so the
-    range partitioning may split them freely."""
+    ordinal/random need per-row positions and go through the full-frame
+    global index. min/max/average/dense need only per-VALUE statistics:
+    the frame never range-shuffles — one map-combined groupBy builds the
+    distinct-value count table, the (much smaller) table gets a global
+    index + count prefix, and ranks join back on the value. Ties need no
+    colocation; the join is an ordinary equi-join (broadcast when the
+    value table is small)."""
     c = F.col(value_col)
     key = c.desc() if descending else c.asc()
     if method == "random":
         s = sdf.withColumn("__rnd__", F.rand(seed))
         s = with_global_index(s, [key, F.col("__rnd__").asc()], name="__rk__")
         return s.withColumn(out_col, (F.col("__rk__") + 1).cast("int")).drop("__rk__", "__rnd__")
-    tie = [F.col(order_col).asc()] if order_col is not None else []
-    s = with_global_index(sdf, [key] + tie, name="__rk__")
     if method == "ordinal":
+        tie = [F.col(order_col).asc()] if order_col is not None else []
+        s = with_global_index(sdf, [key] + tie, name="__rk__")
         return s.withColumn(out_col, (F.col("__rk__") + 1).cast("int")).drop("__rk__")
-    vals = s.groupBy(value_col).agg(F.min("__rk__").alias("__vmin__"), F.max("__rk__").alias("__vmax__"))
-    if method == "min":
-        vals = vals.withColumn("__rv__", (F.col("__vmin__") + 1).cast("int"))
-    elif method == "max":
-        vals = vals.withColumn("__rv__", (F.col("__vmax__") + 1).cast("int"))
-    elif method == "average":
-        vals = vals.withColumn("__rv__", (F.col("__vmin__") + F.col("__vmax__")).cast("double") / 2.0 + 1.0)
-    elif method == "dense":
-        # distinct values ordered by first position == value order
-        vals = with_global_index(vals, [F.col("__vmin__").asc()], name="__dr__")
-        vals = vals.withColumn("__rv__", (F.col("__dr__") + 1).cast("int")).drop("__dr__")
-    else:
+    if method not in ("min", "max", "average", "dense"):
         raise NotImplementedError(f"rank method {method!r}")
-    vals = vals.select(F.col(value_col).alias("__v2__"), "__rv__")
-    joined = s.join(vals, c.eqNullSafe(F.col("__v2__")), "left")
-    return joined.withColumn(out_col, F.col("__rv__")).drop("__v2__", "__rv__", "__rk__")
+    vals = sdf.groupBy(value_col).agg(F.count(F.lit(1)).alias("__c__"))
+    # dense position = index among distinct values in value order;
+    # min rank = 1 + count of rows in earlier value groups (inclusive
+    # cumsum of the counts minus the own count)
+    vi = with_global_index(vals, [key], name="__dr__")
+    vi = cumulative(vi, "__dr__", "__c__", "__cum__", "sum")
+    if method == "min":
+        rv = (F.col("__cum__") - F.col("__c__") + 1).cast("int")
+    elif method == "max":
+        rv = F.col("__cum__").cast("int")
+    elif method == "average":
+        rv = (2 * F.col("__cum__") - F.col("__c__") + 1).cast("double") / 2.0
+    else:  # dense
+        rv = (F.col("__dr__") + 1).cast("int")
+    vals = vi.select(F.col(value_col).alias("__v2__"), rv.alias("__rv__"))
+    joined = sdf.join(vals, c.eqNullSafe(F.col("__v2__")), "left")
+    return joined.withColumn(out_col, F.col("__rv__")).drop("__v2__", "__rv__")
 
 
 # ---------------------------------------------------------------------------
@@ -378,7 +403,7 @@ def ewm_global(sdf: SDF, idx_col: str, specs: dict) -> SDF:
             pdf[cname(kind, src, a)] = _geo_scan(w, c)
         return pdf
 
-    local = s.groupBy(BUCKET).applyInPandas(local_pass, local_schema)
+    local = s.groupBy(BUCKET).applyInPandas(local_pass, local_schema).persist()
 
     # bucket end states -> incoming carries (ceil(n/B) rows, one tiny task)
     end_aggs = [F.max(F.col(idx_col)).alias("__last__")] + [

@@ -151,6 +151,14 @@ class Series:
         return self._apply(fn(self._c()))
 
     def cast(self, dtype) -> "Series":
+        cur = self.dtype
+        target = dt.normalize(dtype)
+        if isinstance(cur, tuple) and cur[0] == "duration" and dt.is_integer(target):
+            # duration -> integer yields the count in the duration's
+            # precision unit (reference shared.ex:12-22), not Spark's
+            # interval-to-long seconds
+            total = Expr("duration_total", self._c(), cur[1])
+            return self._apply(Expr("cast", total, target))
         return self._apply(Expr("cast", self._c(), dtype))
 
     def filter(self, fn: Callable[[Expr], Expr]) -> "Series":

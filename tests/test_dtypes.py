@@ -184,3 +184,22 @@ def test_duration_vs_oracle_truncation(duck):
         "TIMESTAMP '2024-01-01 00:00:00.0021') // 1000"
     ).fetchone()[0]
     assert got == 1  # 1200us -> 1ms truncated
+
+
+def test_series_cast_duration_to_int_is_unit_count(spark):
+    """Series.cast(duration -> s64) yields the count in the duration's
+    precision unit (µs), reference shared.ex:12-22 — not interval
+    seconds."""
+    import datetime
+
+    import explorer_spark as ex
+    from explorer_spark import Series, col
+
+    d = ex.from_columns(
+        {"a": [datetime.datetime(2024, 1, 1, 0, 0, 1, 250)], "b": [datetime.datetime(2024, 1, 1)]},
+        spark=spark,
+    )
+    dur = d.mutate(dur=col("a") - col("b")).select(["dur"])
+    s = Series(dur, "dur")
+    assert s.dtype == ("duration", "us")
+    assert s.cast(("s", 64)).to_list() == [1_000_250]

@@ -90,3 +90,65 @@ def test_asof_nearest_tie_prefers_earlier(spark):
     right = from_pandas(pd.DataFrame({"t": [8.0, 12.0], "tag": ["lo", "hi"]}), spark=spark)
     out = left.join_asof(right, on="t", strategy="nearest").to_pandas()
     assert out.loc[0, "tag"] == "lo"
+
+
+# ---------------------------------------------------------------------------
+# keyless merge-asof kernel (operators/asof.py)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def asof_frames(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    lt = np.sort(rng.uniform(0, 1000, 400)).round(3)
+    rt = np.sort(rng.uniform(-50, 1050, 120)).round(3)
+    left = from_pandas(pd.DataFrame({"t": lt, "lid": range(len(lt))}), spark=spark)
+    right = from_pandas(pd.DataFrame({"t": rt, "rv": [f"r{i}" for i in range(len(rt))]}), spark=spark)
+    return left, right, pd.DataFrame({"t": lt}), pd.DataFrame({"t": rt, "rv": [f"r{i}" for i in range(len(rt))]})
+
+
+@pytest.mark.parametrize("strategy", ["backward", "forward", "nearest"])
+def test_merge_asof_matches_pandas(asof_frames, strategy):
+    left, right, lp, rp = asof_frames
+    got = (
+        left.join_asof(right, on="t", strategy=strategy)
+        .sort_by("lid")
+        .to_pandas()[["t", "rv"]]
+        .reset_index(drop=True)
+    )
+    direction = {"backward": "backward", "forward": "forward", "nearest": "nearest"}[strategy]
+    want = pd.merge_asof(lp, rp, on="t", direction=direction)
+    assert got["rv"].tolist() == want["rv"].tolist()
+
+
+def test_merge_asof_repartitioned_input(asof_frames, spark):
+    """The kernel must survive arbitrary input partitioning (the range
+    shuffle re-establishes locality)."""
+    left, right, lp, rp = asof_frames
+    left8 = left._replace(left._sdf.repartition(8), aligned=False)
+    right8 = right._replace(right._sdf.repartition(5), aligned=False)
+    got = (
+        left8.join_asof(right8, on="t", strategy="backward")
+        .sort_by("lid")
+        .to_pandas()["rv"]
+        .tolist()
+    )
+    want = pd.merge_asof(lp, rp, on="t", direction="backward")["rv"].tolist()
+    assert got == want
+
+
+def test_merge_asof_no_quadratic_join(asof_frames):
+    left, right, *_ = asof_frames
+    plan = (
+        left.join_asof(right, on="t", strategy="backward")
+        .lazy_sdf()
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    # the quadratic pre-image of the old path: a nested-loop range join
+    # over the full frames (tiny boundary-summary BNLJs are fine)
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
