@@ -333,6 +333,32 @@ class DataFrame:
             state["n"] += 1
             return f"__m{state['n']}__"
 
+        # fuse value-statistic ranks: all min/max/average/dense ranks over
+        # the same plain column share ONE distinct-value kernel and ONE
+        # join back (operators/ordered.py rank_columns) instead of a
+        # kernel chain per expression
+        rank_fused: dict = {}
+        def _prescan(e):
+            if not isinstance(e, Expr):
+                return
+            if e.op == "rank" and isinstance(e.args[0], Expr) and e.args[0].op == "column":
+                method = e.args[1] if len(e.args) > 1 else "ordinal"
+                descending = bool(e.args[2]) if len(e.args) > 2 else False
+                if method in ("min", "max", "average", "dense"):
+                    rank_fused.setdefault((e.args[0].args[0], descending), {}).setdefault(method, None)
+            for a in e.args:
+                _prescan(a)
+
+        for e in exprs:
+            _prescan(e)
+        for (vname, desc), meths in rank_fused.items():
+            specs = {}
+            for m in meths:
+                name = tmp()
+                meths[m] = name
+                specs[name] = m
+            state["sdf"] = ordk.rank_columns(state["sdf"], None, vname, specs, desc)
+
         def as_col(e) -> str:
             """Materialize a pure (already rewritten) expr as a column name."""
             if isinstance(e, Expr) and e.op == "column":
@@ -372,8 +398,11 @@ class DataFrame:
                 )
             elif op == "rank":
                 method = rest[0] if len(rest) > 0 else "ordinal"
-                descending = rest[1] if len(rest) > 1 else False
+                descending = bool(rest[1]) if len(rest) > 1 else False
                 seed = rest[2] if len(rest) > 2 else None
+                fused = rank_fused.get((value, descending), {}).get(method)
+                if fused is not None:
+                    return fused
                 state["sdf"] = ordk.global_rank(state["sdf"], self._IDX, value, name, method, descending, seed)
             elif op == "shift":
                 offset = rest[0]
@@ -407,12 +436,10 @@ class DataFrame:
             new_args = [rewrite(a) if isinstance(a, Expr) else a for a in e.args]
             ne = Expr(e.op, *new_args)
             if e.op in ORDERED_EXPR_OPS:
-                name = mat_ordered(ne)
-                # pin between kernels: each kernel references its input
-                # from multiple branches, so an unpinned chain of k
-                # ordered ops re-executes the upstream 2^k times
-                state["sdf"] = state["sdf"].persist()
-                return col(name)
+                # no pin needed between kernels: each kernel persists its
+                # own nondeterministic core and joins results back via
+                # literal broadcast lookups, so chains stay linear
+                return col(mat_ordered(ne))
             if e.op in AGG_OPS:
                 return col(mat_agg(ne))
             return ne

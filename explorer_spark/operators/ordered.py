@@ -10,21 +10,30 @@ same semantics with bounded parallel stages:
    sort key, then derive each row's contiguous position from a fresh
    ``monotonically_increasing_id`` (assigned after the in-partition
    sort, so ids are per-partition contiguous) plus an exclusive prefix
-   sum of per-partition counts (a broadcast table of #partitions rows).
-   One range shuffle; **no window over the data at all**.
+   sum of per-partition counts.  The per-partition summary (#partitions
+   rows) is collected to the DRIVER and re-emitted as a literal
+   broadcast lookup — exactly the strategy of Spark's own
+   ``RDD.zipWithIndex`` (core/rdd/ZippedWithIndexRDD.scala runs a
+   count-per-partition job first).  The literal table keeps the plan
+   tree shallow: the broadcast side is a LocalRelation, not a derived
+   subplan, so chained kernels stay linear in plan size.
 2. **Index buckets** (`idx div B`): sequential logic (cumulative, fill,
    lag/lead frames) runs in per-bucket windows — a hash exchange on the
    bucket id, uniform by construction, skew-proof.
-3. **Cross-bucket combination**: unbounded ops (cumulative, fill) join a
-   tiny per-bucket summary with prefix aggregates; bounded ops (shift,
-   peaks, rolling) duplicate the <= k boundary rows into the neighbour
-   bucket and drop them after (`with_boundary_context`).
-4. **Rank**: global position ordered by value, then a per-value
-   min/max-position aggregate joined back — ties need no colocation.
+3. **Cross-bucket combination**: unbounded ops (cumulative, fill)
+   collect the tiny per-bucket summary (ceil(n / B) rows) and join the
+   driver-computed prefix back as a literal broadcast; bounded ops
+   (shift, peaks, rolling) duplicate the <= k boundary rows into the
+   neighbour bucket and drop them after (`with_boundary_context`).
+4. **Rank**: per-VALUE statistics (count, count-prefix, dense position)
+   computed on the distinct-value table with the same kernel, then an
+   equi-join back on the value — ties need no colocation, and every
+   method (min/max/average/dense) derives from one pass
+   (`rank_columns`).
 
-The only single-partition work anywhere is over summary tables whose
-size is #partitions or #buckets (= ceil(n / 2^18): ~4M rows at a
-trillion input rows).
+The only sequential work anywhere is a driver loop over summary rows
+whose count is #partitions or ceil(n / 2^18) — the same bound Spark
+itself accepts for ``zipWithIndex``.
 """
 
 from __future__ import annotations
@@ -33,6 +42,7 @@ from pyspark.sql import Column
 from pyspark.sql import DataFrame as SDF
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # Rows per index bucket. Big enough that the per-bucket summary table is
 # tiny even at 10^12 rows; small enough that sf0.1 still fans out.
@@ -43,25 +53,50 @@ BUCKET = "__bkt__"
 CTX = "__ctx__"
 
 
-def _meta_pass(table: SDF, key: str, fn, extra_fields) -> SDF:
-    """One pandas pass over a BOUNDED summary table (#partitions or
-    ceil(n / BUCKET_SIZE) rows): sort by ``key``, apply ``fn`` to append
-    prefix columns.  Runs as a single applyInPandas task — intentional
-    and scale-safe because the table is bounded; unlike an unpartitioned
-    window it emits no WindowExec scale warning and adds exactly ONE tiny
-    stage to the plan (the triangular-join alternative added two
-    broadcast joins per prefix and the per-stage overhead dominated)."""
-    import pandas as pd
-    from pyspark.sql import types as T
+def _lookup_df(spark, rows: list[tuple], fields: list[T.StructField]) -> SDF:
+    """A literal (LocalRelation) lookup table for broadcast joins."""
+    return spark.createDataFrame(rows, T.StructType(fields))
 
-    schema = T.StructType(list(table.schema.fields) + extra_fields)
 
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(key).reset_index(drop=True)
-        return fn(pdf)
+# Above this many summary entries the constant-array projection gives way
+# to a broadcast join (a plan-constant array of ~64k longs is fine; tens
+# of millions would bloat the plan).
+ARRAY_LOOKUP_MAX = 1 << 16
 
-    single = table.withColumn("__mg__", F.lit(0))
-    return single.groupBy("__mg__").applyInPandas(lambda p: run(p.drop(columns="__mg__")), schema)
+
+def _array_lookup(key: Column, values: list, dtype: T.DataType) -> Column:
+    """``values[key]`` as a constant-array projection — the scalable
+    replacement for joining a tiny driver-built lookup table: no extra
+    DataFrame, no broadcast exchange, pure codegen.  ``key`` must be a
+    dense 0-based id (partition or bucket number)."""
+    arr = F.array(*[F.lit(v).cast(dtype) for v in values])
+    return F.get(arr, key.cast("int"))
+
+
+def _dense(rows: dict, n: int, default=None) -> list:
+    """Spread a {id: value} dict over the dense id range [0, n)."""
+    return [rows.get(i, default) for i in range(n)]
+
+
+def _prefix_scan(vals: list, kind: str, reverse: bool = False) -> list:
+    """Exclusive null-skipping prefix of per-bucket totals (driver side;
+    the list is bounded by the bucket count)."""
+    import operator
+
+    op = {
+        "sum": operator.add,
+        "count": operator.add,
+        "product": operator.mul,
+        "min": min,
+        "max": max,
+    }[kind]
+    src = list(reversed(vals)) if reverse else vals
+    out, running = [], None
+    for v in src:
+        out.append(running)
+        if v is not None:
+            running = v if running is None else op(running, v)
+    return list(reversed(out)) if reverse else out
 
 
 def with_global_index(
@@ -76,38 +111,48 @@ def with_global_index(
     ``aligned=True`` promises the physical partition layout already
     matches ``keys`` (ascending partition id == ascending key) and skips
     the range shuffle.  ``total_col`` additionally attaches the total
-    row count to every row (from the same broadcast, no extra job).
+    row count to every row (a literal — known from the same stats job).
     """
     s = sdf if aligned else sdf.repartitionByRange(*keys)
     s = s.sortWithinPartitions(*keys)
     # fresh id AFTER the sort: per-partition contiguous, iteration order
     s = s.withColumn("__mono__", F.monotonically_increasing_id())
     s = s.withColumn("__pid__", F.spark_partition_id())
-    # the frame feeds BOTH the stats branch and the final join; without a
-    # pin Spark re-executes the whole upstream (nondeterministic ids block
-    # exchange reuse) — and re-execution compounds exponentially when
-    # kernels chain (3 ranks in one mutate ran 25x slower than one)
+    # pin before the stats job: the ids are nondeterministic, so the
+    # offsets collected below are only valid against THIS materialization
     s = s.persist()
     stats = s.groupBy("__pid__").agg(
         F.count(F.lit(1)).alias("__cnt__"), F.min("__mono__").alias("__mn__")
-    )
-    # prefix sums over the #partitions-row summary — one bounded pandas
-    # pass, NOT a window (and not one broadcast join per prefix column)
-    from pyspark.sql import types as T
-
-    def _offsets(pdf):
-        pdf["__off__"] = pdf["__cnt__"].cumsum().shift(1, fill_value=0)
-        if total_col is not None:
-            pdf[total_col] = pdf["__cnt__"].sum()
-        return pdf
-
-    extra = [T.StructField("__off__", T.LongType())]
+    ).collect()
+    stats.sort(key=lambda r: r["__pid__"])
+    offs, mns, off = {}, {}, 0
+    for r in stats:
+        offs[r["__pid__"]] = off
+        mns[r["__pid__"]] = r["__mn__"]
+        off += r["__cnt__"]
+    nparts = (max(offs) + 1) if offs else 0
+    pid = F.col("__pid__")
+    if nparts <= ARRAY_LOOKUP_MAX:
+        base = _array_lookup(pid, _dense(offs, nparts, 0), T.LongType()) - _array_lookup(
+            pid, _dense(mns, nparts, 0), T.LongType()
+        )
+        s = s.withColumn(name, (base + F.col("__mono__")).cast("long"))
+    else:
+        lookup = _lookup_df(
+            sdf.sparkSession,
+            [(p, offs[p], mns[p]) for p in offs],
+            [
+                T.StructField("__pid__", T.IntegerType()),
+                T.StructField("__off__", T.LongType()),
+                T.StructField("__mn__", T.LongType()),
+            ],
+        )
+        s = s.join(F.broadcast(lookup), "__pid__", "left")
+        s = s.withColumn(name, (F.col("__off__") + (F.col("__mono__") - F.col("__mn__"))).cast("long"))
+        s = s.drop("__off__", "__mn__")
     if total_col is not None:
-        extra.append(T.StructField(total_col, T.LongType()))
-    offs = _meta_pass(stats, "__pid__", _offsets, extra).drop("__cnt__")
-    s = s.join(F.broadcast(offs), "__pid__", "left")
-    s = s.withColumn(name, (F.col("__off__") + (F.col("__mono__") - F.col("__mn__"))).cast("long"))
-    return s.drop("__pid__", "__mono__", "__mn__", "__off__")
+        s = s.withColumn(total_col, F.lit(off).cast("long"))
+    return s.drop("__pid__", "__mono__")
 
 
 # ---------------------------------------------------------------------------
@@ -145,38 +190,40 @@ _CUM_COMBINE = {
 
 
 def cumulative(sdf: SDF, idx_col: str, value_col: str, out_col: str, kind: str, reverse: bool = False) -> SDF:
-    """Global cumulative sum/min/max/product/count over index order."""
+    """Global cumulative sum/min/max/product/count over index order.
+
+    Local per-bucket window + a driver-computed exclusive prefix of the
+    per-bucket totals (bounded: ceil(n / BUCKET_SIZE) rows) joined back
+    as a literal broadcast."""
     aggfn = _CUM_AGG[kind]
-    s = sdf.withColumn(BUCKET, F.floor(F.col(idx_col) / F.lit(BUCKET_SIZE))).persist()
+    s = sdf.withColumn(BUCKET, F.floor(F.col(idx_col) / F.lit(BUCKET_SIZE)))
     order = F.col(idx_col).desc() if reverse else F.col(idx_col).asc()
     w = W.partitionBy(BUCKET).orderBy(order).rowsBetween(W.unboundedPreceding, 0)
     local = aggfn(F.col(value_col)).over(w)
     per = s.groupBy(BUCKET).agg(aggfn(F.col(value_col)).alias("__tot__"))
-    # exclusive prefix over the bounded per-bucket summary (pandas pass)
-    from pyspark.sql import types as T
-
-    _prefix = {"sum": "cumsum", "count": "cumsum", "min": "cummin", "max": "cummax", "product": "cumprod"}[kind]
-
-    def _pre(pdf):
-        if reverse:
-            pdf = pdf.iloc[::-1].reset_index(drop=True)
-        acc = getattr(pdf["__tot__"], _prefix)().shift(1)
-        pdf["__pre__"] = acc
-        if reverse:
-            pdf = pdf.iloc[::-1].reset_index(drop=True)
-        return pdf
-
-    pre = _meta_pass(per, BUCKET, _pre, [T.StructField("__pre__", per.schema["__tot__"].dataType)]).drop(
-        "__tot__"
-    )
-    s = s.withColumn("__loc__", local).join(F.broadcast(pre), BUCKET, "left")
+    tot_type = per.schema["__tot__"].dataType
+    rows = per.collect()
+    rows.sort(key=lambda r: r[BUCKET])
+    pre = _prefix_scan([r["__tot__"] for r in rows], kind, reverse=reverse)
+    by_bkt = {r[BUCKET]: p for r, p in zip(rows, pre)}
+    nb = (max(by_bkt) + 1) if by_bkt else 0
+    s = s.withColumn("__loc__", local)
+    if nb <= ARRAY_LOOKUP_MAX:
+        s = s.withColumn("__pre__", _array_lookup(F.col(BUCKET), _dense(by_bkt, nb), tot_type))
+    else:
+        lookup = _lookup_df(
+            sdf.sparkSession,
+            list(by_bkt.items()),
+            [T.StructField(BUCKET, T.LongType()), T.StructField("__pre__", tot_type)],
+        )
+        s = s.join(F.broadcast(lookup), BUCKET, "left")
     s = s.withColumn(out_col, _CUM_COMBINE[kind](F.col("__loc__"), F.col("__pre__")))
     return s.drop(BUCKET, "__loc__", "__pre__")
 
 
 def fill_missing(sdf: SDF, idx_col: str, value_col: str, out_col: str, backward: bool = False) -> SDF:
     """Global forward/backward non-null carry over index order."""
-    s = sdf.withColumn(BUCKET, F.floor(F.col(idx_col) / F.lit(BUCKET_SIZE))).persist()
+    s = sdf.withColumn(BUCKET, F.floor(F.col(idx_col) / F.lit(BUCKET_SIZE)))
     order = F.col(idx_col).desc() if backward else F.col(idx_col).asc()
     w = W.partitionBy(BUCKET).orderBy(order).rowsBetween(W.unboundedPreceding, 0)
     local = F.last(F.col(value_col), ignorenulls=True).over(w)
@@ -186,22 +233,26 @@ def fill_missing(sdf: SDF, idx_col: str, value_col: str, out_col: str, backward:
     per = s.groupBy(BUCKET).agg(
         pickfn(F.col(value_col), F.when(F.col(value_col).isNotNull(), F.col(idx_col))).alias("__lv__")
     )
-    # bounded pandas pass: carry = nearest preceding (following, if
-    # backward) bucket's non-null value
-    from pyspark.sql import types as T
-
-    def _carry(pdf):
-        if backward:
-            pdf = pdf.iloc[::-1].reset_index(drop=True)
-        pdf["__pv__"] = pdf["__lv__"].ffill().shift(1)
-        if backward:
-            pdf = pdf.iloc[::-1].reset_index(drop=True)
-        return pdf
-
-    pre = _meta_pass(per, BUCKET, _carry, [T.StructField("__pv__", per.schema["__lv__"].dataType)]).drop(
-        "__lv__"
-    )
-    s = s.withColumn("__loc__", local).join(F.broadcast(pre), BUCKET, "left")
+    lv_type = per.schema["__lv__"].dataType
+    rows = per.collect()
+    rows.sort(key=lambda r: r[BUCKET], reverse=backward)
+    carries, running = [], None
+    for r in rows:
+        carries.append(running)
+        if r["__lv__"] is not None:
+            running = r["__lv__"]
+    by_bkt = {r[BUCKET]: c for r, c in zip(rows, carries)}
+    nb = (max(by_bkt) + 1) if by_bkt else 0
+    s = s.withColumn("__loc__", local)
+    if nb <= ARRAY_LOOKUP_MAX:
+        s = s.withColumn("__pv__", _array_lookup(F.col(BUCKET), _dense(by_bkt, nb), lv_type))
+    else:
+        lookup = _lookup_df(
+            sdf.sparkSession,
+            list(by_bkt.items()),
+            [T.StructField(BUCKET, T.LongType()), T.StructField("__pv__", lv_type)],
+        )
+        s = s.join(F.broadcast(lookup), BUCKET, "left")
     s = s.withColumn(out_col, F.coalesce(F.col("__loc__"), F.col("__pv__")))
     return s.drop(BUCKET, "__loc__", "__pv__")
 
@@ -221,7 +272,6 @@ def with_boundary_context(sdf: SDF, idx_col: str, need_before: int, need_after: 
     b = BUCKET_SIZE
     while need_before >= b or need_after >= b:
         b *= 2
-    sdf = sdf.persist()  # referenced by the base and each boundary copy
     bkt = F.floor(F.col(idx_col) / F.lit(b))
     pos = F.col(idx_col) % F.lit(b)
     base = sdf.withColumn(BUCKET, bkt).withColumn(CTX, F.lit(False))
@@ -251,6 +301,112 @@ def strip_boundary_context(sdf: SDF) -> SDF:
 # ---------------------------------------------------------------------------
 
 
+def rank_columns(
+    sdf: SDF,
+    order_col: str | None,
+    value_col: str,
+    methods: dict[str, str],
+    descending: bool = False,
+    seed: int | None = None,
+) -> SDF:
+    """Attach one or more global-rank columns of ``value_col`` in a
+    single pass per family (reference series.ex rank/1-3; methods
+    ordinal/min/max/dense/average/random).
+
+    ordinal/random need per-row positions and go through the full-frame
+    global index. min/max/average/dense need only per-VALUE statistics:
+    the frame never range-shuffles — one map-combined groupBy builds the
+    distinct-value table, ONE kernel over it yields count, count-prefix
+    and dense position together (local pid-window cumsum + driver-side
+    per-partition offsets), and every requested method derives from
+    those three columns before a single equi-join back on the value.
+    Ties need no colocation."""
+    out = sdf
+    c = F.col(value_col)
+    key = c.desc() if descending else c.asc()
+    val_specs: dict[str, str] = {}
+    for out_col, method in methods.items():
+        if method == "random":
+            s = out.withColumn("__rnd__", F.rand(seed))
+            s = with_global_index(s, [key, F.col("__rnd__").asc()], name="__rk__")
+            out = s.withColumn(out_col, (F.col("__rk__") + 1).cast("int")).drop("__rk__", "__rnd__")
+        elif method == "ordinal":
+            tie = [F.col(order_col).asc()] if order_col is not None else []
+            s = with_global_index(out, [key] + tie, name="__rk__")
+            out = s.withColumn(out_col, (F.col("__rk__") + 1).cast("int")).drop("__rk__")
+        elif method in ("min", "max", "average", "dense"):
+            val_specs[out_col] = method
+        else:
+            raise NotImplementedError(f"rank method {method!r}")
+    if not val_specs:
+        return out
+
+    vals = sdf.select(value_col).groupBy(value_col).agg(F.count(F.lit(1)).alias("__c__"))
+    v = vals.repartitionByRange(key).sortWithinPartitions(key)
+    v = v.withColumn("__mono__", F.monotonically_increasing_id())
+    v = v.withColumn("__vpid__", F.spark_partition_id())
+    v = v.persist()  # nondeterministic ids: pin before the stats job
+    stats = v.groupBy("__vpid__").agg(
+        F.count(F.lit(1)).alias("__n__"),
+        F.min("__mono__").alias("__mn__"),
+        F.sum("__c__").alias("__t__"),
+    ).collect()
+    stats.sort(key=lambda r: r["__vpid__"])
+    doffs, vmns, coffs = {}, {}, {}
+    doff, coff = 0, 0
+    for r in stats:
+        doffs[r["__vpid__"]] = doff
+        vmns[r["__vpid__"]] = r["__mn__"]
+        coffs[r["__vpid__"]] = coff
+        doff += r["__n__"]
+        coff += r["__t__"]
+    nparts = (max(doffs) + 1) if doffs else 0
+    vpid = F.col("__vpid__")
+    w = W.partitionBy("__vpid__").orderBy("__mono__").rowsBetween(W.unboundedPreceding, 0)
+    v2 = v.withColumn("__lc__", F.sum("__c__").over(w))
+    if nparts <= ARRAY_LOOKUP_MAX:
+        v2 = v2.withColumns(
+            {
+                "__doff__": _array_lookup(vpid, _dense(doffs, nparts, 0), T.LongType()),
+                "__vmn__": _array_lookup(vpid, _dense(vmns, nparts, 0), T.LongType()),
+                "__coff__": _array_lookup(vpid, _dense(coffs, nparts, 0), T.LongType()),
+            }
+        )
+    else:
+        lookup = _lookup_df(
+            sdf.sparkSession,
+            [(p, doffs[p], vmns[p], coffs[p]) for p in doffs],
+            [
+                T.StructField("__vpid__", T.IntegerType()),
+                T.StructField("__doff__", T.LongType()),
+                T.StructField("__vmn__", T.LongType()),
+                T.StructField("__coff__", T.LongType()),
+            ],
+        )
+        v2 = v2.join(F.broadcast(lookup), "__vpid__", "left")
+    cum = F.col("__coff__") + F.col("__lc__")  # inclusive row-count prefix
+    dense_pos = F.col("__doff__") + (F.col("__mono__") - F.col("__vmn__"))
+    sel = [F.col(value_col).alias("__v2__")]
+    tmp_names = {}
+    for i, (out_col, method) in enumerate(val_specs.items()):
+        if method == "min":
+            e = (cum - F.col("__c__") + 1).cast("int")
+        elif method == "max":
+            e = cum.cast("int")
+        elif method == "average":
+            e = (2 * cum - F.col("__c__") + 1).cast("double") / 2.0
+        else:  # dense
+            e = (dense_pos + 1).cast("int")
+        tmp_names[out_col] = f"__rv{i}__"
+        sel.append(e.alias(tmp_names[out_col]))
+    rv = v2.select(*sel)
+    # temp output names + withColumn so out_col may REPLACE value_col
+    # itself (the spearman path ranks a column in place)
+    joined = out.join(rv, c.eqNullSafe(F.col("__v2__")), "left")
+    joined = joined.withColumns({o: F.col(t) for o, t in tmp_names.items()})
+    return joined.drop("__v2__", *tmp_names.values())
+
+
 def global_rank(
     sdf: SDF,
     order_col: str | None,
@@ -260,45 +416,8 @@ def global_rank(
     descending: bool = False,
     seed: int | None = None,
 ) -> SDF:
-    """Global rank of ``value_col`` (reference series.ex rank/1-3;
-    methods ordinal/min/max/dense/average/random).
-
-    ordinal/random need per-row positions and go through the full-frame
-    global index. min/max/average/dense need only per-VALUE statistics:
-    the frame never range-shuffles — one map-combined groupBy builds the
-    distinct-value count table, the (much smaller) table gets a global
-    index + count prefix, and ranks join back on the value. Ties need no
-    colocation; the join is an ordinary equi-join (broadcast when the
-    value table is small)."""
-    c = F.col(value_col)
-    key = c.desc() if descending else c.asc()
-    if method == "random":
-        s = sdf.withColumn("__rnd__", F.rand(seed))
-        s = with_global_index(s, [key, F.col("__rnd__").asc()], name="__rk__")
-        return s.withColumn(out_col, (F.col("__rk__") + 1).cast("int")).drop("__rk__", "__rnd__")
-    if method == "ordinal":
-        tie = [F.col(order_col).asc()] if order_col is not None else []
-        s = with_global_index(sdf, [key] + tie, name="__rk__")
-        return s.withColumn(out_col, (F.col("__rk__") + 1).cast("int")).drop("__rk__")
-    if method not in ("min", "max", "average", "dense"):
-        raise NotImplementedError(f"rank method {method!r}")
-    vals = sdf.groupBy(value_col).agg(F.count(F.lit(1)).alias("__c__"))
-    # dense position = index among distinct values in value order;
-    # min rank = 1 + count of rows in earlier value groups (inclusive
-    # cumsum of the counts minus the own count)
-    vi = with_global_index(vals, [key], name="__dr__")
-    vi = cumulative(vi, "__dr__", "__c__", "__cum__", "sum")
-    if method == "min":
-        rv = (F.col("__cum__") - F.col("__c__") + 1).cast("int")
-    elif method == "max":
-        rv = F.col("__cum__").cast("int")
-    elif method == "average":
-        rv = (2 * F.col("__cum__") - F.col("__c__") + 1).cast("double") / 2.0
-    else:  # dense
-        rv = (F.col("__dr__") + 1).cast("int")
-    vals = vi.select(F.col(value_col).alias("__v2__"), rv.alias("__rv__"))
-    joined = sdf.join(vals, c.eqNullSafe(F.col("__v2__")), "left")
-    return joined.withColumn(out_col, F.col("__rv__")).drop("__v2__", "__rv__")
+    """Single-column convenience wrapper over :func:`rank_columns`."""
+    return rank_columns(sdf, order_col, value_col, {out_col: method}, descending, seed)
 
 
 # ---------------------------------------------------------------------------
@@ -311,8 +430,9 @@ def global_rank(
 # row is its end-state scaled by c^distance.  Stages:
 #   1. per-bucket pandas kernel -> per-row LOCAL accumulators + end states
 #      (uniform hash exchange on the bucket id);
-#   2. bucket end states (ceil(n/B) rows, bounded) combine sequentially in
-#      one tiny task -> per-bucket incoming carries;
+#   2. bucket end states (ceil(n/B) rows, bounded) combine sequentially on
+#      the DRIVER -> per-bucket incoming carries, re-emitted as a literal
+#      broadcast lookup;
 #   3. broadcast-join carries back; per-row result is local + c^(i+1)*carry
 #      (c^distance underflows to 0 gracefully -- no overflow anywhere).
 # pandas semantics are matched exactly (adjust True/False, ignore_na=False
@@ -355,7 +475,6 @@ def ewm_global(sdf: SDF, idx_col: str, specs: dict) -> SDF:
     path); mean supports both adjust modes.
     """
     import pandas as pd
-    from pyspark.sql import types as T
 
     for out_name, (kind, _s, _a, adjust) in specs.items():
         if kind != "mean" and not adjust:
@@ -405,38 +524,42 @@ def ewm_global(sdf: SDF, idx_col: str, specs: dict) -> SDF:
 
     local = s.groupBy(BUCKET).applyInPandas(local_pass, local_schema).persist()
 
-    # bucket end states -> incoming carries (ceil(n/B) rows, one tiny task)
+    # bucket end states -> incoming carries, combined on the driver
+    # (ceil(n/B) rows, bounded — same bound as the zipWithIndex stats job)
     end_aggs = [F.max(F.col(idx_col)).alias("__last__")] + [
         F.max_by(F.col(cname(k, s_, a)), F.col(idx_col)).alias(cname(k, s_, a))
         for (k, s_, a, _p) in all_chans
     ]
     ends = local.groupBy(BUCKET).agg(*end_aggs)
     ends = ends.withColumn("__len__", F.col("__last__") % F.lit(BUCKET_SIZE) + 1).drop("__last__")
-
-    carry_fields = [T.StructField(BUCKET, T.LongType())] + [
-        T.StructField("__carry_" + cname(k, s_, a), T.DoubleType()) for (k, s_, a, _p) in all_chans
-    ]
-
-    def combine(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(BUCKET).reset_index(drop=True)
-        out = {BUCKET: pdf[BUCKET]}
+    end_rows = ends.collect()
+    end_rows.sort(key=lambda r: r[BUCKET])
+    carry_by_chan: dict = {cname(k, s_, a): {} for (k, s_, a, _p) in all_chans}
+    running = {cname(k, s_, a): 0.0 for (k, s_, a, _p) in all_chans}
+    for r in end_rows:
         for (kind, src, a, power) in all_chans:
             c = (1.0 - a) ** power
-            carries, running = [], 0.0
-            for end_val, blen in zip(pdf[cname(kind, src, a)], pdf["__len__"]):
-                carries.append(running)  # carry INTO this bucket
-                running = end_val + (c ** int(blen)) * running
-            out["__carry_" + cname(kind, src, a)] = carries
-        return pd.DataFrame(out)
-
-    # single group over the BOUNDED bucket-summary table (ceil(n/B) rows)
-    carries = (
-        ends.withColumn("__meta_g__", F.lit(0))
-        .groupBy("__meta_g__")
-        .applyInPandas(lambda p: combine(p.drop(columns="__meta_g__")), T.StructType(carry_fields))
-    )
-
-    j = local.join(F.broadcast(carries), BUCKET, "left")
+            nm = cname(kind, src, a)
+            carry_by_chan[nm][r[BUCKET]] = running[nm]
+            running[nm] = r[nm] + (c ** int(r["__len__"])) * running[nm]
+    nb = (max(end_rows, key=lambda r: r[BUCKET])[BUCKET] + 1) if end_rows else 0
+    if nb <= ARRAY_LOOKUP_MAX:
+        j = local.withColumns(
+            {
+                "__carry_" + nm: _array_lookup(F.col(BUCKET), _dense(vals, nb, 0.0), T.DoubleType())
+                for nm, vals in carry_by_chan.items()
+            }
+        )
+    else:
+        carry_fields = [T.StructField(BUCKET, T.LongType())] + [
+            T.StructField("__carry_" + cname(k, s_, a), T.DoubleType()) for (k, s_, a, _p) in all_chans
+        ]
+        carry_rows = [
+            tuple([b] + [carry_by_chan[cname(k, s_, a)].get(b, 0.0) for (k, s_, a, _p) in all_chans])
+            for b in sorted({r[BUCKET] for r in end_rows})
+        ]
+        carries = _lookup_df(sdf.sparkSession, carry_rows, carry_fields)
+        j = local.join(F.broadcast(carries), BUCKET, "left")
     pos1 = (F.col(idx_col) % F.lit(BUCKET_SIZE) + 1).cast("double")  # i+1
 
     def total(kind, src, a, power):

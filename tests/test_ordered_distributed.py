@@ -174,7 +174,7 @@ def test_no_single_partition_window_in_plan(df):
 
     for m in re.finditer(r"Window \[(.*?)\], \[(.*?)\]", plan):
         spec = m.group(0)
-        assert "__bkt__" in spec or "__pid__" in spec or "windowspecdefinition" not in spec
+        assert "__bkt__" in spec or "__pid__" in spec or "__vpid__" in spec or "windowspecdefinition" not in spec
 
 
 def test_spearman_average_ranks(spark):
