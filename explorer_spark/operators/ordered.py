@@ -467,59 +467,111 @@ def _geo_scan(x, c):
 def ewm_global(sdf: SDF, idx_col: str, specs: dict) -> SDF:
     """Distributed ungrouped EWM over global index order.
 
-    specs: out_name -> (kind, src_col, alpha, adjust), kind in
-    {mean, variance, standard_deviation} — pandas-equivalent results
-    (adjust True/False, ignore_na=False, bias=False variance) without
-    ever funnelling the frame through one task.  Variance/std with
-    adjust=False falls back to NotImplementedError (use the grouped
-    path); mean supports both adjust modes.
+    specs: out_name -> (kind, src_col, alpha, adjust[, ignore_nils]),
+    kind in {mean, variance, standard_deviation}.  ``ignore_nils=True``
+    (the reference default, lib/explorer/series.ex:5325) skips nulls
+    entirely: the recursion runs over the compacted valid subsequence
+    (valid-rank positions), which keeps every adjust/variance combination
+    an exact linear accumulation.  ``ignore_nils=False`` matches pandas
+    ``ignore_na=False`` (weights decay by absolute position); its
+    adjust=False variant renormalizes after each valid value, which is
+    only linear when the column has no internal nulls — that corner
+    raises NotImplementedError and the caller falls back to a
+    single-task pass.
+
+    adjust=False reweights the accumulated adjust=True channels in
+    closed form: the first valid value keeps weight c^d instead of
+    a*c^d, so num' = a*num + (1-a)*cw*x0, ssq' = a*ssq + (1-a)*cw*x0^2,
+    den' = a*den + (1-a)*cw, dn2' = a^2*dn2 + (1-a^2)*cw^2 with
+    cw = c^(distance from the first valid value).
     """
     import pandas as pd
 
-    for out_name, (kind, _s, _a, adjust) in specs.items():
-        if kind != "mean" and not adjust:
-            raise NotImplementedError("distributed ewm variance/std requires adjust=True")
+    specs = {o: (t + (True,) if len(t) == 4 else t) for o, t in specs.items()}
 
-    srcs = sorted({src for (_k, src, _a, _adj) in specs.values()})
-    alphas = sorted({a for (_k, _s, a, _adj) in specs.values()})
-    needs_sq = any(k != "mean" for (k, _s, _a, _adj) in specs.values())
+    # ignore_nils=False + adjust=False is only a linear recursion when the
+    # source has no internal nulls — check once, cheaply
+    gap_srcs = sorted({src for (_k, src, _a, adj, ign) in specs.values() if not ign and not adj})
+    if gap_srcs:
+        counts = sdf.agg(
+            *[
+                F.sum(
+                    F.when(F.col(c).isNull() | F.isnan(F.col(c).cast("double")), 1).otherwise(0)
+                ).alias(c)
+                for c in gap_srcs
+            ]
+        ).collect()[0]
+        for c in gap_srcs:
+            if (counts[c] or 0) > 0:
+                raise NotImplementedError(
+                    "ewm with ignore_nils=False, adjust=False over a column with nulls "
+                    "renormalizes per observation; use ignore_nils=True or the grouped path"
+                )
+
+    src_keys = sorted({(src, ign) for (_k, src, _a, _adj, ign) in specs.values()})
+    alphas = sorted({a for (_k, _s, a, _adj, _i) in specs.values()})
+    needs_sq = any(k != "mean" for (k, _s, _a, _adj, _i) in specs.values())
 
     s = sdf.withColumn(BUCKET, F.floor(F.col(idx_col) / F.lit(BUCKET_SIZE)))
 
-    # accumulator channels per (src, alpha): num/den at ratio c=(1-a), and
-    # ssq/dn2 at ratio c^2 when variance/std is requested
+    # accumulator channels per (src, alpha, ignore_nils): num/den at ratio
+    # c=(1-a), and ssq/dn2 at ratio c^2 when variance/std is requested
     all_chans = []
-    for src in srcs:
+    for (src, ign) in src_keys:
         for a in alphas:
-            all_chans += [("num", src, a, 1), ("den", src, a, 1)]
+            all_chans += [("num", src, a, ign, 1), ("den", src, a, ign, 1)]
             if needs_sq:
                 # ssq = sum w*x^2 shares the weight ratio c; only the
                 # squared-weight sum dn2 = sum w^2 decays at c^2
-                all_chans += [("ssq", src, a, 1), ("dn2", src, a, 2)]
+                all_chans += [("ssq", src, a, ign, 1), ("dn2", src, a, ign, 2)]
 
-    def cname(kind, src, a):
-        return f"__{kind}_{src}_{str(a).replace('.', '_')}__"
+    def cname(kind, src, a, ign):
+        return f"__{kind}_{src}_{str(a).replace('.', '_')}_{int(ign)}__"
+
+    def kname(src):
+        return f"__k_{src}__"
+
+    # per-src valid-rank columns, needed by every ignore_nils=True channel
+    k_srcs = sorted({src for (src, ign) in src_keys if ign})
 
     fields = list(sdf.schema.fields) + [T.StructField(BUCKET, T.LongType())]
     local_schema = T.StructType(
-        fields + [T.StructField(cname(k, s_, a), T.DoubleType()) for (k, s_, a, _p) in all_chans]
+        fields
+        + [T.StructField(kname(src), T.LongType()) for src in k_srcs]
+        + [T.StructField(cname(k, s_, a, i), T.DoubleType()) for (k, s_, a, i, _p) in all_chans]
     )
 
     def local_pass(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
         pdf = pdf.sort_values(idx_col).reset_index(drop=True)
-        for (kind, src, a, power) in all_chans:
-            c = (1.0 - a) ** power
+        xs = {}
+        for src in sorted({src for (_k, src, _a, _i, _p) in all_chans}):
             x = pdf[src].to_numpy(dtype="float64", na_value=np.nan)
-            valid = ~np.isnan(x)
-            if kind == "num":
-                w = np.where(valid, x, 0.0)
-            elif kind == "ssq":
-                w = np.where(valid, x * x, 0.0)
-            else:  # den / dn2
-                w = valid.astype("float64")
-            pdf[cname(kind, src, a)] = _geo_scan(w, c)
+            xs[src] = (x, ~np.isnan(x))
+        for src in k_srcs:
+            pdf[kname(src)] = np.cumsum(xs[src][1]).astype("int64")
+        for (kind, src, a, ign, power) in all_chans:
+            c = (1.0 - a) ** power
+            x, valid = xs[src]
+            if ign:
+                xv = x[valid]
+                if kind == "num":
+                    w = xv
+                elif kind == "ssq":
+                    w = xv * xv
+                else:
+                    w = np.ones(len(xv))
+                scan = np.concatenate([[0.0], _geo_scan(w, c)])
+                pdf[cname(kind, src, a, ign)] = scan[np.cumsum(valid)]
+            else:
+                if kind == "num":
+                    w = np.where(valid, x, 0.0)
+                elif kind == "ssq":
+                    w = np.where(valid, x * x, 0.0)
+                else:
+                    w = valid.astype("float64")
+                pdf[cname(kind, src, a, ign)] = _geo_scan(w, c)
         return pdf
 
     local = s.groupBy(BUCKET).applyInPandas(local_pass, local_schema).persist()
@@ -527,49 +579,60 @@ def ewm_global(sdf: SDF, idx_col: str, specs: dict) -> SDF:
     # bucket end states -> incoming carries, combined on the driver
     # (ceil(n/B) rows, bounded — same bound as the zipWithIndex stats job)
     end_aggs = [F.max(F.col(idx_col)).alias("__last__")] + [
-        F.max_by(F.col(cname(k, s_, a)), F.col(idx_col)).alias(cname(k, s_, a))
-        for (k, s_, a, _p) in all_chans
-    ]
+        F.max_by(F.col(cname(k, s_, a, i)), F.col(idx_col)).alias(cname(k, s_, a, i))
+        for (k, s_, a, i, _p) in all_chans
+    ] + [F.max(F.col(kname(src))).alias(kname(src)) for src in k_srcs]
     ends = local.groupBy(BUCKET).agg(*end_aggs)
     ends = ends.withColumn("__len__", F.col("__last__") % F.lit(BUCKET_SIZE) + 1).drop("__last__")
     end_rows = ends.collect()
     end_rows.sort(key=lambda r: r[BUCKET])
-    carry_by_chan: dict = {cname(k, s_, a): {} for (k, s_, a, _p) in all_chans}
-    running = {cname(k, s_, a): 0.0 for (k, s_, a, _p) in all_chans}
+    carry_by_chan: dict = {cname(k, s_, a, i): {} for (k, s_, a, i, _p) in all_chans}
+    voff_by_src: dict = {src: {} for src in k_srcs}  # valid-rank offsets
+    running = {cname(k, s_, a, i): 0.0 for (k, s_, a, i, _p) in all_chans}
+    vrun = {src: 0 for src in k_srcs}
     for r in end_rows:
-        for (kind, src, a, power) in all_chans:
+        for (kind, src, a, ign, power) in all_chans:
             c = (1.0 - a) ** power
-            nm = cname(kind, src, a)
+            nm = cname(kind, src, a, ign)
+            steps = int(r[kname(src)]) if ign else int(r["__len__"])
             carry_by_chan[nm][r[BUCKET]] = running[nm]
-            running[nm] = r[nm] + (c ** int(r["__len__"])) * running[nm]
+            running[nm] = r[nm] + (c ** steps) * running[nm]
+        for src in k_srcs:
+            voff_by_src[src][r[BUCKET]] = vrun[src]
+            vrun[src] += int(r[kname(src)])
     nb = (max(end_rows, key=lambda r: r[BUCKET])[BUCKET] + 1) if end_rows else 0
+    extra = {("__carry_" + nm): (vals, T.DoubleType(), 0.0) for nm, vals in carry_by_chan.items()}
+    extra.update(
+        {f"__voff_{src}__": (vals, T.LongType(), 0) for src, vals in voff_by_src.items()}
+    )
     if nb <= ARRAY_LOOKUP_MAX:
         j = local.withColumns(
             {
-                "__carry_" + nm: _array_lookup(F.col(BUCKET), _dense(vals, nb, 0.0), T.DoubleType())
-                for nm, vals in carry_by_chan.items()
+                nm: _array_lookup(F.col(BUCKET), _dense(vals, nb, dflt), dt)
+                for nm, (vals, dt, dflt) in extra.items()
             }
         )
     else:
+        names = sorted(extra)
         carry_fields = [T.StructField(BUCKET, T.LongType())] + [
-            T.StructField("__carry_" + cname(k, s_, a), T.DoubleType()) for (k, s_, a, _p) in all_chans
+            T.StructField(nm, extra[nm][1]) for nm in names
         ]
         carry_rows = [
-            tuple([b] + [carry_by_chan[cname(k, s_, a)].get(b, 0.0) for (k, s_, a, _p) in all_chans])
+            tuple([b] + [extra[nm][0].get(b, extra[nm][2]) for nm in names])
             for b in sorted({r[BUCKET] for r in end_rows})
         ]
-        carries = _lookup_df(sdf.sparkSession, carry_rows, carry_fields)
-        j = local.join(F.broadcast(carries), BUCKET, "left")
-    pos1 = (F.col(idx_col) % F.lit(BUCKET_SIZE) + 1).cast("double")  # i+1
+        j = local.join(F.broadcast(_lookup_df(sdf.sparkSession, carry_rows, carry_fields)), BUCKET, "left")
+    abs_pos = (F.col(idx_col) % F.lit(BUCKET_SIZE) + 1).cast("double")  # i+1
 
-    def total(kind, src, a, power):
+    def total(kind, src, a, ign, power):
         c = float((1.0 - a) ** power)
-        carry = F.coalesce(F.col("__carry_" + cname(kind, src, a)), F.lit(0.0))
-        return F.col(cname(kind, src, a)) + F.pow(F.lit(c), pos1) * carry
+        carry = F.coalesce(F.col("__carry_" + cname(kind, src, a, ign)), F.lit(0.0))
+        pos = F.col(kname(src)).cast("double") if ign else abs_pos
+        return F.col(cname(kind, src, a, ign)) + F.pow(F.lit(c), pos) * carry
 
     # first-valid scalars, needed once per adjust=False source
     fv_cols = []
-    for out_name, (kind, src, a, adjust) in specs.items():
+    for out_name, (kind, src, a, adjust, ign) in specs.items():
         if adjust:
             continue
         x0, j0 = f"__x0_{out_name}__", f"__j0_{out_name}__"
@@ -583,23 +646,34 @@ def ewm_global(sdf: SDF, idx_col: str, specs: dict) -> SDF:
         fv_cols += [x0, j0]
 
     out_cols = {}
-    for out_name, (kind, src, a, adjust) in specs.items():
-        num, den = total("num", src, a, 1), total("den", src, a, 1)
+    for out_name, (kind, src, a, adjust, ign) in specs.items():
+        num, den = total("num", src, a, ign, 1), total("den", src, a, ign, 1)
+        cw = None
         if not adjust:
             # adjust=False gives the FIRST valid value weight 1 instead of
-            # alpha: num' = a*num + (1-a)*x0*c^(t-j0), same for den
+            # alpha: num' = a*num + (1-a)*x0*c^d, same for den/ssq/dn2
             x0, j0 = F.col(f"__x0_{out_name}__"), F.col(f"__j0_{out_name}__")
-            dist = (F.col(idx_col) - j0).cast("double")
-            cw = F.when(j0.isNotNull() & (F.col(idx_col) >= j0), F.pow(F.lit(1.0 - a), dist)).otherwise(
-                F.lit(0.0)
-            )
+            if ign:
+                # distance counted in VALID observations: global valid rank-1
+                gvr = F.col(f"__voff_{src}__") + F.col(kname(src))
+                dist = (gvr - 1).cast("double")
+                cw = F.when(gvr >= 1, F.pow(F.lit(1.0 - a), dist)).otherwise(F.lit(0.0))
+            else:
+                dist = (F.col(idx_col) - j0).cast("double")
+                cw = F.when(
+                    j0.isNotNull() & (F.col(idx_col) >= j0), F.pow(F.lit(1.0 - a), dist)
+                ).otherwise(F.lit(0.0))
             num = a * num + (1.0 - a) * cw * x0.cast("double")
             den = a * den + (1.0 - a) * cw
         mean = num / den
         if kind == "mean":
             expr = mean
         else:
-            ssq, dn2 = total("ssq", src, a, 1), total("dn2", src, a, 2)
+            ssq, dn2 = total("ssq", src, a, ign, 1), total("dn2", src, a, ign, 2)
+            if not adjust:
+                x0d = F.col(f"__x0_{out_name}__").cast("double")
+                ssq = a * ssq + (1.0 - a) * cw * x0d * x0d
+                dn2 = (a * a) * dn2 + (1.0 - a * a) * cw * cw
             var_b = ssq / den - mean * mean
             corr = (den * den) / (den * den - dn2)
             expr = F.when(den * den > dn2, F.greatest(var_b * corr, F.lit(0.0))).otherwise(F.lit(None))
@@ -608,7 +682,8 @@ def ewm_global(sdf: SDF, idx_col: str, specs: dict) -> SDF:
         out_cols[out_name] = F.when(den > 0, expr).otherwise(F.lit(None))
 
     j = j.withColumns(out_cols)
-    drop = [cname(k, s_, a) for (k, s_, a, _p) in all_chans]
-    drop += ["__carry_" + cname(k, s_, a) for (k, s_, a, _p) in all_chans]
+    drop = [cname(k, s_, a, i) for (k, s_, a, i, _p) in all_chans]
+    drop += ["__carry_" + cname(k, s_, a, i) for (k, s_, a, i, _p) in all_chans]
+    drop += [kname(src) for src in k_srcs] + [f"__voff_{src}__" for src in k_srcs]
     drop += [BUCKET] + fv_cols
     return j.drop(*drop)

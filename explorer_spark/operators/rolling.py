@@ -106,28 +106,36 @@ def register() -> None:
 # --------------------------------------------------------------------------
 
 
-def ewm_columns(frame, specs: dict[str, tuple[str, str, float, bool]], order_cols=None):
+def ewm_columns(frame, specs: dict[str, tuple], order_cols=None):
     """Add EWM columns to a frame.
 
-    specs: out_name -> (kind, src_col, alpha, adjust) with kind in
-    {"mean", "variance", "standard_deviation"}.
+    specs: out_name -> (kind, src_col, alpha, adjust[, ignore_nils]) with
+    kind in {"mean", "variance", "standard_deviation"}.  ignore_nils
+    defaults to True (reference lib/explorer/series.ex:5325-5345: nulls
+    are skipped entirely); False decays weights by absolute position
+    (pandas ignore_na=False).
     """
     import pandas as pd
 
     from ..frame import ORDER_COL, DataFrame
 
+    specs = {o: (t + (True,) if len(t) == 4 else t) for o, t in specs.items()}
     base = frame._ordered()
     sdf = base._sdf
     schema_fields = sdf.schema.fields
     from pyspark.sql import types as T
 
-    out_schema = T.StructType(list(schema_fields) + [T.StructField(n, T.DoubleType()) for n in specs])
+    # an out name may REPLACE its source column (pandas assigns by name)
+    out_schema = T.StructType(
+        [f for f in schema_fields if f.name not in specs]
+        + [T.StructField(n, T.DoubleType()) for n in specs]
+    )
     groups = list(frame.groups)
 
     def apply_fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(ORDER_COL)
-        for out_name, (kind, src, alpha, adjust) in specs.items():
-            ew = pdf[src].ewm(alpha=alpha, adjust=adjust, min_periods=1)
+        for out_name, (kind, src, alpha, adjust, ign) in specs.items():
+            ew = pdf[src].ewm(alpha=alpha, adjust=adjust, ignore_na=ign, min_periods=1)
             if kind == "mean":
                 pdf[out_name] = ew.mean()
             elif kind == "variance":
@@ -148,7 +156,9 @@ def ewm_columns(frame, specs: dict[str, tuple[str, str, float, bool]], order_col
         out = ewm_global(idxed._sdf, "__eidx__", specs).drop("__eidx__")
         return DataFrame(out, groups=[], has_order=True)
     except NotImplementedError:
-        # variance/std with adjust=False: sequential single-task fallback
+        # ignore_nils=False + adjust=False over a null-bearing column:
+        # the recursion renormalizes per observation (nonlinear across
+        # buckets) — honest single-task fallback for this corner
         out = sdf.withColumn("__g__", F.lit(1)).groupBy("__g__").applyInPandas(
             lambda pdf: apply_fn(pdf.drop(columns="__g__")), out_schema
         )

@@ -311,6 +311,31 @@ def q_ewm_mean(spark, sf_dir):
 
 
 @query(
+    "q_ewm_global",
+    """
+    WITH s AS (
+        SELECT event_id, value, row_number() OVER (ORDER BY ts, event_id) - 1 AS i
+        FROM events
+        ORDER BY ts, event_id LIMIT 2000
+    )
+    SELECT event_id,
+           ROUND(SUM(value * POW(1.25, i)) OVER w / SUM(POW(1.25, i)) OVER w, 6) AS ewm
+    FROM s
+    WINDOW w AS (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_ewm_global(spark, sf_dir):
+    """UNGROUPED ewm_mean(alpha=0.2, adjust=True) over global frame order
+    through the distributed bucket-composition kernel
+    (operators/ordered.py ewm_global) — never a single whole-frame task.
+    Restricted to the first 2000 rows so the oracle's POW(1.25, i)
+    closed form stays inside double range."""
+    ev = _t(spark, sf_dir, "events").sort_by("ts", "event_id").slice(0, 2000)
+    out = ev.ewm(ewm=("mean", "value", 0.2, True))
+    return out.mutate(ewm=f.round(col("ewm"), 6)).select(["event_id", "ewm"]).lazy_sdf()
+
+
+@query(
     "q_rank_ties",
     """
     SELECT c_custkey,

@@ -202,12 +202,17 @@ def test_ewm_mean_matches_pandas(spark, pdf, alpha, adjust):
     assert np.allclose(got, want.to_numpy(), rtol=1e-9, equal_nan=True)
 
 
-def test_ewm_mean_with_nulls_matches_pandas(spark):
+@pytest.mark.parametrize("adjust", [True, False])
+@pytest.mark.parametrize("ign", [True, False])
+def test_ewm_mean_with_nulls_matches_pandas(spark, adjust, ign):
+    """ignore_nils=True is the reference default (series.ex:5325); False
+    decays by absolute position. The False+adjust=False case goes through
+    the single-task fallback (nonlinear renormalization)."""
     vals = [None, None, 1.0, None, 4.0, 2.0, None, 8.0, None, None, 3.0] * 5
     pdf2 = pd.DataFrame({"v": vals})
     df = from_pandas(pdf2, spark=spark)
-    got = df.ewm(e=("mean", "v", 0.4, True)).to_columns()["e"]
-    want = pdf2["v"].ewm(alpha=0.4, adjust=True, min_periods=1, ignore_na=False).mean()
+    got = df.ewm(e=("mean", "v", 0.4, adjust, ign)).to_columns()["e"]
+    want = pdf2["v"].ewm(alpha=0.4, adjust=adjust, min_periods=1, ignore_na=ign).mean()
     import numpy as np
 
     w = want.to_numpy()
@@ -215,16 +220,32 @@ def test_ewm_mean_with_nulls_matches_pandas(spark):
     assert np.allclose(g, w, rtol=1e-9, equal_nan=True)
 
 
-def test_ewm_var_std_match_pandas(spark, pdf):
+@pytest.mark.parametrize("adjust", [True, False])
+def test_ewm_var_std_match_pandas(spark, pdf, adjust):
     df = from_pandas(pdf, spark=spark)
-    got = df.ewm(v=("variance", "y", 0.3, True), s=("standard_deviation", "y", 0.3, True)).to_columns()
-    ew = pdf["y"].ewm(alpha=0.3, adjust=True, min_periods=1)
+    got = df.ewm(
+        v=("variance", "y", 0.3, adjust), s=("standard_deviation", "y", 0.3, adjust)
+    ).to_columns()
+    ew = pdf["y"].ewm(alpha=0.3, adjust=adjust, min_periods=1)
     import numpy as np
 
     gv = np.array([np.nan if x is None else x for x in got["v"]], dtype="float64")
     gs = np.array([np.nan if x is None else x for x in got["s"]], dtype="float64")
     assert np.allclose(gv, ew.var(bias=False).to_numpy(), rtol=1e-8, equal_nan=True)
     assert np.allclose(gs, ew.std(bias=False).to_numpy(), rtol=1e-8, equal_nan=True)
+
+
+@pytest.mark.parametrize("ign", [True, False])
+def test_ewm_var_adjust_false_with_nulls(spark, ign):
+    vals = [None, 2.0, None, 4.0, 1.0, None, 8.0, 3.0, None, 5.0] * 4
+    pdf2 = pd.DataFrame({"v": vals})
+    df = from_pandas(pdf2, spark=spark)
+    got = df.ewm(v=("variance", "v", 0.4, False, ign)).to_columns()["v"]
+    want = pdf2["v"].ewm(alpha=0.4, adjust=False, min_periods=1, ignore_na=ign).var(bias=False)
+    import numpy as np
+
+    g = np.array([np.nan if x is None else x for x in got], dtype="float64")
+    assert np.allclose(g, want.to_numpy(), rtol=1e-8, equal_nan=True)
 
 
 def test_ewm_no_single_partition_window(spark, pdf):
