@@ -775,47 +775,73 @@ class DataFrame:
         by = list(by or [])
         if not by:
             return self._asof_merge(other, on, strategy, suffix)
+        # merge-sorted rendering: union both sides tagged, ONE hash
+        # exchange on the by-keys, and carry the nearest right row to each
+        # left row with last(ignorenulls) over a (key, side) sort — shuffle
+        # size O(|L|+|R|), no per-key pair blowup, no per-left-row window
+        # (the former equi-join + top-1 design materialized |L_k|x|R_k|
+        # pairs per key; fatal for keys with many right rows at scale).
         left = self._ordered()
-        lsdf = left._sdf.withColumn("__lid__", F.col(ORDER_COL))
+        lsdf = left._sdf
         rsdf = other.lazy_sdf()
-        # suffix right collisions (except on/by merge cols)
+        # suffix right collisions; right by-keys take the LEFT names so the
+        # union aligns them; the right on-key becomes payload __rk__
         rmap = {}
         left_names = set(self.names)
         for c in [c for c in rsdf.columns]:
-            if c == on or c in by:
-                rmap[c] = f"__r_{c}__"
-            elif c in left_names:
+            if c == on:
+                rmap[c] = "__rk__"
+            elif c in by:
+                continue
+            elif c in left_names or c == ORDER_COL:
                 rmap[c] = f"{c}{suffix}"
         for old, new in rmap.items():
             rsdf = rsdf.withColumnRenamed(old, new)
-        ron = f"__r_{on}__"
-        cond = None
-        for b in by:
-            c = lsdf[b] == rsdf[f"__r_{b}__"]
-            cond = c if cond is None else (cond & c)
-        if strategy == "backward":
-            rng = rsdf[ron] <= lsdf[on]
-        elif strategy == "forward":
-            rng = rsdf[ron] >= lsdf[on]
-        else:
-            rng = F.lit(True)
-        cond = rng if cond is None else (cond & rng)
-        joined = lsdf.join(rsdf, cond, "left")
-        lnum = self._asof_numeric(lsdf[on], self.dtypes.get(on))
-        rnum = self._asof_numeric(joined[ron], other.dtypes.get(on))
-        if strategy == "nearest":
-            dist = F.abs(lnum - rnum)
-        elif strategy == "forward":
-            dist = rnum - lnum
-        else:
-            dist = lnum - rnum
-        # secondary key: deterministic tie-break toward the EARLIER right
-        # key when a nearest match is equidistant before and after
-        w = W.partitionBy("__lid__").orderBy(
-            F.when(joined[ron].isNull(), None).otherwise(dist).asc_nulls_last(), rnum.asc_nulls_last()
+        rpay_cols = [c for c in rsdf.columns if c not in by]  # incl. __rk__
+        lu = lsdf.withColumn("__k__", F.col(on)).withColumn("__side__", F.lit(0))
+        ru = rsdf.withColumn("__k__", F.col("__rk__")).withColumn("__side__", F.lit(1))
+        u = lu.unionByName(ru, allowMissingColumns=True)
+        rstruct = F.when(
+            (F.col("__side__") == 1) & F.col("__k__").isNotNull(),
+            F.struct(*[F.col(c).alias(c) for c in rpay_cols]),
         )
-        out = joined.withColumn("__rn__", F.row_number().over(w)).filter(F.col("__rn__") == 1)
-        out = out.drop("__rn__", "__lid__", ron, *[f"__r_{b}__" for b in by])
+        # at an equal key the right row sorts before the left row (side
+        # desc), so backward/forward are inclusive; duplicate right keys
+        # resolve to the LAST right occurrence (right order ascending)
+        rord = F.col(f"{ORDER_COL}{suffix}") if f"{ORDER_COL}{suffix}" in rsdf.columns else F.lit(0)
+        picks = {}
+        if strategy in ("backward", "nearest"):
+            wb = (
+                W.partitionBy(*by)
+                .orderBy(F.col("__k__").asc(), F.col("__side__").desc(), rord.asc_nulls_last())
+                .rowsBetween(W.unboundedPreceding, 0)
+            )
+            picks["b"] = F.last(rstruct, ignorenulls=True).over(wb)
+        if strategy in ("forward", "nearest"):
+            wf = (
+                W.partitionBy(*by)
+                .orderBy(F.col("__k__").desc(), F.col("__side__").desc(), rord.asc_nulls_last())
+                .rowsBetween(W.unboundedPreceding, 0)
+            )
+            picks["f"] = F.last(rstruct, ignorenulls=True).over(wf)
+        u = u.withColumns({f"__pick_{k}__": v for k, v in picks.items()})
+        out = u.filter(F.col("__side__") == 0)
+        lnum = self._asof_numeric(F.col(on), self.dtypes.get(on))
+        if strategy == "nearest":
+            bnum = self._asof_numeric(F.col("__pick_b__.__rk__"), other.dtypes.get(on))
+            fnum = self._asof_numeric(F.col("__pick_f__.__rk__"), other.dtypes.get(on))
+            db, df_ = F.abs(lnum - bnum), F.abs(fnum - lnum)
+            # equidistant ties resolve toward the EARLIER right key
+            use_b = F.when(F.col("__pick_f__").isNull(), F.lit(True)).otherwise(
+                F.col("__pick_b__").isNotNull() & (db <= df_)
+            )
+            pick = F.when(use_b, F.col("__pick_b__")).otherwise(F.col("__pick_f__"))
+        else:
+            pick = F.col("__pick_b__" if strategy == "backward" else "__pick_f__")
+        pick = F.when(F.col(on).isNotNull(), pick)
+        payload = [c for c in rpay_cols if c not in ("__rk__", f"{ORDER_COL}{suffix}")]
+        out = out.withColumns({c: pick[c] for c in payload})
+        out = out.drop("__k__", "__side__", "__rk__", f"{ORDER_COL}{suffix}", *[f"__pick_{k}__" for k in picks])
         return DataFrame(out, groups=self.groups, has_order=True)
 
     def _asof_merge(self, other: "DataFrame", on: str, strategy: str, suffix: str) -> "DataFrame":
