@@ -324,7 +324,20 @@ class DataFrame:
         from .operators import ordered as ordk
         from .operators.rolling import _ROLL_FNS, _frame_bounds
 
-        needs_idx = any(_tree_has(e, *ORDERED_EXPR_OPS) for e in exprs)
+        # value-statistic ranks (min/max/average/dense/random) never read
+        # the row index — skip the whole index kernel when nothing else
+        # does (e.g. a spearman mutate ranks two columns and aggregates)
+        def _needs_idx(e) -> bool:
+            if not isinstance(e, Expr):
+                return False
+            if e.op in ORDERED_EXPR_OPS and not (
+                e.op == "rank"
+                and (len(e.args) < 2 or e.args[1] in ("min", "max", "average", "dense", "random"))
+            ):
+                return True
+            return any(_needs_idx(a) for a in e.args)
+
+        needs_idx = any(_needs_idx(e) for e in exprs)
         base = self._with_row_index(self._IDX) if needs_idx else self._ordered()
         state = {"sdf": base._sdf, "n": 0}
         plain = LowerCtx()
