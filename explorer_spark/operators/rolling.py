@@ -49,6 +49,11 @@ def _lower_rolling(op):
         if weights is not None:
             return _lower_weighted(ctx, a, op, window_size, list(weights), min_periods, center)
         lo, hi = _frame_bounds(window_size, center)
+        if op == "window_median":
+            # Spark's median/percentile aggregates reject window frames
+            # (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC) — build the window
+            # as lag/lead positions and take the exact array median.
+            return _lower_median(ctx, a, window_size, min_periods, center)
         w = _ordered_window(ctx).rowsBetween(lo, hi)
         c = _c(a, ctx)
         out = _ROLL_FNS[op](c).over(w)
@@ -63,33 +68,141 @@ def _lower_rolling(op):
 
 
 def _lower_weighted(ctx, a, op, n, weights, min_periods, center):
-    if op not in ("window_sum", "window_mean"):
-        raise NotImplementedError(f"weights not supported for {op}")
-    if center:
-        raise NotImplementedError("weighted + center not supported yet")
+    """Weighted rolling aggregates as closed-form lag/lead expressions.
+
+    Each relative window position ``p`` in ``[lo, hi]`` carries the fixed
+    weight ``weights[p - lo]`` (weights[0] -> oldest element). Positions
+    that fall off the frame edge contribute nothing, which matches the
+    reference's truncated-window alignment (window_min doctest,
+    lib/explorer/series.ex:5229: first partial window pairs the value
+    with the LAST weight).
+
+    Semantics per op (reference doctests, series.ex:5123-5342):
+    - sum/mean: weighted sum / weight-normalized mean.
+    - min/max: elementwise value*weight, then min/max (polars rule).
+    - standard_deviation: sqrt(sum w*(x-mu_w)^2 / sum w) — the biased
+      weighted variance (series.ex:5295 doctest: 0.433..., not the
+      ddof=1 0.707...). Scale-invariant in the weights.
+    - median: weighted quantile(0.5) with linear interpolation over
+      cumulative weights. Polars' weighted rolling-median interpolation
+      is implementation-defined (its own docs call the weighted-quantile
+      method non-canonical); we document linear-cumulative-weight
+      semantics rather than chase it.
+    """
+    lo, hi = _frame_bounds(n, center)
     w = _ordered_window(ctx)
     c = _c(a, ctx)
-    # weights[0] applies to the OLDEST element of the window
-    terms = []
-    wsum_terms = []
-    for k in range(n):
-        lagged = F.lag(c, n - 1 - k).over(w)
-        weight = F.lit(float(weights[k]))
-        terms.append(F.when(lagged.isNotNull(), lagged * weight).otherwise(F.lit(0.0)))
-        wsum_terms.append(F.when(lagged.isNotNull(), weight).otherwise(F.lit(0.0)))
-    total = terms[0]
-    for t in terms[1:]:
-        total = total + t
-    if op == "window_sum":
-        out = total
+
+    def pos_val(p):
+        # element at relative position p: lag for p<0, lead for p>0
+        return F.lag(c, -p).over(w) if p != 0 else c
+
+    vals = [pos_val(lo + k) for k in range(n)]
+    wts = [float(weights[k]) for k in range(n)]
+
+    if op in ("window_min", "window_max"):
+        scaled = [v * F.lit(wk) for v, wk in zip(vals, wts)]
+        out = (F.least if op == "window_min" else F.greatest)(*scaled) if n > 1 else scaled[0]
+    elif op == "window_median":
+        out = _weighted_quantile_expr(vals, wts, 0.5)
     else:
-        wsum = wsum_terms[0]
-        for t in wsum_terms[1:]:
+        sw = [F.when(v.isNotNull(), F.lit(wk)).otherwise(F.lit(0.0)) for v, wk in zip(vals, wts)]
+        swx = [F.when(v.isNotNull(), v * F.lit(wk)).otherwise(F.lit(0.0)) for v, wk in zip(vals, wts)]
+        wsum = sw[0]
+        total = swx[0]
+        for t in sw[1:]:
             wsum = wsum + t
-        out = total / F.nullif(wsum, F.lit(0.0))
+        for t in swx[1:]:
+            total = total + t
+        if op == "window_sum":
+            out = total
+        elif op == "window_mean":
+            out = total / F.nullif(wsum, F.lit(0.0))
+        else:  # window_standard_deviation
+            swx2 = [
+                F.when(v.isNotNull(), v * v * F.lit(wk)).otherwise(F.lit(0.0))
+                for v, wk in zip(vals, wts)
+            ]
+            total2 = swx2[0]
+            for t in swx2[1:]:
+                total2 = total2 + t
+            wsum_nz = F.nullif(wsum, F.lit(0.0))
+            mu = total / wsum_nz
+            var = total2 / wsum_nz - mu * mu
+            out = F.sqrt(F.greatest(var, F.lit(0.0)))
     mp = 1 if min_periods is None else min_periods
-    cnt = F.count(c).over(w.rowsBetween(-(n - 1), 0))
+    cnt = F.count(c).over(w.rowsBetween(lo, hi))
     return F.when(cnt >= mp, out)
+
+
+def _lower_median(ctx, a, window_size, min_periods, center):
+    """Exact rolling median as lag/lead positions + sorted-array midpoint.
+
+    Matches the reference doctest (series.ex:5182-5186: window_median(1..10, 4)
+    -> [1.0, 1.5, 2.0, 2.5, 3.5, ...]): the median of the non-nil values in
+    the window, averaging the two middle values for even counts. Spark's
+    median/percentile aggregates reject window frames, hence the explicit
+    positional construction; cost is O(n log n) expressions per row in the
+    (small, fixed) window size, all within one projection — no extra shuffle.
+    """
+    lo, hi = _frame_bounds(window_size, center)
+    w = _ordered_window(ctx)
+    c = _c(a, ctx)
+
+    def pos_val(p):
+        return F.lag(c, -p).over(w) if p != 0 else c
+
+    vals = [pos_val(lo + k).cast("double") for k in range(window_size)]
+    arr = F.array_sort(F.filter(F.array(*vals), lambda x: x.isNotNull()))
+    n = F.size(arr)
+    mid_lo = F.get(arr, F.floor((n - F.lit(1)) / F.lit(2)).cast("int"))
+    mid_hi = F.get(arr, F.floor(n / F.lit(2)).cast("int"))
+    out = (mid_lo + mid_hi) / F.lit(2.0)
+    mp = 1 if min_periods is None else min_periods
+    cnt = F.count(c).over(w.rowsBetween(lo, hi))
+    return F.when(cnt >= mp, out)
+
+
+def _weighted_quantile_expr(vals, wts, q):
+    """Weighted quantile via array sort + cumulative-weight linear interp.
+
+    Builds (value, weight) structs for non-null positions, sorts by
+    value, and interpolates where the normalized cumulative weight
+    crosses ``q``. Pure built-in array expressions (no UDF); cost is
+    O(n log n) per row in the window size, fine for the small fixed
+    windows the verb is for.
+    """
+    pairs = F.array_sort(
+        F.filter(
+            F.array(
+                *[F.struct(v.alias("v"), F.lit(wk).alias("w")) for v, wk in zip(vals, wts)]
+            ),
+            lambda s: s["v"].isNotNull(),
+        )
+    )
+    wsum = F.aggregate(pairs, F.lit(0.0), lambda acc, s: acc + s["w"])
+    target = wsum * F.lit(float(q))
+    # cum[i] = cumulative weight through element i
+    n = F.size(pairs)
+    idxs = F.sequence(F.lit(0), n - 1)
+    cums = F.transform(
+        idxs,
+        lambda i: F.aggregate(F.slice(pairs, 1, i + 1), F.lit(0.0), lambda acc, s: acc + s["w"]),
+    )
+    # first index whose cumulative weight reaches the target;
+    # array_position yields 0 (not null) when nothing matches, so guard
+    # explicitly instead of coalescing
+    pos = F.array_position(F.transform(cums, lambda cw: cw >= target), F.lit(True))
+    k = F.when(pos > 0, pos - 1).otherwise(n - 1)
+    vk = F.get(pairs, k)["v"]
+    prev_cum = F.when(k > 0, F.get(cums, k - 1)).otherwise(F.lit(0.0))
+    prev_v = F.when(k > 0, F.get(pairs, k - 1)["v"]).otherwise(vk)
+    frac = (target - prev_cum) / F.nullif(F.get(cums, k) - prev_cum, F.lit(0.0))
+    interp = prev_v + (vk - prev_v) * F.coalesce(frac, F.lit(1.0))
+    # below the first element's own mass, no interpolation span exists
+    return F.when(n == 0, F.lit(None).cast("double")).otherwise(
+        F.when(k == 0, vk.cast("double")).otherwise(interp.cast("double"))
+    )
 
 
 def register() -> None:

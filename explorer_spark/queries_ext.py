@@ -251,6 +251,52 @@ def q_window_weighted(spark, sf_dir):
 
 
 @query(
+    "q_window_rolling_full",
+    """
+    WITH t AS (
+      SELECT o_orderkey, o_totalprice AS x,
+             lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS xl,
+             median(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS med3
+      FROM orders
+    )
+    SELECT o_orderkey,
+      ROUND(LEAST(xl * 0.25, x * 0.75), 4) AS wmn,
+      ROUND(GREATEST(xl * 0.25, x * 0.75), 4) AS wmx,
+      ROUND(SQRT(GREATEST(
+        (COALESCE((xl * xl) * 0.25, 0) + (x * x) * 0.75)
+          / (CASE WHEN xl IS NULL THEN 0.75 ELSE 1.0 END)
+        - ((COALESCE(xl * 0.25, 0) + x * 0.75)
+            / (CASE WHEN xl IS NULL THEN 0.75 ELSE 1.0 END))
+          * ((COALESCE(xl * 0.25, 0) + x * 0.75)
+            / (CASE WHEN xl IS NULL THEN 0.75 ELSE 1.0 END)), 0)), 2) AS wsd,
+      ROUND(med3, 4) AS med
+    FROM t
+    """,
+)
+def q_window_rolling_full(spark, sf_dir):
+    """Weighted rolling min/max/std + exact rolling median
+    (series.ex:5182-5342 window_* family; weights oldest-first,
+    biased weighted variance per the window_standard_deviation doctest)."""
+    orders = _t(spark, sf_dir, "orders")
+    price = col("o_totalprice")
+    return (
+        orders.sort_by("o_orderdate", "o_orderkey")
+        .group_by("o_custkey")
+        .mutate(
+            wmn=f.round(f.window_min(price, 2, weights=[0.25, 0.75]), 4),
+            wmx=f.round(f.window_max(price, 2, weights=[0.25, 0.75]), 4),
+            wsd=f.round(f.window_standard_deviation(price, 2, weights=[0.25, 0.75]), 2),
+            med=f.round(f.window_median(price, 3), 4),
+        )
+        .ungroup()
+        .select(["o_orderkey", "wmn", "wmx", "wsd", "med"])
+        .lazy_sdf()
+    )
+
+
+@query(
     "q_duration_arith",
     """
     SELECT o_orderpriority,

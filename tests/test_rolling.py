@@ -52,6 +52,62 @@ def test_window_weighted():
     assert wm["r"] == [1.0, (1 + 6) / 4, (2 + 9) / 4, (3 + 12) / 4]
 
 
+def test_window_median():
+    d = ex.from_columns({"x": [float(i) for i in range(1, 11)]})
+    out = d.mutate(r=f.window_median(col("x"), 4)).to_columns()
+    # reference doctest series.ex:5182 — mean-of-middles for even counts
+    assert out["r"] == [1.0, 1.5, 2.0, 2.5, 3.5, 4.5, 5.5, 6.5, 7.5, 8.5]
+
+
+def test_window_median_center_nulls(df):
+    out = df.mutate(r=f.window_median(col("x"), 3, center=True)).to_columns()
+    # windows: [1,2],[1,2,nil],[2,nil,4],[nil,4,5],[4,5,6],[5,6]
+    assert out["r"] == [1.5, 1.5, 3.0, 4.5, 5.0, 5.5]
+
+
+def test_window_min_max_weighted():
+    d = ex.from_columns({"x": [float(i) for i in range(1, 11)]})
+    out = d.mutate(
+        mn=f.window_min(col("x"), 2, weights=[1.0, 2.0]),
+        mx=f.window_max(col("x"), 2, weights=[1.0, 2.0]),
+    ).to_columns()
+    # reference doctests series.ex:5229 / 5262 (elementwise scale, then min/max)
+    assert out["mn"] == [2.0, 1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0]
+    assert out["mx"] == [2.0, 4.0, 6.0, 8.0, 10.0, 12.0, 14.0, 16.0, 18.0, 20.0]
+
+
+def test_window_std_weighted():
+    d = ex.from_columns({"x": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]})
+    out = d.mutate(r=f.window_standard_deviation(col("x"), 2, weights=[0.25, 0.75])).to_columns()
+    # reference doctest series.ex:5296 — biased weighted variance
+    want = [0.0] + [0.4330127018922193] * 5
+    assert out["r"] == pytest.approx(want)
+
+
+def test_window_median_weighted():
+    d = ex.from_columns({"x": [1.0, 2.0, 3.0, 4.0]})
+    out = d.mutate(r=f.window_median(col("x"), 2, weights=[1.0, 1.0])).to_columns()
+    # equal weights degenerate to cumulative-weight interpolation:
+    # full window [a, b] with equal weights -> target at midpoint of b's span
+    # after a's full span -> interpolates between a and b
+    assert out["r"][0] == 1.0  # single-value window
+    for i, (a, b) in enumerate(zip([1.0, 2.0, 3.0], [2.0, 3.0, 4.0]), start=1):
+        lo_, hi_ = sorted((a, b))
+        assert lo_ <= out["r"][i] <= hi_
+
+
+def test_window_sum_weighted_center():
+    d = ex.from_columns({"x": [1.0, 2.0, 3.0, 4.0]})
+    out = d.mutate(r=f.window_sum(col("x"), 3, weights=[1.0, 2.0, 3.0], center=True)).to_columns()
+    # centered window (i-1, i, i+1), weights oldest-first
+    assert out["r"] == [
+        2.0 * 1 + 3.0 * 2,  # [_, 1, 2]
+        1.0 * 1 + 2.0 * 2 + 3.0 * 3,
+        1.0 * 2 + 2.0 * 3 + 3.0 * 4,
+        1.0 * 3 + 2.0 * 4,  # [3, 4, _]
+    ]
+
+
 def test_grouped_rolling(df):
     out = df.group_by("g").mutate(r=f.window_sum(col("x"), 2)).ungroup().to_columns()
     assert out["r"] == [1.0, 3.0, 2.0, 4.0, 9.0, 11.0]
