@@ -1032,19 +1032,44 @@ class DataFrame:
         keep = [F.col(c) for c in sdf.columns if c not in cols]
         return self._replace(sdf.select(*new_cols, *keep))
 
-    def transpose(self, header: str | None = None, columns: list[str] | None = None) -> "DataFrame":
-        """Flip rows/columns — inherently driver-side, small frames only
-        (reference warns the same: data_frame.ex:4630-4633)."""
+    def transpose(self, header: bool | str = False, columns: list[str] | None = None) -> "DataFrame":
+        """Flip rows/columns — one output row per input column, all values
+        cast to string (reference data_frame.ex:4627-4700: default column
+        names ``column_N``; ``header`` adds a name column, ``True`` names it
+        "column"; ``columns`` must match the row count). Inherently
+        driver-side, small frames only (the reference warns the same)."""
+        import math
+
         pdf = self.to_pandas()
-        if header is not None:
-            pdf = pdf.set_index(header)
-        tp = pdf.transpose().reset_index(names=["name"])
+        n = len(pdf)
         if columns is not None:
-            tp.columns = ["name", *columns][: len(tp.columns)]
+            if len(columns) != n:
+                raise ValueError(
+                    f"invalid columns option, length of column names "
+                    f"({len(columns)}) must match the row count ({n})"
+                )
+            names = [str(c) for c in columns]
         else:
-            tp.columns = [str(c) for c in tp.columns]
+            names = [f"column_{i}" for i in range(n)]
+        header_name = "column" if header is True else (str(header) if header else None)
+
+        def to_s(v):
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                return None
+            if isinstance(v, bool):
+                return "true" if v else "false"
+            return str(v)
+
+        data = {}
+        if header_name is not None:
+            data[header_name] = [str(c) for c in pdf.columns]
+        for j, cname in enumerate(names):
+            row = pdf.iloc[j]
+            data[cname] = [to_s(row[c]) for c in pdf.columns]
         spark = self._sdf.sparkSession
-        return DataFrame(spark.createDataFrame(tp), has_order=False)
+        schema = T.StructType([T.StructField(c, T.StringType()) for c in data])
+        out = spark.createDataFrame(list(zip(*data.values())) or [], schema=schema)
+        return _attach_order(out)
 
     # ------------------------------------------------------------------
     # stats / summaries
