@@ -1069,7 +1069,9 @@ class DataFrame:
         spark = self._sdf.sparkSession
         schema = T.StructType([T.StructField(c, T.StringType()) for c in data])
         out = spark.createDataFrame(list(zip(*data.values())) or [], schema=schema)
-        return _attach_order(out)
+        return DataFrame(
+            out.withColumn(ORDER_COL, F.monotonically_increasing_id()), has_order=True, aligned=True
+        )
 
     # ------------------------------------------------------------------
     # stats / summaries

@@ -453,7 +453,8 @@ def q_transpose(spark, sf_dir):
         avg_price=f.round(f.mean(col("l_extendedprice")), 6),
         max_disc=f.max(col("l_discount")),
     )
-    return one.transpose(columns=["value"]).lazy_sdf()
+    t = one.transpose(header="name", columns=["value"])
+    return t.mutate(value=col("value").cast("f64")).lazy_sdf()
 
 
 @query(
