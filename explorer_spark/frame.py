@@ -652,6 +652,28 @@ class DataFrame:
                         F.col("__rn__") < F.col("__cnt__") + offset + length
                     )
                 return base._replace(sdf.filter(cond).drop("__rn__", "__cnt__"))
+            # native offset+limit (Catalyst CollectLimit) when the slice end
+            # is close to the frame edge — no index kernel, no checkpoint.
+            # Large interior offsets still go through the distributed index:
+            # GlobalLimit funnels offset+length rows into one task.
+            NATIVE_SLICE_MAX = 1 << 20
+            if 0 <= offset and offset + length <= NATIVE_SLICE_MAX:
+                base = self._ordered()
+                out = base._sdf.orderBy(F.col(ORDER_COL).asc()).offset(offset).limit(length)
+                return base._replace(out)
+            if offset < 0 and -offset <= NATIVE_SLICE_MAX:
+                # rows [total+offset, total+offset+length): reverse order,
+                # take [max(0,-offset-length), -offset) there, restore order
+                base = self._ordered()
+                rev_off = max(0, -offset - length)
+                take = min(length, -offset)
+                out = (
+                    base._sdf.orderBy(F.col(ORDER_COL).desc())
+                    .offset(rev_off)
+                    .limit(take)
+                    .orderBy(F.col(ORDER_COL).asc())
+                )
+                return base._replace(out)
             if offset < 0:
                 # resolve the offset against the total inside one plan (the
                 # total rides along from the index kernel's broadcast table)

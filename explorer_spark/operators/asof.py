@@ -61,8 +61,9 @@ def merge_asof(
     u = u.repartitionByRange(F.col("__k__").asc()).sortWithinPartitions(F.col("__k__").asc())
     u = u.withColumn("__pid__", F.spark_partition_id())
     # consumed by the boundary summaries AND the final pass — pin it so
-    # the range shuffle runs once (nondeterministic pid blocks reuse)
-    u = u.persist()
+    # the range shuffle runs once (nondeterministic pid blocks reuse);
+    # localCheckpoint over persist: cheaper, auto-freed, fails loudly
+    u = u.localCheckpoint(eager=False)
 
     # per-partition boundary rows of the RIGHT side (bounded table)
     rrows = u.filter(F.col("__side__") == 1)

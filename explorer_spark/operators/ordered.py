@@ -113,14 +113,21 @@ def with_global_index(
     the range shuffle.  ``total_col`` additionally attaches the total
     row count to every row (a literal — known from the same stats job).
     """
-    s = sdf if aligned else sdf.repartitionByRange(*keys)
-    s = s.sortWithinPartitions(*keys)
+    # aligned=True promises rows are already physically ordered by keys
+    # (e.g. right after a global sort) — the local re-sort would be a no-op
+    # Spark can't prove away, so skip it entirely
+    s = sdf if aligned else sdf.repartitionByRange(*keys).sortWithinPartitions(*keys)
     # fresh id AFTER the sort: per-partition contiguous, iteration order
     s = s.withColumn("__mono__", F.monotonically_increasing_id())
     s = s.withColumn("__pid__", F.spark_partition_id())
     # pin before the stats job: the ids are nondeterministic, so the
-    # offsets collected below are only valid against THIS materialization
-    s = s.persist()
+    # offsets collected below are only valid against THIS materialization.
+    # localCheckpoint (not persist): ~2x cheaper to build than the columnar
+    # cache, auto-freed by the ContextCleaner once unreferenced (persist
+    # entries pile up in the CacheManager and slow every later plan
+    # analysis), and on partition loss it fails loudly instead of silently
+    # recomputing different ids.
+    s = s.localCheckpoint(eager=False)
     stats = s.groupBy("__pid__").agg(
         F.count(F.lit(1)).alias("__cnt__"), F.min("__mono__").alias("__mn__")
     ).collect()
@@ -345,7 +352,7 @@ def rank_columns(
     v = vals.repartitionByRange(key).sortWithinPartitions(key)
     v = v.withColumn("__mono__", F.monotonically_increasing_id())
     v = v.withColumn("__vpid__", F.spark_partition_id())
-    v = v.persist()  # nondeterministic ids: pin before the stats job
+    v = v.localCheckpoint(eager=False)  # nondeterministic ids: pin before the stats job
     stats = v.groupBy("__vpid__").agg(
         F.count(F.lit(1)).alias("__n__"),
         F.min("__mono__").alias("__mn__"),
@@ -574,7 +581,7 @@ def ewm_global(sdf: SDF, idx_col: str, specs: dict) -> SDF:
                 pdf[cname(kind, src, a, ign)] = _geo_scan(w, c)
         return pdf
 
-    local = s.groupBy(BUCKET).applyInPandas(local_pass, local_schema).persist()
+    local = s.groupBy(BUCKET).applyInPandas(local_pass, local_schema).localCheckpoint(eager=False)
 
     # bucket end states -> incoming carries, combined on the driver
     # (ceil(n/B) rows, bounded — same bound as the zipWithIndex stats job)

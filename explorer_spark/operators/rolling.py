@@ -258,7 +258,30 @@ def ewm_columns(frame, specs: dict[str, tuple], order_cols=None):
         return pdf
 
     if groups:
-        out = sdf.groupBy(*groups).applyInPandas(apply_fn, out_schema)
+        # one Arrow batch per HASH BUCKET of groups, not per group: pandas'
+        # grouped ewm is a single cython pass over the bucket with per-group
+        # window bounds, so the per-group Arrow/pandas spin-up (~ms x #groups)
+        # disappears while per-group semantics stay exact
+        nb = max(sdf.sparkSession.sparkContext.defaultParallelism * 2, 8)
+
+        def apply_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.drop(columns="__ewmb__").sort_values([*groups, ORDER_COL])
+            g = pdf.groupby(groups, sort=False, group_keys=False)
+            for out_name, (kind, src, alpha, adjust, ign) in specs.items():
+                ew = g[src].ewm(alpha=alpha, adjust=adjust, ignore_na=ign, min_periods=1)
+                if kind == "mean":
+                    r = ew.mean()
+                elif kind == "variance":
+                    r = ew.var(bias=False)
+                else:
+                    r = ew.std(bias=False)
+                if isinstance(r.index, pd.MultiIndex):
+                    r = r.droplevel(list(range(len(groups))))
+                pdf[out_name] = r
+            return pdf
+
+        bucketed = sdf.withColumn("__ewmb__", F.pmod(F.xxhash64(*groups), F.lit(nb)))
+        out = bucketed.groupBy("__ewmb__").applyInPandas(apply_bucket, out_schema)
         return DataFrame(out, groups=groups, has_order=True)
     # ungrouped: bucket-parallel prefix composition — one uniform hash
     # exchange, never a single whole-frame task (operators/ordered.py)
