@@ -138,6 +138,91 @@ def assign_cells(corpus: SDF, centroids: SDF, vec_col: str = "embedding", centro
     return joined.withColumn("__rn__", F.row_number().over(w)).filter(F.col("__rn__") == 1).drop("__rn__", "__cent__")
 
 
+def rhp_planes(nbits: int, dim: int, seed: int = 42, decimals: int = 6) -> list[list[float]]:
+    """Deterministic random-hyperplane table (seeded standard normals,
+    rounded so decimal literals parse to the identical double in any
+    engine — the oracle SQL embeds the same numbers)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return [[round(float(x), decimals) for x in row] for row in rng.standard_normal((nbits, dim))]
+
+
+def embedding_lsh_pairs(
+    sdf: SDF,
+    nbits: int = 16,
+    bands: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+    seed: int = 42,
+    threshold: float | None = None,
+) -> SDF:
+    """Embedding near-dup WITHOUT a blocking column: signed-random-
+    projection LSH (SimHash for vectors, Charikar 2002). Pipeline:
+
+    1. bit_i = (v . plane_i >= 0) against ``nbits`` seeded hyperplanes;
+    2. bits pack into ``bands`` integer bucket keys (nbits/bands bits
+       each); two vectors collide in a band iff all its bits agree —
+       P[collision] = (1 - theta/pi)^r per band, the banding trade;
+    3. candidate pairs = distinct equi-join hits on (band, bucket) —
+       never a global cross join, so the pair stage is bounded by the
+       bucket occupancy, not |corpus|^2;
+    4. exact cosine verification on candidates only.
+
+    The plane dot products fold left-to-right over the array (generic
+    interpreted form, not the expanded codegen dot): bit-identical to the
+    oracle's left-associative SQL sum, so the candidate SET (not just the
+    rounded cosines) reproduces exactly.
+
+    Scale: one narrow shuffle on (band, bucket), one distinct, two
+    broadcast-or-SMJ id joins for verification. 100 TB-safe as long as
+    bucket occupancy is tuned via nbits/bands.
+    """
+    r = nbits // bands
+    assert r * bands == nbits, "nbits must divide evenly into bands"
+    planes = rhp_planes(nbits, dim if dim is not None else _infer_dim(sdf, vec_col), seed)
+
+    base = sdf.select(F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("__n__"))
+    band_cols = []
+    for b in range(bands):
+        expr = None
+        for j in range(r):
+            p = planes[b * r + j]
+            d = dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in p]))
+            term = F.when(d >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+            expr = term if expr is None else expr + term
+        band_cols.append(F.struct(F.lit(b).alias("band"), expr.alias("bucket")))
+    melted = base.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("__bb__")
+    ).select(id_col, F.col("__bb__.band").alias("__band__"), F.col("__bb__.bucket").alias("__bkt__"))
+
+    a = melted.alias("a")
+    bb = melted.alias("b")
+    pairs = (
+        a.join(
+            bb,
+            (F.col("a.__band__") == F.col("b.__band__"))
+            & (F.col("a.__bkt__") == F.col("b.__bkt__"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = base.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va__"), F.col("__n__").alias("__na__"))
+    vb = base.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb__"), F.col("__n__").alias("__nb__"))
+    sim = F.round(dot(F.col("__va__"), F.col("__vb__"), dim) / (F.col("__na__") * F.col("__nb__")), 6)
+    out = pairs.join(va, "id_a").join(vb, "id_b").select("id_a", "id_b", sim.alias("cosine"))
+    if threshold is not None:
+        out = out.filter(F.col("cosine") >= threshold)
+    return out
+
+
+def _infer_dim(sdf: SDF, vec_col: str) -> int:
+    row = sdf.select(F.size(F.col(vec_col)).alias("d")).first()
+    return int(row["d"])
+
+
 def embedding_neardup_pairs(
     sdf: SDF,
     threshold: float | None = 0.95,

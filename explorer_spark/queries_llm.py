@@ -250,6 +250,56 @@ def q_dedup_embedding_cosine(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# dedup: signed-random-projection LSH over embeddings (no block key)
+# ---------------------------------------------------------------------------
+
+
+def _rhp_oracle_sql(nbits=16, bands=4, dim=64, seed=42):
+    """The DuckDB mirror of operators/similarity.embedding_lsh_pairs:
+    identical plane literals, identical left-associative dot sums, so the
+    candidate SET (not just rounded cosines) reproduces bit-exactly."""
+    from .operators.similarity import rhp_planes
+
+    planes = rhp_planes(nbits, dim, seed)
+    r = nbits // bands
+
+    def dot_sql(p):
+        return " + ".join(f"CAST(embedding[{i + 1}] AS DOUBLE) * {p[i]!r}" for i in range(dim))
+
+    band_exprs = []
+    for b in range(bands):
+        bits = " + ".join(
+            f"(CASE WHEN {dot_sql(planes[b * r + j])} >= 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(r)
+        )
+        band_exprs.append(f"({bits}) AS b{b}")
+    collide = " OR ".join(f"a.b{b} = b.b{b}" for b in range(bands))
+    return f"""
+    WITH s AS (SELECT vec_id, {", ".join(band_exprs)} FROM embeddings),
+    c AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM s a JOIN s b ON a.vec_id < b.vec_id AND ({collide})
+    )
+    SELECT id_a, id_b, {_COS_SQL} AS cosine
+    FROM c JOIN embeddings a ON a.vec_id = c.id_a JOIN embeddings b ON b.vec_id = c.id_b
+    ORDER BY cosine DESC, id_a, id_b
+    LIMIT 10
+    """
+
+
+@query("q_dedup_embedding_lsh", _rhp_oracle_sql())
+def q_dedup_embedding_lsh(spark, sf_dir):
+    """Embedding near-dup with NO blocking column: random-hyperplane
+    (SimHash) LSH banding -> candidate pairs -> exact-cosine top-10
+    (operators/similarity.embedding_lsh_pairs; Charikar 2002 SRP)."""
+    from .operators.similarity import embedding_lsh_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").lazy_sdf()
+    pairs = embedding_lsh_pairs(emb, nbits=16, bands=4, dim=64, seed=42)
+    return pairs.orderBy(SF.col("cosine").desc(), SF.col("id_a"), SF.col("id_b")).limit(10)
+
+
+# ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
 

@@ -158,3 +158,22 @@ def test_ann_recall_vs_bruteforce(spark):
     assert len(ivf) == 15
     recall = len(bf & ivf) / len(bf)
     assert 0.0 <= recall <= 1.0  # random cells: recall is data-dependent
+
+
+def test_embedding_lsh_pairs_contract(spark):
+    """Signed-random-projection LSH: identical vectors collide in every
+    band (cosine 1.0 pair always a candidate); candidate pairs are
+    ordered id_a < id_b; threshold filters to near-dups only."""
+    from explorer_spark.operators.similarity import embedding_lsh_pairs
+    from explorer_spark.sources import read_parquet
+
+    emb = read_parquet("/root/testdata/sf0.001/embeddings.parquet").lazy_sdf()
+    # plant an exact duplicate of vec_id 0 with a fresh id
+    dup = emb.filter(F.col("vec_id") == 0).withColumn("vec_id", F.lit(999_999))
+    with_dup = emb.unionByName(dup)
+    pairs = embedding_lsh_pairs(with_dup, nbits=16, bands=4, dim=64).collect()
+    assert all(r.id_a < r.id_b for r in pairs)
+    planted = [r for r in pairs if r.id_a == 0 and r.id_b == 999_999]
+    assert len(planted) == 1 and planted[0].cosine == 1.0
+    thr = embedding_lsh_pairs(with_dup, nbits=16, bands=4, dim=64, threshold=0.999).collect()
+    assert {(r.id_a, r.id_b) for r in thr} == {(0, 999_999)}
