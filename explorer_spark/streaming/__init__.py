@@ -69,15 +69,19 @@ def sessionize_batch(events: SDF, gap_minutes: int = 30, ts_col: str = "ts", use
     )
 
 
-def run_stream_once(spark, parquet_path: str, transform, query_name: str = "stream_out", schema=None) -> SDF:
+def run_stream_once(
+    spark, parquet_path: str, transform, query_name: str = "stream_out", schema=None, output_mode: str | None = None
+) -> SDF:
     """Drive a parquet dir through readStream -> transform -> memory sink,
-    synchronously (for tests / local verification)."""
+    synchronously (for tests / local verification). ``output_mode``
+    defaults to complete for aggregations; pass "append" for stateful
+    row-level operators (dedup etc.)."""
     if schema is None:
         schema = spark.read.parquet(parquet_path).schema
     src = spark.readStream.schema(schema).parquet(parquet_path)
     out = transform(src)
     q = (
-        out.writeStream.outputMode("complete" if out.isStreaming else "append")
+        out.writeStream.outputMode(output_mode or ("complete" if out.isStreaming else "append"))
         .format("memory")
         .queryName(query_name)
         .start()
@@ -85,3 +89,44 @@ def run_stream_once(spark, parquet_path: str, transform, query_name: str = "stre
     q.processAllAvailable()
     q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def streaming_dedup(
+    events: SDF, keys=("event_id",), ts_col: str = "ts", watermark: str = "30 minutes"
+) -> SDF:
+    """Streaming exact dedup for at-least-once sources (the ingest edge of
+    a training-data pipeline): keep the FIRST arrival per key; duplicate
+    state is pruned past the watermark horizon, so state is bounded by
+    (arrival rate x watermark) — not by stream history. Batch frames take
+    the stateless dropDuplicates path with identical results."""
+    if not events.isStreaming:
+        return events.dropDuplicates(list(keys))
+    src = events.withColumn(ts_col, F.col(ts_col).cast("timestamp_ltz")).withWatermark(ts_col, watermark)
+    return src.dropDuplicatesWithinWatermark(list(keys))
+
+
+def write_exactly_once(df: SDF, out_dir: str, checkpoint_dir: str, query_name: str = "eo_sink"):
+    """foreachBatch idempotent parquet sink — the standard exactly-once
+    recipe for non-transactional sinks: every micro-batch overwrites its
+    OWN ``__batch_id__`` partition (dynamic partition overwrite), so a
+    batch replayed after a failure between data write and checkpoint
+    commit lands on top of its previous partial output instead of
+    duplicating. Returns the started query (availableNow trigger).
+    """
+
+    def write_batch(bdf, batch_id: int):
+        (
+            bdf.withColumn("__batch_id__", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch_id__")
+            .parquet(out_dir)
+        )
+
+    return (
+        df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

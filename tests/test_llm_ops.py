@@ -177,3 +177,60 @@ def test_embedding_lsh_pairs_contract(spark):
     assert len(planted) == 1 and planted[0].cosine == 1.0
     thr = embedding_lsh_pairs(with_dup, nbits=16, bands=4, dim=64, threshold=0.999).collect()
     assert {(r.id_a, r.id_b) for r in thr} == {(0, 999_999)}
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Every row arrives twice (file copied); the streamed result keeps
+    exactly one copy per event_id."""
+    import shutil
+
+    from explorer_spark.sources import read_parquet
+    from explorer_spark.streaming import run_stream_once, streaming_dedup
+
+    ev = read_parquet("/root/testdata/sf0.001/events.parquet").lazy_sdf()
+    path = str(tmp_path / "dup_events")
+    ev.write.mode("overwrite").parquet(path)
+    # duplicate every file -> at-least-once delivery simulation
+    import glob, os
+    for f in glob.glob(path + "/part-*.parquet"):
+        shutil.copy(f, f.replace("part-", "dup-"))
+    n_src = ev.count()
+    streamed = run_stream_once(
+        spark, path, lambda src: streaming_dedup(src, keys=("event_id",)), "t_dedup", output_mode="append"
+    )
+    assert streamed.count() == n_src
+    # batch path: same verb, stateless
+    assert streaming_dedup(spark.read.parquet(path)).count() == n_src
+
+
+def test_write_exactly_once_replay_idempotent(spark, tmp_path):
+    """The foreachBatch sink is idempotent under batch replay: restarting
+    from the same checkpoint (or re-writing a batch id) never duplicates."""
+    from explorer_spark.sources import read_parquet
+    from explorer_spark.streaming import write_exactly_once
+
+    ev = read_parquet("/root/testdata/sf0.001/events.parquet").lazy_sdf().select("event_id", "user_id", "value")
+    src_path = str(tmp_path / "src")
+    ev.write.mode("overwrite").parquet(src_path)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = spark.read.parquet(src_path).schema
+    stream = spark.readStream.schema(schema).parquet(src_path)
+    q = write_exactly_once(stream, out, ckpt)
+    q.awaitTermination()
+    n = ev.count()
+    got = spark.read.parquet(out)
+    assert got.count() == n
+    # restart from the same checkpoint: no new data, no duplicates
+    q2 = write_exactly_once(spark.readStream.schema(schema).parquet(src_path), out, ckpt)
+    q2.awaitTermination()
+    assert spark.read.parquet(out).count() == n
+    # simulate a REPLAYED batch (failure after write, before commit):
+    # writing batch 0 again must overwrite, not append
+    from pyspark.sql import functions as SF
+    (
+        spark.read.parquet(src_path).withColumn("__batch_id__", SF.lit(0))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__batch_id__").parquet(out)
+    )
+    assert spark.read.parquet(out).count() == n
