@@ -794,9 +794,14 @@ class DataFrame:
         by: list[str] | None = None,
         strategy: str = "backward",
         suffix: str = "_right",
+        tolerance=None,
     ) -> "DataFrame":
         """Nearest-key join (reference data_frame.ex:5566-5690; Polars
-        AsOfOptions lazyframe.rs:371-427).
+        AsOfOptions lazyframe.rs:371-427 — tolerance is a TODO there;
+        here it follows pandas merge_asof: matches farther than
+        ``tolerance`` are dropped to null. ``tolerance`` is a number in
+        key units (µs for timestamps, days for dates) or a
+        datetime.timedelta for temporal keys).
 
         Spark has no native as-of join; with ``by`` keys this compiles to
         an equi-join on the keys + range filter + per-left-row top-1
@@ -808,8 +813,9 @@ class DataFrame:
         """
         assert strategy in ("backward", "forward", "nearest")
         by = list(by or [])
+        tolerance = self._asof_tolerance(tolerance, self.dtypes.get(on))
         if not by:
-            return self._asof_merge(other, on, strategy, suffix)
+            return self._asof_merge(other, on, strategy, suffix, tolerance)
         # merge-sorted rendering: union both sides tagged, ONE hash
         # exchange on the by-keys, and carry the nearest right row to each
         # left row with last(ignorenulls) over a (key, side) sort — shuffle
@@ -874,12 +880,17 @@ class DataFrame:
         else:
             pick = F.col("__pick_b__" if strategy == "backward" else "__pick_f__")
         pick = F.when(F.col(on).isNotNull(), pick)
+        if tolerance is not None:
+            pnum = self._asof_numeric(pick["__rk__"], other.dtypes.get(on))
+            pick = F.when(F.abs(lnum - pnum) <= F.lit(float(tolerance)), pick)
         payload = [c for c in rpay_cols if c not in ("__rk__", f"{ORDER_COL}{suffix}")]
         out = out.withColumns({c: pick[c] for c in payload})
         out = out.drop("__k__", "__side__", "__rk__", f"{ORDER_COL}{suffix}", *[f"__pick_{k}__" for k in picks])
         return DataFrame(out, groups=self.groups, has_order=True)
 
-    def _asof_merge(self, other: "DataFrame", on: str, strategy: str, suffix: str) -> "DataFrame":
+    def _asof_merge(
+        self, other: "DataFrame", on: str, strategy: str, suffix: str, tolerance: float | None = None
+    ) -> "DataFrame":
         """Keyless as-of via the range-partitioned merge kernel."""
         from .operators.asof import merge_asof
 
@@ -896,8 +907,23 @@ class DataFrame:
         def key_expr(c):
             return self._asof_numeric(c, ldt)
 
-        out = merge_asof(left._sdf, rsdf, on, key_expr, strategy)
+        out = merge_asof(left._sdf, rsdf, on, key_expr, strategy, tolerance)
         return DataFrame(out, groups=self.groups, has_order=True)
+
+    @staticmethod
+    def _asof_tolerance(tolerance, dtype):
+        """Normalize a join_asof tolerance to key units: µs for
+        timestamps, days for dates, as-is for numerics; accepts a
+        datetime.timedelta for temporal keys."""
+        import datetime as _dt
+
+        if tolerance is None:
+            return None
+        if isinstance(tolerance, _dt.timedelta):
+            if dtype == "date":
+                return tolerance.total_seconds() / 86400.0
+            return tolerance.total_seconds() * 1e6
+        return float(tolerance)
 
     @staticmethod
     def _asof_numeric(c: Column, dtype) -> Column:

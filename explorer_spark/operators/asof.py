@@ -39,6 +39,7 @@ def merge_asof(
     on: str,
     key_expr,
     strategy: str = "backward",
+    tolerance: float | None = None,
 ) -> SDF:
     """Join ``rsdf``'s columns onto ``lsdf`` by nearest key.
 
@@ -94,6 +95,7 @@ def merge_asof(
     out_schema = T.StructType(list(lsdf.schema.fields) + [rsdf.schema[c] for c in rcols])
     lnames = [f.name for f in lsdf.schema.fields]
     strat = strategy
+    tol = float(tolerance) if tolerance is not None else None
 
     def kernel(batches):
         import numpy as np
@@ -137,9 +139,11 @@ def merge_asof(
 
         res = lrows[lnames].copy()
         if strat == "backward":
+            dist = np.abs(lkeys - keyat(bidx, b_in, cb))
             for c in rcols:
                 res[c] = take(c, bidx, b_in, cb)
         elif strat == "forward":
+            dist = np.abs(keyat(fidx, f_in, cf) - lkeys)
             for c in rcols:
                 res[c] = take(c, fidx, f_in, cf)
         else:
@@ -149,10 +153,19 @@ def merge_asof(
             df_ = np.abs(fk - lkeys)
             # tie -> earlier right key (backward), matching the by-path
             use_b = np.where(np.isnan(df_), True, np.where(np.isnan(db), False, db <= df_))
+            dist = np.where(use_b, db, df_)
             for c in rcols:
                 vb = take(c, bidx, b_in, cb)
                 vf = take(c, fidx, f_in, cf)
                 res[c] = np.where(use_b, vb, vf)
+        if tol is not None:
+            # pandas merge_asof tolerance: a match farther than `tol` in
+            # key units is no match at all
+            too_far = ~(dist <= tol)  # NaN distance -> no match (already None)
+            if too_far.any():
+                for c in rcols:
+                    vals = res[c].to_numpy(dtype=object) if hasattr(res[c], "to_numpy") else res[c]
+                    res[c] = np.where(too_far, None, vals)
         yield res
 
     return u.mapInPandas(kernel, out_schema)

@@ -360,8 +360,37 @@ def q_rank_ties(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# asof joins, forward & nearest (SURVEY §2.4)
+# asof joins, forward & nearest & tolerance (SURVEY §2.4)
 # ---------------------------------------------------------------------------
+
+
+@query(
+    "q_join_asof_tolerance",
+    """
+    SELECT e.event_id,
+           CASE WHEN p.ts IS NOT NULL AND e.ts - p.ts <= INTERVAL 2 HOUR
+                THEN p.event_id END AS prev_purchase_id
+    FROM events e
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+)
+def q_join_asof_tolerance(spark, sf_dir):
+    """join_asof backward with a 2-hour tolerance: matches farther than
+    the tolerance drop to null (pandas merge_asof semantics; the
+    reference leaves tolerance TODO at lazyframe.rs:371-427)."""
+    import datetime
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = (
+        ev.filter(col("event_type") == lit("purchase"))
+        .select(["user_id", "ts", "event_id"])
+        .rename({"event_id": "prev_purchase_id"})
+    )
+    joined = ev.join_asof(
+        purchases, on="ts", by=["user_id"], strategy="backward", tolerance=datetime.timedelta(hours=2)
+    )
+    return joined.select(["event_id", "prev_purchase_id"]).lazy_sdf()
 
 
 @query(

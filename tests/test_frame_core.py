@@ -248,3 +248,27 @@ def test_sample_seeded(df):
     assert out.n_rows() == 3
     again = df.sample(3, seed=42)
     assert sorted(out.to_columns()["a"]) == sorted(again.to_columns()["a"])
+
+
+def test_join_asof_tolerance_keyless(spark):
+    """Keyless merge-asof kernel honors tolerance (pandas semantics)."""
+    import explorer_spark as ex
+
+    left = ex.from_columns({"k": [1, 5, 20], "lv": ["a", "b", "c"]}, spark=spark)
+    right = ex.from_columns({"k": [0, 4, 10], "rv": ["x", "y", "z"]}, spark=spark)
+    got = left.join_asof(right, on="k", strategy="backward", tolerance=2).to_rows()
+    by_k = {r["k"]: r["rv"] for r in got}
+    assert by_k == {1: "x", 5: "y", 20: None}  # 20 - 10 = 10 > 2 -> null
+    got_n = left.join_asof(right, on="k", strategy="nearest", tolerance=1).to_rows()
+    by_k = {r["k"]: r["rv"] for r in got_n}
+    assert by_k == {1: "x", 5: "y", 20: None}
+
+
+def test_join_asof_tolerance_by_keys(spark):
+    import explorer_spark as ex
+
+    left = ex.from_columns({"g": ["a", "a", "b"], "k": [3, 9, 3], "lv": [1, 2, 3]}, spark=spark)
+    right = ex.from_columns({"g": ["a", "a", "b"], "k": [1, 5, 100], "rv": [10, 20, 30]}, spark=spark)
+    got = left.join_asof(right, on="k", by=["g"], strategy="backward", tolerance=2).to_rows()
+    by = {(r["g"], r["k"]): r["rv"] for r in got}
+    assert by == {("a", 3): 10, ("a", 9): None, ("b", 3): None}
