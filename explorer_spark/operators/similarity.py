@@ -24,9 +24,12 @@ from pyspark.sql import Column, DataFrame as SDF, Window as W, functions as F
 def dot(a: Column, b: Column, dim: int | None = None) -> Column:
     """Dot product, double accumulation in element order.
 
-    With ``dim`` known, expands to an explicit codegen'd sum (higher-order
-    aggregate/zip_with run interpreted — ~5-10x slower in the pair-join
-    hot path); falls back to the generic form otherwise. Both forms
+    With ``dim`` known, expands to an explicit codegen'd sum; without, a
+    generic higher-order fold (interpreted). MEASURED trade at dim=64:
+    the expanded form's codegen COMPILE time (~10 s for the 127-node
+    expression) dominates until ~10M evaluations, so the generic fold
+    wins below that (200k-pair near-dup: 13 s expanded vs 2 s generic);
+    pass ``dim`` only for genuinely huge pair counts. Both forms
     accumulate left-to-right, so results match the DuckDB oracle exactly.
     """
     if dim is not None:
@@ -211,7 +214,7 @@ def embedding_lsh_pairs(
     )
     va = base.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va__"), F.col("__n__").alias("__na__"))
     vb = base.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb__"), F.col("__n__").alias("__nb__"))
-    sim = F.round(dot(F.col("__va__"), F.col("__vb__"), dim) / (F.col("__na__") * F.col("__nb__")), 6)
+    sim = F.round(dot(F.col("__va__"), F.col("__vb__")) / (F.col("__na__") * F.col("__nb__")), 6)
     out = pairs.join(va, "id_a").join(vb, "id_b").select("id_a", "id_b", sim.alias("cosine"))
     if threshold is not None:
         out = out.filter(F.col("cosine") >= threshold)

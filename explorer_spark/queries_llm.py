@@ -245,7 +245,7 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     from .operators.similarity import embedding_neardup_pairs
 
     emb = _t(spark, sf_dir, "embeddings").lazy_sdf()
-    pairs = embedding_neardup_pairs(emb, threshold=None, block_col="label", dim=64)
+    pairs = embedding_neardup_pairs(emb, threshold=None, block_col="label")
     return pairs.orderBy(SF.col("cosine").desc(), SF.col("id_a"), SF.col("id_b")).limit(10)
 
 
@@ -320,7 +320,7 @@ def q_ann_bruteforce_topk(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings").lazy_sdf()
     queries = emb.filter(SF.col("vec_id") < 10)
-    return brute_force_topk(emb, queries, k=5, dim=64)
+    return brute_force_topk(emb, queries, k=5)
 
 
 @query(
@@ -340,7 +340,7 @@ def q_ann_ivf_topk(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings").lazy_sdf()
     queries = emb.filter(SF.col("vec_id") < 10)
-    return ivf_topk(emb, queries, k=5, cell_col="label", dim=64)
+    return ivf_topk(emb, queries, k=5, cell_col="label")
 
 
 # ---------------------------------------------------------------------------
