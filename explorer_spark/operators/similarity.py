@@ -18,6 +18,7 @@ are bit-reproducible against the DuckDB oracle's list_cosine_similarity.
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401  (module-global: pandas_udf type-hint resolution)
 from pyspark.sql import Column, DataFrame as SDF, Window as W, functions as F
 
 
@@ -187,18 +188,32 @@ def embedding_lsh_pairs(
     planes = rhp_planes(nbits, dim if dim is not None else _infer_dim(sdf, vec_col), seed)
 
     base = sdf.select(F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("__n__"))
-    band_cols = []
-    for b in range(bands):
-        expr = None
-        for j in range(r):
-            p = planes[b * r + j]
-            d = dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in p]))
-            term = F.when(d >= 0, F.lit(1 << j)).otherwise(F.lit(0))
-            expr = term if expr is None else expr + term
-        band_cols.append(F.struct(F.lit(b).alias("band"), expr.alias("bucket")))
+
+    # all nbits plane dots in ONE Arrow-vectorized pass. The accumulation
+    # loops over the dim axis sequentially (vectorized across rows and
+    # planes), so each dot is the exact left-to-right double fold the
+    # oracle's left-associative SQL sum computes — bit-identical signs,
+    # ~10x faster than nbits interpreted higher-order folds per row.
+    import numpy as np
+
+    P = np.asarray(planes, dtype="float64")  # nbits x dim
+
+    @F.pandas_udf("array<int>")
+    def _band_buckets(vs: pd.Series) -> pd.Series:
+        X = np.asarray(vs.tolist(), dtype="float64")  # batch x dim
+        acc = np.zeros((len(X), P.shape[0]), dtype="float64")
+        for k in range(P.shape[1]):
+            acc += X[:, k : k + 1] * P[:, k]
+        bits = acc >= 0.0
+        buckets = np.zeros((len(X), bands), dtype="int64")
+        for b in range(bands):
+            for j in range(r):
+                buckets[:, b] += bits[:, b * r + j].astype("int64") << j
+        return pd.Series([row.tolist() for row in buckets])
+
     melted = base.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("__bb__")
-    ).select(id_col, F.col("__bb__.band").alias("__band__"), F.col("__bb__.bucket").alias("__bkt__"))
+        F.col(id_col), F.posexplode(_band_buckets(F.col(vec_col))).alias("__band__", "__bkt__")
+    )
 
     a = melted.alias("a")
     bb = melted.alias("b")
@@ -214,7 +229,21 @@ def embedding_lsh_pairs(
     )
     va = base.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va__"), F.col("__n__").alias("__na__"))
     vb = base.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb__"), F.col("__n__").alias("__nb__"))
-    sim = F.round(dot(F.col("__va__"), F.col("__vb__")) / (F.col("__na__") * F.col("__nb__")), 6)
+
+    # exact left-fold pair dot, Arrow-vectorized over the candidate set
+    # (sequential over dim, vectorized over pairs — bit-identical to the
+    # oracle's accumulation; the division/round stay JVM-side so rounding
+    # semantics keep matching DuckDB's ROUND)
+    @F.pandas_udf("double")
+    def _pair_dot(a_s: pd.Series, b_s: pd.Series) -> pd.Series:
+        A = np.asarray(a_s.tolist(), dtype="float64")
+        B = np.asarray(b_s.tolist(), dtype="float64")
+        acc = np.zeros(len(A), dtype="float64")
+        for k in range(A.shape[1] if len(A) else 0):
+            acc += A[:, k] * B[:, k]
+        return pd.Series(acc)
+
+    sim = F.round(_pair_dot(F.col("__va__"), F.col("__vb__")) / (F.col("__na__") * F.col("__nb__")), 6)
     out = pairs.join(va, "id_a").join(vb, "id_b").select("id_a", "id_b", sim.alias("cosine"))
     if threshold is not None:
         out = out.filter(F.col("cosine") >= threshold)
