@@ -364,13 +364,35 @@ class DataFrame:
 
         for e in exprs:
             _prescan(e)
+        # fusion order: multi-method ranks over ONE column share a kernel
+        # (rank_columns); single-method ranks over SEVERAL same-typed
+        # columns share one melted kernel (rank_columns_multi) — e.g. a
+        # spearman mutate ranking two columns runs ONE kernel total
+        multi_groups: dict = {}
         for (vname, desc), meths in rank_fused.items():
-            specs = {}
-            for m in meths:
+            if len(meths) == 1:
+                (m,) = meths
+                dtype = state["sdf"].schema[vname].dataType.simpleString()
+                multi_groups.setdefault((desc, m, dtype), []).append(vname)
+            else:
+                specs = {}
+                for m in meths:
+                    name = tmp()
+                    meths[m] = name
+                    specs[name] = m
+                state["sdf"] = ordk.rank_columns(state["sdf"], None, vname, specs, desc)
+        for (desc, m, _dtype), vnames in multi_groups.items():
+            if len(vnames) == 1:
                 name = tmp()
-                meths[m] = name
-                specs[name] = m
-            state["sdf"] = ordk.rank_columns(state["sdf"], None, vname, specs, desc)
+                rank_fused[(vnames[0], desc)][m] = name
+                state["sdf"] = ordk.global_rank(state["sdf"], None, vnames[0], name, m, desc)
+            else:
+                spec = {}
+                for vname in vnames:
+                    name = tmp()
+                    rank_fused[(vname, desc)][m] = name
+                    spec[vname] = name
+                state["sdf"] = ordk.rank_columns_multi(state["sdf"], spec, method=m, descending=desc)
 
         def as_col(e) -> str:
             """Materialize a pure (already rewritten) expr as a column name."""
@@ -1191,11 +1213,13 @@ class DataFrame:
         cols = [c for c in (self._resolve(selector) if selector else numeric) if c in numeric]
         if method == "spearman":
             # tie-corrected average ranks (what Polars/pandas compute), via
-            # the distributed rank kernel — no single-partition window
-            from .operators.ordered import global_rank
+            # ONE multi-column distributed rank kernel — no single-partition
+            # window, and no per-column kernel chain (ranks run on the
+            # double-cast values, same as pandas/polars float matrices)
+            from .operators.ordered import rank_columns_multi
 
-            for c in cols:
-                sdf = global_rank(sdf, None, c, c, method="average")
+            sdf = sdf.withColumns({c: F.col(c).cast("double") for c in cols})
+            sdf = rank_columns_multi(sdf, {c: c for c in cols}, method="average")
         aggs = []
         for a in cols:
             for b in cols:

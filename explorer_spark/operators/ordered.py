@@ -427,6 +427,101 @@ def global_rank(
     return rank_columns(sdf, order_col, value_col, {out_col: method}, descending, seed)
 
 
+def rank_columns_multi(
+    sdf: SDF,
+    value_cols: dict[str, str],
+    method: str = "average",
+    descending: bool = False,
+) -> SDF:
+    """Global value-statistic ranks for SEVERAL (double-castable) columns
+    in ONE kernel pass: the (col_id, value) melt range-shuffles once, one
+    checkpoint, one stats job with per-column prefix resets on the driver,
+    one pid-window — instead of a full kernel per column. Each column then
+    equi-joins its rank back (that part is inherently per-column).
+
+    ``value_cols``: src_col -> out_col (out may replace src — the spearman
+    path ranks in place). All sources must share ONE Spark type (the melt
+    array is uniform; callers cast first if they accept the loss). Nulls
+    rank as a value (eqNullSafe join), matching :func:`rank_columns`.
+    Used by frame._pairwise spearman and fused rank mutates: N rank
+    kernels collapse to 1.
+    """
+    assert method in ("min", "max", "average", "dense")
+    cols = list(value_cols)
+    nc = len(cols)
+    dts = {sdf.schema[c].dataType.simpleString() for c in cols}
+    assert len(dts) == 1, f"rank_columns_multi requires one shared dtype, got {dts}"
+    key = F.col("__v__").desc() if descending else F.col("__v__").asc()
+    melted = sdf.select(F.posexplode(F.array(*[F.col(c) for c in cols])).alias("__cid__", "__v__"))
+    vals = melted.groupBy("__cid__", "__v__").agg(F.count(F.lit(1)).alias("__c__"))
+    v = vals.repartitionByRange(F.col("__cid__").asc(), key).sortWithinPartitions(
+        F.col("__cid__").asc(), key
+    )
+    v = v.withColumn("__mono__", F.monotonically_increasing_id())
+    v = v.withColumn("__vpid__", F.spark_partition_id())
+    v = v.localCheckpoint(eager=False)  # pin nondeterministic ids
+    stats = v.groupBy("__vpid__", "__cid__").agg(
+        F.count(F.lit(1)).alias("__n__"),
+        F.min("__mono__").alias("__mn__"),
+        F.sum("__c__").alias("__t__"),
+    ).collect()
+    # accumulate prefixes per column over partitions in range order
+    stats.sort(key=lambda r: (r["__cid__"], r["__vpid__"]))
+    doffs, vmns, coffs = {}, {}, {}
+    run_d: dict = {}
+    run_c: dict = {}
+    nparts = 0
+    for r in stats:
+        cid, pid = r["__cid__"], r["__vpid__"]
+        slot = pid * nc + cid
+        doffs[slot] = run_d.get(cid, 0)
+        coffs[slot] = run_c.get(cid, 0)
+        vmns[slot] = r["__mn__"]
+        run_d[cid] = doffs[slot] + r["__n__"]
+        run_c[cid] = coffs[slot] + r["__t__"]
+        nparts = max(nparts, pid + 1)
+    nslots = nparts * nc
+    slot = F.col("__vpid__") * nc + F.col("__cid__")
+    w = W.partitionBy("__vpid__", "__cid__").orderBy("__mono__").rowsBetween(W.unboundedPreceding, 0)
+    v2 = v.withColumn("__lc__", F.sum("__c__").over(w))
+    if nslots <= ARRAY_LOOKUP_MAX:
+        v2 = v2.withColumns(
+            {
+                "__doff__": _array_lookup(slot, _dense(doffs, nslots, 0), T.LongType()),
+                "__vmn__": _array_lookup(slot, _dense(vmns, nslots, 0), T.LongType()),
+                "__coff__": _array_lookup(slot, _dense(coffs, nslots, 0), T.LongType()),
+            }
+        )
+    else:
+        lookup = _lookup_df(
+            sdf.sparkSession,
+            [(s, doffs[s], vmns[s], coffs[s]) for s in doffs],
+            [
+                T.StructField("__slot__", T.LongType()),
+                T.StructField("__doff__", T.LongType()),
+                T.StructField("__vmn__", T.LongType()),
+                T.StructField("__coff__", T.LongType()),
+            ],
+        )
+        v2 = v2.withColumn("__slot__", slot).join(F.broadcast(lookup), "__slot__", "left").drop("__slot__")
+    cum = F.col("__coff__") + F.col("__lc__")
+    if method == "min":
+        rk = (cum - F.col("__c__") + 1).cast("int")
+    elif method == "max":
+        rk = cum.cast("int")
+    elif method == "average":
+        rk = (2 * cum - F.col("__c__") + 1).cast("double") / 2.0
+    else:  # dense
+        rk = (F.col("__doff__") + (F.col("__mono__") - F.col("__vmn__")) + 1).cast("int")
+    rv = v2.select("__cid__", F.col("__v__").alias("__vv__"), rk.alias("__rk__"))
+    out = sdf
+    for i, c in enumerate(cols):
+        rvi = rv.filter(F.col("__cid__") == i).select("__vv__", F.col("__rk__").alias(f"__rko{i}__"))
+        out = out.join(rvi, F.col(c).eqNullSafe(F.col("__vv__")), "left").drop("__vv__")
+    out = out.withColumns({value_cols[c]: F.col(f"__rko{i}__") for i, c in enumerate(cols)})
+    return out.drop(*[f"__rko{i}__" for i in range(nc)])
+
+
 # ---------------------------------------------------------------------------
 # global EWM: bucket-parallel prefix composition
 # ---------------------------------------------------------------------------
