@@ -142,6 +142,111 @@ def assign_cells(corpus: SDF, centroids: SDF, vec_col: str = "embedding", centro
     return joined.withColumn("__rn__", F.row_number().over(w)).filter(F.col("__rn__") == 1).drop("__rn__", "__cent__")
 
 
+def kmeans_fit(
+    X_rows: list, k: int = 8, iters: int = 8, seed: int = 42, decimals: int = 6
+) -> list[list[float]]:
+    """Spherical k-means (Lloyd) over a driver-side sample — the standard
+    big-data IVF recipe: FIT touches a bounded sample, ASSIGNMENT is a
+    broadcast map over the full corpus. Returns unit-norm centroids
+    rounded to decimal literals (identical doubles in any engine, so the
+    oracle SQL can embed them)."""
+    import numpy as np
+
+    X = np.asarray(X_rows, dtype="float64")
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=k, replace=False)].copy()
+    for _ in range(iters):
+        assign = (X @ C.T).argmax(axis=1)
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                C[j] = c / np.linalg.norm(c)
+    return [[round(float(x), decimals) for x in c] for c in C]
+
+
+def _centroid_dots_udf(centroids: list[list[float]]):
+    """pandas_udf: all-centroid dot products per row, accumulated
+    sequentially over the dim axis — the exact left-to-right fold the
+    oracle's left-associative SQL sums compute."""
+    import numpy as np
+
+    C = np.asarray(centroids, dtype="float64")  # k x dim
+
+    @F.pandas_udf("array<double>")
+    def dots(vs: pd.Series) -> pd.Series:
+        X = np.asarray(vs.tolist(), dtype="float64")
+        acc = np.zeros((len(X), C.shape[0]), dtype="float64")
+        for kk in range(C.shape[1]):
+            acc += X[:, kk : kk + 1] * C[:, kk]
+        return pd.Series([row.tolist() for row in acc])
+
+    return dots
+
+
+def ivf_topk_trained(
+    corpus: SDF,
+    queries: SDF,
+    k: int = 5,
+    centroids: list[list[float]] | None = None,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> SDF:
+    """Trained-IVF approximate top-k with multi-probe: corpus rows live in
+    their argmax-similarity centroid cell; each query searches its
+    ``nprobe`` most similar cells. The search join is an equi-join on the
+    cell id — per-cell shuffle, broadcast-friendly query side, and recall
+    is tuned by nprobe (the published IVF trade, e.g. FAISS IVF).
+
+    Tie rules are engine-exact for the oracle: cell = FIRST argmax;
+    probes = cells ordered by (similarity desc, cell asc).
+    """
+    assert centroids, "fit centroids first (kmeans_fit)"
+    nc = len(centroids)
+    dots = _centroid_dots_udf(centroids)
+    import numpy as np  # noqa: F401
+
+    # corpus: one cell per row = first argmax over the dot array
+    darr = dots(F.col(vec_col)).alias("__d__")
+    best = F.array_max(F.col("__d__"))
+    cell = F.array_position(F.col("__d__"), best) - 1  # first match, 0-based
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv__"),
+        norm(F.col(vec_col)).alias("__cn__"),
+        darr,
+    ).select("neighbor_id", "__cv__", "__cn__", cell.cast("int").alias("__cell__"))
+
+    # queries: nprobe cells by (sim desc, cell asc) via struct sort
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.lit(nc - 1)),
+        lambda i: F.struct((-F.get(F.col("__d__"), i)).alias("nd"), i.cast("int").alias("c")),
+    )
+    probes = F.slice(F.array_sort(pairs), 1, nprobe)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv__"),
+        norm(F.col(vec_col)).alias("__qn__"),
+        dots(F.col(vec_col)).alias("__d__"),
+    ).select(
+        "query_id", "__qv__", "__qn__", F.explode(F.transform(probes, lambda s: s["c"])).alias("__qcell__")
+    )
+
+    joined = c.join(
+        F.broadcast(q), (F.col("__cell__") == F.col("__qcell__")) & (F.col("neighbor_id") != F.col("query_id"))
+    )
+    sim = F.round(dot(F.col("__qv__"), F.col("__cv__")) / (F.col("__qn__") * F.col("__cn__")), 6)
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        joined.withColumn("cosine", sim)
+        .withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") <= k)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
 def rhp_planes(nbits: int, dim: int, seed: int = 42, decimals: int = 6) -> list[list[float]]:
     """Deterministic random-hyperplane table (seeded standard normals,
     rounded so decimal literals parse to the identical double in any

@@ -287,6 +287,73 @@ def _rhp_oracle_sql(nbits=16, bands=4, dim=64, seed=42):
     """
 
 
+# ---------------------------------------------------------------------------
+# similarity: trained IVF with multi-probe
+# ---------------------------------------------------------------------------
+
+
+def _ivf_centroids(k=8, dim=64, seed=42):
+    """Pretrained IVF centroids: fitted ONCE (import time) on the sf0.01
+    embedding sample via driver-side spherical k-means — index training is
+    an offline step in a real ANN deployment, so the cells are constants
+    of the query, not per-run artifacts."""
+    import pyarrow.parquet as pq
+
+    from .operators.similarity import kmeans_fit
+
+    t = pq.read_table("/root/testdata/sf0.01/embeddings.parquet", columns=["embedding"])
+    return kmeans_fit(t.column("embedding").to_pylist(), k=k, seed=seed)
+
+
+_IVF_CENTROIDS = _ivf_centroids()
+
+
+def _ivf_oracle_sql(centroids, nprobe=2, topk=5, dim=64):
+    """DuckDB mirror of ivf_topk_trained with the same centroid literals:
+    left-associative dot sums, first-argmax cell, (sim desc, cell asc)
+    probe order — candidate sets reproduce exactly."""
+    nc = len(centroids)
+
+    def dot_sql(c, tbl="embedding"):
+        return " + ".join(f"CAST({tbl}[{i + 1}] AS DOUBLE) * {c[i]!r}" for i in range(dim))
+
+    d_exprs = ", ".join(f"({dot_sql(c)}) AS d{j}" for j, c in enumerate(centroids))
+    first_argmax = "CASE " + " ".join(
+        f"WHEN {' AND '.join(f'd{j} >= d{i}' for i in range(nc) if i != j)} THEN {j}"
+        for j in range(nc)
+    ) + " END"
+    probe_structs = ", ".join(f"struct_pack(nd := -d{j}, c := {j})" for j in range(nc))
+    return f"""
+    WITH cd AS (SELECT vec_id, embedding, {d_exprs} FROM embeddings),
+    cc AS (SELECT vec_id, embedding, {first_argmax} AS cell FROM cd),
+    qp AS (
+        SELECT vec_id AS query_id, embedding AS qe,
+               unnest(list_transform(list_slice(list_sort([{probe_structs}]), 1, {nprobe}), s -> s.c)) AS cell
+        FROM cd WHERE vec_id < 10
+    )
+    SELECT query_id, neighbor_id, cosine FROM (
+        SELECT qp.query_id, cc.vec_id AS neighbor_id,
+               ROUND(list_dot_product(CAST(qe AS DOUBLE[]), CAST(cc.embedding AS DOUBLE[]))
+                     / (sqrt(list_dot_product(CAST(qe AS DOUBLE[]), CAST(qe AS DOUBLE[])))
+                        * sqrt(list_dot_product(CAST(cc.embedding AS DOUBLE[]), CAST(cc.embedding AS DOUBLE[])))), 6) AS cosine
+        FROM qp JOIN cc ON cc.cell = qp.cell AND cc.vec_id <> qp.query_id
+    )
+    QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) <= {topk}
+    """
+
+
+@query("q_ann_ivf_trained", _ivf_oracle_sql(_IVF_CENTROIDS))
+def q_ann_ivf_trained(spark, sf_dir):
+    """Trained-IVF ANN with multi-probe (nprobe=2 of 8 k-means cells):
+    the FAISS-style recall/latency trade as a per-cell equi-join
+    (operators/similarity.ivf_topk_trained + kmeans_fit)."""
+    from .operators.similarity import ivf_topk_trained
+
+    emb = _t(spark, sf_dir, "embeddings").lazy_sdf()
+    queries = emb.filter(SF.col("vec_id") < 10)
+    return ivf_topk_trained(emb, queries, k=5, centroids=_IVF_CENTROIDS, nprobe=2)
+
+
 @query("q_dedup_embedding_lsh", _rhp_oracle_sql())
 def q_dedup_embedding_lsh(spark, sf_dir):
     """Embedding near-dup with NO blocking column: random-hyperplane

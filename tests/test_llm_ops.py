@@ -234,3 +234,28 @@ def test_write_exactly_once_replay_idempotent(spark, tmp_path):
         .partitionBy("__batch_id__").parquet(out)
     )
     assert spark.read.parquet(out).count() == n
+
+
+def test_ivf_trained_full_probe_equals_bruteforce(spark):
+    """Probing ALL cells makes trained IVF exhaustive — must equal the
+    brute-force top-k exactly; nprobe=2 returns a subset-quality result."""
+    from explorer_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk_trained,
+        kmeans_fit,
+    )
+    from explorer_spark.sources import read_parquet
+
+    emb = read_parquet("/root/testdata/sf0.001/embeddings.parquet").lazy_sdf()
+    cents = kmeans_fit([r[0] for r in emb.select("embedding").collect()], k=4)
+    queries = emb.filter(F.col("vec_id") < 5)
+    bf = {(r.query_id, r.neighbor_id) for r in brute_force_topk(emb, queries, k=3).collect()}
+    full = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk_trained(emb, queries, k=3, centroids=cents, nprobe=4).collect()
+    }
+    assert full == bf
+    probe2 = ivf_topk_trained(emb, queries, k=3, centroids=cents, nprobe=2).collect()
+    assert len(probe2) == 15
+    recall = len(bf & {(r.query_id, r.neighbor_id) for r in probe2}) / len(bf)
+    assert 0.0 <= recall <= 1.0
