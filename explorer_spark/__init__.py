@@ -32,6 +32,7 @@ from .sources import (
     load_table,
     read_csv,
     read_ipc,
+    read_ipc_distributed,
     read_ndjson,
     read_parquet,
     write_csv,
@@ -58,6 +59,7 @@ __all__ = [
     "read_csv",
     "read_ndjson",
     "read_ipc",
+    "read_ipc_distributed",
     "write_parquet",
     "write_csv",
     "write_ndjson",

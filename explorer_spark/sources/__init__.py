@@ -26,6 +26,7 @@ __all__ = [
     "read_csv",
     "read_ndjson",
     "read_ipc",
+    "read_ipc_distributed",
     "write_parquet",
     "write_csv",
     "write_ndjson",
@@ -190,6 +191,56 @@ def read_ndjson(
     spark = spark or get_spark()
     path = _fss_resolve(path, spark, config)
     return _attach_order(spark.read.json(path))
+
+
+def read_ipc_distributed(
+    path: str, columns=None, spark: SparkSession | None = None
+) -> DataFrame:
+    """Distributed Arrow IPC read: no native Spark IPC source exists, so
+    files load as binary blobs (``binaryFile`` source — parallel across
+    files, never through the driver) and each executor decodes its files
+    with PyArrow inside ``mapInArrow`` — zero-copy from IPC buffers to
+    Spark's Arrow batches. Column pruning happens at decode. The output
+    schema comes from one driver-side footer probe of the first file.
+
+    Use for IPC datasets laid out as many files (the scale path);
+    :func:`read_ipc` stays for single driver-sized files."""
+    import glob as _glob
+
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
+    spark = spark or get_spark()
+    matches = sorted(_glob.glob(path)) if any(ch in path for ch in "*?[") else [path]
+    if not matches:
+        raise FileNotFoundError(path)
+    with pa.memory_map(matches[0]) as src:
+        schema = ipc.open_file(src).schema
+    if columns:
+        schema = pa.schema([schema.field(c) for c in columns])
+    cols = list(columns) if columns else None
+
+    def decode(batches):
+        import io
+
+        for batch in batches:  # binaryFile rows: (path, ..., content)
+            tbl = pa.Table.from_batches([batch])
+            for row in range(tbl.num_rows):
+                blob = tbl.column("content")[row].as_py()
+                try:
+                    reader = ipc.open_file(io.BytesIO(blob))
+                    sub = reader.read_all()
+                except pa.lib.ArrowInvalid:
+                    sub = ipc.open_stream(io.BytesIO(blob)).read_all()
+                if cols:
+                    sub = sub.select(cols)
+                yield from sub.to_batches()
+
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    blobs = spark.read.format("binaryFile").load(matches)
+    sdf = blobs.mapInArrow(decode, from_arrow_schema(schema))
+    return _attach_order(sdf)
 
 
 def read_ipc(path: str, columns=None, spark: SparkSession | None = None) -> DataFrame:

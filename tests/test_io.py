@@ -205,3 +205,22 @@ def test_csv_multi_nil_values(spark, tmp_path):
     cols = back.to_columns()
     assert cols["a"] == [None, None, "1"]
     assert cols["b"] == ["x", None, "z"]
+
+
+def test_read_ipc_distributed_multi_file(spark, tmp_path):
+    """Many-file IPC datasets decode executor-side (binaryFile +
+    mapInArrow), matching the driver-side reader row-for-row."""
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
+    from explorer_spark.sources import read_ipc_distributed
+
+    for i in range(3):
+        t = pa.table({"a": [i * 10 + j for j in range(4)], "s": [f"r{i}{j}" for j in range(4)]})
+        with pa.OSFile(str(tmp_path / f"part{i}.arrow"), "wb") as sink, ipc.new_file(sink, t.schema) as w:
+            w.write_table(t)
+    got = read_ipc_distributed(str(tmp_path / "part*.arrow"), spark=spark)
+    rows = sorted((r["a"], r["s"]) for r in got.to_rows())
+    assert rows == sorted((i * 10 + j, f"r{i}{j}") for i in range(3) for j in range(4))
+    pruned = read_ipc_distributed(str(tmp_path / "part*.arrow"), columns=["a"], spark=spark)
+    assert pruned.names == ["a"] and len(pruned.to_rows()) == 12
