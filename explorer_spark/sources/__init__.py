@@ -2,9 +2,10 @@
 
 Parquet/CSV/NDJSON map straight onto Spark's native readers/writers (with
 predicate pushdown, column pruning, and partition pruning from Catalyst for
-free). Arrow IPC has no native Spark source — it is read via PyArrow and
-handed to Spark through ``createDataFrame`` (driver-side; documented
-limit), written via ``toPandas``→PyArrow.
+free). Arrow IPC has no native Spark source — single driver-sized files go
+through PyArrow + ``createDataFrame`` (``read_ipc``); many-file datasets
+decode executor-side via binaryFile + ``mapInArrow``
+(``read_ipc_distributed``), written via ``toPandas``→PyArrow.
 
 Every scan assigns the hidden row-order column at the edge (a
 ``monotonically_increasing_id``, which is monotone in file/row-group
