@@ -254,3 +254,37 @@ def test_ewm_no_single_partition_window(spark, pdf):
     df = from_pandas(pdf, spark=spark)
     plan = df.ewm(e=("mean", "y", 0.5, True)).lazy_sdf()._jdf.queryExecution().executedPlan().toString()
     assert "__g__" not in plan
+
+
+def test_rank_columns_multi_matches_pandas(spark):
+    """Multi-column average ranks (one melted kernel) == pandas
+    rank(method='average'), ties and nulls included."""
+    import numpy as np
+    import pandas as pd
+
+    from explorer_spark.operators.ordered import rank_columns_multi
+
+    rng = np.random.default_rng(7)
+    pdf = pd.DataFrame(
+        {
+            "a": rng.integers(0, 12, 300).astype("float64"),
+            "b": rng.normal(size=300).round(1),
+        }
+    )
+    pdf.loc[rng.choice(300, 25, replace=False), "a"] = np.nan
+    sdf = spark.createDataFrame(pdf)
+    got = (
+        rank_columns_multi(sdf, {"a": "ra", "b": "rb"}, method="average")
+        .orderBy("a", "b")
+        .toPandas()
+    )
+    want = pdf.copy()
+    # nulls rank as a value (first) in the kernel, same as rank_columns;
+    # pandas excludes NaN — shift its ranks by the null count to compare
+    n_null = int(pdf["a"].isna().sum())
+    want["ra"] = pdf["a"].rank(method="average") + n_null
+    want["rb"] = pdf["b"].rank(method="average")
+    want = want.sort_values(["a", "b"], na_position="first").reset_index(drop=True)
+    m = want["a"].notna().to_numpy()
+    assert np.allclose(got["ra"].to_numpy()[m], want["ra"].to_numpy()[m])
+    assert np.allclose(got["rb"].to_numpy(), want["rb"].to_numpy())

@@ -137,3 +137,35 @@ def test_minhash_lsh_stays_bounded(spark):
     plan = cand._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embedding_lsh_candidate_stage_is_equi_join(spark):
+    """The SRP-LSH candidate stage must plan as an equi-join on
+    (band, bucket) — no cartesian product / nested-loop anywhere, the
+    invariant that survives a 100x corpus."""
+    from explorer_spark.operators.similarity import embedding_lsh_pairs
+    from explorer_spark.sources import read_parquet
+
+    emb = read_parquet("/root/testdata/sf0.001/embeddings.parquet").lazy_sdf()
+    pairs = embedding_lsh_pairs(emb, nbits=16, bands=4, dim=64)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rank_columns_multi_single_value_shuffle(spark):
+    """The multi-column rank kernel melts N columns through ONE distinct
+    value table: exactly one RangePartitioning exchange in the whole
+    rank plan (plus the hash exchanges for groupBy/window/join-back)."""
+    from explorer_spark.operators.ordered import rank_columns_multi
+
+    sdf = spark.range(1000).selectExpr(
+        "CAST(id % 37 AS DOUBLE) AS a", "CAST(id % 11 AS DOUBLE) AS b"
+    )
+    out = rank_columns_multi(sdf, {"a": "ra", "b": "rb"}, method="average")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the single range shuffle sits BEHIND the checkpoint boundary: both
+    # per-column join-backs must scan the SAME pinned value table (two
+    # ExistingRDD scans of one RDD), and nothing may go cartesian
+    assert "CartesianProduct" not in plan
+    assert plan.count("Scan ExistingRDD") == 2, plan[:2000]
