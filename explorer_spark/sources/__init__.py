@@ -263,10 +263,22 @@ def read_ipc(path: str, columns=None, spark: SparkSession | None = None) -> Data
 
 
 def write_parquet(
-    df: DataFrame, path: str, compression: str = "snappy", mode: str = "overwrite", config=None
+    df: DataFrame,
+    path: str,
+    compression: str = "snappy",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    config=None,
 ) -> str:
+    """Parquet sink. ``partition_by`` hive-partitions the layout by the
+    given columns — the 100 TB knob: readers then get partition PRUNING
+    (directory-level skip, visible as PartitionFilters in the scan plan)
+    for free on any filter over those columns."""
     path = _fss_resolve(path, df.lazy_sdf().sparkSession, config)
-    df.lazy_sdf().write.mode(mode).parquet(path, compression=compression)
+    w = df.lazy_sdf().write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path, compression=compression)
     return path
 
 

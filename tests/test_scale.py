@@ -169,3 +169,26 @@ def test_rank_columns_multi_single_value_shuffle(spark):
     # ExistingRDD scans of one RDD), and nothing may go cartesian
     assert "CartesianProduct" not in plan
     assert plan.count("Scan ExistingRDD") == 2, plan[:2000]
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """partition_by layout + a filter over the partition column =>
+    directory-level pruning: the scan's PartitionFilters carry the
+    predicate and only matching partitions are read."""
+    from explorer_spark.sources import read_parquet, write_parquet
+
+    orders = read_parquet("/root/testdata/sf0.001/orders.parquet", spark=spark)
+    out = str(tmp_path / "orders_by_prio")
+    write_parquet(orders, out, partition_by=["o_orderpriority"])
+    from explorer_spark import col, lit
+
+    back = read_parquet(out, spark=spark).filter(col("o_orderpriority") == lit("1-URGENT"))
+    plan = back.lazy_sdf()._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "o_orderpriority" in plan.split("PartitionFilters")[1][:200]
+    n_urgent = back.lazy_sdf().count()
+    want = (
+        spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .filter("o_orderpriority = '1-URGENT'")
+        .count()
+    )
+    assert n_urgent == want
