@@ -607,6 +607,16 @@ _LOWER = {
     "is_leap_year": lambda ctx, a: (F.year(_c(a, ctx)) % 4 == 0)
     & ((F.year(_c(a, ctx)) % 100 != 0) | (F.year(_c(a, ctx)) % 400 == 0)),
     "to_date": _unop(F.to_date),
+    # nanosecond component of the second (reference series.ex nanosecond/1;
+    # µs-precision storage means the last 3 digits are always 0)
+    "nanosecond": lambda ctx, a: (
+        F.pmod(F.unix_micros(_c(a, ctx).cast("timestamp_ltz")), F.lit(1_000_000)) * 1_000
+    ).cast("long"),
+    # time-of-day as ns since midnight — the engine's :time representation
+    # (dtypes.py maps time -> long ns, reference shared.ex:12-16)
+    "to_time": lambda ctx, a: (
+        F.pmod(F.unix_micros(_c(a, ctx).cast("timestamp_ltz")), F.lit(86_400_000_000)) * 1_000
+    ).cast("long"),
     "strftime": lambda ctx, a, fmt: F.date_format(_c(a, ctx), _strftime_to_java(fmt)),
     "strptime": lambda ctx, a, fmt: F.to_timestamp(_c(a, ctx), _strftime_to_java(fmt)),
     # lists

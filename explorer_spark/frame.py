@@ -230,6 +230,11 @@ class DataFrame:
     def pull(self, name: str) -> "DataFrame":
         return self.select([name])
 
+    def pop(self, name: str):
+        """Split one column off the frame (the reference's Access.pop):
+        returns (popped single-column frame, remainder)."""
+        return self.select([name]), self.discard([name])
+
     def put(self, name: str, values) -> "DataFrame":
         """Insert/replace a column from a python list (positional align)."""
         spark = self._sdf.sparkSession

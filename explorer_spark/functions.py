@@ -275,6 +275,8 @@ minute = _mk("minute")
 second = _mk("second")
 is_leap_year = _mk("is_leap_year")
 to_date = _mk("to_date")
+nanosecond = _mk("nanosecond")
+to_time = _mk("to_time")
 
 
 def duration_total(a, precision: str = "us"):

@@ -259,6 +259,79 @@ class Series:
         rows = f._sdf.filter(F.col(self.name) == F.lit(value)).orderBy("__idx__").limit(1).collect()
         return rows[0]["__idx__"] if rows else None
 
+    # -- reference-parity conveniences (series.ex) ---------------------------
+    def mask(self, predicate) -> "Series":
+        """Filter by a boolean Series / list (reference Series.mask/2)."""
+        if isinstance(predicate, Series):
+            vals = predicate.to_list()
+        else:
+            vals = list(predicate)
+        idxed = self._frame._with_row_index("__mi__")
+        keep = [i for i, v in enumerate(vals) if v]
+        out = idxed._sdf.filter(F.col("__mi__").isin(keep)).drop("__mi__")
+        return Series(idxed._replace(out, aligned=True), self.name)
+
+    def shuffle(self, seed: int | None = None) -> "Series":
+        return Series(self._frame.shuffle(seed=seed), self.name)
+
+    def collect(self) -> "Series":
+        """Eager materialization pin (reference Series.collect/1)."""
+        return Series(self._frame.collect(), self.name)
+
+    def ewm_mean(self, alpha: float = 0.5, adjust: bool = True, ignore_nils: bool = True) -> "Series":
+        return self._ewm("mean", alpha, adjust, ignore_nils)
+
+    def ewm_variance(self, alpha: float = 0.5, adjust: bool = True, ignore_nils: bool = True) -> "Series":
+        return self._ewm("variance", alpha, adjust, ignore_nils)
+
+    def ewm_standard_deviation(
+        self, alpha: float = 0.5, adjust: bool = True, ignore_nils: bool = True
+    ) -> "Series":
+        return self._ewm("standard_deviation", alpha, adjust, ignore_nils)
+
+    def _ewm(self, kind: str, alpha: float, adjust: bool, ignore_nils: bool) -> "Series":
+        nf = self._frame.ewm(**{self.name: (kind, self.name, alpha, adjust, ignore_nils)})
+        return Series(nf.select([self.name]), self.name)
+
+    def to_numpy(self):
+        """Values as a numpy array (reference Series.to_tensor via Nx;
+        numpy is the idiomatic bridge here)."""
+        import numpy as np
+
+        return np.asarray(self.to_list())
+
+    @staticmethod
+    def from_numpy(arr, name: str = "values", spark=None) -> "Series":
+        return Series.from_list([v.item() if hasattr(v, "item") else v for v in arr], name=name, spark=spark)
+
+    def to_binary(self) -> bytes:
+        """Raw little-endian buffer of the values (reference
+        Series.to_binary/to_iovec — nulls are not representable, same as
+        the reference's contract)."""
+        return self.to_numpy().tobytes()
+
+    to_iovec = to_binary
+
+    @staticmethod
+    def from_binary(data: bytes, dtype, name: str = "values", spark=None) -> "Series":
+        """Build from a raw buffer + dtype (reference Series.from_binary)."""
+        import numpy as np
+
+        np_map = {
+            ("s", 8): "int8", ("s", 16): "int16", ("s", 32): "int32", ("s", 64): "int64",
+            ("u", 8): "uint8", ("u", 16): "uint16", ("u", 32): "uint32",
+            ("f", 32): "float32", ("f", 64): "float64",
+        }
+        d = dt.normalize(dtype)
+        np_dtype = np_map.get(d if isinstance(d, tuple) else ("f", 64))
+        arr = np.frombuffer(data, dtype=np_dtype)
+        return Series.from_list([v.item() for v in arr], dtype=d, name=name, spark=spark)
+
+    def __iter__(self):
+        """Row streaming (reference's Enumerable impl / to_enum)."""
+        for row in self.to_frame().to_rows_stream():
+            yield row[self.name]
+
     def __repr__(self):
         vals = self.head(10).to_list()
         return f"Series[{self.name} :: {self.dtype}] {vals}"

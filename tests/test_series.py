@@ -80,3 +80,37 @@ def test_rank(spark):
     assert r.rank("dense").to_list() == [1, 3, 2, 3]
     assert r.rank("min").to_list() == [1, 3, 2, 3]
     assert r.rank("average").to_list() == [1.0, 3.5, 2.0, 3.5]
+
+
+def test_series_parity_additions(spark):
+    """mask / shuffle / collect / binary+numpy bridges / iteration /
+    ewm_mean (reference series.ex parity surface)."""
+    from explorer_spark.series import Series
+
+    s = Series.from_list([10, 20, 30, 40], dtype=("s", 64), spark=spark)
+    assert s.mask([True, False, True, False]).to_list() == [10, 30]
+    assert sorted(s.shuffle(seed=3).to_list()) == [10, 20, 30, 40]
+    assert s.collect().to_list() == [10, 20, 30, 40]
+    assert list(s) == [10, 20, 30, 40]
+    buf = s.to_binary()
+    assert Series.from_binary(buf, ("s", 64), spark=spark).to_list() == [10, 20, 30, 40]
+    assert s.to_numpy().tolist() == [10, 20, 30, 40]
+    import pandas as pd
+
+    x = Series.from_list([1.0, 2.0, 3.0, 4.0], dtype=("f", 64), spark=spark)
+    got = x.ewm_mean(alpha=0.5).to_list()
+    want = pd.Series([1.0, 2.0, 3.0, 4.0]).ewm(alpha=0.5, adjust=True).mean().tolist()
+    assert all(abs(a - b) < 1e-9 for a, b in zip(got, want))
+
+
+def test_temporal_nanosecond_and_to_time(spark):
+    import datetime
+
+    from explorer_spark.series import Series
+    from explorer_spark import functions as f
+
+    ts = [datetime.datetime(2024, 3, 1, 12, 30, 45, 123456)]
+    s = Series.from_list(ts, dtype=("naive_datetime", "us"), spark=spark)
+    assert s.map(f.nanosecond).to_list() == [123456000]
+    ns_midnight = ((12 * 3600 + 30 * 60 + 45) * 1_000_000 + 123456) * 1000
+    assert s.map(f.to_time).to_list() == [ns_midnight]
