@@ -235,6 +235,11 @@ class DataFrame:
         returns (popped single-column frame, remainder)."""
         return self.select([name]), self.discard([name])
 
+    def estimated_size(self) -> int:
+        """Catalyst's in-memory size estimate in bytes (reference
+        estimated_size — a heuristic there too)."""
+        return int(self._sdf._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+
     def put(self, name: str, values) -> "DataFrame":
         """Insert/replace a column from a python list (positional align)."""
         spark = self._sdf.sparkSession

@@ -425,6 +425,80 @@ def load_ndjson(contents: str, spark: SparkSession | None = None) -> DataFrame:
     return read_ndjson(path, spark=spark)
 
 
+# -- in-memory binary dumps/loads (reference dump_*/load_* family) ----------
+
+
+def _to_arrow(df: DataFrame):
+    import pyarrow as pa
+
+    return pa.Table.from_pandas(df.to_pandas(), preserve_index=False)
+
+
+def dump_parquet(df: DataFrame, compression: str = "snappy") -> bytes:
+    """Parquet as in-memory bytes (reference dump_parquet)."""
+    import pyarrow.parquet as pq
+
+    buf = _io.BytesIO()
+    pq.write_table(_to_arrow(df), buf, compression=compression)
+    return buf.getvalue()
+
+
+def load_parquet(data: bytes, spark: SparkSession | None = None) -> DataFrame:
+    import pyarrow.parquet as pq
+
+    spark = spark or get_spark()
+    return _attach_order(spark.createDataFrame(pq.read_table(_io.BytesIO(data)).to_pandas()))
+
+
+def dump_ipc(df: DataFrame) -> bytes:
+    """Arrow IPC file format as bytes (reference dump_ipc)."""
+    import pyarrow.ipc as ipc
+
+    t = _to_arrow(df)
+    buf = _io.BytesIO()
+    with ipc.new_file(buf, t.schema) as w:
+        w.write_table(t)
+    return buf.getvalue()
+
+
+def dump_ipc_stream(df: DataFrame) -> bytes:
+    import pyarrow.ipc as ipc
+
+    t = _to_arrow(df)
+    buf = _io.BytesIO()
+    with ipc.new_stream(buf, t.schema) as w:
+        w.write_table(t)
+    return buf.getvalue()
+
+
+def dump_ipc_schema(df: DataFrame) -> bytes:
+    """Serialized Arrow schema only (reference dump_ipc_schema)."""
+    return _to_arrow(df).schema.serialize().to_pybytes()
+
+
+def dump_ipc_record_batch(df: DataFrame) -> bytes:
+    """The frame as one serialized Arrow record batch
+    (reference dump_ipc_record_batch)."""
+    t = _to_arrow(df).combine_chunks()
+    batches = t.to_batches()
+    return batches[0].serialize().to_pybytes() if batches else b""
+
+
+def load_ipc(data: bytes, spark: SparkSession | None = None) -> DataFrame:
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
+    spark = spark or get_spark()
+    try:
+        t = ipc.open_file(_io.BytesIO(data)).read_all()
+    except pa.lib.ArrowInvalid:
+        t = ipc.open_stream(_io.BytesIO(data)).read_all()
+    return _attach_order(spark.createDataFrame(t.to_pandas()))
+
+
+load_ipc_stream = load_ipc
+
+
 # reference-style aliases (from_* readers / to_* writers)
 from_csv = read_csv
 from_parquet = read_parquet

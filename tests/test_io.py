@@ -224,3 +224,19 @@ def test_read_ipc_distributed_multi_file(spark, tmp_path):
     assert rows == sorted((i * 10 + j, f"r{i}{j}") for i in range(3) for j in range(4))
     pruned = read_ipc_distributed(str(tmp_path / "part*.arrow"), columns=["a"], spark=spark)
     assert pruned.names == ["a"] and len(pruned.to_rows()) == 12
+
+
+def test_dump_load_binary_family(spark):
+    """In-memory parquet/IPC dumps round-trip (reference dump_*/load_*)."""
+    import explorer_spark as ex
+    from explorer_spark import sources as src
+
+    df = ex.from_columns({"a": [1, 2, 3], "s": ["x", "y", "z"]}, spark=spark)
+    assert src.load_parquet(src.dump_parquet(df), spark=spark).to_rows() == df.to_rows()
+    assert src.load_ipc(src.dump_ipc(df), spark=spark).to_rows() == df.to_rows()
+    assert src.load_ipc(src.dump_ipc_stream(df), spark=spark).to_rows() == df.to_rows()
+    assert len(src.dump_ipc_schema(df)) > 0
+    assert len(src.dump_ipc_record_batch(df)) > 0
+    assert df.estimated_size() > 0
+    popped, rest = df.pop("a")
+    assert popped.names == ["a"] and rest.names == ["s"]
