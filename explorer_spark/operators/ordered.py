@@ -577,8 +577,10 @@ def ewm_global(sdf: SDF, idx_col: str, specs: dict) -> SDF:
     an exact linear accumulation.  ``ignore_nils=False`` matches pandas
     ``ignore_na=False`` (weights decay by absolute position); its
     adjust=False variant renormalizes after each valid value, which is
-    only linear when the column has no internal nulls — that corner
-    raises NotImplementedError and the caller falls back to a
+    not a plain linear accumulation when the column has internal nulls —
+    MEANS in that corner route to :func:`ewm_mean_gapped` (per-row
+    affine-in-state composition, still fully distributed); var/std there
+    raise NotImplementedError and the caller falls back to a
     single-task pass.
 
     adjust=False reweights the accumulated adjust=True channels in
@@ -591,8 +593,15 @@ def ewm_global(sdf: SDF, idx_col: str, specs: dict) -> SDF:
 
     specs = {o: (t + (True,) if len(t) == 4 else t) for o, t in specs.items()}
 
-    # ignore_nils=False + adjust=False is only a linear recursion when the
-    # source has no internal nulls — check once, cheaply
+    # ignore_nils=False + adjust=False renormalizes per observation when
+    # the source has internal nulls: MEANS go through the affine-state
+    # gapped kernel; var/std in that corner fall back (caller catches)
+    gapped_means = {
+        o: (src, a)
+        for o, (k, src, a, adj, ign) in specs.items()
+        if not ign and not adj and k == "mean"
+    }
+    specs = {o: t for o, t in specs.items() if o not in gapped_means}
     gap_srcs = sorted({src for (_k, src, _a, adj, ign) in specs.values() if not ign and not adj})
     if gap_srcs:
         counts = sdf.agg(
@@ -606,9 +615,14 @@ def ewm_global(sdf: SDF, idx_col: str, specs: dict) -> SDF:
         for c in gap_srcs:
             if (counts[c] or 0) > 0:
                 raise NotImplementedError(
-                    "ewm with ignore_nils=False, adjust=False over a column with nulls "
-                    "renormalizes per observation; use ignore_nils=True or the grouped path"
+                    "ewm variance/std with ignore_nils=False, adjust=False over a column "
+                    "with nulls renormalizes per observation; use ignore_nils=True or the "
+                    "grouped path"
                 )
+    if gapped_means:
+        sdf = ewm_mean_gapped(sdf, idx_col, gapped_means)
+        if not specs:
+            return sdf
 
     src_keys = sorted({(src, ign) for (_k, src, _a, _adj, ign) in specs.values()})
     alphas = sorted({a for (_k, _s, a, _adj, _i) in specs.values()})
@@ -788,4 +802,136 @@ def ewm_global(sdf: SDF, idx_col: str, specs: dict) -> SDF:
     drop += ["__carry_" + cname(k, s_, a, i) for (k, s_, a, i, _p) in all_chans]
     drop += [kname(src) for src in k_srcs] + [f"__voff_{src}__" for src in k_srcs]
     drop += [BUCKET] + fv_cols
+    return j.drop(*drop)
+
+
+# ---------------------------------------------------------------------------
+# gapped EWM mean: adjust=False, ignore_nils=False over null-bearing data
+# ---------------------------------------------------------------------------
+#
+# pandas' recursion in this corner is NOT the absolute-position-decay
+# closed form (the old_wt reset after gaps breaks ratio cancellation), but
+# each row's output IS affine in the incoming state: avg_t = A_t*prev + B_t
+# with per-row coefficients determined only by the bucket's own data and
+# the gap back to the previous valid observation. So each index bucket
+# runs pandas' own ewm THREE times — unseeded, seeded with 0, seeded with
+# 1 (seeding = prepending a synthetic valid row at the right gap distance)
+# — to extract per-row (A, B) = (run1 - run0, run0); bucket end states
+# compose sequentially on the driver (bounded rows), and the final value
+# is A*carry + B (or the unseeded run before the global first valid).
+# Gap distances longer than the double-underflow horizon truncate to it:
+# both engines' decayed weights collapse to the same 0.
+
+
+def ewm_mean_gapped(sdf: SDF, idx_col: str, specs: dict) -> SDF:
+    """specs: out_name -> (src_col, alpha). Exact pandas
+    ewm(adjust=False, ignore_na=False).mean() semantics, distributed."""
+    import math
+
+    import pandas as pd
+
+    s = sdf.withColumn(BUCKET, F.floor(F.col(idx_col) / F.lit(BUCKET_SIZE)))
+    srcs = sorted({src for (src, _a) in specs.values()})
+
+    # pre-pass: per-bucket valid stats -> gap into each bucket
+    pre = s.groupBy(BUCKET).agg(
+        F.min(F.col(idx_col)).alias("__first__"),
+        *[
+            F.max(F.when(F.col(src).isNotNull() & ~F.isnan(F.col(src).cast("double")), F.col(idx_col))).alias(
+                f"__lv_{src}__"
+            )
+            for src in srcs
+        ],
+    ).collect()
+    pre.sort(key=lambda r: r[BUCKET])
+    nb = (pre[-1][BUCKET] + 1) if pre else 0
+    gaps: dict = {src: {} for src in srcs}  # bucket -> gap (or None if no prior valid)
+    last_valid: dict = {src: None for src in srcs}
+    for r in pre:
+        for src in srcs:
+            gaps[src][r[BUCKET]] = (
+                int(r["__first__"] - last_valid[src]) if last_valid[src] is not None else None
+            )
+            if r[f"__lv_{src}__"] is not None:
+                last_valid[src] = int(r[f"__lv_{src}__"])
+
+    caps = {
+        out: (1 if alpha >= 1.0 else max(1, int(math.ceil(math.log(5e-324) / math.log(1.0 - alpha)))))
+        for out, (_s, alpha) in specs.items()
+    }
+    gap_arrs = {
+        out: [
+            min(g, caps[out]) if (g := gaps[src].get(b)) is not None else -1
+            for b in range(nb)
+        ]
+        for out, (src, _a) in specs.items()
+    }
+
+    from pyspark.sql import types as T
+
+    out_fields = list(sdf.schema.fields) + [T.StructField(BUCKET, T.LongType())]
+    for out in specs:
+        out_fields += [
+            T.StructField(f"__u_{out}__", T.DoubleType()),
+            T.StructField(f"__A_{out}__", T.DoubleType()),
+            T.StructField(f"__B_{out}__", T.DoubleType()),
+        ]
+    schema = T.StructType(out_fields)
+    spec_items = list(specs.items())
+    garrs = dict(gap_arrs)
+
+    def local(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(idx_col).reset_index(drop=True)
+        b = int(pdf[BUCKET].iloc[0])
+        for out, (src, alpha) in spec_items:
+            x = pdf[src].astype("float64")
+            pdf[f"__u_{out}__"] = x.ewm(alpha=alpha, adjust=False, ignore_na=False, min_periods=1).mean()
+            g = garrs[out][b] if b < len(garrs[out]) else -1
+            if g < 0:
+                pdf[f"__A_{out}__"] = 0.0
+                pdf[f"__B_{out}__"] = pdf[f"__u_{out}__"]
+                continue
+            runs = []
+            for seed in (0.0, 1.0):
+                padded = pd.concat(
+                    [pd.Series([seed] + [np.nan] * (g - 1), dtype="float64"), x], ignore_index=True
+                )
+                r = padded.ewm(alpha=alpha, adjust=False, ignore_na=False, min_periods=1).mean()
+                runs.append(r.iloc[g:].reset_index(drop=True))
+            pdf[f"__B_{out}__"] = runs[0]
+            pdf[f"__A_{out}__"] = runs[1] - runs[0]
+        return pdf
+
+    local_df = s.groupBy(BUCKET).applyInPandas(local, schema).localCheckpoint(eager=False)
+
+    ends = local_df.groupBy(BUCKET).agg(
+        *[
+            F.max_by(F.col(f"__{ch}_{out}__"), F.col(idx_col)).alias(f"__{ch}_{out}__")
+            for out in specs
+            for ch in ("u", "A", "B")
+        ]
+    ).collect()
+    ends.sort(key=lambda r: r[BUCKET])
+    carries: dict = {out: {} for out in specs}
+    run: dict = {out: None for out in specs}  # incoming avg state per out
+    for r in ends:
+        for out in specs:
+            carries[out][r[BUCKET]] = run[out]
+            if run[out] is None:
+                u = r[f"__u_{out}__"]
+                run[out] = None if (u is None or u != u) else float(u)
+            else:
+                run[out] = float(r[f"__A_{out}__"] * run[out] + r[f"__B_{out}__"])
+    j = local_df
+    out_cols = {}
+    for out in specs:
+        cvals = _dense(carries[out], nb)
+        carry = _array_lookup(F.col(BUCKET), cvals, T.DoubleType())
+        out_cols[out] = F.when(
+            carry.isNotNull(), F.col(f"__A_{out}__") * carry + F.col(f"__B_{out}__")
+        ).otherwise(F.col(f"__u_{out}__"))
+    j = j.withColumns(out_cols)
+    drop = [BUCKET] + [f"__{ch}_{out}__" for out in specs for ch in ("u", "A", "B")]
     return j.drop(*drop)

@@ -288,3 +288,29 @@ def test_rank_columns_multi_matches_pandas(spark):
     m = want["a"].notna().to_numpy()
     assert np.allclose(got["ra"].to_numpy()[m], want["ra"].to_numpy()[m])
     assert np.allclose(got["rb"].to_numpy(), want["rb"].to_numpy())
+
+
+def test_ewm_gapped_mean_matches_pandas(spark, monkeypatch):
+    """adjust=False, ignore_nils=False over a null-bearing column — the
+    affine-composition kernel (multi-bucket) == pandas exactly."""
+    import numpy as np
+    import pandas as pd
+
+    from explorer_spark.operators import ordered as ordk
+    from explorer_spark.sources import from_pandas
+
+    monkeypatch.setattr(ordk, "BUCKET_SIZE", 7)
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=60)
+    x[rng.choice(60, 14, replace=False)] = np.nan
+    x[:3] = np.nan  # leading nulls: rows before the global first valid
+    pdf = pd.DataFrame({"x": x})
+    d = from_pandas(pdf, spark=spark)
+    got = (
+        d.ewm(y=("mean", "x", 0.3, False, False))
+        .select(["y"])
+        .to_pandas()["y"]
+        .to_numpy()
+    )
+    want = pdf["x"].ewm(alpha=0.3, adjust=False, ignore_na=False, min_periods=1).mean().to_numpy()
+    assert np.allclose(got, want, equal_nan=True, rtol=1e-12, atol=1e-12)
