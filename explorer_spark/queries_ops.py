@@ -565,3 +565,23 @@ def q_iso_year_edges(spark, sf_dir):
     return frame.mutate(
         iso_yr=f.iso_year(col("d")), iso_wk=f.week_of_year(col("d"))
     ).lazy_sdf()
+
+
+@query(
+    "q_time_parts",
+    """
+    SELECT event_id,
+           CAST(epoch_ns(ts) - epoch_ns(date_trunc('second', ts)) AS BIGINT) AS ns_of_sec,
+           CAST(epoch_ns(ts) - epoch_ns(date_trunc('day', ts)) AS BIGINT) AS ns_of_day
+    FROM events
+    ORDER BY ts, event_id LIMIT 200
+    """,
+)
+def q_time_parts(spark, sf_dir):
+    """nanosecond component and to_time (ns-since-midnight time
+    representation) — reference series.ex nanosecond/1 + to_time/1,
+    time dtype as ns counts (shared.ex:12-16)."""
+    ev = _t(spark, sf_dir, "events").sort_by("ts", "event_id").head(200)
+    return ev.mutate(
+        ns_of_sec=f.nanosecond(col("ts")), ns_of_day=f.to_time(col("ts"))
+    ).select(["event_id", "ns_of_sec", "ns_of_day"]).lazy_sdf()
