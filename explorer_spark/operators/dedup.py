@@ -279,3 +279,65 @@ def hamming_candidates(sig_df: SDF, key_col: str = "doc_id", sig_col: str = "sim
         )
         .filter(F.col("hamming") <= max_distance)
     )
+
+
+def neardup_components(pairs: SDF, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 20) -> SDF:
+    """Connected components over the near-dup pair graph — the cluster-
+    resolution step a dedup pipeline needs between "similar pairs" and
+    "keep one representative per duplicate group".
+
+    Iterative min-label propagation: each round every vertex takes the
+    minimum label among itself and its neighbours; convergence in
+    O(component diameter) rounds, and near-dup clusters are low-diameter
+    by construction (the large-star/small-star algorithm of
+    Kiveris et al. is the drop-in upgrade for high-diameter graphs —
+    same join primitive, documented trade). Each round is ONE equi-join +
+    one groupBy min; the frame is pinned per round (localCheckpoint) so
+    the lineage stays flat and the fixpoint check (a count) doesn't
+    recompute the whole chain.
+
+    Returns (vertex, component) for every vertex appearing in ``pairs``,
+    component = min vertex id of the cluster.
+    """
+    edges = pairs.select(F.col(id_a).alias("__src__"), F.col(id_b).alias("__dst__"))
+    edges = edges.unionByName(
+        edges.select(F.col("__dst__").alias("__src__"), F.col("__src__").alias("__dst__"))
+    ).distinct()
+    # pin the (possibly expensive: LSH + verify) upstream ONCE
+    edges = edges.localCheckpoint(eager=False)
+    labels = edges.select(F.col("__src__")).distinct().withColumn("__lbl__", F.col("__src__"))
+    labels = labels.localCheckpoint(eager=False)
+    for _ in range(max_iter):
+        nbr = edges.join(
+            labels.select(F.col("__src__").alias("__dst__"), F.col("__lbl__").alias("__nl__")),
+            "__dst__",
+        ).groupBy("__src__").agg(F.min("__nl__").alias("__nmin__"))
+        new_labels = (
+            labels.join(nbr, "__src__", "left")
+            .select(
+                "__src__",
+                F.least(F.col("__lbl__"), F.coalesce(F.col("__nmin__"), F.col("__lbl__"))).alias("__lbl__"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            new_labels.join(
+                labels.select("__src__", F.col("__lbl__").alias("__old__")), "__src__"
+            )
+            .filter(F.col("__lbl__") != F.col("__old__"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("__src__").alias("vertex"), F.col("__lbl__").alias("component"))
+
+
+def dedup_representatives(docs: SDF, components: SDF, key_col: str = "doc_id") -> SDF:
+    """Resolve clusters to keepers: every doc outside the pair graph
+    keeps itself; inside a cluster the MIN id is the canonical
+    representative (the reference-style keep-first rule)."""
+    comp = components.select(F.col("vertex").alias(key_col), "component")
+    joined = docs.join(comp, key_col, "left")
+    keep = F.col("component").isNull() | (F.col(key_col) == F.col("component"))
+    return joined.filter(keep).drop("component")

@@ -259,3 +259,19 @@ def test_ivf_trained_full_probe_equals_bruteforce(spark):
     assert len(probe2) == 15
     recall = len(bf & {(r.query_id, r.neighbor_id) for r in probe2}) / len(bf)
     assert 0.0 <= recall <= 1.0
+
+
+def test_neardup_components_and_representatives(spark):
+    """Min-label propagation resolves multi-hop clusters; representatives
+    keep exactly one doc per cluster plus all unpaired docs."""
+    from explorer_spark.operators.dedup import dedup_representatives, neardup_components
+
+    # two chains: {1-2-3-4} (path, diameter 3) and {10-11}; 20 isolated
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"]
+    )
+    comps = {r.vertex: r.component for r in neardup_components(pairs).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 20]], ["doc_id"])
+    kept = sorted(r.doc_id for r in dedup_representatives(docs, neardup_components(pairs)).collect())
+    assert kept == [1, 10, 20]
