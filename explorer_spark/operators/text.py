@@ -180,3 +180,29 @@ def fingerprint_table(sdf, key_col: str = "doc_id", text_col: str = "text", n: i
         fallback.join(sig, key_col, "left")
         .select(F.col(key_col), F.coalesce("fingerprint", "__fb__").alias("fingerprint"))
     )
+
+
+def unigram_logprob(docs: SDF, text_col: str = "text", key_col: str = "doc_id") -> SDF:
+    """Per-document mean unigram log-probability against the corpus
+    unigram distribution — the cheap perplexity proxy used as a corpus
+    quality signal (the full version scores against a trained LM, e.g.
+    CCNet's KenLM filter; the unigram model needs no external artifacts).
+
+    Pipeline: explode tokens -> corpus counts (map-side combined, one
+    shuffle on the token) -> broadcast-or-SMJ join token logprobs back ->
+    per-doc mean. More negative = more surprising/noisy. Scales: state is
+    the vocabulary table, shuffles are token-keyed.
+    """
+    toks = docs.select(F.col(key_col), F.explode(words(F.col(text_col))).alias("__tok__")).filter(
+        F.length("__tok__") > 0
+    )
+    vocab = toks.groupBy("__tok__").agg(F.count(F.lit(1)).alias("__c__"))
+    total = vocab.agg(F.sum("__c__").alias("__t__"))
+    vocab = vocab.crossJoin(F.broadcast(total)).select(
+        "__tok__", (F.log(F.col("__c__").cast("double")) - F.log(F.col("__t__").cast("double"))).alias("__lp__")
+    )
+    return (
+        toks.join(vocab, "__tok__")
+        .groupBy(key_col)
+        .agg(F.avg("__lp__").alias("unigram_logprob"), F.count(F.lit(1)).alias("n_tokens"))
+    )

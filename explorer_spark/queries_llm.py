@@ -257,6 +257,41 @@ def q_dedup_clusters(spark, sf_dir):
     )
 
 
+@query(
+    "q_text_unigram_logprob",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_WORDS.format(t="text")}) AS tok FROM documents
+    ),
+    t2 AS (SELECT doc_id, tok FROM toks WHERE len(tok) > 0),
+    vocab AS (SELECT tok, COUNT(*) AS c FROM t2 GROUP BY tok),
+    tot AS (SELECT SUM(c) AS t FROM vocab),
+    lp AS (SELECT tok, ln(CAST(c AS DOUBLE)) - ln(CAST(t AS DOUBLE)) AS lp FROM vocab, tot)
+    SELECT doc_id, ROUND(AVG(lp), 6) AS unigram_logprob, COUNT(*) AS n_tokens
+    FROM t2 JOIN lp USING (tok)
+    GROUP BY doc_id
+    ORDER BY unigram_logprob ASC, doc_id
+    LIMIT 50
+    """,
+)
+def q_text_unigram_logprob(spark, sf_dir):
+    """Perplexity-proxy quality scoring: per-doc mean unigram log-prob
+    against the corpus distribution (operators/text.unigram_logprob);
+    the 50 most 'surprising' docs — the filter tail a corpus-cleaning
+    pipeline would inspect or drop."""
+    from .operators.text import unigram_logprob
+
+    docs = _t(spark, sf_dir, "documents").lazy_sdf()
+    scored = unigram_logprob(docs)
+    return (
+        scored.select(
+            "doc_id", SF.round(SF.col("unigram_logprob"), 6).alias("unigram_logprob"), "n_tokens"
+        )
+        .orderBy(SF.col("unigram_logprob").asc(), SF.col("doc_id"))
+        .limit(50)
+    )
+
+
 # ---------------------------------------------------------------------------
 # dedup: SimHash (16-bit oracle-expressible variant)
 # ---------------------------------------------------------------------------
