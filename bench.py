@@ -29,7 +29,9 @@ def main() -> None:
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     timings: dict[str, float] = {}
-    for name, fn in QUERIES.items():
+    import gc
+
+    for i, (name, fn) in enumerate(QUERIES.items()):
         t0 = time.perf_counter()
         try:
             df = fn(spark, SF_DIR)
@@ -38,6 +40,17 @@ def main() -> None:
         except Exception as e:  # keep the bench line intact on one failure
             timings[name] = -1.0
             print(f"BENCH_ERROR {name}: {e}", file=sys.stderr)
+        # release this query's frames (py4j refs) and let the JVM clean
+        # checkpoint blocks OUTSIDE the timed region — otherwise the
+        # accumulated session state surfaces as a random multi-second GC
+        # pause inside some later unlucky query
+        df = None
+        if i % 10 == 9:
+            gc.collect()
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass
     ok = [v for v in timings.values() if v > 0]
     geomean = math.exp(sum(math.log(v) for v in ok) / len(ok)) if ok else -1.0
     print(
