@@ -215,3 +215,42 @@ def test_struct_column_roundtrip(spark, rows):
         return {"a": r["a"], "b": r["b"]}
 
     assert [as_dict(r) for r in got] == vals
+
+
+@given(
+    lk=st.lists(st.integers(0, 400), min_size=1, max_size=15),
+    rk=st.lists(st.integers(0, 400), min_size=1, max_size=15),
+    strategy=st.sampled_from(["backward", "forward", "nearest"]),
+    tol=st.sampled_from([None, 5, 50]),
+)
+@settings(**_SETTINGS)
+def test_join_asof_matches_pandas_merge_asof(spark, lk, rk, strategy, tol):
+    """Keyless join_asof (the distributed merge kernel) == pandas
+    merge_asof across strategies and tolerances.
+
+    pandas nearest breaks EQUIDISTANT ties toward backward too, so only
+    exact-equidistant cases need care: our engine documents
+    'tie -> earlier right key', which is pandas' rule as well."""
+    import pandas as pd
+
+    lk = sorted(set(lk))
+    rk = sorted(set(rk))
+    ldf = ex.from_columns({"k": lk, "lv": list(range(len(lk)))}, spark=spark)
+    rdf = ex.from_columns({"k": rk, "rv": [i * 10 for i in range(len(rk))]}, spark=spark)
+    got = (
+        ldf.join_asof(rdf, on="k", strategy=strategy, tolerance=tol)
+        .select(["k", "rv"])
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    want = pd.merge_asof(
+        pd.DataFrame({"k": lk}),
+        pd.DataFrame({"k": rk, "rv": [i * 10 for i in range(len(rk))]}),
+        on="k",
+        direction=strategy,
+        tolerance=tol,
+    )
+    got_rv = [None if v != v else int(v) for v in got["rv"].astype("float64")]
+    want_rv = [None if v != v else int(v) for v in want["rv"].astype("float64")]
+    assert got_rv == want_rv, (lk, rk, strategy, tol)
