@@ -254,3 +254,42 @@ def test_join_asof_matches_pandas_merge_asof(spark, lk, rk, strategy, tol):
     got_rv = [None if v != v else int(v) for v in got["rv"].astype("float64")]
     want_rv = [None if v != v else int(v) for v in want["rv"].astype("float64")]
     assert got_rv == want_rv, (lk, rk, strategy, tol)
+
+
+@given(
+    n=st.integers(4, 20),
+    strategy=st.sampled_from(["backward", "forward", "nearest"]),
+    seed=st.integers(0, 10_000),
+)
+@settings(**_SETTINGS)
+def test_join_asof_by_keys_matches_pandas(spark, n, strategy, seed):
+    """By-keyed join_asof == pandas merge_asof(by=...)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    lpd = pd.DataFrame(
+        {"g": rng.choice(["a", "b"], n), "k": np.sort(rng.integers(0, 100, n)), "lv": range(n)}
+    )
+    rpd = pd.DataFrame(
+        {"g": rng.choice(["a", "b"], n), "k": np.sort(rng.integers(0, 100, n)), "rv": range(n)}
+    )
+    # pandas merge_asof requires global sort on k and UNIQUE per-side keys
+    # per group for deterministic comparison: dedup (g, k)
+    lpd = lpd.drop_duplicates(["g", "k"]).sort_values("k").reset_index(drop=True)
+    rpd = rpd.drop_duplicates(["g", "k"]).sort_values("k").reset_index(drop=True)
+    ldf = ex.from_pandas(lpd, spark=spark)
+    rdf = ex.from_pandas(rpd, spark=spark)
+    got = (
+        ldf.join_asof(rdf, on="k", by=["g"], strategy=strategy)
+        .select(["g", "k", "rv"])
+        .to_pandas()
+        .sort_values(["g", "k"])
+        .reset_index(drop=True)
+    )
+    want = pd.merge_asof(lpd, rpd, on="k", by="g", direction=strategy).sort_values(
+        ["g", "k"]
+    ).reset_index(drop=True)
+    got_rv = [None if v != v else int(v) for v in got["rv"].astype("float64")]
+    want_rv = [None if v != v else int(v) for v in want["rv"].astype("float64")]
+    assert got_rv == want_rv, (strategy, seed)
