@@ -54,3 +54,25 @@ def cocated_join_plan_is_shuffle_free(spark: SparkSession, left: str, right: str
         return "Exchange" not in plan and "SortMergeJoin" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def salted_join(left: SDF, right: SDF, on: str, salt: int = 8, how: str = "inner") -> SDF:
+    """Equi-join with manual key salting for KNOWN skew: left rows get a
+    random salt in [0, salt); the right side replicates each row ``salt``
+    times. The hot key's rows then spread over ``salt`` reducers instead
+    of one straggler. Use when AQE's skew-join can't help (e.g. the skew
+    is in a single key so even split partitions stay hot, or the join is
+    a broadcast-ineligible big-x-big).
+
+    Cost: |right| x salt replication — keep for skew-dominated joins
+    where the right side is the smaller one. AQE remains the first
+    choice; this is the explicit fallback Spark can't derive.
+    """
+    from pyspark.sql import functions as F
+
+    l_s = left.withColumn("__salt__", (F.rand() * salt).cast("int"))
+    r_s = right.crossJoin(
+        F.broadcast(left.sparkSession.range(salt).select(F.col("id").cast("int").alias("__salt__")))
+    )
+    out = l_s.join(r_s, [on, "__salt__"], how)
+    return out.drop("__salt__")

@@ -192,3 +192,15 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
         .count()
     )
     assert n_urgent == want
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salting redistributes a hot key without changing the result."""
+    from explorer_spark.operators.bucketing import salted_join
+
+    left = spark.range(10_000).selectExpr("CASE WHEN id < 9000 THEN 0 ELSE id END AS k", "id AS lv")
+    right = spark.range(50).selectExpr("id AS k", "id * 100 AS rv")
+    plain = left.join(right, "k").selectExpr("k", "lv", "rv")
+    salted = salted_join(left, right, "k").selectExpr("k", "lv", "rv")
+    assert salted.count() == plain.count()
+    assert salted.groupBy().sum("rv").first()[0] == plain.groupBy().sum("rv").first()[0]
