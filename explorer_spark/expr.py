@@ -607,6 +607,9 @@ _LOWER = {
     "is_leap_year": lambda ctx, a: (F.year(_c(a, ctx)) % 4 == 0)
     & ((F.year(_c(a, ctx)) % 100 != 0) | (F.year(_c(a, ctx)) % 400 == 0)),
     "to_date": _unop(F.to_date),
+    # number of days in the value's month (reference lazy_series.ex
+    # days_of_month; Polars days_in_month)
+    "days_of_month": lambda ctx, a: F.dayofmonth(F.last_day(_c(a, ctx))),
     # nanosecond component of the second (reference series.ex nanosecond/1;
     # µs-precision storage means the last 3 digits are always 0)
     "nanosecond": lambda ctx, a: (

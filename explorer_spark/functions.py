@@ -276,6 +276,7 @@ second = _mk("second")
 is_leap_year = _mk("is_leap_year")
 to_date = _mk("to_date")
 nanosecond = _mk("nanosecond")
+days_of_month = _mk("days_of_month")
 to_time = _mk("to_time")
 
 

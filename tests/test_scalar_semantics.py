@@ -189,3 +189,16 @@ def test_cast_widths(spark):
     assert out.dtypes["b"] == ("s", 8)
     assert out.dtypes["s"] == "string"
     assert out.dtypes["fl"] == ("f", 32)
+
+
+def test_days_of_month(spark):
+    import datetime
+
+    from explorer_spark import Series, f
+
+    s = Series.from_list(
+        [datetime.date(2024, 2, 1), datetime.date(2023, 2, 5), datetime.date(2024, 4, 30)],
+        dtype="date",
+        spark=spark,
+    )
+    assert s.map(f.days_of_month).to_list() == [29, 28, 30]
