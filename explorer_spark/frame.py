@@ -131,6 +131,15 @@ class DataFrame:
             yield r.asDict(recursive=True)
 
     def to_columns(self) -> dict[str, list]:
+        if self._has_deep_nesting():
+            # Arrow toPandas() segfaults sporadically on list-of-list
+            # columns in this pyspark/pyarrow pairing (shape-dependent,
+            # reproduced under hypothesis) — collect via the JVM row
+            # serializer instead; deep-nested frames are driver-sized in
+            # practice
+            rows = self.to_rows()
+            names = self.names
+            return {c: [r[c] for r in rows] for c in names}
         pdf = self.to_pandas()
         out = {}
         for c in pdf.columns:
@@ -138,6 +147,16 @@ class DataFrame:
             # represent SQL NULL as None (pandas renders it NaN/NaT)
             out[c] = s.astype(object).where(s.notna(), None).tolist()
         return out
+
+    def _has_deep_nesting(self) -> bool:
+        def depth(t) -> int:
+            if isinstance(t, T.ArrayType):
+                return 1 + depth(t.elementType)
+            if isinstance(t, T.StructType):
+                return max((depth(f.dataType) for f in t.fields), default=0)
+            return 0
+
+        return any(depth(f.dataType) >= 2 for f in self._sdf.schema.fields)
 
     def to_series(self, name: str) -> list:
         return [r[0] for r in self.to_sdf().select(name).collect()]

@@ -38,7 +38,27 @@ class Series:
             from pyspark.sql import types as T
 
             schema = T.StructType([T.StructField(name, dt.to_spark(dtype))])
-            sdf = spark.createDataFrame([(v,) for v in values], schema)
+            # prefer the Arrow ingestion path for FLAT types: faster than
+            # per-row JVM conversion. Nested (list/struct) types stay on
+            # the row converter — the Arrow batch hand-off segfaults this
+            # pyarrow/pyspark pairing under rapid tiny nested frames
+            # (reproduced 2/3 runs vs ~1/5 for the row path).
+            nested = isinstance(schema[name].dataType, (T.ArrayType, T.StructType, T.MapType))
+            if not nested:
+                try:
+                    import pyarrow as pa
+                    from pyspark.sql.pandas.types import to_arrow_type
+
+                    arr = pa.array(values, type=to_arrow_type(schema[name].dataType))
+                    sdf = spark.createDataFrame(pa.table({name: arr}))
+                    # arrow inference can widen/narrow vs the requested
+                    # Spark type (e.g. date/decimal corners) — enforce it
+                    if sdf.schema[name].dataType != schema[name].dataType:
+                        sdf = sdf.withColumn(name, F.col(name).cast(schema[name].dataType))
+                except Exception:
+                    sdf = spark.createDataFrame([(v,) for v in values], schema)
+            else:
+                sdf = spark.createDataFrame([(v,) for v in values], schema)
             frame = DataFrame(sdf.withColumn(ORDER_COL, F.monotonically_increasing_id()), has_order=True)
         else:
             frame = from_pandas(pd.DataFrame({name: values}), spark=spark)
