@@ -24,7 +24,7 @@ Scale notes (the design target is a 1000-executor cluster on ~100 TB):
 from __future__ import annotations
 
 import re
-from typing import Callable, Iterable, Mapping, Sequence
+from typing import Callable, Mapping, Sequence
 
 from pyspark.sql import Column
 from pyspark.sql import DataFrame as SDF

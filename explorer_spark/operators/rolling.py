@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..expr import Expr, LowerCtx, _c, _ordered_window
+from ..expr import LowerCtx, _c, _ordered_window
 
 _ROLL_FNS = {
     "window_sum": F.sum,

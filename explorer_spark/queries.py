@@ -10,7 +10,6 @@ absorb summation-order differences.
 
 from __future__ import annotations
 
-import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame as SDF

@@ -10,7 +10,7 @@ pandas UDF.
 
 from __future__ import annotations
 
-from typing import Callable, Iterable
+from typing import Callable
 
 import pandas as pd
 from pyspark.sql import functions as F
