@@ -593,34 +593,16 @@ def ewm_global(sdf: SDF, idx_col: str, specs: dict) -> SDF:
 
     specs = {o: (t + (True,) if len(t) == 4 else t) for o, t in specs.items()}
 
-    # ignore_nils=False + adjust=False renormalizes per observation when
-    # the source has internal nulls: MEANS go through the affine-state
-    # gapped kernel; var/std in that corner fall back (caller catches)
-    gapped_means = {
-        o: (src, a)
-        for o, (k, src, a, adj, ign) in specs.items()
-        if not ign and not adj and k == "mean"
+    # ignore_nils=False + adjust=False renormalizes per observation —
+    # not the absolute-position-decay channels below. ALL such specs
+    # (mean/var/std, nulls or not) route through the affine-channel
+    # gapped kernel, which is pandas-exact and fully distributed.
+    gapped = {
+        o: (k, src, a) for o, (k, src, a, adj, ign) in specs.items() if not ign and not adj
     }
-    specs = {o: t for o, t in specs.items() if o not in gapped_means}
-    gap_srcs = sorted({src for (_k, src, _a, adj, ign) in specs.values() if not ign and not adj})
-    if gap_srcs:
-        counts = sdf.agg(
-            *[
-                F.sum(
-                    F.when(F.col(c).isNull() | F.isnan(F.col(c).cast("double")), 1).otherwise(0)
-                ).alias(c)
-                for c in gap_srcs
-            ]
-        ).collect()[0]
-        for c in gap_srcs:
-            if (counts[c] or 0) > 0:
-                raise NotImplementedError(
-                    "ewm variance/std with ignore_nils=False, adjust=False over a column "
-                    "with nulls renormalizes per observation; use ignore_nils=True or the "
-                    "grouped path"
-                )
-    if gapped_means:
-        sdf = ewm_mean_gapped(sdf, idx_col, gapped_means)
+    specs = {o: t for o, t in specs.items() if o not in gapped}
+    if gapped:
+        sdf = ewm_gapped(sdf, idx_col, gapped)
         if not specs:
             return sdf
 
@@ -806,132 +788,214 @@ def ewm_global(sdf: SDF, idx_col: str, specs: dict) -> SDF:
 
 
 # ---------------------------------------------------------------------------
-# gapped EWM mean: adjust=False, ignore_nils=False over null-bearing data
+# gapped EWM: adjust=False, ignore_nils=False over null-bearing data
 # ---------------------------------------------------------------------------
 #
 # pandas' recursion in this corner is NOT the absolute-position-decay
-# closed form (the old_wt reset after gaps breaks ratio cancellation), but
-# each row's output IS affine in the incoming state: avg_t = A_t*prev + B_t
-# with per-row coefficients determined only by the bucket's own data and
-# the gap back to the previous valid observation. So each index bucket
-# runs pandas' own ewm THREE times — unseeded, seeded with 0, seeded with
-# 1 (seeding = prepending a synthetic valid row at the right gap distance)
-# — to extract per-row (A, B) = (run1 - run0, run0); bucket end states
-# compose sequentially on the driver (bounded rows), and the final value
-# is A*carry + B (or the unseeded run before the global first valid).
-# Gap distances longer than the double-underflow horizon truncate to it:
-# both engines' decayed weights collapse to the same 0.
+# closed form (the old_wt reset after gaps breaks ratio cancellation).
+# But unrolling it per VALID observation shows the state is four scalar
+# channels, each AFFINE per step with data-independent multipliers:
+# after a gap of g positions, with s = c^g/(c^g + a), w = a/(c^g + a),
+#
+#   SW'   = s*SW    + w          (sum of weights)
+#   SWX'  = s*SWX   + w*x        (weighted sum)
+#   SWX2' = s*SWX2  + w*x^2      (weighted sum of squares)
+#   SW2'  = s^2*SW2 + w^2        (sum of squared weights)
+#
+# and mean = SWX/SW, var(bias=False) = max(SWX2/SW - mean^2, 0) *
+# SW^2/(SW^2 - SW2) — verified numerically equal to pandas
+# ewm(adjust=False, ignore_na=False) mean AND var on gapped data.
+# Affine composes across index buckets: the local pass extracts per-row
+# (A, B) coefficients (A = running product of s; B = zero-seeded run)
+# plus the fresh-start channel values U for buckets before any prior
+# valid observation; bucket end states compose sequentially on the
+# driver, and the per-row channels are A*carry + B (A^2 for SW2).
+# c^g underflows to exactly 0.0 for huge gaps in both engines — s=0,
+# w=1 is then an exact state reset, same as pandas.
+
+_EWM_CH = ("sw", "swx", "swx2", "sw2")
 
 
-def ewm_mean_gapped(sdf: SDF, idx_col: str, specs: dict) -> SDF:
-    """specs: out_name -> (src_col, alpha). Exact pandas
-    ewm(adjust=False, ignore_na=False).mean() semantics, distributed."""
-    import math
-
+def ewm_gapped(sdf: SDF, idx_col: str, specs: dict) -> SDF:
+    """Distributed pandas-exact EWM for adjust=False, ignore_na=False
+    (with or without nulls). specs: out_name -> (kind, src_col, alpha),
+    kind in {mean, variance, standard_deviation}."""
     import pandas as pd
 
     s = sdf.withColumn(BUCKET, F.floor(F.col(idx_col) / F.lit(BUCKET_SIZE)))
-    srcs = sorted({src for (src, _a) in specs.values()})
+    fams = sorted({(src, alpha) for (_k, src, alpha) in specs.values()})
+    srcs = sorted({src for (src, _a) in fams})
 
-    # pre-pass: per-bucket valid stats -> gap into each bucket
+    # pre-pass: per-bucket last valid idx per src -> prev-valid carry idx
     pre = s.groupBy(BUCKET).agg(
-        F.min(F.col(idx_col)).alias("__first__"),
         *[
-            F.max(F.when(F.col(src).isNotNull() & ~F.isnan(F.col(src).cast("double")), F.col(idx_col))).alias(
-                f"__lv_{src}__"
-            )
+            F.max(
+                F.when(F.col(src).isNotNull() & ~F.isnan(F.col(src).cast("double")), F.col(idx_col))
+            ).alias(f"__lv_{src}__")
             for src in srcs
-        ],
+        ]
     ).collect()
     pre.sort(key=lambda r: r[BUCKET])
     nb = (pre[-1][BUCKET] + 1) if pre else 0
-    gaps: dict = {src: {} for src in srcs}  # bucket -> gap (or None if no prior valid)
-    last_valid: dict = {src: None for src in srcs}
+    prev_valid: dict = {src: {} for src in srcs}  # bucket -> idx of last valid BEFORE it (or -1)
+    run_lv: dict = {src: -1 for src in srcs}
     for r in pre:
         for src in srcs:
-            gaps[src][r[BUCKET]] = (
-                int(r["__first__"] - last_valid[src]) if last_valid[src] is not None else None
-            )
+            prev_valid[src][r[BUCKET]] = run_lv[src]
             if r[f"__lv_{src}__"] is not None:
-                last_valid[src] = int(r[f"__lv_{src}__"])
+                run_lv[src] = int(r[f"__lv_{src}__"])
 
-    caps = {
-        out: (1 if alpha >= 1.0 else max(1, int(math.ceil(math.log(5e-324) / math.log(1.0 - alpha)))))
-        for out, (_s, alpha) in specs.items()
-    }
-    gap_arrs = {
-        out: [
-            min(g, caps[out]) if (g := gaps[src].get(b)) is not None else -1
-            for b in range(nb)
-        ]
-        for out, (src, _a) in specs.items()
-    }
+    def fname(src, alpha):
+        return f"{src}_{str(alpha).replace('.', '_')}"
 
     from pyspark.sql import types as T
 
     out_fields = list(sdf.schema.fields) + [T.StructField(BUCKET, T.LongType())]
-    for out in specs:
-        out_fields += [
-            T.StructField(f"__u_{out}__", T.DoubleType()),
-            T.StructField(f"__A_{out}__", T.DoubleType()),
-            T.StructField(f"__B_{out}__", T.DoubleType()),
-        ]
+    for (src, alpha) in fams:
+        fn = fname(src, alpha)
+        out_fields.append(T.StructField(f"__A_{fn}__", T.DoubleType()))
+        for ch in _EWM_CH:
+            out_fields += [
+                T.StructField(f"__B{ch}_{fn}__", T.DoubleType()),
+                T.StructField(f"__U{ch}_{fn}__", T.DoubleType()),
+            ]
     schema = T.StructType(out_fields)
-    spec_items = list(specs.items())
-    garrs = dict(gap_arrs)
+    pv = {src: [prev_valid[src].get(b, -1) for b in range(nb)] for src in srcs}
 
     def local(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
         pdf = pdf.sort_values(idx_col).reset_index(drop=True)
         b = int(pdf[BUCKET].iloc[0])
-        for out, (src, alpha) in spec_items:
-            x = pdf[src].astype("float64")
-            pdf[f"__u_{out}__"] = x.ewm(alpha=alpha, adjust=False, ignore_na=False, min_periods=1).mean()
-            g = garrs[out][b] if b < len(garrs[out]) else -1
-            if g < 0:
-                pdf[f"__A_{out}__"] = 0.0
-                pdf[f"__B_{out}__"] = pdf[f"__u_{out}__"]
-                continue
-            runs = []
-            for seed in (0.0, 1.0):
-                padded = pd.concat(
-                    [pd.Series([seed] + [np.nan] * (g - 1), dtype="float64"), x], ignore_index=True
-                )
-                r = padded.ewm(alpha=alpha, adjust=False, ignore_na=False, min_periods=1).mean()
-                runs.append(r.iloc[g:].reset_index(drop=True))
-            pdf[f"__B_{out}__"] = runs[0]
-            pdf[f"__A_{out}__"] = runs[1] - runs[0]
+        idxs_all = pdf[idx_col].to_numpy(dtype="int64")
+        n = len(pdf)
+        for (src, alpha) in fams:
+            fn = fname(src, alpha)
+            a = float(alpha)
+            c = 1.0 - a
+            x = pdf[src].to_numpy(dtype="float64", na_value=np.nan)
+            valid = ~np.isnan(x)
+            vpos = np.nonzero(valid)[0]
+            A_rows = np.ones(n)
+            B_rows = {ch: np.zeros(n) for ch in _EWM_CH}
+            U_rows = {ch: np.full(n, np.nan) for ch in _EWM_CH}
+            lv = pv[src][b] if b < len(pv[src]) else -1
+            # carried run: state affine in the incoming channels
+            if lv >= 0:
+                A = 1.0
+                Bsw = Bswx = Bswx2 = Bsw2 = 0.0
+                prev = lv
+                k = 0
+                for j in vpos:
+                    i = int(idxs_all[j])
+                    xv = float(x[j])
+                    cg = c ** (i - prev)
+                    s_ = cg / (cg + a)
+                    w = a / (cg + a)
+                    A *= s_
+                    Bsw = s_ * Bsw + w
+                    Bswx = s_ * Bswx + w * xv
+                    Bswx2 = s_ * Bswx2 + w * xv * xv
+                    Bsw2 = s_ * s_ * Bsw2 + w * w
+                    # fill from this valid row to the next one (state holds)
+                    end = vpos[k + 1] if k + 1 < len(vpos) else n
+                    A_rows[j:end] = A
+                    B_rows["sw"][j:end] = Bsw
+                    B_rows["swx"][j:end] = Bswx
+                    B_rows["swx2"][j:end] = Bswx2
+                    B_rows["sw2"][j:end] = Bsw2
+                    prev = i
+                    k += 1
+            else:
+                # fresh start: channels seeded by the first valid row
+                SW = SWX = SWX2 = SW2 = float("nan")
+                prev = None
+                k = 0
+                for j in vpos:
+                    i = int(idxs_all[j])
+                    xv = float(x[j])
+                    if prev is None:
+                        SW, SWX, SWX2, SW2 = 1.0, xv, xv * xv, 1.0
+                    else:
+                        cg = c ** (i - prev)
+                        s_ = cg / (cg + a)
+                        w = a / (cg + a)
+                        SW = s_ * SW + w
+                        SWX = s_ * SWX + w * xv
+                        SWX2 = s_ * SWX2 + w * xv * xv
+                        SW2 = s_ * s_ * SW2 + w * w
+                    end = vpos[k + 1] if k + 1 < len(vpos) else n
+                    U_rows["sw"][j:end] = SW
+                    U_rows["swx"][j:end] = SWX
+                    U_rows["swx2"][j:end] = SWX2
+                    U_rows["sw2"][j:end] = SW2
+                    prev = i
+                    k += 1
+            pdf[f"__A_{fn}__"] = A_rows
+            for ch in _EWM_CH:
+                pdf[f"__B{ch}_{fn}__"] = B_rows[ch]
+                pdf[f"__U{ch}_{fn}__"] = U_rows[ch]
         return pdf
 
     local_df = s.groupBy(BUCKET).applyInPandas(local, schema).localCheckpoint(eager=False)
 
-    ends = local_df.groupBy(BUCKET).agg(
-        *[
-            F.max_by(F.col(f"__{ch}_{out}__"), F.col(idx_col)).alias(f"__{ch}_{out}__")
-            for out in specs
-            for ch in ("u", "A", "B")
-        ]
-    ).collect()
+    end_cols = []
+    for (src, alpha) in fams:
+        fn = fname(src, alpha)
+        for ch in ["A"] + [f"B{c_}" for c_ in _EWM_CH] + [f"U{c_}" for c_ in _EWM_CH]:
+            end_cols.append(
+                F.max_by(F.col(f"__{ch}_{fn}__"), F.col(idx_col)).alias(f"__{ch}_{fn}__")
+            )
+    ends = local_df.groupBy(BUCKET).agg(*end_cols).collect()
     ends.sort(key=lambda r: r[BUCKET])
-    carries: dict = {out: {} for out in specs}
-    run: dict = {out: None for out in specs}  # incoming avg state per out
+    carries: dict = {fam: {ch: {} for ch in _EWM_CH} for fam in fams}
+    state: dict = {fam: None for fam in fams}
     for r in ends:
-        for out in specs:
-            carries[out][r[BUCKET]] = run[out]
-            if run[out] is None:
-                u = r[f"__u_{out}__"]
-                run[out] = None if (u is None or u != u) else float(u)
+        for fam in fams:
+            fn = fname(*fam)
+            for ch in _EWM_CH:
+                carries[fam][ch][r[BUCKET]] = None if state[fam] is None else state[fam][ch]
+            if state[fam] is None:
+                u = r[f"__Usw_{fn}__"]
+                if u is not None and u == u:  # bucket contains the first valid
+                    state[fam] = {ch: float(r[f"__U{ch}_{fn}__"]) for ch in _EWM_CH}
             else:
-                run[out] = float(r[f"__A_{out}__"] * run[out] + r[f"__B_{out}__"])
+                A = float(r[f"__A_{fn}__"])
+                new = {}
+                for ch in _EWM_CH:
+                    mult = A * A if ch == "sw2" else A
+                    new[ch] = mult * state[fam][ch] + float(r[f"__B{ch}_{fn}__"])
+                state[fam] = new
     j = local_df
+    chan_exprs: dict = {}
+    for fam in fams:
+        fn = fname(*fam)
+        A = F.col(f"__A_{fn}__")
+        ce = {}
+        for ch in _EWM_CH:
+            cvals = _dense(carries[fam][ch], nb)
+            carry = _array_lookup(F.col(BUCKET), cvals, T.DoubleType())
+            mult = A * A if ch == "sw2" else A
+            ce[ch] = F.when(
+                carry.isNotNull(), mult * carry + F.col(f"__B{ch}_{fn}__")
+            ).otherwise(F.col(f"__U{ch}_{fn}__"))
+        chan_exprs[fam] = ce
     out_cols = {}
-    for out in specs:
-        cvals = _dense(carries[out], nb)
-        carry = _array_lookup(F.col(BUCKET), cvals, T.DoubleType())
-        out_cols[out] = F.when(
-            carry.isNotNull(), F.col(f"__A_{out}__") * carry + F.col(f"__B_{out}__")
-        ).otherwise(F.col(f"__u_{out}__"))
+    for out, (kind, src, alpha) in specs.items():
+        ce = chan_exprs[(src, alpha)]
+        mean = ce["swx"] / ce["sw"]
+        if kind == "mean":
+            out_cols[out] = mean
+        else:
+            var_b = F.greatest(ce["swx2"] / ce["sw"] - mean * mean, F.lit(0.0))
+            denom = ce["sw"] * ce["sw"] - ce["sw2"]
+            var = F.when(denom > 0, var_b * ce["sw"] * ce["sw"] / denom).otherwise(F.lit(None))
+            out_cols[out] = F.sqrt(var) if kind == "standard_deviation" else var
     j = j.withColumns(out_cols)
-    drop = [BUCKET] + [f"__{ch}_{out}__" for out in specs for ch in ("u", "A", "B")]
+    drop = [BUCKET]
+    for (src, alpha) in fams:
+        fn = fname(src, alpha)
+        drop.append(f"__A_{fn}__")
+        for ch in _EWM_CH:
+            drop += [f"__B{ch}_{fn}__", f"__U{ch}_{fn}__"]
     return j.drop(*drop)

@@ -284,18 +284,11 @@ def ewm_columns(frame, specs: dict[str, tuple], order_cols=None):
         out = bucketed.groupBy("__ewmb__").applyInPandas(apply_bucket, out_schema)
         return DataFrame(out, groups=groups, has_order=True)
     # ungrouped: bucket-parallel prefix composition — one uniform hash
-    # exchange, never a single whole-frame task (operators/ordered.py)
-    try:
-        from .ordered import ewm_global
+    # exchange, never a single whole-frame task (operators/ordered.py;
+    # the adjust=False + ignore_nils=False corner routes through the
+    # affine-channel gapped kernel there, also fully distributed)
+    from .ordered import ewm_global
 
-        idxed = frame._with_row_index("__eidx__")
-        out = ewm_global(idxed._sdf, "__eidx__", specs).drop("__eidx__")
-        return DataFrame(out, groups=[], has_order=True)
-    except NotImplementedError:
-        # ignore_nils=False + adjust=False over a null-bearing column:
-        # the recursion renormalizes per observation (nonlinear across
-        # buckets) — honest single-task fallback for this corner
-        out = sdf.withColumn("__g__", F.lit(1)).groupBy("__g__").applyInPandas(
-            lambda pdf: apply_fn(pdf.drop(columns="__g__")), out_schema
-        )
-        return DataFrame(out, groups=groups, has_order=True)
+    idxed = frame._with_row_index("__eidx__")
+    out = ewm_global(idxed._sdf, "__eidx__", specs).drop("__eidx__")
+    return DataFrame(out, groups=[], has_order=True)

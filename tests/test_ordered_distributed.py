@@ -314,3 +314,34 @@ def test_ewm_gapped_mean_matches_pandas(spark, monkeypatch):
     )
     want = pdf["x"].ewm(alpha=0.3, adjust=False, ignore_na=False, min_periods=1).mean().to_numpy()
     assert np.allclose(got, want, equal_nan=True, rtol=1e-12, atol=1e-12)
+
+
+def test_ewm_gapped_var_std_match_pandas(spark, monkeypatch):
+    """adjust=False, ignore_nils=False variance/std over null-bearing
+    data — the affine-channel kernel (multi-bucket) == pandas exactly."""
+    import numpy as np
+    import pandas as pd
+
+    from explorer_spark.operators import ordered as ordk
+    from explorer_spark.sources import from_pandas
+
+    monkeypatch.setattr(ordk, "BUCKET_SIZE", 9)
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=70)
+    x[rng.choice(70, 18, replace=False)] = np.nan
+    x[:4] = np.nan
+    pdf = pd.DataFrame({"x": x})
+    d = from_pandas(pdf, spark=spark)
+    got = (
+        d.ewm(
+            m=("mean", "x", 0.25, False, False),
+            v=("variance", "x", 0.25, False, False),
+            sd=("standard_deviation", "x", 0.25, False, False),
+        )
+        .select(["m", "v", "sd"])
+        .to_pandas()
+    )
+    ew = pdf["x"].ewm(alpha=0.25, adjust=False, ignore_na=False, min_periods=1)
+    assert np.allclose(got["m"], ew.mean(), equal_nan=True, rtol=1e-10, atol=1e-12)
+    assert np.allclose(got["v"], ew.var(bias=False), equal_nan=True, rtol=1e-10, atol=1e-12)
+    assert np.allclose(got["sd"], ew.std(bias=False), equal_nan=True, rtol=1e-10, atol=1e-12)
