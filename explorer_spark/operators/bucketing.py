@@ -56,7 +56,9 @@ def cocated_join_plan_is_shuffle_free(spark: SparkSession, left: str, right: str
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
-def salted_join(left: SDF, right: SDF, on: str, salt: int = 8, how: str = "inner") -> SDF:
+def salted_join(
+    left: SDF, right: SDF, on: str, salt: int = 8, how: str = "inner", seed: int = 42
+) -> SDF:
     """Equi-join with manual key salting for KNOWN skew: left rows get a
     random salt in [0, salt); the right side replicates each row ``salt``
     times. The hot key's rows then spread over ``salt`` reducers instead
@@ -64,13 +66,23 @@ def salted_join(left: SDF, right: SDF, on: str, salt: int = 8, how: str = "inner
     is in a single key so even split partitions stay hot, or the join is
     a broadcast-ineligible big-x-big).
 
+    Only ``inner``/``left`` are supported: the right side is replicated
+    ``salt`` times, so right/full outer would emit every unmatched right
+    row once per salt value. The salt is seeded so the assignment is
+    stable across plan re-analysis.
+
     Cost: |right| x salt replication — keep for skew-dominated joins
     where the right side is the smaller one. AQE remains the first
     choice; this is the explicit fallback Spark can't derive.
     """
     from pyspark.sql import functions as F
 
-    l_s = left.withColumn("__salt__", (F.rand() * salt).cast("int"))
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: the "
+            "replicated right side would duplicate unmatched right rows"
+        )
+    l_s = left.withColumn("__salt__", (F.rand(seed) * salt).cast("int"))
     r_s = right.crossJoin(
         F.broadcast(left.sparkSession.range(salt).select(F.col("id").cast("int").alias("__salt__")))
     )

@@ -578,10 +578,10 @@ def ewm_global(sdf: SDF, idx_col: str, specs: dict) -> SDF:
     ``ignore_na=False`` (weights decay by absolute position); its
     adjust=False variant renormalizes after each valid value, which is
     not a plain linear accumulation when the column has internal nulls —
-    MEANS in that corner route to :func:`ewm_mean_gapped` (per-row
-    affine-in-state composition, still fully distributed); var/std there
-    raise NotImplementedError and the caller falls back to a
-    single-task pass.
+    ALL kinds in that corner (mean, variance, standard_deviation) route
+    to :func:`ewm_gapped`, the four-channel per-row affine-in-state
+    composition, which is pandas-exact and fully distributed — no
+    single-task fallback remains anywhere.
 
     adjust=False reweights the accumulated adjust=True channels in
     closed form: the first valid value keeps weight c^d instead of
@@ -967,14 +967,40 @@ def ewm_gapped(sdf: SDF, idx_col: str, specs: dict) -> SDF:
                     new[ch] = mult * state[fam][ch] + float(r[f"__B{ch}_{fn}__"])
                 state[fam] = new
     j = local_df
+    if nb <= ARRAY_LOOKUP_MAX:
+        def carry_col(fam, ch):
+            return _array_lookup(
+                F.col(BUCKET), _dense(carries[fam][ch], nb), T.DoubleType()
+            )
+    else:
+        # too many buckets to embed as plan-constant arrays (mirrors the
+        # sibling kernels): one broadcast-joined literal carry table; a
+        # bucket absent from the table (or a null cell) reads as null,
+        # which falls through to the U channel exactly like the dense path
+        names = [(fam, ch) for fam in fams for ch in _EWM_CH]
+        carry_fields = [T.StructField(BUCKET, T.LongType())] + [
+            T.StructField(f"__C{ch}_{fname(*fam)}__", T.DoubleType()) for fam, ch in names
+        ]
+        bkts = sorted({b for fam in fams for d in carries[fam].values() for b in d})
+        carry_rows = [
+            tuple([b] + [carries[fam][ch].get(b) for fam, ch in names]) for b in bkts
+        ]
+        j = j.join(
+            F.broadcast(_lookup_df(sdf.sparkSession, carry_rows, carry_fields)),
+            BUCKET,
+            "left",
+        )
+
+        def carry_col(fam, ch):
+            return F.col(f"__C{ch}_{fname(*fam)}__")
+
     chan_exprs: dict = {}
     for fam in fams:
         fn = fname(*fam)
         A = F.col(f"__A_{fn}__")
         ce = {}
         for ch in _EWM_CH:
-            cvals = _dense(carries[fam][ch], nb)
-            carry = _array_lookup(F.col(BUCKET), cvals, T.DoubleType())
+            carry = carry_col(fam, ch)
             mult = A * A if ch == "sw2" else A
             ce[ch] = F.when(
                 carry.isNotNull(), mult * carry + F.col(f"__B{ch}_{fn}__")
@@ -997,5 +1023,5 @@ def ewm_gapped(sdf: SDF, idx_col: str, specs: dict) -> SDF:
         fn = fname(src, alpha)
         drop.append(f"__A_{fn}__")
         for ch in _EWM_CH:
-            drop += [f"__B{ch}_{fn}__", f"__U{ch}_{fn}__"]
+            drop += [f"__B{ch}_{fn}__", f"__U{ch}_{fn}__", f"__C{ch}_{fn}__"]
     return j.drop(*drop)

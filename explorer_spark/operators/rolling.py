@@ -266,7 +266,9 @@ def ewm_columns(frame, specs: dict[str, tuple], order_cols=None):
 
         def apply_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf = pdf.drop(columns="__ewmb__").sort_values([*groups, ORDER_COL])
-            g = pdf.groupby(groups, sort=False, group_keys=False)
+            # dropna=False: a null group key is a real group (reference
+            # semantics) — pandas' default would silently null those rows
+            g = pdf.groupby(groups, sort=False, group_keys=False, dropna=False)
             for out_name, (kind, src, alpha, adjust, ign) in specs.items():
                 ew = g[src].ewm(alpha=alpha, adjust=adjust, ignore_na=ign, min_periods=1)
                 if kind == "mean":

@@ -401,20 +401,9 @@ def _rhp_oracle_sql(nbits=16, bands=4, dim=64, seed=42):
 # ---------------------------------------------------------------------------
 
 
-def _ivf_centroids(k=8, dim=64, seed=42):
-    """Pretrained IVF centroids: fitted ONCE (import time) on the sf0.01
-    embedding sample via driver-side spherical k-means — index training is
-    an offline step in a real ANN deployment, so the cells are constants
-    of the query, not per-run artifacts."""
-    import pyarrow.parquet as pq
-
-    from .operators.similarity import kmeans_fit
-
-    t = pq.read_table("/root/testdata/sf0.01/embeddings.parquet", columns=["embedding"])
-    return kmeans_fit(t.column("embedding").to_pylist(), k=k, seed=seed)
-
-
-_IVF_CENTROIDS = _ivf_centroids()
+# Pretrained IVF centroids, checked in as constants (see ivf_constants.py):
+# no import-time k-means, no absolute data-path dependence.
+from .ivf_constants import IVF_CENTROIDS as _IVF_CENTROIDS
 
 
 def _ivf_oracle_sql(centroids, nprobe=2, topk=5, dim=64):

@@ -345,3 +345,33 @@ def test_ewm_gapped_var_std_match_pandas(spark, monkeypatch):
     assert np.allclose(got["m"], ew.mean(), equal_nan=True, rtol=1e-10, atol=1e-12)
     assert np.allclose(got["v"], ew.var(bias=False), equal_nan=True, rtol=1e-10, atol=1e-12)
     assert np.allclose(got["sd"], ew.std(bias=False), equal_nan=True, rtol=1e-10, atol=1e-12)
+
+
+def test_ewm_gapped_carry_lookup_join_fallback(spark, monkeypatch):
+    """Past ARRAY_LOOKUP_MAX buckets the gapped kernel must switch from
+    plan-constant carry arrays to the broadcast lookup join — same values."""
+    import numpy as np
+    import pandas as pd
+
+    from explorer_spark.operators import ordered as ordk
+    from explorer_spark.sources import from_pandas
+
+    monkeypatch.setattr(ordk, "BUCKET_SIZE", 7)
+    monkeypatch.setattr(ordk, "ARRAY_LOOKUP_MAX", 4)  # 60 rows / 7 = 9 buckets > 4
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=60)
+    x[rng.choice(60, 12, replace=False)] = np.nan
+    x[:3] = np.nan
+    pdf = pd.DataFrame({"x": x})
+    d = from_pandas(pdf, spark=spark)
+    got = (
+        d.ewm(
+            m=("mean", "x", 0.3, False, False),
+            v=("variance", "x", 0.3, False, False),
+        )
+        .select(["m", "v"])
+        .to_pandas()
+    )
+    ew = pdf["x"].ewm(alpha=0.3, adjust=False, ignore_na=False, min_periods=1)
+    assert np.allclose(got["m"], ew.mean(), equal_nan=True, rtol=1e-10, atol=1e-12)
+    assert np.allclose(got["v"], ew.var(bias=False), equal_nan=True, rtol=1e-10, atol=1e-12)

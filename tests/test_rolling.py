@@ -130,6 +130,21 @@ def test_ewm_grouped(spark):
     assert cols["m"] == pytest.approx(wa + wb)
 
 
+def test_ewm_grouped_null_group_key(spark):
+    # a null group key is a real group, not dropped (pandas dropna=False)
+    d = ex.from_columns(
+        {"x": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0], "g": ["a", "a", None, None, "b", "b"]},
+        spark=spark,
+    )
+    out = d.group_by("g").ewm(m=("mean", "x", 0.5, True))
+    cols = out.ungroup().sort_by("x").to_columns()
+    want = []
+    for lo, hi in [(1.0, 2.0), (3.0, 4.0), (5.0, 6.0)]:
+        want += pd.Series([lo, hi]).ewm(alpha=0.5, adjust=True).mean().tolist()
+    assert cols["m"] == pytest.approx(want)
+    assert all(v is not None for v in cols["m"])
+
+
 def test_cut():
     d = ex.from_columns({"v": [1.0, 5.0, 15.0, None]})
     out = d.cut("v", [3.0, 10.0], labels=["lo", "mid", "hi"]).to_columns()
