@@ -263,21 +263,58 @@ def simhash64_pandas(sdf: SDF, text_col: str = "text", key_col: str = "doc_id") 
     return sdf.select(F.col(key_col), _simhash(F.col(text_col)).alias("simhash64"))
 
 
-def hamming_candidates(sig_df: SDF, key_col: str = "doc_id", sig_col: str = "simhash", max_distance: int = 3) -> SDF:
-    """Near-dup pairs by SimHash hamming distance, blocked on the high
-    byte of the signature (cheap LSH-ish blocking for the pair join)."""
-    blocked = sig_df.withColumn("__blk__", (F.col(sig_col) / 256).cast("long"))
-    a, b = blocked.alias("a"), blocked.alias("b")
+def hamming_candidates(
+    sig_df: SDF,
+    key_col: str = "doc_id",
+    sig_col: str = "simhash",
+    max_distance: int = 3,
+    bits: int = 64,
+) -> SDF:
+    """ALL pairs within SimHash hamming distance ``max_distance``, found
+    by pigeonhole banding: the ``bits``-bit signature splits into
+    ``max_distance + 1`` disjoint bands, and a pair differing in at most
+    ``max_distance`` bits can touch at most ``max_distance`` bands, so it
+    agrees EXACTLY on at least one band — recall is 1.0 by construction
+    (the classic multi-index trick; cf. Manku et al., WWW'07 simhash
+    dedup). Candidates come from per-band equi-joins on (band, value) —
+    never a cross join, so the plan scales like any hash join — and the
+    exact ``bit_count(xor)`` verify drops the false positives, making the
+    output exactly the brute-force pair set.
+
+    Reference parity: near-dup utilities beyond the reference surface
+    (training-data pipeline extension)."""
+    nbands = max_distance + 1
+    band_vals = []
+    for bnd in range(nbands):
+        lo = bnd * bits // nbands
+        hi = (bnd + 1) * bits // nbands
+        mask = (1 << (hi - lo)) - 1
+        if mask >= 1 << 63:  # full-width band: mask as signed-64 two's complement
+            mask -= 1 << 64
+        band_vals.append(
+            F.shiftrightunsigned(F.col(sig_col).cast("long"), lo).bitwiseAND(F.lit(mask))
+        )
+    banded = sig_df.select(
+        F.col(key_col),
+        F.col(sig_col),
+        F.posexplode(F.array(*band_vals)).alias("__band__", "__bv__"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
     xor = F.col(f"a.{sig_col}").bitwiseXOR(F.col(f"b.{sig_col}"))
-    dist = F.bit_count(xor)
     return (
-        a.join(b, (F.col("a.__blk__") == F.col("b.__blk__")) & (F.col(f"a.{key_col}") < F.col(f"b.{key_col}")))
+        a.join(
+            b,
+            (F.col("a.__band__") == F.col("b.__band__"))
+            & (F.col("a.__bv__") == F.col("b.__bv__"))
+            & (F.col(f"a.{key_col}") < F.col(f"b.{key_col}")),
+        )
         .select(
             F.col(f"a.{key_col}").alias("id_a"),
             F.col(f"b.{key_col}").alias("id_b"),
-            dist.alias("hamming"),
+            F.bit_count(xor).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_distance)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

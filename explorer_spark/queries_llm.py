@@ -328,6 +328,27 @@ def q_dedup_simhash(spark, sf_dir):
     return simhash16(docs)
 
 
+@query(
+    "q_dedup_hamming",
+    f"""
+    WITH sig AS ({_SIMHASH_ORACLE})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def q_dedup_hamming(spark, sf_dir):
+    """SimHash near-dup pairs at hamming distance <= 3 via pigeonhole
+    banding (4 bands of 4 bits; recall 1.0 by construction, per-band
+    equi-joins, exact bit_count verify). The oracle brute-forces all
+    pairs — banding + verify must reproduce that set exactly."""
+    from .operators.dedup import hamming_candidates, simhash16
+
+    docs = _t(spark, sf_dir, "documents").lazy_sdf()
+    return hamming_candidates(simhash16(docs), max_distance=3, bits=16)
+
+
 # ---------------------------------------------------------------------------
 # dedup: embedding cosine near-dup
 # ---------------------------------------------------------------------------

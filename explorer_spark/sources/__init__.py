@@ -366,12 +366,71 @@ def from_columns(columns: dict, spark: SparkSession | None = None) -> DataFrame:
     return from_pandas(pd.DataFrame(columns), spark=spark)
 
 
-def from_query(url: str, query: str, spark: SparkSession | None = None) -> DataFrame:
-    """SQL against an external DB (reference backend/data_frame.ex:43-47) —
-    JDBC; needs the driver jar on the classpath."""
+def from_query(
+    conn,
+    query: str,
+    params: list | None = None,
+    spark: SparkSession | None = None,
+    **jdbc_options,
+) -> DataFrame:
+    """SQL against an external database (reference from_query/4,
+    lib/explorer/data_frame.ex:489-502; backend/data_frame.ex:43-47 —
+    ADBC connection -> Arrow stream -> DataFrame).
+
+    ``conn`` is one of:
+
+    - a **DB-API 2.0 connection** (``sqlite3``, ``duckdb``, ``psycopg``,
+      ...): the parameterized query runs through the connection with the
+      driver's own placeholder style (``?`` for SQLite, ``$1`` for
+      Postgres — exactly the reference's contract), results arrive as an
+      Arrow table when the driver exposes one (duckdb) or via the DB-API
+      cursor otherwise, then land in a Spark DataFrame driver-side. This
+      is the ADBC shape: an external-DB read is bounded by the DB's
+      egress, not by Spark — fine for dimension/metadata pulls.
+    - a ``sqlite:///path`` or ``duckdb:///path`` **URL**: a driver-side
+      connection is opened (and closed) for the call.
+    - a ``jdbc:...`` **URL**: routes to Spark's distributed JDBC reader;
+      pass ``partitionColumn``/``lowerBound``/``upperBound``/
+      ``numPartitions`` via ``jdbc_options`` to parallelize the read
+      across executors — the scale path for big external tables (needs
+      the driver jar on the classpath).
+    """
     spark = spark or get_spark()
-    sdf = spark.read.format("jdbc").option("url", url).option("query", query).load()
-    return _attach_order(sdf)
+    if isinstance(conn, str) and conn.startswith("jdbc:"):
+        reader = spark.read.format("jdbc").option("url", conn).option("query", query)
+        for k, v in jdbc_options.items():
+            reader = reader.option(k, v)
+        return _attach_order(reader.load())
+
+    close_after = False
+    if isinstance(conn, str):
+        # scheme:///abs/path keeps the leading slash; scheme:// -> :memory:
+        if conn.startswith("sqlite://"):
+            import sqlite3
+
+            conn = sqlite3.connect(conn[len("sqlite://") :] or ":memory:")
+        elif conn.startswith("duckdb://"):
+            import duckdb
+
+            conn = duckdb.connect(conn[len("duckdb://") :] or ":memory:")
+        else:
+            raise ValueError(f"unsupported DB url {conn!r} (sqlite://, duckdb://, jdbc:)")
+        close_after = True
+    try:
+        cur = conn.execute(query, params or [])
+        if hasattr(cur, "fetch_arrow_table"):  # duckdb / ADBC-style cursors
+            table = cur.fetch_arrow_table()
+            sdf = spark.createDataFrame(table.to_pandas())
+        else:  # generic DB-API: names from cursor.description
+            names = [d[0] for d in cur.description]
+            rows = cur.fetchall()
+            import pandas as pd
+
+            sdf = spark.createDataFrame(pd.DataFrame(rows, columns=names))
+        return _attach_order(sdf)
+    finally:
+        if close_after:
+            conn.close()
 
 
 def read_ipc_stream(path: str, columns=None, spark: SparkSession | None = None) -> DataFrame:

@@ -240,3 +240,43 @@ def test_dump_load_binary_family(spark):
     assert df.estimated_size() > 0
     popped, rest = df.pop("a")
     assert popped.names == ["a"] and rest.names == ["s"]
+
+
+def test_from_query_sqlite_conn(spark, tmp_path):
+    """from_query over a DB-API connection with ? placeholders
+    (reference from_query/4, SQLite style)."""
+    import sqlite3
+
+    db = tmp_path / "t.db"
+    conn = sqlite3.connect(db)
+    conn.execute("CREATE TABLE t (id INTEGER, name TEXT, score REAL)")
+    conn.executemany("INSERT INTO t VALUES (?, ?, ?)", [(1, "a", 1.5), (2, "b", 2.5), (3, "c", 3.5)])
+    conn.commit()
+    got = ex.from_query(conn, "SELECT id, name FROM t WHERE score > ? ORDER BY id", [2.0], spark=spark)
+    assert got.names == ["id", "name"]
+    assert got.to_rows() == [{"id": 2, "name": "b"}, {"id": 3, "name": "c"}]
+    conn.close()
+
+
+def test_from_query_duckdb_arrow(spark):
+    """duckdb connections take the Arrow fast path (fetch_arrow_table)."""
+    import duckdb
+
+    conn = duckdb.connect()
+    got = ex.from_query(conn, "SELECT i AS id, i * 2 AS dbl FROM range(5) r(i) WHERE i >= ?", [2], spark=spark)
+    assert sorted((r["id"], r["dbl"]) for r in got.to_rows()) == [(2, 4), (3, 6), (4, 8)]
+    conn.close()
+
+
+def test_from_query_url(spark, tmp_path):
+    """sqlite:// URL form opens (and closes) a driver-side connection."""
+    import sqlite3
+
+    db = tmp_path / "u.db"
+    conn = sqlite3.connect(db)
+    conn.execute("CREATE TABLE kv (k TEXT, v INTEGER)")
+    conn.executemany("INSERT INTO kv VALUES (?, ?)", [("x", 1), ("y", 2)])
+    conn.commit()
+    conn.close()
+    got = ex.from_query(f"sqlite:///{db}", "SELECT k, v FROM kv ORDER BY k", spark=spark)
+    assert got.to_rows() == [{"k": "x", "v": 1}, {"k": "y", "v": 2}]

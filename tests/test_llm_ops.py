@@ -54,6 +54,33 @@ def test_hamming_candidates(spark):
     assert [(r.id_a, r.id_b, r.hamming) for r in got] == [(1, 2, 0)]
 
 
+def test_hamming_candidates_full_recall(spark):
+    """Pigeonhole banding finds EVERY pair <= max_distance — including
+    pairs differing only in bits 8..15, which naive high-byte blocking
+    misses. Differential: candidates == brute force on random sigs."""
+    import itertools
+    import random
+
+    from explorer_spark.operators.dedup import hamming_candidates
+
+    # targeted: distance 1 at bit 8 (crosses the old high-byte boundary)
+    sig = spark.createDataFrame([(1, 1 << 8), (2, 0)], ["doc_id", "simhash"])
+    got = hamming_candidates(sig, max_distance=3, bits=16).collect()
+    assert [(r.id_a, r.id_b, r.hamming) for r in got] == [(1, 2, 1)]
+
+    # differential vs brute force over random 16-bit signatures
+    rng = random.Random(7)
+    rows = [(i, rng.randrange(1 << 16)) for i in range(60)]
+    want = sorted(
+        (a, b, bin(sa ^ sb).count("1"))
+        for (a, sa), (b, sb) in itertools.combinations(rows, 2)
+        if bin(sa ^ sb).count("1") <= 3
+    )
+    sig = spark.createDataFrame(rows, ["doc_id", "simhash"])
+    got = hamming_candidates(sig, max_distance=3, bits=16).collect()
+    assert sorted((r.id_a, r.id_b, r.hamming) for r in got) == want
+
+
 def test_exact_dedup_keeps_min_key(spark):
     from explorer_spark.operators.dedup import exact_dedup
 
