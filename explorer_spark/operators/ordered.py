@@ -63,6 +63,20 @@ def _lookup_df(spark, rows: list[tuple], fields: list[T.StructField]) -> SDF:
 # of millions would bloat the plan).
 ARRAY_LOOKUP_MAX = 1 << 16
 
+# Value-statistic ranks need an ordered prefix over the DISTINCT-value
+# table. When the FRAME row count (an upper bound on distinct values,
+# and metadata-fast to get for parquet-backed frames) is below this, the
+# table is "summary-sized": one hash-partitioned window (+ broadcast
+# join-back) beats the full range-shuffle/checkpoint/stats-job kernel by
+# ~3x in fixed cost; above it the distributed kernel takes over.
+SMALL_VALS_MAX = 1 << 21
+
+# Below this many rows a global row index comes from one single-partition
+# sort (deterministic — the sort keys are total orders) instead of the
+# range-shuffle + checkpoint + stats-job kernel: ~3 fewer jobs and no
+# plan-to-RDD checkpoint compile, which dominate small/mid frames.
+SMALL_INDEX_MAX = 1 << 17
+
 
 def _array_lookup(key: Column, values: list, dtype: T.DataType) -> Column:
     """``values[key]`` as a constant-array projection — the scalable
@@ -113,6 +127,22 @@ def with_global_index(
     the range shuffle.  ``total_col`` additionally attaches the total
     row count to every row (a literal — known from the same stats job).
     """
+    # small frames: one deterministic single-partition sort, no range
+    # sampling pass, no checkpoint, no stats job. The keys passed here
+    # are always total orders (ORDER_COL participates), so the ids are
+    # reproducible across re-executions without pinning. count() is
+    # metadata-fast on parquet-backed frames; the threshold bounds the
+    # single task like every driver-summary gate in this module.
+    n = sdf.count()
+    if n <= SMALL_INDEX_MAX:
+        # repartition (not coalesce): coalesce(1) would collapse the whole
+        # upstream stage into one task; an exchange of <=SMALL_INDEX_MAX
+        # rows keeps upstream parallelism and the sort restores order
+        s = sdf.repartition(1).sortWithinPartitions(*keys)
+        s = s.withColumn(name, F.monotonically_increasing_id())
+        if total_col is not None:
+            s = s.withColumn(total_col, F.lit(n).cast("long"))
+        return s
     # aligned=True promises rows are already physically ordered by keys
     # (e.g. right after a global sort) — the local re-sort would be a no-op
     # Spark can't prove away, so skip it entirely
@@ -349,50 +379,66 @@ def rank_columns(
         return out
 
     vals = sdf.select(value_col).groupBy(value_col).agg(F.count(F.lit(1)).alias("__c__"))
-    v = vals.repartitionByRange(key).sortWithinPartitions(key)
-    v = v.withColumn("__mono__", F.monotonically_increasing_id())
-    v = v.withColumn("__vpid__", F.spark_partition_id())
-    v = v.localCheckpoint(eager=False)  # nondeterministic ids: pin before the stats job
-    stats = v.groupBy("__vpid__").agg(
-        F.count(F.lit(1)).alias("__n__"),
-        F.min("__mono__").alias("__mn__"),
-        F.sum("__c__").alias("__t__"),
-    ).collect()
-    stats.sort(key=lambda r: r["__vpid__"])
-    doffs, vmns, coffs = {}, {}, {}
-    doff, coff = 0, 0
-    for r in stats:
-        doffs[r["__vpid__"]] = doff
-        vmns[r["__vpid__"]] = r["__mn__"]
-        coffs[r["__vpid__"]] = coff
-        doff += r["__n__"]
-        coff += r["__t__"]
-    nparts = (max(doffs) + 1) if doffs else 0
-    vpid = F.col("__vpid__")
-    w = W.partitionBy("__vpid__").orderBy("__mono__").rowsBetween(W.unboundedPreceding, 0)
-    v2 = v.withColumn("__lc__", F.sum("__c__").over(w))
-    if nparts <= ARRAY_LOOKUP_MAX:
-        v2 = v2.withColumns(
-            {
-                "__doff__": _array_lookup(vpid, _dense(doffs, nparts, 0), T.LongType()),
-                "__vmn__": _array_lookup(vpid, _dense(vmns, nparts, 0), T.LongType()),
-                "__coff__": _array_lookup(vpid, _dense(coffs, nparts, 0), T.LongType()),
-            }
-        )
+    nv = sdf.count()  # row count bounds the value table; metadata-fast on scans
+    if nv <= SMALL_VALS_MAX:
+        # summary-sized value table: a deliberate one-partition window
+        # (bounded by nv, like every driver summary here) — no range
+        # sampling pass, no checkpoint, no stats job. The partition key
+        # is a NON-FOLDABLE constant zero (hash&0; a plain literal or
+        # __c__*0 is optimized away, leaving an unpartitioned WindowExec
+        # and its single-partition warning).
+        vals = vals.withColumn("__sum0__", F.xxhash64(F.col("__c__")).bitwiseAND(F.lit(0)))
+        w_ord = W.partitionBy("__sum0__").orderBy(key)
+        v2 = vals.withColumn(
+            "__lc__", F.sum("__c__").over(w_ord.rowsBetween(W.unboundedPreceding, 0))
+        ).withColumn("__dp__", F.row_number().over(w_ord) - 1)
+        cum = F.col("__lc__")  # inclusive row-count prefix
+        dense_pos = F.col("__dp__")
     else:
-        lookup = _lookup_df(
-            sdf.sparkSession,
-            [(p, doffs[p], vmns[p], coffs[p]) for p in doffs],
-            [
-                T.StructField("__vpid__", T.IntegerType()),
-                T.StructField("__doff__", T.LongType()),
-                T.StructField("__vmn__", T.LongType()),
-                T.StructField("__coff__", T.LongType()),
-            ],
-        )
-        v2 = v2.join(F.broadcast(lookup), "__vpid__", "left")
-    cum = F.col("__coff__") + F.col("__lc__")  # inclusive row-count prefix
-    dense_pos = F.col("__doff__") + (F.col("__mono__") - F.col("__vmn__"))
+        v = vals.repartitionByRange(key).sortWithinPartitions(key)
+        v = v.withColumn("__mono__", F.monotonically_increasing_id())
+        v = v.withColumn("__vpid__", F.spark_partition_id())
+        v = v.localCheckpoint(eager=False)  # nondeterministic ids: pin before the stats job
+        stats = v.groupBy("__vpid__").agg(
+            F.count(F.lit(1)).alias("__n__"),
+            F.min("__mono__").alias("__mn__"),
+            F.sum("__c__").alias("__t__"),
+        ).collect()
+        stats.sort(key=lambda r: r["__vpid__"])
+        doffs, vmns, coffs = {}, {}, {}
+        doff, coff = 0, 0
+        for r in stats:
+            doffs[r["__vpid__"]] = doff
+            vmns[r["__vpid__"]] = r["__mn__"]
+            coffs[r["__vpid__"]] = coff
+            doff += r["__n__"]
+            coff += r["__t__"]
+        nparts = (max(doffs) + 1) if doffs else 0
+        vpid = F.col("__vpid__")
+        w = W.partitionBy("__vpid__").orderBy("__mono__").rowsBetween(W.unboundedPreceding, 0)
+        v2 = v.withColumn("__lc__", F.sum("__c__").over(w))
+        if nparts <= ARRAY_LOOKUP_MAX:
+            v2 = v2.withColumns(
+                {
+                    "__doff__": _array_lookup(vpid, _dense(doffs, nparts, 0), T.LongType()),
+                    "__vmn__": _array_lookup(vpid, _dense(vmns, nparts, 0), T.LongType()),
+                    "__coff__": _array_lookup(vpid, _dense(coffs, nparts, 0), T.LongType()),
+                }
+            )
+        else:
+            lookup = _lookup_df(
+                sdf.sparkSession,
+                [(p, doffs[p], vmns[p], coffs[p]) for p in doffs],
+                [
+                    T.StructField("__vpid__", T.IntegerType()),
+                    T.StructField("__doff__", T.LongType()),
+                    T.StructField("__vmn__", T.LongType()),
+                    T.StructField("__coff__", T.LongType()),
+                ],
+            )
+            v2 = v2.join(F.broadcast(lookup), "__vpid__", "left")
+        cum = F.col("__coff__") + F.col("__lc__")  # inclusive row-count prefix
+        dense_pos = F.col("__doff__") + (F.col("__mono__") - F.col("__vmn__"))
     sel = [F.col(value_col).alias("__v2__")]
     tmp_names = {}
     for i, (out_col, method) in enumerate(val_specs.items()):
@@ -407,6 +453,8 @@ def rank_columns(
         tmp_names[out_col] = f"__rv{i}__"
         sel.append(e.alias(tmp_names[out_col]))
     rv = v2.select(*sel)
+    if nv <= SMALL_VALS_MAX:
+        rv = F.broadcast(rv)  # known-small: don't shuffle the frame
     # temp output names + withColumn so out_col may REPLACE value_col
     # itself (the spearman path ranks a column in place)
     joined = out.join(rv, c.eqNullSafe(F.col("__v2__")), "left")
@@ -454,6 +502,18 @@ def rank_columns_multi(
     key = F.col("__v__").desc() if descending else F.col("__v__").asc()
     melted = sdf.select(F.posexplode(F.array(*[F.col(c) for c in cols])).alias("__cid__", "__v__"))
     vals = melted.groupBy("__cid__", "__v__").agg(F.count(F.lit(1)).alias("__c__"))
+    nv = sdf.count()  # bounds every per-cid value table; metadata-fast on scans
+    if nv <= SMALL_VALS_MAX:
+        # summary-sized value table: one window hash-partitioned by column
+        # id replaces range shuffle + checkpoint + stats job (see
+        # SMALL_VALS_MAX); join-backs below broadcast the rank table
+        w_ord = W.partitionBy("__cid__").orderBy(key)
+        v2 = vals.withColumn(
+            "__lc__", F.sum("__c__").over(w_ord.rowsBetween(W.unboundedPreceding, 0))
+        ).withColumn("__dp__", F.row_number().over(w_ord) - 1)
+        cum = F.col("__lc__")
+        dense_pos = F.col("__dp__")
+        return _rank_multi_emit(sdf, v2, cum, dense_pos, cols, value_cols, method, True)
     v = vals.repartitionByRange(F.col("__cid__").asc(), key).sortWithinPartitions(
         F.col("__cid__").asc(), key
     )
@@ -505,6 +565,13 @@ def rank_columns_multi(
         )
         v2 = v2.withColumn("__slot__", slot).join(F.broadcast(lookup), "__slot__", "left").drop("__slot__")
     cum = F.col("__coff__") + F.col("__lc__")
+    dense_pos = F.col("__doff__") + (F.col("__mono__") - F.col("__vmn__"))
+    return _rank_multi_emit(sdf, v2, cum, dense_pos, cols, value_cols, method, False)
+
+
+def _rank_multi_emit(sdf, v2, cum, dense_pos, cols, value_cols, method, broadcast_rv):
+    """Shared tail of rank_columns_multi: derive the rank from the prefix
+    columns and equi-join each column's slice back onto the frame."""
     if method == "min":
         rk = (cum - F.col("__c__") + 1).cast("int")
     elif method == "max":
@@ -512,14 +579,21 @@ def rank_columns_multi(
     elif method == "average":
         rk = (2 * cum - F.col("__c__") + 1).cast("double") / 2.0
     else:  # dense
-        rk = (F.col("__doff__") + (F.col("__mono__") - F.col("__vmn__")) + 1).cast("int")
+        rk = (dense_pos + 1).cast("int")
     rv = v2.select("__cid__", F.col("__v__").alias("__vv__"), rk.alias("__rk__"))
+    if broadcast_rv and len(cols) > 1:
+        # small path has no upstream checkpoint: pin the (bounded) rank
+        # table once so the per-column slices don't each recompute the
+        # melt + agg + window chain
+        rv = rv.localCheckpoint(eager=False)
     out = sdf
     for i, c in enumerate(cols):
         rvi = rv.filter(F.col("__cid__") == i).select("__vv__", F.col("__rk__").alias(f"__rko{i}__"))
+        if broadcast_rv:
+            rvi = F.broadcast(rvi)
         out = out.join(rvi, F.col(c).eqNullSafe(F.col("__vv__")), "left").drop("__vv__")
     out = out.withColumns({value_cols[c]: F.col(f"__rko{i}__") for i, c in enumerate(cols)})
-    return out.drop(*[f"__rko{i}__" for i in range(nc)])
+    return out.drop(*[f"__rko{i}__" for i in range(len(cols))])
 
 
 # ---------------------------------------------------------------------------

@@ -297,26 +297,30 @@ def q_text_unigram_logprob(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-def _simhash_bit_sql(j: int) -> str:
-    char_pos = 4 - j // 4
+def _simhash_bit_sql(j: int, bits: int = 16) -> str:
+    char_pos = bits // 4 - j // 4
     p = 2 ** (j % 4)
     nib = f"(CASE WHEN ascii(substr(h, {char_pos}, 1)) <= 57 THEN ascii(substr(h, {char_pos}, 1)) - 48 ELSE ascii(substr(h, {char_pos}, 1)) - 87 END)"
     return f"SUM(CASE WHEN CAST(floor({nib} / {p}) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS b{j}"
 
 
-_SIMHASH_ORACLE = f"""
+def _simhash_oracle_sql(bits: int) -> str:
+    return f"""
     WITH w AS (
         SELECT doc_id, unnest({_WORDS.format(t="lower(text)")}) AS word FROM documents
     ),
     h AS (SELECT doc_id, md5(word) AS h FROM w),
     bits AS (
-        SELECT doc_id, {", ".join(_simhash_bit_sql(j) for j in range(16))}
+        SELECT doc_id, {", ".join(_simhash_bit_sql(j, bits) for j in range(bits))}
         FROM h GROUP BY doc_id
     )
     SELECT doc_id,
-           CAST({" + ".join(f"(CASE WHEN b{j} > 0 THEN {2**j} ELSE 0 END)" for j in range(16))} AS BIGINT) AS simhash
+           CAST({" + ".join(f"(CASE WHEN b{j} > 0 THEN {2**j} ELSE 0 END)" for j in range(bits))} AS BIGINT) AS simhash
     FROM bits
 """
+
+
+_SIMHASH_ORACLE = _simhash_oracle_sql(16)
 
 
 @query("q_dedup_simhash", _SIMHASH_ORACLE)
@@ -331,22 +335,63 @@ def q_dedup_simhash(spark, sf_dir):
 @query(
     "q_dedup_hamming",
     f"""
-    WITH sig AS ({_SIMHASH_ORACLE})
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           bit_count(xor(a.simhash, b.simhash)) AS hamming
-    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    WITH sig AS ({_simhash_oracle_sql(32)}),
+    cnt AS (SELECT simhash, COUNT(*) AS c FROM sig GROUP BY simhash),
+    cross_pairs AS (
+        SELECT bit_count(xor(a.simhash, b.simhash)) AS hamming, a.c * b.c AS np
+        FROM cnt a JOIN cnt b ON a.simhash < b.simhash
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    ),
+    allp AS (
+        SELECT hamming, np FROM cross_pairs
+        UNION ALL
+        SELECT 0 AS hamming, c * (c - 1) / 2 AS np FROM cnt WHERE c > 1
+    )
+    SELECT hamming, CAST(SUM(np) AS BIGINT) AS n_pairs
+    FROM allp GROUP BY hamming
     """,
 )
 def q_dedup_hamming(spark, sf_dir):
-    """SimHash near-dup pairs at hamming distance <= 3 via pigeonhole
-    banding (4 bands of 4 bits; recall 1.0 by construction, per-band
-    equi-joins, exact bit_count verify). The oracle brute-forces all
-    pairs — banding + verify must reproduce that set exactly."""
-    from .operators.dedup import hamming_candidates, simhash16
+    """Near-dup pair census by SimHash hamming distance (<=3) over
+    32-BIT signatures: docs collapse to DISTINCT signatures with
+    multiplicities first (the scale move: banding cost stops growing
+    with corpus size), pigeonhole-banded candidate pairs over distinct
+    signatures (recall 1.0, operators/dedup.hamming_candidates — 4
+    bands of 8 bits makes buckets selective, unlike 16-bit signatures
+    which saturate), then the pair count per distance from the
+    multiplicities. The oracle brute-forces distinct-signature pairs —
+    banding + verify must reproduce it exactly."""
+    from .operators.dedup import hamming_candidates, simhash_bits
 
     docs = _t(spark, sf_dir, "documents").lazy_sdf()
-    return hamming_candidates(simhash16(docs), max_distance=3, bits=16)
+    cnt = (
+        simhash_bits(docs, bits=32)
+        .groupBy("simhash")
+        .agg(SF.count(SF.lit(1)).alias("c"))
+        # the signature table feeds 4 branches (banding, 2 count joins,
+        # same-sig term): pin it so SimHash runs once, not per branch
+        .localCheckpoint(eager=False)
+    )
+    pairs = hamming_candidates(
+        cnt.withColumn("sig_id", SF.col("simhash")),
+        key_col="sig_id",
+        sig_col="simhash",
+        max_distance=3,
+        bits=32,
+    )
+    cross = (
+        pairs.join(SF.broadcast(cnt.select(SF.col("simhash").alias("id_a"), SF.col("c").alias("ca"))), "id_a")
+        .join(SF.broadcast(cnt.select(SF.col("simhash").alias("id_b"), SF.col("c").alias("cb"))), "id_b")
+        .select("hamming", (SF.col("ca") * SF.col("cb")).alias("np"))
+    )
+    same = cnt.filter(SF.col("c") > 1).select(
+        SF.lit(0).alias("hamming"), (SF.col("c") * (SF.col("c") - 1) / 2).cast("long").alias("np")
+    )
+    return (
+        cross.unionByName(same)
+        .groupBy("hamming")
+        .agg(SF.sum("np").cast("bigint").alias("n_pairs"))
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -24,6 +24,9 @@ from explorer_spark.sources import from_pandas
 @pytest.fixture(autouse=True)
 def small_buckets(monkeypatch):
     monkeypatch.setattr(ordk, "BUCKET_SIZE", 7)
+    # keep this file exercising the DISTRIBUTED index kernel: the
+    # small-frame fast path (single-partition sort) has its own tests
+    monkeypatch.setattr(ordk, "SMALL_INDEX_MAX", 0)
 
 
 def as_list(s: pd.Series) -> list:
@@ -134,6 +137,17 @@ def test_ungrouped_rank_descending(df, pdf):
     assert [float(v) for v in out["r"]] == [float(v) for v in want]
 
 
+@pytest.mark.parametrize("method,pd_method", [("min", "min"), ("max", "max"), ("dense", "dense"), ("average", "average")])
+def test_ungrouped_rank_methods_big_kernel(df, pdf, method, pd_method, monkeypatch):
+    """Value-statistic ranks through the DISTRIBUTED kernel (forced by
+    zeroing SMALL_VALS_MAX): small test frames would otherwise always
+    take the summary-window fast path."""
+    monkeypatch.setattr(ordk, "SMALL_VALS_MAX", 0)
+    out = df.mutate(r=Expr("rank", col("x"), method)).to_pandas()
+    want = pdf["x"].rank(method=pd_method)
+    assert [float(v) for v in out["r"]] == [float(v) for v in want]
+
+
 def test_ungrouped_rolling_window(df, pdf):
     out = df.mutate(
         rs=Expr("window_sum", col("x"), 5),
@@ -172,9 +186,18 @@ def test_no_single_partition_window_in_plan(df):
     # column or belong to the tiny summary branch (reads a group-by output)
     import re
 
+    # __sum0__ / __cid__ mark the gated summary-table windows (over the
+    # bounded distinct-value table, see ordered.SMALL_VALS_MAX)
     for m in re.finditer(r"Window \[(.*?)\], \[(.*?)\]", plan):
         spec = m.group(0)
-        assert "__bkt__" in spec or "__pid__" in spec or "__vpid__" in spec or "windowspecdefinition" not in spec
+        assert (
+            "__bkt__" in spec
+            or "__pid__" in spec
+            or "__vpid__" in spec
+            or "__sum0__" in spec
+            or "__cid__" in spec
+            or "windowspecdefinition" not in spec
+        )
 
 
 def test_spearman_average_ranks(spark):
@@ -281,6 +304,48 @@ def test_rank_columns_multi_matches_pandas(spark):
     want = pdf.copy()
     # nulls rank as a value (first) in the kernel, same as rank_columns;
     # pandas excludes NaN — shift its ranks by the null count to compare
+    n_null = int(pdf["a"].isna().sum())
+    want["ra"] = pdf["a"].rank(method="average") + n_null
+    want["rb"] = pdf["b"].rank(method="average")
+    want = want.sort_values(["a", "b"], na_position="first").reset_index(drop=True)
+    m = want["a"].notna().to_numpy()
+    assert np.allclose(got["ra"].to_numpy()[m], want["ra"].to_numpy()[m])
+    assert np.allclose(got["rb"].to_numpy(), want["rb"].to_numpy())
+
+
+def test_small_index_fast_path(df, pdf, monkeypatch):
+    """with_global_index's small-frame path (single-partition sort, no
+    checkpoint) must produce the same contiguous index as the kernel."""
+    monkeypatch.setattr(ordk, "SMALL_INDEX_MAX", 1 << 17)  # undo the autouse 0
+    out = df.at_every(7).to_pandas()
+    assert out["x"].tolist() == pdf["x"].iloc[::7].tolist()
+    sliced = df.slice(3, 5).to_pandas()
+    assert sliced["x"].tolist() == pdf["x"].iloc[3:8].tolist()
+
+
+def test_rank_columns_multi_big_kernel(spark, monkeypatch):
+    """Melted multi-column ranks through the DISTRIBUTED kernel (forced
+    by zeroing SMALL_VALS_MAX) — same pandas differential as above."""
+    import numpy as np
+
+    from explorer_spark.operators.ordered import rank_columns_multi
+
+    monkeypatch.setattr(ordk, "SMALL_VALS_MAX", 0)
+    rng = np.random.default_rng(7)
+    pdf = pd.DataFrame(
+        {
+            "a": rng.integers(0, 12, 300).astype("float64"),
+            "b": rng.normal(size=300).round(1),
+        }
+    )
+    pdf.loc[rng.choice(300, 25, replace=False), "a"] = np.nan
+    sdf = spark.createDataFrame(pdf)
+    got = (
+        rank_columns_multi(sdf, {"a": "ra", "b": "rb"}, method="average")
+        .orderBy("a", "b")
+        .toPandas()
+    )
+    want = pdf.copy()
     n_null = int(pdf["a"].isna().sum())
     want["ra"] = pdf["a"].rank(method="average") + n_null
     want["rb"] = pdf["b"].rank(method="average")
