@@ -45,6 +45,18 @@ from .operators import rolling as _rolling
 
 _rolling.register()
 
+
+def new(data, spark=None) -> DataFrame:
+    """Build a frame from tabular data (reference DataFrame.new/2):
+    a dict of columns, a list of row dicts, or a pandas frame."""
+    import pandas as pd
+
+    if isinstance(data, dict):
+        return from_columns(data, spark=spark)
+    if isinstance(data, pd.DataFrame):
+        return from_pandas(data, spark=spark)
+    return from_rows(data, spark=spark)
+
 __version__ = "0.1.0"
 
 __all__ = [
@@ -68,6 +80,7 @@ __all__ = [
     "from_rows",
     "from_columns",
     "from_query",
+    "new",
     "load_table",
     "to_spark",
     "from_spark",

@@ -249,6 +249,26 @@ class DataFrame:
     def pull(self, name: str) -> "DataFrame":
         return self.select([name])
 
+    def fetch(self, key):
+        """Access-style column fetch (reference fetch/2, Access impl):
+        a column name or 0-based index -> single-column frame, or None
+        when absent (``df[key]`` raises instead)."""
+        names = self.names
+        if isinstance(key, int):
+            if -len(names) <= key < len(names):
+                return self.select([names[key]])
+            return None
+        return self.select([key]) if key in names else None
+
+    def __getitem__(self, key):
+        got = self.fetch(key)
+        if got is None:
+            raise KeyError(key)
+        return got
+
+    def __contains__(self, name) -> bool:
+        return name in self.names
+
     def pop(self, name: str):
         """Split one column off the frame (the reference's Access.pop):
         returns (popped single-column frame, remainder)."""
@@ -577,6 +597,33 @@ class DataFrame:
     sort = sort_by
     arrange = sort_by
 
+    def sort_with(self, fn, nils_last: bool = True, stable: bool = False) -> "DataFrame":
+        """Callback sort (reference sort_with/arrange_with,
+        data_frame.ex:3472-3572): ``fn(df)`` returns a key, a list of
+        keys, or ("asc"|"desc", key) pairs; keys are column names or
+        expressions."""
+        spec = fn(self)
+        if not isinstance(spec, list):
+            spec = [spec]
+        keys, desc = [], []
+        for item in spec:
+            if isinstance(item, tuple) and len(item) == 2 and item[0] in ("asc", "desc"):
+                keys.append(item[1])
+                desc.append(item[0] == "desc")
+            else:
+                keys.append(item)
+                desc.append(False)
+        return self.sort_by(*keys, descending=desc, nils_last=nils_last, stable=stable)
+
+    arrange_with = sort_with
+
+    def to_lazy(self) -> "DataFrame":
+        """No-op: every frame here is already a lazy Catalyst plan
+        (reference to_lazy/lazy)."""
+        return self
+
+    lazy = to_lazy
+
     def distinct(self, selector=None, keep_all: bool = False) -> "DataFrame":
         """De-dup on subset, keeping the FIRST occurrence
         (reference lazyframe.rs:220-232 UniqueKeepStrategy::First)."""
@@ -736,14 +783,24 @@ class DataFrame:
             out = idxed._sdf.filter((F.col("__idx__") >= offset) & (F.col("__idx__") < offset + length))
             return idxed._replace(out.drop("__idx__"), aligned=True)
         indices = list(offset_or_indices) if not isinstance(offset_or_indices, range) else list(offset_or_indices)
-        idxed = self._with_row_index("__idx__")
+        nonneg = [i for i in indices if i >= 0]
+        negs = [i for i in indices if i < 0]  # resolved against the total/group size
         if self.groups:
             base = self._ordered()
             w = W.partitionBy(*self.groups).orderBy(F.col(ORDER_COL).asc())
             sdf = base._sdf.withColumn("__rn__", F.row_number().over(w) - 1)
-            return base._replace(sdf.filter(F.col("__rn__").isin(indices)).drop("__rn__"))
-        out = idxed._sdf.filter(F.col("__idx__").isin(indices))
-        return idxed._replace(out.drop("__idx__"), aligned=True)
+            cond = F.col("__rn__").isin(nonneg) if nonneg else F.lit(False)
+            if negs:
+                cnt = F.count(F.lit(1)).over(W.partitionBy(*self.groups))
+                sdf = sdf.withColumn("__cnt__", cnt)
+                cond = cond | (F.col("__rn__") - F.col("__cnt__")).isin(negs)
+            return base._replace(sdf.filter(cond).drop("__rn__", "__cnt__"))
+        idxed = self._with_row_index("__idx__", total_col="__tot__" if negs else None)
+        cond = F.col("__idx__").isin(nonneg) if nonneg else F.lit(False)
+        if negs:
+            cond = cond | (F.col("__idx__") - F.col("__tot__")).isin(negs)
+        out = idxed._sdf.filter(cond)
+        return idxed._replace(out.drop("__idx__", "__tot__"), aligned=True)
 
     def at_every(self, n: int) -> "DataFrame":
         idxed = self._with_row_index("__idx__")

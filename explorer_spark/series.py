@@ -154,6 +154,38 @@ class Series:
         vals = self._frame.slice(i, 1).to_columns()[self.name]
         return vals[0] if vals else None
 
+    def fetch(self, key):
+        """Access-style fetch (reference series.ex:286-288): an int
+        gives the element, a list/range gives a sliced Series; None when
+        an int index is out of bounds (``s[key]`` raises instead)."""
+        if isinstance(key, int):
+            n = len(self)
+            if key < 0:
+                key += n
+            return self.at(key) if 0 <= key < n else None
+        if isinstance(key, range):
+            key = list(key)
+        return self.slice(key)
+
+    def __getitem__(self, key):
+        got = self.fetch(key)
+        if got is None and isinstance(key, int):
+            raise IndexError(key)
+        return got
+
+    def pop(self, key):
+        """Access-style pop (reference series.ex:291-305): returns
+        (fetched value/slice, series with those positions removed)."""
+        n = len(self)
+        if isinstance(key, int):
+            idx = key + n if key < 0 else key
+            keep = [i for i in range(n) if i != idx]
+            return self.fetch(key), self.slice(keep)
+        drop = set(list(key) if isinstance(key, range) else key)
+        drop = {i + n if i < 0 else i for i in drop}
+        keep = [i for i in range(n) if i not in drop]
+        return self.fetch(key), self.slice(keep)
+
     def argmin(self) -> int:
         f = self._frame._with_row_index("__idx__")
         row = f._sdf.orderBy(F.col(self.name).asc_nulls_last(), F.col("__idx__")).limit(1).collect()
@@ -170,6 +202,38 @@ class Series:
         of the reference's single-series query DSL, series.ex:1752-1998)."""
         return self._apply(fn(self._c()))
 
+    map_with = map  # reference map_with/2: same callback contract here
+
+    def not_(self) -> "Series":
+        """Boolean negation (reference Series.not/1; `not` is a Python
+        keyword, hence the trailing underscore; `~s` also works)."""
+        return self._apply(Expr("unary_not", self._c()))
+
+    __invert__ = not_
+
+    def iotype(self):
+        """The underlying io-vector type as (letter, bits) — e.g.
+        ("f", 64), ("s", 32), ("u", 8) for booleans (reference
+        series.ex:1294-1300 + shared.ex dtype_to_iotype)."""
+        d = dt.normalize(self.dtype)
+        if d == "boolean":
+            return ("u", 8)
+        if d == "category":
+            return ("u", 32)
+        if isinstance(d, tuple):
+            kind, sz = d[0], d[1]
+            if kind in ("s", "u", "f"):
+                return (kind, sz)
+            if kind == "decimal":
+                return ("s", 128)
+            if kind in ("datetime", "duration", "naive_datetime"):
+                return ("s", 64)
+        if d == "date":
+            return ("s", 32)
+        if d == "time":
+            return ("s", 64)
+        raise ValueError(f"dtype {d!r} has no io representation")
+
     def cast(self, dtype) -> "Series":
         cur = self.dtype
         target = dt.normalize(dtype)
@@ -185,8 +249,17 @@ class Series:
         nf = self._frame.filter_with(fn(self._c()))
         return Series(nf, self.name)
 
+    filter_with = filter  # reference filter_with/2: same callback contract
+
     def sort(self, descending: bool = False, nils_last: bool = True) -> "Series":
         return Series(self._frame.sort_by(self.name, descending=descending, nils_last=nils_last), self.name)
+
+    def sort_with(self, fn, direction: str = "asc", nils_last: bool = True) -> "Series":
+        """Sort by a derived key expression (reference series.ex:1976-1983):
+        ``fn`` maps the series expression to the sort key."""
+        key = fn(self._c())
+        nf = self._frame.sort_by(key, descending=(direction == "desc"), nils_last=nils_last)
+        return Series(nf, self.name)
 
     def argsort(self, descending: bool = False) -> list[int]:
         f = self._frame._with_row_index("__idx__")

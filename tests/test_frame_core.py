@@ -272,3 +272,44 @@ def test_join_asof_tolerance_by_keys(spark):
     got = left.join_asof(right, on="k", by=["g"], strategy="backward", tolerance=2).to_rows()
     by = {(r["g"], r["k"]): r["rv"] for r in got}
     assert by == {("a", 3): 10, ("a", 9): None, ("b", 3): None}
+
+
+def test_access_fetch_getitem(spark):
+    import explorer_spark as ex
+
+    df = ex.from_columns({"a": [1, 2], "b": ["x", "y"]}, spark=spark)
+    assert df.fetch("b").to_columns() == {"b": ["x", "y"]}
+    assert df.fetch(0).names == ["a"]
+    assert df.fetch("nope") is None and df.fetch(7) is None
+    assert df["a"].to_columns() == {"a": [1, 2]}
+    assert "a" in df and "zz" not in df
+    import pytest as _pt
+
+    with _pt.raises(KeyError):
+        df["zz"]
+
+
+def test_sort_with_callback(spark):
+    import explorer_spark as ex
+    from explorer_spark import col, f
+
+    df = ex.from_columns({"a": [2, 1, 3], "b": ["y", "z", "x"]}, spark=spark)
+    got = df.sort_with(lambda d: [("desc", col("a"))]).to_columns()
+    assert got["a"] == [3, 2, 1]
+    got = df.arrange_with(lambda d: ["b"]).to_columns()
+    assert got["b"] == ["x", "y", "z"]
+    # mixed directions + expression key
+    got = df.sort_with(lambda d: [("asc", f.remainder(col("a"), 2)), ("desc", col("a"))]).to_columns()
+    assert got["a"] == [2, 3, 1]
+
+
+def test_new_and_lazy(spark):
+    import pandas as pd
+
+    import explorer_spark as ex
+
+    assert ex.new({"a": [1]}, spark=spark).to_rows() == [{"a": 1}]
+    assert ex.new([{"a": 2}], spark=spark).to_rows() == [{"a": 2}]
+    assert ex.new(pd.DataFrame({"a": [3]}), spark=spark).to_rows() == [{"a": 3}]
+    df = ex.new({"a": [1]}, spark=spark)
+    assert df.to_lazy() is df and df.lazy() is df

@@ -114,3 +114,42 @@ def test_temporal_nanosecond_and_to_time(spark):
     assert s.map(f.nanosecond).to_list() == [123456000]
     ns_midnight = ((12 * 3600 + 30 * 60 + 45) * 1_000_000 + 123456) * 1000
     assert s.map(f.to_time).to_list() == [ns_midnight]
+
+
+def test_series_access_fetch_pop(spark):
+    from explorer_spark.series import Series
+
+    s = Series.from_list([10, 20, 30, 40], spark=spark)
+    assert s.fetch(1) == 20 and s.fetch(-1) == 40 and s.fetch(9) is None
+    assert s[2] == 30
+    assert s[[0, 2]].to_list() == [10, 30]
+    assert s[range(1, 3)].to_list() == [20, 30]
+    import pytest as _pt
+
+    with _pt.raises(IndexError):
+        s[99]
+    v, rest = s.pop(1)
+    assert v == 20 and rest.to_list() == [10, 30, 40]
+    sl, rest = s.pop([0, -1])
+    assert sl.to_list() == [10, 40] and rest.to_list() == [20, 30]
+
+
+def test_series_not_and_callback_aliases(spark):
+    from explorer_spark.series import Series
+    from explorer_spark import functions as f
+
+    b = Series.from_list([True, False, None], spark=spark)
+    assert b.not_().to_list() == [False, True, None]
+    assert (~b).to_list() == [False, True, None]
+    s = Series.from_list([1, 2, 3, 4], spark=spark)
+    assert s.filter_with(lambda c: c > 2).to_list() == [3, 4]
+    assert s.map_with(lambda c: c * 10).to_list() == [10, 20, 30, 40]
+    assert s.sort_with(lambda c: f.remainder(c, 2), direction="desc").to_list()[:2] == [1, 3]
+
+
+def test_series_iotype(spark):
+    from explorer_spark.series import Series
+
+    assert Series.from_list([1.5], spark=spark).iotype() == ("f", 64)
+    assert Series.from_list([1], spark=spark).iotype() == ("s", 64)
+    assert Series.from_list([True], spark=spark).iotype() == ("u", 8)
