@@ -786,6 +786,8 @@ class DataFrame:
         nonneg = [i for i in indices if i >= 0]
         negs = [i for i in indices if i < 0]  # resolved against the total/group size
         if self.groups:
+            # grouped: keep rows at the given per-group positions, in
+            # frame order (each group contributes each position once)
             base = self._ordered()
             w = W.partitionBy(*self.groups).orderBy(F.col(ORDER_COL).asc())
             sdf = base._sdf.withColumn("__rn__", F.row_number().over(w) - 1)
@@ -795,12 +797,23 @@ class DataFrame:
                 sdf = sdf.withColumn("__cnt__", cnt)
                 cond = cond | (F.col("__rn__") - F.col("__cnt__")).isin(negs)
             return base._replace(sdf.filter(cond).drop("__rn__", "__cnt__"))
+        # ungrouped take: output follows the CALLER's index order and
+        # keeps duplicates (reference/Polars take semantics) — a literal
+        # (position, index) table joined on the row index, row order
+        # rewritten from the selection position
         idxed = self._with_row_index("__idx__", total_col="__tot__" if negs else None)
-        cond = F.col("__idx__").isin(nonneg) if nonneg else F.lit(False)
-        if negs:
-            cond = cond | (F.col("__idx__") - F.col("__tot__")).isin(negs)
-        out = idxed._sdf.filter(cond)
-        return idxed._replace(out.drop("__idx__", "__tot__"), aligned=True)
+        spark = idxed._sdf.sparkSession
+        sel = spark.createDataFrame(
+            [(p, int(i)) for p, i in enumerate(indices)], "__pos__ long, __sel__ long"
+        )
+        tgt = F.col("__sel__") if not negs else F.when(
+            F.col("__sel__") >= 0, F.col("__sel__")
+        ).otherwise(F.col("__sel__") + F.col("__tot__"))
+        out = idxed._sdf.join(F.broadcast(sel), F.col("__idx__") == tgt)
+        out = out.withColumn(ORDER_COL, F.col("__pos__")).drop(
+            "__idx__", "__tot__", "__pos__", "__sel__"
+        )
+        return idxed._replace(out, aligned=False)
 
     def at_every(self, n: int) -> "DataFrame":
         idxed = self._with_row_index("__idx__")

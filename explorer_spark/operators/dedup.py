@@ -217,12 +217,17 @@ def simhash_bits(
     sdf: SDF, bits: int = 16, text_col: str = "text", key_col: str = "doc_id"
 ) -> SDF:
     """``bits``-bit SimHash, fully in built-in expressions
-    (oracle-reproducible; bits must be a multiple of 4, at most 64).
+    (oracle-reproducible; bits must be a multiple of 4, at most 60 —
+    beyond that conv()'s unsigned decimal overflows the signed-long
+    cast to null and words would silently vanish from the bit sums;
+    use :func:`simhash64_pandas` for the full 64-bit width).
 
     word hash = first bits/4 hex chars of md5(word); for each bit, sum
     +1/-1 over the words; sign -> bit. Plan: explode(words) -> single
     groupBy(key) with ``bits`` conditional sums -> bit assembly.
     """
+    if bits % 4 != 0 or not 4 <= bits <= 60:
+        raise ValueError(f"bits must be a multiple of 4 in [4, 60], got {bits}")
     nchars = bits // 4
     ws = sdf.select(F.col(key_col), F.explode(words(F.lower(F.col(text_col)))).alias("__w__"))
     # parse the first bits/4 hex chars into ONE long, then `bits`
@@ -287,7 +292,8 @@ def hamming_candidates(
     key_col: str = "doc_id",
     sig_col: str = "simhash",
     max_distance: int = 3,
-    bits: int = 64,
+    *,
+    bits: int,
 ) -> SDF:
     """ALL pairs within SimHash hamming distance ``max_distance``, found
     by pigeonhole banding: the ``bits``-bit signature splits into
@@ -300,8 +306,15 @@ def hamming_candidates(
     exact ``bit_count(xor)`` verify drops the false positives, making the
     output exactly the brute-force pair set.
 
+    ``bits`` is REQUIRED and must state the true signature width: bands
+    covering bits beyond the signatures' width are all-zero, every pair
+    matches them, and the candidate join degenerates to all-pairs (still
+    correct after the verify, but quadratic).
+
     Reference parity: near-dup utilities beyond the reference surface
     (training-data pipeline extension)."""
+    if max_distance >= bits:
+        raise ValueError(f"max_distance {max_distance} must be < bits {bits}")
     nbands = max_distance + 1
     band_vals = []
     for bnd in range(nbands):

@@ -133,7 +133,12 @@ def with_global_index(
     # reproducible across re-executions without pinning. count() is
     # metadata-fast on parquet-backed frames; the threshold bounds the
     # single task like every driver-summary gate in this module.
-    n = sdf.count()
+    # probe with a limit, not a full count: above the threshold a bare
+    # count() would fully execute an arbitrary upstream plan just to
+    # discard the number (only bare parquet scans count from metadata);
+    # the limit short-circuits. At or under the threshold the probe IS
+    # the exact count.
+    n = sdf.limit(SMALL_INDEX_MAX + 1).count()
     if n <= SMALL_INDEX_MAX:
         # repartition (not coalesce): coalesce(1) would collapse the whole
         # upstream stage into one task; an exchange of <=SMALL_INDEX_MAX
@@ -379,7 +384,9 @@ def rank_columns(
         return out
 
     vals = sdf.select(value_col).groupBy(value_col).agg(F.count(F.lit(1)).alias("__c__"))
-    nv = sdf.count()  # row count bounds the value table; metadata-fast on scans
+    # limit-probed row count bounds the value table (full count() would
+    # execute arbitrary upstream plans completely just to pick a path)
+    nv = sdf.limit(SMALL_VALS_MAX + 1).count()
     if nv <= SMALL_VALS_MAX:
         # summary-sized value table: a deliberate one-partition window
         # (bounded by nv, like every driver summary here) — no range
@@ -502,7 +509,9 @@ def rank_columns_multi(
     key = F.col("__v__").desc() if descending else F.col("__v__").asc()
     melted = sdf.select(F.posexplode(F.array(*[F.col(c) for c in cols])).alias("__cid__", "__v__"))
     vals = melted.groupBy("__cid__", "__v__").agg(F.count(F.lit(1)).alias("__c__"))
-    nv = sdf.count()  # bounds every per-cid value table; metadata-fast on scans
+    # limit-probed row count bounds every per-cid value table (see
+    # rank_columns: avoids fully executing arbitrary upstream plans)
+    nv = sdf.limit(SMALL_VALS_MAX + 1).count()
     if nv <= SMALL_VALS_MAX:
         # summary-sized value table: one window hash-partitioned by column
         # id replaces range shuffle + checkpoint + stats job (see

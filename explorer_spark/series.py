@@ -168,10 +168,15 @@ class Series:
         return self.slice(key)
 
     def __getitem__(self, key):
-        got = self.fetch(key)
-        if got is None and isinstance(key, int):
-            raise IndexError(key)
-        return got
+        if isinstance(key, int):
+            # bounds-check separately: an in-bounds element may itself be
+            # null, which fetch() cannot distinguish from out-of-bounds
+            n = len(self)
+            idx = key + n if key < 0 else key
+            if not 0 <= idx < n:
+                raise IndexError(key)
+            return self.at(idx)
+        return self.fetch(key)
 
     def pop(self, key):
         """Access-style pop (reference series.ex:291-305): returns

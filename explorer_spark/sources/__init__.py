@@ -366,6 +366,36 @@ def from_columns(columns: dict, spark: SparkSession | None = None) -> DataFrame:
     return from_pandas(pd.DataFrame(columns), spark=spark)
 
 
+def _dbapi_schema(pdf):
+    """Spark schema for a DB-API result frame: first non-null value per
+    column decides the type; columns with no values fall back to string."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    py_to_spark = [
+        (bool, T.BooleanType()),
+        (int, T.LongType()),
+        (float, T.DoubleType()),
+        (bytes, T.BinaryType()),
+        (datetime.datetime, T.TimestampType()),
+        (datetime.date, T.DateType()),
+    ]
+    fields = []
+    for name in pdf.columns:
+        dtype = T.StringType()
+        for v in pdf[name]:
+            if v is None or v != v:
+                continue
+            for py, st in py_to_spark:
+                if isinstance(v, py):
+                    dtype = st
+                    break
+            break
+        fields.append(T.StructField(str(name), dtype))
+    return T.StructType(fields)
+
+
 def from_query(
     conn,
     query: str,
@@ -396,11 +426,22 @@ def from_query(
       the driver jar on the classpath).
     """
     spark = spark or get_spark()
+    if params is not None and not isinstance(params, (list, tuple)):
+        # catches e.g. a SparkSession passed positionally where the old
+        # signature had `spark` third — fail loudly, not inside the driver
+        raise TypeError(f"params must be a list/tuple of bind values, got {type(params).__name__}")
     if isinstance(conn, str) and conn.startswith("jdbc:"):
+        if params:
+            raise ValueError(
+                "the jdbc: path does not support bind params — interpolate "
+                "them into the query or use a DB-API connection"
+            )
         reader = spark.read.format("jdbc").option("url", conn).option("query", query)
         for k, v in jdbc_options.items():
             reader = reader.option(k, v)
         return _attach_order(reader.load())
+    if jdbc_options:
+        raise ValueError("jdbc_options only apply to jdbc: URLs")
 
     close_after = False
     if isinstance(conn, str):
@@ -426,7 +467,14 @@ def from_query(
             rows = cur.fetchall()
             import pandas as pd
 
-            sdf = spark.createDataFrame(pd.DataFrame(rows, columns=names))
+            pdf = pd.DataFrame(rows, columns=names)
+            try:
+                sdf = spark.createDataFrame(pdf)
+            except (ValueError, TypeError):
+                # empty result set or all-null columns: DB-API gives no
+                # type info (unlike Arrow-capable drivers), so infer each
+                # column from its first non-null value, string otherwise
+                sdf = spark.createDataFrame(pdf, schema=_dbapi_schema(pdf))
         return _attach_order(sdf)
     finally:
         if close_after:

@@ -313,3 +313,42 @@ def test_new_and_lazy(spark):
     assert ex.new(pd.DataFrame({"a": [3]}), spark=spark).to_rows() == [{"a": 3}]
     df = ex.new({"a": [1]}, spark=spark)
     assert df.to_lazy() is df and df.lazy() is df
+
+
+def test_slice_take_order_duplicates_negatives(spark):
+    """slice-by-indices follows the caller's order, keeps duplicates,
+    and resolves negative indices (reference/Polars take semantics)."""
+    import explorer_spark as ex
+
+    df = ex.from_columns({"a": [10, 20, 30, 40]}, spark=spark)
+    assert df.slice([2, 0]).to_columns()["a"] == [30, 10]
+    assert df.slice([1, 1, 3]).to_columns()["a"] == [20, 20, 40]
+    assert df.slice([-1, 0, -2]).to_columns()["a"] == [40, 10, 30]
+
+
+def test_from_query_edge_cases(spark, tmp_path):
+    import sqlite3
+
+    import pytest as _pt
+
+    import explorer_spark as ex
+
+    db = tmp_path / "e.db"
+    conn = sqlite3.connect(db)
+    conn.execute("CREATE TABLE t (id INTEGER, name TEXT)")
+    conn.execute("INSERT INTO t VALUES (1, 'a')")
+    conn.commit()
+    # empty result set: schema inferred from cursor description, 0 rows
+    empty = ex.from_query(conn, "SELECT id, name FROM t WHERE 1=0", spark=spark)
+    assert empty.names == ["id", "name"] and empty.to_rows() == []
+    # all-null column in a non-empty result
+    nulls = ex.from_query(conn, "SELECT id, NULL AS x FROM t", spark=spark)
+    assert nulls.to_rows() == [{"id": 1, "x": None}]
+    # params misuse fails loudly
+    with _pt.raises(TypeError):
+        ex.from_query(conn, "SELECT 1", spark)  # spark passed where params go
+    with _pt.raises(ValueError):
+        ex.from_query("jdbc:sqlite:x", "SELECT ?", [1], spark=spark)
+    with _pt.raises(ValueError):
+        ex.from_query(conn, "SELECT 1", spark=spark, numPartitions=4)
+    conn.close()

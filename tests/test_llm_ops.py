@@ -50,7 +50,7 @@ def test_hamming_candidates(spark):
     rows = [(1, "a b c d e f g h"), (2, "a b c d e f g h"), (3, "z y x w v u t s")]
     sdf = spark.createDataFrame(rows, ["doc_id", "text"])
     sig = simhash64_pandas(sdf).withColumnRenamed("simhash64", "simhash")
-    got = hamming_candidates(sig, max_distance=0).collect()
+    got = hamming_candidates(sig, max_distance=0, bits=60).collect()
     assert [(r.id_a, r.id_b, r.hamming) for r in got] == [(1, 2, 0)]
 
 

@@ -153,3 +153,18 @@ def test_series_iotype(spark):
     assert Series.from_list([1.5], spark=spark).iotype() == ("f", 64)
     assert Series.from_list([1], spark=spark).iotype() == ("s", 64)
     assert Series.from_list([True], spark=spark).iotype() == ("u", 8)
+
+
+def test_series_getitem_null_element(spark):
+    from explorer_spark.series import Series
+
+    s = Series.from_list([1, None, 3], spark=spark)
+    assert s[1] is None  # in-bounds null element, NOT IndexError
+    import pytest as _pt
+
+    with _pt.raises(IndexError):
+        s[3]
+    assert s[-3] == 1
+    # caller-order + duplicate take through the Access path
+    t = Series.from_list([10, 20, 30], spark=spark)
+    assert t[[2, 0, 2]].to_list() == [30, 10, 30]
