@@ -140,12 +140,29 @@ class DataFrame:
             rows = self.to_rows()
             names = self.names
             return {c: [r[c] for r in rows] for c in names}
-        pdf = self.to_pandas()
+        # Float columns: NaN is a VALUE distinct from SQL NULL in the
+        # reference (fill_missing(:nan) fills nil with NaN) but pandas
+        # float64 renders both as NaN — collect an explicit null mask so
+        # only true NULLs become None and NaN survives.
+        float_cols = [
+            f.name
+            for f in self._sdf.schema.fields
+            if isinstance(f.dataType, (T.FloatType, T.DoubleType)) and f.name != ORDER_COL
+        ]
+        sdf = self.to_sdf()
+        mask_names = {c: f"__isnull_{i}__" for i, c in enumerate(float_cols)}
+        if float_cols:
+            sdf = sdf.withColumns({m: F.isnull(F.col(c)) for c, m in mask_names.items()})
+        pdf = sdf.toPandas()
         out = {}
-        for c in pdf.columns:
+        for c in self.names:
             s = pdf[c]
-            # represent SQL NULL as None (pandas renders it NaN/NaT)
-            out[c] = s.astype(object).where(s.notna(), None).tolist()
+            if c in mask_names:
+                nulls = pdf[mask_names[c]].tolist()
+                out[c] = [None if isnull else v for v, isnull in zip(s.tolist(), nulls)]
+            else:
+                # represent SQL NULL as None (pandas renders it NaN/NaT)
+                out[c] = s.astype(object).where(s.notna(), None).tolist()
         return out
 
     def _has_deep_nesting(self) -> bool:
@@ -388,6 +405,7 @@ class DataFrame:
 
         needs_idx = any(_needs_idx(e) for e in exprs)
         base = self._with_row_index(self._IDX) if needs_idx else self._ordered()
+        n_hint = getattr(base, "_row_count_hint", None)
         state = {"sdf": base._sdf, "n": 0}
         plain = LowerCtx()
 
@@ -475,10 +493,12 @@ class DataFrame:
             if op.startswith("cumulative_"):
                 kind = op.removeprefix("cumulative_")
                 reverse = bool(rest[0]) if rest else False
-                state["sdf"] = ordk.cumulative(state["sdf"], self._IDX, value, name, kind, reverse)
+                state["sdf"] = ordk.cumulative(
+                    state["sdf"], self._IDX, value, name, kind, reverse, n_hint=n_hint
+                )
             elif op in ("fill_missing_forward", "fill_missing_backward"):
                 state["sdf"] = ordk.fill_missing(
-                    state["sdf"], self._IDX, value, name, backward=op.endswith("backward")
+                    state["sdf"], self._IDX, value, name, backward=op.endswith("backward"), n_hint=n_hint
                 )
             elif op == "rank":
                 method = rest[0] if len(rest) > 0 else "ordinal"
@@ -507,11 +527,45 @@ class DataFrame:
                 raise NotImplementedError(f"distributed kernel for {op!r}")
             return name
 
+        # -- fused one-row aggregates --------------------------------------
+        # All aggregate nodes at the same nesting level batch into ONE
+        # .agg(...) job + ONE broadcast crossJoin (a mutate with k
+        # aggregates used to run k jobs). Registration is lazy: mat_agg
+        # queues the lowered aggregate under a placeholder column name;
+        # the queue flushes in a single job either when an ordered kernel
+        # needs to consume an aggregate result (agg-in-ordered nesting)
+        # or once at the end of the rewrite. Structurally identical
+        # aggregate trees share one slot.
+        pending_aggs: dict[str, Column] = {}
+        agg_cache: dict[str, str] = {}
+
+        def flush_aggs() -> None:
+            if not pending_aggs:
+                return
+            one = state["sdf"].agg(*[c.alias(n) for n, c in pending_aggs.items()])
+            state["sdf"] = state["sdf"].crossJoin(F.broadcast(one))
+            pending_aggs.clear()
+
+        def _refs_pending(e) -> bool:
+            if not isinstance(e, Expr):
+                return False
+            if e.op == "column" and e.args[0] in pending_aggs:
+                return True
+            return any(_refs_pending(a) for a in e.args)
+
         def mat_agg(node: Expr) -> str:
+            key = repr(node)
+            hit = agg_cache.get(key)
+            if hit is not None:
+                return hit
+            if _refs_pending(node):
+                # agg-of-agg: the inner batch must exist as real columns
+                # before this aggregate can read them
+                flush_aggs()
             name = tmp()
             aggc = node.lower(LowerCtx(order=self._IDX if needs_idx else None, summarise=True))
-            one = state["sdf"].agg(aggc.alias(name))
-            state["sdf"] = state["sdf"].crossJoin(F.broadcast(one))
+            pending_aggs[name] = aggc
+            agg_cache[key] = name
             return name
 
         def rewrite(e):
@@ -520,6 +574,9 @@ class DataFrame:
             new_args = [rewrite(a) if isinstance(a, Expr) else a for a in e.args]
             ne = Expr(e.op, *new_args)
             if e.op in ORDERED_EXPR_OPS:
+                # the kernel's input may reference a queued aggregate
+                # placeholder — materialize the batch first
+                flush_aggs()
                 # no pin needed between kernels: each kernel persists its
                 # own nondeterministic core and joins results back via
                 # literal broadcast lookups, so chains stay linear
@@ -529,6 +586,7 @@ class DataFrame:
             return ne
 
         rewritten = [rewrite(e) for e in exprs]
+        flush_aggs()
         return base._replace(state["sdf"], aligned=False), rewritten
 
     mutate = mutate_with
@@ -707,10 +765,20 @@ class DataFrame:
         from .operators.ordered import with_global_index
 
         base = self._ordered()
+        stats: dict = {}
         sdf = with_global_index(
-            base._sdf, [F.col(ORDER_COL).asc()], name=name, aligned=base._aligned, total_col=total_col
+            base._sdf,
+            [F.col(ORDER_COL).asc()],
+            name=name,
+            aligned=base._aligned,
+            total_col=total_col,
+            stats_out=stats,
         )
-        return base._replace(sdf, aligned=True)
+        out = base._replace(sdf, aligned=True)
+        # exact row count, known for free from the index stats job — the
+        # bucketed kernels use it to size their buckets adaptively
+        out._row_count_hint = stats.get("n")
+        return out
 
     def head(self, n: int = 5) -> "DataFrame":
         if self.groups:
@@ -840,27 +908,55 @@ class DataFrame:
         Physical strategy (broadcast/shuffled-hash/sort-merge) is left to
         Catalyst + AQE; pass ``broadcast=True`` to hint a small right side.
         """
-        assert how in ("inner", "left", "right", "outer", "cross"), how
-        if how == "right":
-            left_s = self.lazy_sdf()  # result keeps the right frame's order
-            right_s = other._ordered()._sdf
-        else:
-            left_s = self._sdf if self._has_order else self.lazy_sdf()
-            right_s = other.lazy_sdf()
+        if how not in ("inner", "left", "right", "outer", "cross"):
+            raise ValueError(
+                f"join type is not valid: {how!r}. "
+                "Valid options are: inner, left, right, outer, cross"
+            )
         if how == "cross":
             on_pairs = []
         else:
             if on is None:
                 shared = [c for c in self.names if c in set(other.names)]
                 if not shared:
-                    raise ValueError("no overlapping columns to join on")
+                    raise ValueError("could not find any overlapping columns")
                 on_pairs = [(c, c) for c in shared]
             elif isinstance(on, str):
                 on_pairs = [(on, on)]
+            elif isinstance(on, int):
+                on_pairs = [self._on_pair_from_index(other, on)]
             elif isinstance(on, Mapping):
                 on_pairs = list(on.items())
             else:
-                on_pairs = [(p, p) if isinstance(p, str) else tuple(p) for p in on]
+                on_pairs = [
+                    self._on_pair_from_index(other, p)
+                    if isinstance(p, int)
+                    else ((p, p) if isinstance(p, str) else tuple(p))
+                    for p in on
+                ]
+        if how == "right":
+            # flipped left join (reference out_df_for_join(:right, …):
+            # right frame's columns lead with its row order, left key
+            # columns drop, colliding left columns get "_left")
+            return other.join(
+                self,
+                on=[(rk, lk) for lk, rk in on_pairs],
+                how="left",
+                suffix="_left" if suffix == "_right" else suffix,
+                nulls_equal=nulls_equal,
+            )
+        # Order rule: when the LEFT frame carries a row order, ties among
+        # a left row's several matches follow the RIGHT frame's order
+        # (reference/Polars maintain-order joins; data_frame_test.exs:2424).
+        # The re-sort below only happens for frames that already own an
+        # ORDER_COL — parquet-scan pipelines never carry one, so the big
+        # query path pays no extra exchange.
+        keep_order = self._has_order
+        left_s = self._sdf if keep_order else self.lazy_sdf()
+        if keep_order:
+            right_s = other._ordered()._sdf.withColumnRenamed(ORDER_COL, "__rord__")
+        else:
+            right_s = other.lazy_sdf()
         lkeys = [p[0] for p in on_pairs]
         rkeys = [p[1] for p in on_pairs]
         # rename right columns: keys -> temp, collisions -> suffix
@@ -878,6 +974,9 @@ class DataFrame:
             right_renamed = F.broadcast(right_renamed)
         if how == "cross":
             out = left_s.crossJoin(right_renamed)
+            if keep_order:
+                out = self._rederive_join_order(out)
+                return DataFrame(out, groups=self.groups, has_order=True, aligned=True)
             return DataFrame(out, groups=self.groups, has_order=False)
         eq = (lambda a, b: a.eqNullSafe(b)) if nulls_equal else (lambda a, b: a == b)
         cond = None
@@ -892,21 +991,30 @@ class DataFrame:
                 joined = joined.withColumnRenamed(f"__rk_{i}__", new_name)
             out = joined
             groups = self.groups
-        elif how == "right":
-            # flipped-left semantics: right frame's columns lead, its order kept
-            out = joined
-            for i, (lk, rk) in enumerate(on_pairs):
-                out = out.drop(lk).withColumnRenamed(f"__rk_{i}__", rk)
-            right_cols = [rmap.get(c, c) if c not in rkeys else c for c in other.names]
-            lead = rkeys + [c for c in right_cols if c not in rkeys]
-            rest = [c for c in out.columns if c not in lead and c != ORDER_COL]
-            keep = lead + rest + ([ORDER_COL] if ORDER_COL in out.columns else [])
-            out = out.select(*keep)
-            groups = other.groups
         else:
             out = joined.drop(*[f"__rk_{i}__" for i in range(len(on_pairs))])
             groups = self.groups
+        if keep_order:
+            return DataFrame(self._rederive_join_order(out), groups=groups, has_order=True, aligned=True)
         return DataFrame(out, groups=groups, has_order=ORDER_COL in out.columns)
+
+    @staticmethod
+    def _rederive_join_order(out: SDF) -> SDF:
+        """Fresh total order for an ordered join result: left order major,
+        right order minor (null = unmatched side, kept adjacent). Same
+        fresh-mono-id-after-sort idiom as sort_by."""
+        out = out.orderBy(
+            F.col(ORDER_COL).asc_nulls_last(), F.col("__rord__").asc_nulls_first()
+        ).drop(ORDER_COL, "__rord__")
+        return out.withColumn(ORDER_COL, F.monotonically_increasing_id())
+
+    def _on_pair_from_index(self, other: "DataFrame", i: int) -> tuple:
+        """``on: <index>`` resolves positionally in BOTH frames and the
+        names must agree (reference join/3 'no matching column indexes')."""
+        lk, rk = self.names[i], other.names[i]
+        if lk != rk:
+            raise ValueError("the column given to option `:on` is not the same for both dataframes")
+        return (lk, rk)
 
     def join_asof(
         self,

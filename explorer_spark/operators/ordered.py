@@ -53,6 +53,24 @@ BUCKET = "__bkt__"
 CTX = "__ctx__"
 
 
+def bucket_size_for(n: int | None) -> int:
+    """Adaptive index-bucket width for the driver-summary kernels.
+
+    ``max(BUCKET_SIZE, ceil(n / (32 * parallelism)))``: the per-bucket
+    summary the driver collects stays O(cores) at ANY row count (a fixed
+    2^18 width would collect ~4M summary rows at 10^12 rows — bounded,
+    but needlessly large). Callers that don't know ``n`` pass None and
+    keep the fixed floor; tests that shrink ``BUCKET_SIZE`` still win
+    because small ``n`` keeps the adaptive term below the floor."""
+    if not n or n <= 0:
+        return BUCKET_SIZE
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    par = spark.sparkContext.defaultParallelism if spark is not None else 32
+    return max(BUCKET_SIZE, -(-n // (32 * max(par, 1))))
+
+
 def _lookup_df(spark, rows: list[tuple], fields: list[T.StructField]) -> SDF:
     """A literal (LocalRelation) lookup table for broadcast joins."""
     return spark.createDataFrame(rows, T.StructType(fields))
@@ -119,6 +137,7 @@ def with_global_index(
     name: str,
     aligned: bool = False,
     total_col: str | None = None,
+    stats_out: dict | None = None,
 ) -> SDF:
     """Attach a contiguous 0-based position ordered by ``keys``.
 
@@ -139,6 +158,8 @@ def with_global_index(
     # the limit short-circuits. At or under the threshold the probe IS
     # the exact count.
     n = sdf.limit(SMALL_INDEX_MAX + 1).count()
+    if stats_out is not None and n <= SMALL_INDEX_MAX:
+        stats_out["n"] = n
     if n <= SMALL_INDEX_MAX:
         # repartition (not coalesce): coalesce(1) would collapse the whole
         # upstream stage into one task; an exchange of <=SMALL_INDEX_MAX
@@ -194,6 +215,8 @@ def with_global_index(
         s = s.drop("__off__", "__mn__")
     if total_col is not None:
         s = s.withColumn(total_col, F.lit(off).cast("long"))
+    if stats_out is not None:
+        stats_out["n"] = off
     return s.drop("__pid__", "__mono__")
 
 
@@ -231,14 +254,23 @@ _CUM_COMBINE = {
 }
 
 
-def cumulative(sdf: SDF, idx_col: str, value_col: str, out_col: str, kind: str, reverse: bool = False) -> SDF:
+def cumulative(
+    sdf: SDF,
+    idx_col: str,
+    value_col: str,
+    out_col: str,
+    kind: str,
+    reverse: bool = False,
+    n_hint: int | None = None,
+) -> SDF:
     """Global cumulative sum/min/max/product/count over index order.
 
     Local per-bucket window + a driver-computed exclusive prefix of the
-    per-bucket totals (bounded: ceil(n / BUCKET_SIZE) rows) joined back
-    as a literal broadcast."""
+    per-bucket totals (bounded: ceil(n / bucket width) rows, and the
+    width adapts to ``n_hint`` so the summary stays O(cores)) joined
+    back as a literal broadcast."""
     aggfn = _CUM_AGG[kind]
-    s = sdf.withColumn(BUCKET, F.floor(F.col(idx_col) / F.lit(BUCKET_SIZE)))
+    s = sdf.withColumn(BUCKET, F.floor(F.col(idx_col) / F.lit(bucket_size_for(n_hint))))
     order = F.col(idx_col).desc() if reverse else F.col(idx_col).asc()
     w = W.partitionBy(BUCKET).orderBy(order).rowsBetween(W.unboundedPreceding, 0)
     local = aggfn(F.col(value_col)).over(w)
@@ -263,9 +295,16 @@ def cumulative(sdf: SDF, idx_col: str, value_col: str, out_col: str, kind: str, 
     return s.drop(BUCKET, "__loc__", "__pre__")
 
 
-def fill_missing(sdf: SDF, idx_col: str, value_col: str, out_col: str, backward: bool = False) -> SDF:
+def fill_missing(
+    sdf: SDF,
+    idx_col: str,
+    value_col: str,
+    out_col: str,
+    backward: bool = False,
+    n_hint: int | None = None,
+) -> SDF:
     """Global forward/backward non-null carry over index order."""
-    s = sdf.withColumn(BUCKET, F.floor(F.col(idx_col) / F.lit(BUCKET_SIZE)))
+    s = sdf.withColumn(BUCKET, F.floor(F.col(idx_col) / F.lit(bucket_size_for(n_hint))))
     order = F.col(idx_col).desc() if backward else F.col(idx_col).asc()
     w = W.partitionBy(BUCKET).orderBy(order).rowsBetween(W.unboundedPreceding, 0)
     local = F.last(F.col(value_col), ignorenulls=True).over(w)
@@ -649,7 +688,7 @@ def _geo_scan(x, c):
     return out
 
 
-def ewm_global(sdf: SDF, idx_col: str, specs: dict) -> SDF:
+def ewm_global(sdf: SDF, idx_col: str, specs: dict, n_hint: int | None = None) -> SDF:
     """Distributed ungrouped EWM over global index order.
 
     specs: out_name -> (kind, src_col, alpha, adjust[, ignore_nils]),
@@ -685,7 +724,7 @@ def ewm_global(sdf: SDF, idx_col: str, specs: dict) -> SDF:
     }
     specs = {o: t for o, t in specs.items() if o not in gapped}
     if gapped:
-        sdf = ewm_gapped(sdf, idx_col, gapped)
+        sdf = ewm_gapped(sdf, idx_col, gapped, n_hint=n_hint)
         if not specs:
             return sdf
 
@@ -693,7 +732,8 @@ def ewm_global(sdf: SDF, idx_col: str, specs: dict) -> SDF:
     alphas = sorted({a for (_k, _s, a, _adj, _i) in specs.values()})
     needs_sq = any(k != "mean" for (k, _s, _a, _adj, _i) in specs.values())
 
-    s = sdf.withColumn(BUCKET, F.floor(F.col(idx_col) / F.lit(BUCKET_SIZE)))
+    bw = bucket_size_for(n_hint)
+    s = sdf.withColumn(BUCKET, F.floor(F.col(idx_col) / F.lit(bw)))
 
     # accumulator channels per (src, alpha, ignore_nils): num/den at ratio
     # c=(1-a), and ssq/dn2 at ratio c^2 when variance/std is requested
@@ -764,7 +804,7 @@ def ewm_global(sdf: SDF, idx_col: str, specs: dict) -> SDF:
         for (k, s_, a, i, _p) in all_chans
     ] + [F.max(F.col(kname(src))).alias(kname(src)) for src in k_srcs]
     ends = local.groupBy(BUCKET).agg(*end_aggs)
-    ends = ends.withColumn("__len__", F.col("__last__") % F.lit(BUCKET_SIZE) + 1).drop("__last__")
+    ends = ends.withColumn("__len__", F.col("__last__") % F.lit(bw) + 1).drop("__last__")
     end_rows = ends.collect()
     end_rows.sort(key=lambda r: r[BUCKET])
     carry_by_chan: dict = {cname(k, s_, a, i): {} for (k, s_, a, i, _p) in all_chans}
@@ -803,7 +843,7 @@ def ewm_global(sdf: SDF, idx_col: str, specs: dict) -> SDF:
             for b in sorted({r[BUCKET] for r in end_rows})
         ]
         j = local.join(F.broadcast(_lookup_df(sdf.sparkSession, carry_rows, carry_fields)), BUCKET, "left")
-    abs_pos = (F.col(idx_col) % F.lit(BUCKET_SIZE) + 1).cast("double")  # i+1
+    abs_pos = (F.col(idx_col) % F.lit(bw) + 1).cast("double")  # i+1
 
     def total(kind, src, a, ign, power):
         c = float((1.0 - a) ** power)
@@ -899,13 +939,13 @@ def ewm_global(sdf: SDF, idx_col: str, specs: dict) -> SDF:
 _EWM_CH = ("sw", "swx", "swx2", "sw2")
 
 
-def ewm_gapped(sdf: SDF, idx_col: str, specs: dict) -> SDF:
+def ewm_gapped(sdf: SDF, idx_col: str, specs: dict, n_hint: int | None = None) -> SDF:
     """Distributed pandas-exact EWM for adjust=False, ignore_na=False
     (with or without nulls). specs: out_name -> (kind, src_col, alpha),
     kind in {mean, variance, standard_deviation}."""
     import pandas as pd
 
-    s = sdf.withColumn(BUCKET, F.floor(F.col(idx_col) / F.lit(BUCKET_SIZE)))
+    s = sdf.withColumn(BUCKET, F.floor(F.col(idx_col) / F.lit(bucket_size_for(n_hint))))
     fams = sorted({(src, alpha) for (_k, src, alpha) in specs.values()})
     srcs = sorted({src for (src, _a) in fams})
 

@@ -292,5 +292,7 @@ def ewm_columns(frame, specs: dict[str, tuple], order_cols=None):
     from .ordered import ewm_global
 
     idxed = frame._with_row_index("__eidx__")
-    out = ewm_global(idxed._sdf, "__eidx__", specs).drop("__eidx__")
+    out = ewm_global(
+        idxed._sdf, "__eidx__", specs, n_hint=getattr(idxed, "_row_count_hint", None)
+    ).drop("__eidx__")
     return DataFrame(out, groups=[], has_order=True)

@@ -307,9 +307,86 @@ class Series:
         return self._apply(Expr("rank", self._c(), method, descending))
 
     def fill_missing(self, strategy_or_value) -> "Series":
-        from . import functions as fns
+        """Reference-exact fill (series.ex:5594-5628 and the
+        series_test.exs fill_missing/2 grid):
 
-        return self._apply(fns.fill_missing(self._c(), strategy_or_value))
+        * ``:nan`` / ``:infinity`` / ``:neg_infinity`` require a float
+          series and raise otherwise;
+        * ``:mean`` keeps the series dtype — integer means truncate
+          toward zero, date/datetime means average the epoch value
+          (Polars FillNullStrategy::Mean casts back to the dtype) —
+          and raises on boolean series;
+        * literal fills must be dtype-compatible or raise.
+        """
+        import datetime as _dt
+        import math as _math
+
+        from . import functions as fns
+        from .expr import Expr, lit
+
+        dtype = self.dtype
+        base = dtype[0] if isinstance(dtype, tuple) else dtype
+        sv = strategy_or_value
+        if isinstance(sv, str) and sv in ("nan", "infinity", "neg_infinity"):
+            if base != "f":
+                raise ValueError(
+                    f"fill_missing with :{sv} values require a float series, got {dtype}"
+                )
+            val = {"nan": float("nan"), "infinity": float("inf"), "neg_infinity": float("-inf")}[sv]
+            return self._apply(Expr("fill_missing_with_value", self._c(), lit(val)))
+        if isinstance(sv, str) and sv == "mean":
+            if base == "boolean":
+                raise ValueError("`mean` operation not supported for dtype `Boolean`")
+            if base in ("s", "u"):
+                m = self.mean()
+                fill = None if m is None or (isinstance(m, float) and _math.isnan(m)) else int(m)
+                return self._apply(Expr("fill_missing_with_value", self._c(), lit(fill)))
+            if base == "date":
+                m = self._agg(Expr("mean", Expr("raw", F.unix_date(F.col(self.name)))))
+                fill = None if m is None else _dt.date(1970, 1, 1) + _dt.timedelta(days=int(m))
+                return self._apply(Expr("fill_missing_with_value", self._c(), lit(fill)))
+            if base in ("datetime", "naive_datetime"):
+                from pyspark.sql import types as T
+
+                # explicit TimestampType: the session default timestampType
+                # is NTZ, and unix_micros only accepts LTZ (UTC session ⇒
+                # the cast is value-identity)
+                m = self._agg(
+                    Expr("mean", Expr("raw", F.unix_micros(F.col(self.name).cast(T.TimestampType()))))
+                )
+                if m is None:
+                    return self
+                fill = _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=int(m))
+                return self._apply(Expr("fill_missing_with_value", self._c(), lit(fill)))
+            return self._apply(fns.fill_missing(self._c(), sv))
+        if isinstance(sv, str) and sv in ("forward", "backward", "min", "max"):
+            return self._apply(fns.fill_missing(self._c(), sv))
+        # literal fill: dtype compatibility per reference cast_to_comparable_series
+        ok = {
+            "boolean": lambda v: isinstance(v, bool),
+            "s": lambda v: isinstance(v, int) and not isinstance(v, bool),
+            "u": lambda v: isinstance(v, int) and not isinstance(v, bool),
+            "f": lambda v: isinstance(v, (int, float)) and not isinstance(v, bool),
+            "string": lambda v: isinstance(v, (str, bytes)),
+            "binary": lambda v: isinstance(v, (bytes, str)),
+            "date": lambda v: isinstance(v, _dt.date) and not isinstance(v, _dt.datetime),
+            "datetime": lambda v: isinstance(v, _dt.datetime),
+            "naive_datetime": lambda v: isinstance(v, _dt.datetime),
+            "time": lambda v: isinstance(v, _dt.time),
+            "duration": lambda v: isinstance(v, (_dt.timedelta, int)),
+            "decimal": lambda v: isinstance(v, (int, float)) and not isinstance(v, bool),
+            "category": lambda v: isinstance(v, str),
+        }.get(base)
+        if ok is not None and sv is not None and not ok(sv):
+            raise ValueError(
+                f"cannot invoke Series.fill_missing/2 with mismatched dtypes: {dtype} and {sv!r}"
+            )
+        if base == "string" and isinstance(sv, bytes):
+            try:
+                sv = sv.decode("utf-8")
+            except UnicodeDecodeError:
+                raise ValueError("cannot cast to string") from None
+        return self._apply(fns.fill_missing(self._c(), sv))
 
     def frequencies(self) -> DataFrame:
         return self._frame.rename({self.name: "values"}).frequencies("values")
@@ -359,15 +436,28 @@ class Series:
 
     # -- reference-parity conveniences (series.ex) ---------------------------
     def mask(self, predicate) -> "Series":
-        """Filter by a boolean Series / list (reference Series.mask/2)."""
-        if isinstance(predicate, Series):
-            vals = predicate.to_list()
-        else:
-            vals = list(predicate)
+        """Filter by a boolean Series / list (reference Series.mask/2).
+
+        Distributed: the predicate aligns to rows via a row-index
+        equi-join — never a driver-collected ``IN (i1, i2, …)`` literal,
+        whose plan would grow O(n) with the kept-row count."""
         idxed = self._frame._with_row_index("__mi__")
-        keep = [i for i, v in enumerate(vals) if v]
-        out = idxed._sdf.filter(F.col("__mi__").isin(keep)).drop("__mi__")
-        return Series(idxed._replace(out, aligned=True), self.name)
+        if isinstance(predicate, Series):
+            pf = predicate._frame._with_row_index("__mi__")
+            pred = pf._sdf.select(F.col("__mi__"), F.col(predicate.name).cast("boolean").alias("__mv__"))
+        else:
+            from pyspark.sql import types as T
+
+            rows = [(i, None if v is None else bool(v)) for i, v in enumerate(predicate)]
+            pred = idxed._sdf.sparkSession.createDataFrame(
+                rows,
+                T.StructType(
+                    [T.StructField("__mi__", T.LongType(), False), T.StructField("__mv__", T.BooleanType(), True)]
+                ),
+            )
+        keep = pred.filter(F.col("__mv__")).drop("__mv__")
+        out = idxed._sdf.join(keep, "__mi__", "inner").drop("__mi__")
+        return Series(idxed._replace(out), self.name)
 
     def shuffle(self, seed: int | None = None) -> "Series":
         return Series(self._frame.shuffle(seed=seed), self.name)

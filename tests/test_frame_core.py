@@ -158,9 +158,13 @@ def test_join_suffix_and_hows(spark):
     oj = left.join(right, on="k", how="outer")
     assert set(oj.names) == {"k", "v", "k_right", "v_right"}
     assert oj.n_rows() == 4
+    # right join: right frame's columns lead under their own names, the
+    # left's colliding columns get "_left" (reference out_df_for_join(:right),
+    # data_frame.ex:5384-5390 and the :right grouped doctest at :5285)
     rj = left.join(right, on="k", how="right").sort_by("k")
-    assert rj.names[0] == "k"
-    assert rj.to_columns()["v"] == [20, 30, None]
+    assert rj.names == ["k", "v", "v_left"]
+    assert rj.to_columns()["v"] == [200, 300, 400]
+    assert rj.to_columns()["v_left"] == [20, 30, None]
     cj = left.join(right, how="cross")
     assert cj.n_rows() == 9
 

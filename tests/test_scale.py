@@ -204,3 +204,54 @@ def test_salted_join_matches_plain_join(spark):
     salted = salted_join(left, right, "k").selectExpr("k", "lv", "rv")
     assert salted.count() == plain.count()
     assert salted.groupBy().sum("rv").first()[0] == plain.groupBy().sum("rv").first()[0]
+
+
+def test_bucket_size_adaptive(spark):
+    """Driver-collected kernel summaries stay O(cores) at any n
+    (VERDICT r2 #5): bucket width grows with n past the fixed floor."""
+    import math
+
+    from explorer_spark.operators import ordered as ordk
+
+    par = spark.sparkContext.defaultParallelism
+    # small n keeps the fixed floor (tests that shrink BUCKET_SIZE rely on it)
+    assert ordk.bucket_size_for(None) == ordk.BUCKET_SIZE
+    assert ordk.bucket_size_for(100_000) == ordk.BUCKET_SIZE
+    # at simulated 10^13 rows the summary table is bounded by 32*cores
+    for n in (10**9, 10**12, 10**13):
+        b = ordk.bucket_size_for(n)
+        assert math.ceil(n / b) <= 32 * par
+        assert b >= ordk.BUCKET_SIZE
+
+
+def test_mutate_multi_agg_single_broadcast(spark):
+    """A mutate with k whole-frame aggregates runs ONE fused .agg job /
+    ONE broadcast crossJoin, not k (VERDICT r2 #3)."""
+    from explorer_spark import f
+    from explorer_spark.expr import col
+    from explorer_spark.sources import read_parquet
+
+    df = read_parquet("/root/testdata/sf0.001/lineitem.parquet")
+    out = df.mutate(
+        m=f.mean(col("l_quantity")),
+        mx=f.max(col("l_extendedprice")),
+        s=f.sum(col("l_discount")),
+        centered=col("l_quantity") - f.mean(col("l_quantity")),  # dedupes with m
+    )
+    plan = out.lazy_sdf()._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    row = out.head(1).to_rows()[0]
+    assert row["centered"] == pytest.approx(row["l_quantity"] - row["m"])
+
+
+def test_mutate_agg_of_agg_two_batches(spark):
+    """Nested aggregates (sum over x - mean(x)) still compute correctly:
+    the inner batch flushes before the outer aggregate reads it."""
+    from explorer_spark import f
+    from explorer_spark.expr import col
+    from explorer_spark.sources import read_parquet
+
+    df = read_parquet("/root/testdata/sf0.001/region.parquet")
+    out = df.mutate(dev=f.sum(col("r_regionkey") - f.mean(col("r_regionkey"))))
+    vals = [r["dev"] for r in out.to_rows()]
+    assert vals[0] == pytest.approx(0.0, abs=1e-9)

@@ -168,3 +168,135 @@ def test_series_getitem_null_element(spark):
     # caller-order + duplicate take through the Access path
     t = Series.from_list([10, 20, 30], spark=spark)
     assert t[[2, 0, 2]].to_list() == [30, 10, 30]
+
+
+def test_mask_is_distributed_join(spark):
+    """Series.mask aligns via a row-index equi-join — the plan must not
+    embed a driver-collected IN-list that grows O(n) (VERDICT r2 #4)."""
+    n = 50_000
+    s = Series.from_list(list(range(n)), name="v", dtype=("s", 64), spark=spark)
+    pred = Series.from_list([i % 7 == 0 for i in range(n)], name="p", spark=spark)
+    out = s.mask(pred)
+    plan = out._frame._sdf._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" in plan
+    # no giant literal membership list
+    assert plan.count("50000") == 0 and " IN " not in plan
+    got = out.to_list()
+    assert got == [i for i in range(n) if i % 7 == 0]
+
+
+def test_mask_list_and_null_predicate(spark):
+    s = Series.from_list([10, 20, 30, 40], name="v", dtype=("s", 64), spark=spark)
+    assert s.mask([True, None, False, True]).to_list() == [10, 40]
+    p = Series.from_list([False, True, None, True], name="p", spark=spark)
+    assert s.mask(p).to_list() == [20, 40]
+
+
+class TestFillMissingReferenceGrid:
+    """Reference doctest/test grid for fill_missing/2
+    (reference test/explorer/series_test.exs:602-860)."""
+
+    def test_strategies_int(self, spark):
+        s = Series.from_list([1, 2, None, 4], name="x", dtype=("s", 64), spark=spark)
+        assert s.fill_missing("forward").to_list() == [1, 2, 2, 4]
+        assert s.fill_missing("backward").to_list() == [1, 2, 4, 4]
+        assert s.fill_missing("max").to_list() == [1, 2, 4, 4]
+        assert s.fill_missing("min").to_list() == [1, 2, 1, 4]
+        # mean keeps the integer dtype: mean([1,2,4])=2.33 truncates to 2
+        out = s.fill_missing("mean")
+        assert out.to_list() == [1, 2, 2, 4]
+        assert out.dtype == ("s", 64)
+
+    def test_mean_exact_int(self, spark):
+        s = Series.from_list([1, 3, None, 5], name="x", dtype=("s", 64), spark=spark)
+        assert s.fill_missing("mean").to_list() == [1, 3, 3, 5]
+
+    def test_mean_date(self, spark):
+        import datetime as dt
+
+        s = Series.from_list(
+            [dt.date(2023, 1, 18), dt.date(2023, 6, 17), None, dt.date(2023, 1, 9)],
+            name="d",
+            spark=spark,
+        )
+        out = s.fill_missing("mean")
+        assert out.to_list() == [
+            dt.date(2023, 1, 18),
+            dt.date(2023, 6, 17),
+            dt.date(2023, 3, 6),
+            dt.date(2023, 1, 9),
+        ]
+        assert out.dtype == "date"
+
+    def test_mean_datetime(self, spark):
+        import datetime as dt
+
+        vals = [
+            dt.datetime(2023, 1, 18, 20, 30, 56, 576456),
+            dt.datetime(2023, 6, 17, 20, 0, 56, 576456),
+            None,
+            dt.datetime(2023, 1, 9, 21, 0, 56, 576456),
+        ]
+        s = Series.from_list(vals, name="t", spark=spark)
+        got = s.fill_missing("mean").to_list()
+        assert got[2] == dt.datetime(2023, 3, 6, 20, 30, 56, 576456)
+
+    def test_mean_boolean_raises(self, spark):
+        s = Series.from_list([True, None, False], name="b", spark=spark)
+        with pytest.raises(ValueError, match="not supported for dtype"):
+            s.fill_missing("mean")
+
+    def test_minmax_boolean_and_date(self, spark):
+        import datetime as dt
+
+        b = Series.from_list([True, None, False], name="b", spark=spark)
+        assert b.fill_missing("max").to_list() == [True, True, False]
+        assert b.fill_missing("min").to_list() == [True, False, False]
+        d = Series.from_list(
+            [dt.date(2023, 1, 18), dt.date(2023, 1, 17), None, dt.date(2023, 1, 9)],
+            name="d",
+            spark=spark,
+        )
+        assert d.fill_missing("max").to_list()[2] == dt.date(2023, 1, 18)
+        assert d.fill_missing("min").to_list()[2] == dt.date(2023, 1, 9)
+
+    def test_nan_inf_float_only(self, spark):
+        import math
+
+        f = Series.from_list([1.0, 2.0, None, 4.5], name="f", dtype=("f", 64), spark=spark)
+        got = f.fill_missing("nan").to_list()
+        assert math.isnan(got[2])
+        assert f.fill_missing("infinity").to_list()[2] == float("inf")
+        assert f.fill_missing("neg_infinity").to_list()[2] == float("-inf")
+        i = Series.from_list([1, 2, None, 4], name="i", dtype=("s", 64), spark=spark)
+        for sv in ("nan", "infinity", "neg_infinity"):
+            with pytest.raises(ValueError, match="require a float series"):
+                i.fill_missing(sv)
+
+    def test_literal_fills_by_dtype(self, spark):
+        import datetime as dt
+
+        b = Series.from_list([True, False, None], name="b", spark=spark)
+        assert b.fill_missing(True).to_list() == [True, False, True]
+        assert b.fill_missing(False).to_list() == [True, False, False]
+        s = Series.from_list(["1", "2", None, "4"], name="s", spark=spark)
+        assert s.fill_missing("3").to_list() == ["1", "2", "3", "4"]
+        d = Series.from_list([dt.date(2023, 1, 17), None], name="d", spark=spark)
+        assert d.fill_missing(dt.date(2023, 1, 19)).to_list()[1] == dt.date(2023, 1, 19)
+
+    def test_literal_mismatch_raises(self, spark):
+        i = Series.from_list([1, 2, None, 4], name="i", dtype=("s", 64), spark=spark)
+        with pytest.raises(ValueError, match="mismatched dtypes"):
+            i.fill_missing("foo")
+        s = Series.from_list(["a", None], name="s", spark=spark)
+        with pytest.raises(ValueError, match="mismatched dtypes"):
+            s.fill_missing(3)
+        b = Series.from_list([True, None], name="b", spark=spark)
+        with pytest.raises(ValueError, match="mismatched dtypes"):
+            b.fill_missing(1)
+
+    def test_string_from_bytes(self, spark):
+        s = Series.from_list(["1", "2", None, "4"], name="s", spark=spark)
+        assert s.fill_missing(b"3").to_list() == ["1", "2", "3", "4"]
+        with pytest.raises(ValueError, match="cannot cast to string"):
+            s.fill_missing(b"\xef\xbf\x13" + b"\xff")

@@ -4,6 +4,7 @@ deterministic first, asof nearest tie-break."""
 import pandas as pd
 import pytest
 
+import explorer_spark as ex
 from explorer_spark import functions as fns
 from explorer_spark.expr import col, lit
 from explorer_spark.sources import from_pandas
@@ -152,3 +153,107 @@ def test_merge_asof_no_quadratic_join(asof_frames):
     # the quadratic pre-image of the old path: a nested-loop range join
     # over the full frames (tiny boundary-summary BNLJs are fine)
     assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+class TestJoinReferenceGrid:
+    """Reference join/3 doctest grid
+    (reference test/explorer/data_frame_test.exs:2375-2600)."""
+
+    def test_no_overlapping_columns_raises(self, spark):
+        left = ex.from_columns({"a": [1, 2, 3]})
+        right = ex.from_columns({"b": [1, 2, 3]})
+        with pytest.raises(ValueError, match="could not find any overlapping columns"):
+            left.join(right)
+        # but cross join is fine
+        j = left.join(right, how="cross")
+        assert j.names == ["a", "b"]
+        assert j.n_rows() == 9
+
+    def test_custom_on_pairs(self, spark):
+        left = ex.from_columns({"a": [1, 2, 3], "b": ["a", "b", "c"]})
+        right = ex.from_columns({"d": [1, 2, 2], "c": ["d", "e", "f"]})
+        df = left.join(right, on=[("a", "d")])
+        assert df.names == ["a", "b", "c"]
+        cols = df.sort_by("c").to_columns()
+        assert cols == {"a": [1, 2, 2], "b": ["a", "b", "b"], "c": ["d", "e", "f"]}
+
+    def test_repeated_column_right_side(self, spark):
+        left = ex.from_columns({"a": [1, 2, 3], "b": ["a", "b", "c"]})
+        right = ex.from_columns({"d": [1, 2, 2], "c": ["d", "e", "f"], "a": [5, 6, 7]})
+        df = left.join(right, on=[("a", "d")])
+        assert df.names == ["a", "b", "c", "a_right"]
+        df1 = left.join(right, on=[("a", "d")], how="left")
+        assert df1.names == ["a", "b", "c", "a_right"]
+        c1 = df1.to_columns()
+        assert c1["a"] == [1, 2, 2, 3] and c1["c"] == ["d", "e", "f", None]
+        assert c1["a_right"] == [5, 6, 7, None]
+        df2 = left.join(right, on=[("a", "d")], how="outer")
+        assert df2.names == ["a", "b", "d", "c", "a_right"]
+        c2 = df2.sort_by("a").to_columns()
+        assert c2["d"] == [1, 2, 2, None]
+        df3 = left.join(right, how="cross")
+        assert df3.names == ["a", "b", "d", "c", "a_right"]
+        assert df3.n_rows() == 9
+        df4 = left.join(right, on=[("a", "d")], how="right")
+        assert df4.names == ["d", "c", "a", "b"]
+        c4 = df4.sort_by("c").to_columns()
+        assert c4 == {
+            "d": [1, 2, 2],
+            "c": ["d", "e", "f"],
+            "a": [5, 6, 7],
+            "b": ["a", "b", "b"],
+        }
+
+    def test_repeated_column_left_side(self, spark):
+        left = ex.from_columns({"a": [1, 2, 3], "b": ["a", "b", "c"], "d": [5, 6, 7]})
+        right = ex.from_columns({"d": [1, 2, 2], "c": ["d", "e", "f"]})
+        df = left.join(right, on=[("a", "d")])
+        assert df.names == ["a", "b", "d", "c"]
+        cols = df.sort_by("c").to_columns()
+        assert cols["d"] == [5, 6, 6]
+        df2 = left.join(right, on=[("a", "d")], how="outer")
+        assert df2.names == ["a", "b", "d", "d_right", "c"]
+        df4 = left.join(right, on=[("a", "d")], how="right")
+        assert df4.names == ["d", "c", "b", "d_left"]
+        c4 = df4.sort_by("c").to_columns()
+        assert c4 == {
+            "d": [1, 2, 2],
+            "c": ["d", "e", "f"],
+            "b": ["a", "b", "b"],
+            "d_left": [5, 6, 6],
+        }
+
+    def test_invalid_strategy(self, spark):
+        left = ex.from_columns({"a": [1, 2, 3]})
+        with pytest.raises(ValueError, match="join type is not valid"):
+            left.join(left, how="inner_join")
+
+    def test_on_by_index(self, spark):
+        left = ex.from_columns({"a": [1, 2, 3], "b": ["a", "b", "c"]})
+        right = ex.from_columns({"a": [1, 2, 2], "c": ["d", "e", "f"]})
+        for on in (0, [0]):
+            df = left.join(right, on=on)
+            assert df.sort_by("c").to_columns() == {
+                "a": [1, 2, 2],
+                "b": ["a", "b", "b"],
+                "c": ["d", "e", "f"],
+            }
+        bad = ex.from_columns({"c": ["d", "e", "f"], "a": [1, 2, 2]})
+        with pytest.raises(ValueError, match="not the same for both dataframes"):
+            left.join(bad, on=[0])
+
+    def test_nulls_equal(self, spark):
+        left = ex.from_columns({"a": [1, None], "b": ["x", "y"]})
+        right = ex.from_columns({"a": [1, None], "c": ["p", "q"]})
+        df = left.join(right)
+        assert df.n_rows() == 1
+        assert df.to_columns() == {"a": [1], "b": ["x"], "c": ["p"]}
+        left2 = ex.from_columns({"a": [1, 2, None], "b": ["a", "b", "c"]})
+        right2 = ex.from_columns({"a": [1, None, 4], "c": ["d", "e", "f"]})
+        df2 = left2.join(right2, nulls_equal=True)
+        assert df2.n_rows() == 2
+        assert df2.sort_by("b").to_columns() == {
+            "a": [1, None],
+            "b": ["a", "c"],
+            "c": ["d", "e"],
+        }
