@@ -650,7 +650,13 @@ class DataFrame:
             exprs.append(F.col(ORDER_COL).asc())
         out = sdf.orderBy(*exprs).drop(ORDER_COL, "__grp_order__")
         out = out.withColumn(ORDER_COL, F.monotonically_increasing_id())
-        return base._replace(out, has_order=True, aligned=True)
+        res = base._replace(out, has_order=True, aligned=True)
+        # the plan now contains a global sort: a small/large limit-probe on
+        # it would execute the sort just to count — downstream index
+        # kernels skip the probe and take n from their own stats job
+        res._expensive_order = True
+        res._row_count_hint = getattr(self, "_row_count_hint", None)
+        return res
 
     sort = sort_by
     arrange = sort_by
@@ -773,6 +779,8 @@ class DataFrame:
             aligned=base._aligned,
             total_col=total_col,
             stats_out=stats,
+            n_hint=getattr(self, "_row_count_hint", None),
+            skip_probe=getattr(self, "_expensive_order", False),
         )
         out = base._replace(sdf, aligned=True)
         # exact row count, known for free from the index stats job — the
@@ -1227,16 +1235,37 @@ class DataFrame:
             aggfn = lambda v: F.min_by(F.col(v), F.col(ORDER_COL))  # noqa: E731
         else:
             aggfn = lambda v: getattr(F, agg)(F.col(v))  # noqa: E731
-        gb = base._sdf.groupBy(*ids)
-        piv = gb.pivot(names_from, values) if values else gb.pivot(names_from)
+        # nil pivot keys become a "nil" column (reference
+        # data_frame_test.exs:3478 — Spark's pivot would otherwise drop
+        # them); string cast matches Spark's own column-name rendering
+        key = F.coalesce(F.col(names_from).cast("string"), F.lit("nil"))
+        s = base._sdf.withColumn("__pvk__", key)
+        gb = s.groupBy(*ids)
+        str_values = [("nil" if v is None else str(v)) for v in values] if values else None
+        piv = gb.pivot("__pvk__", str_values) if str_values else gb.pivot("__pvk__")
         if len(vals) == 1:
             out = piv.agg(aggfn(vals[0]))
         else:
             out = piv.agg(*[aggfn(v).alias(v) for v in vals])
-        if names_prefix:
-            for c in out.columns:
-                if c not in ids:
-                    out = out.withColumnRenamed(c, f"{names_prefix}{c}")
+        # positional rename (toDF): a pivot column that collides with an
+        # id column produces DUPLICATE names in the Spark result, which
+        # name-based rename can't address — reference dedupes with a
+        # numeric suffix ("b" id + "b" variable -> "b_1")
+        new_names, taken = [], set()
+        for i, c in enumerate(out.columns):
+            if i < len(ids):
+                new_names.append(c)
+                taken.add(c)
+                continue
+            name = f"{names_prefix}{c}"
+            if name in taken:
+                j = 1
+                while f"{name}_{j}" in taken:
+                    j += 1
+                name = f"{name}_{j}"
+            taken.add(name)
+            new_names.append(name)
+        out = out.toDF(*new_names)
         return DataFrame(out, groups=[], has_order=False)
 
     def pivot_longer(

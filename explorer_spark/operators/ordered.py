@@ -87,7 +87,13 @@ ARRAY_LOOKUP_MAX = 1 << 16
 # table is "summary-sized": one hash-partitioned window (+ broadcast
 # join-back) beats the full range-shuffle/checkpoint/stats-job kernel by
 # ~3x in fixed cost; above it the distributed kernel takes over.
-SMALL_VALS_MAX = 1 << 21
+# 2^17, not higher: the small path puts a column's WHOLE distinct table
+# in ONE window task, and the frame-row gate can't see uniqueness — a
+# near-unique 600k-value column under a 2^21 gate ran a 583k-row
+# single-task window and LOST to the distributed kernel ~2x (measured
+# sf0.1 spearman: small 3.6s vs big 2.0s cold). At 2^17 the worst-case
+# single task is ~0.1-0.3s, and genuinely small frames keep the cheap path.
+SMALL_VALS_MAX = 1 << 17
 
 # Below this many rows a global row index comes from one single-partition
 # sort (deterministic — the sort keys are total orders) instead of the
@@ -138,6 +144,8 @@ def with_global_index(
     aligned: bool = False,
     total_col: str | None = None,
     stats_out: dict | None = None,
+    n_hint: int | None = None,
+    skip_probe: bool = False,
 ) -> SDF:
     """Attach a contiguous 0-based position ordered by ``keys``.
 
@@ -157,7 +165,16 @@ def with_global_index(
     # discard the number (only bare parquet scans count from metadata);
     # the limit short-circuits. At or under the threshold the probe IS
     # the exact count.
-    n = sdf.limit(SMALL_INDEX_MAX + 1).count()
+    # ``n_hint``: exact row count already known (kernel stats upstream) —
+    # reuse it. ``skip_probe``: the plan contains a global sort (limit
+    # cannot short-circuit it), so probing would execute the sort just to
+    # count; go straight to the big path, whose stats job yields n anyway.
+    if n_hint is not None:
+        n = n_hint
+    elif skip_probe:
+        n = SMALL_INDEX_MAX + 1  # unknown: assume large
+    else:
+        n = sdf.limit(SMALL_INDEX_MAX + 1).count()
     if stats_out is not None and n <= SMALL_INDEX_MAX:
         stats_out["n"] = n
     if n <= SMALL_INDEX_MAX:

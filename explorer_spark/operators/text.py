@@ -206,3 +206,42 @@ def unigram_logprob(docs: SDF, text_col: str = "text", key_col: str = "doc_id") 
         .groupBy(key_col)
         .agg(F.avg("__lp__").alias("unigram_logprob"), F.count(F.lit(1)).alias("n_tokens"))
     )
+
+
+def hash_sample(sdf: SDF, key_col: str, rate: float, buckets: int = 10_000) -> SDF:
+    """Deterministic hash-bucket sampling — the reproducible alternative
+    to RNG sampling for corpus subsetting: a row is kept iff
+    ``md5(key) mod buckets < rate*buckets``. Properties a training-data
+    pipeline needs that ``sample()`` can't give:
+
+    * stable across runs/engines (md5 of the key, no RNG state) — the
+      DuckDB oracle reproduces the exact row set;
+    * stable under re-partitioning and incremental appends (a doc's
+      fate never depends on which rows surround it);
+    * nested rates subset each other (5% ⊂ 10% ⊂ 50%).
+
+    Pure codegen expressions — a filter that pushes down to the scan.
+    """
+    h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10).cast("long")
+    return sdf.filter(h % F.lit(buckets) < F.lit(int(rate * buckets)))
+
+
+def pack_context_windows(frame, token_col: str, budget: int, bin_col: str = "bin"):
+    """Contiguous context-window sharding for training-data assembly:
+    documents (already in the desired curriculum order) are assigned to
+    fixed-budget bins by EXCLUSIVE cumulative token count — bin i holds
+    the docs whose preceding-token total lies in [i*budget, (i+1)*budget).
+    A doc may straddle its bin boundary (documented; streaming loaders
+    handle the carry), which is what keeps the assignment a pure prefix
+    sum — one pass over the corpus through the DISTRIBUTED cumulative
+    kernel (operators/ordered.cumulative), no sequential packing loop.
+
+    ``frame`` is an explorer_spark DataFrame whose current row order is
+    the packing order; returns the frame with ``bin_col`` added.
+    """
+    from ..expr import Expr, col, lit
+
+    cum = Expr("cumulative_sum", col(token_col), False)
+    excl = cum - col(token_col)
+    binned = Expr("floor", excl / lit(float(budget))).cast(("s", 64))
+    return frame.mutate(**{bin_col: binned})

@@ -540,11 +540,16 @@ def q_describe_stats(spark, sf_dir):
 )
 def q_at_every(spark, sf_dir):
     """at_every(100) on a sorted frame — contiguous row-index machinery
-    (per-partition offsets, no global single-partition window)."""
+    (per-partition offsets, no global single-partition window).
+
+    Projects the two needed columns BEFORE sorting: the index kernel must
+    pin (localCheckpoint) every column the caller may read, so early
+    projection is the scale pattern — it shrinks the sort exchange and
+    the pin by the payload width (here 16 -> 2 columns)."""
     li = _t(spark, sf_dir, "lineitem")
     return (
-        li.sort_by("l_orderkey", "l_linenumber")
+        li.select(["l_orderkey", "l_linenumber"])
+        .sort_by("l_orderkey", "l_linenumber")
         .at_every(100)
-        .select(["l_orderkey", "l_linenumber"])
         .lazy_sdf()
     )

@@ -789,3 +789,76 @@ def q_events_sessionize(spark, sf_dir):
         SF.round(SF.avg("n_events"), 6).alias("avg_events"),
         SF.max("n_events").alias("max_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus assembly: deterministic sampling + context-window packing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_text_hash_sample",
+    """
+    WITH s AS (
+        SELECT lang, n_chars FROM documents
+        WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < 1000
+    )
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM s GROUP BY lang
+    """,
+)
+def q_text_hash_sample(spark, sf_dir):
+    """Deterministic md5-bucket 10% corpus sample (operators/text.
+    hash_sample): reproducible across engines/runs/partitionings, nested
+    rates subset each other, and the predicate is pure codegen so it
+    pushes to the scan — the subsetting primitive RNG sampling can't
+    give a training-data pipeline."""
+    from .operators.text import hash_sample
+
+    docs = _t(spark, sf_dir, "documents").lazy_sdf()
+    s = hash_sample(docs, "doc_id", 0.10)
+    return s.groupBy("lang").agg(
+        SF.count(SF.lit(1)).alias("n_docs"),
+        SF.sum("n_chars").cast("bigint").alias("chars"),
+    )
+
+
+@query(
+    "q_pack_context_windows",
+    r"""
+    WITH tok AS (
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl
+        FROM tok
+    )
+    SELECT CAST(FLOOR(excl / 4096.0) AS BIGINT) AS bin,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+    FROM c GROUP BY bin
+    """,
+)
+def q_pack_context_windows(spark, sf_dir):
+    """Context-window sharding for training-data assembly
+    (operators/text.pack_context_windows): docs in curriculum order get
+    fixed 4096-token bins by exclusive prefix sum — ONE pass through the
+    distributed cumulative kernel, no sequential packing loop. Projects
+    narrow before ordering (the index kernel pins what it carries)."""
+    from .expr import Expr, col
+    from .operators.text import pack_context_windows, token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.mutate(n_tokens=Expr("raw", token_count(SF.col("text")))).select(
+        ["doc_id", "n_tokens"]
+    )
+    packed = pack_context_windows(toks.sort_by("doc_id"), "n_tokens", 4096)
+    return packed.lazy_sdf().groupBy("bin").agg(
+        SF.count(SF.lit(1)).alias("n_docs"),
+        SF.sum("n_tokens").cast("bigint").alias("bin_tokens"),
+    )

@@ -59,7 +59,10 @@ def test_join_then_slice_matches_head(spark):
     right = from_pandas(pd.DataFrame({"id": list(range(40)), "w": [i * 10 for i in range(40)]}), spark=spark)
     # repartition the right side so the join genuinely shuffles
     joined = left.join(right._replace(right._sdf.repartition(8), aligned=False), on="id")
-    assert not joined._aligned
+    # ordered joins re-derive the row order (left-major, right tie-break)
+    # with a fresh mono id after a sort — alignment is genuine, and the
+    # join result must keep the LEFT frame's row order
+    assert joined.to_pandas()["id"].tolist() == list(range(40))
     sliced = joined.slice(0, 5).to_pandas().reset_index(drop=True)
     head = joined.head(5).to_pandas().reset_index(drop=True)
     pd.testing.assert_frame_equal(sliced, head)

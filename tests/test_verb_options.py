@@ -257,3 +257,46 @@ class TestJoinReferenceGrid:
             "b": ["a", "c"],
             "c": ["d", "e"],
         }
+
+
+class TestPivotWiderReferenceGrid:
+    """Reference pivot_wider/4 edge grid
+    (reference test/explorer/data_frame_test.exs:3425-3560)."""
+
+    def test_single_id(self, spark):
+        df = ex.from_columns({"id": [1, 1], "variable": ["a", "b"], "value": [1, 2]})
+        out = df.pivot_wider("variable", "value")
+        assert out.to_columns() == {"id": [1], "a": [1], "b": [2]}
+
+    def test_nil_variable_becomes_nil_column(self, spark):
+        df = ex.from_columns({"id": [1, 1, 1], "variable": ["a", "b", None], "value": [1, 2, 3]})
+        out = df.pivot_wider("variable", "value")
+        assert out.to_columns() == {"id": [1], "a": [1], "b": [2], "nil": [3]}
+
+    def test_names_prefix(self, spark):
+        df = ex.from_columns({"id": [1, 1], "variable": ["1", "2"], "value": [1.0, 2.0]})
+        out = df.pivot_wider("variable", "value", id_columns=["id"], names_prefix="column_")
+        assert out.names == ["id", "column_1", "column_2"]
+        assert out.to_columns() == {"id": [1], "column_1": [1.0], "column_2": [2.0]}
+
+    def test_id_collision_dedup(self, spark):
+        df = ex.from_columns(
+            {"id": [1, 1], "variable": ["a", "b"], "value": [1, 2], "b": [4, 5]}
+        )
+        out = df.pivot_wider("variable", "value")
+        assert sorted(out.names) == sorted(["id", "b", "a", "b_1"])
+        cols = out.sort_by("b").to_columns()
+        assert cols["b"] == [4, 5] and sorted(x for x in cols["b_1"] if x is not None) == [2]
+        # with a prefix there's no collision
+        out2 = df.pivot_wider("variable", "value", names_prefix="col_")
+        assert sorted(out2.names) == sorted(["id", "b", "col_a", "col_b"])
+
+    def test_multiple_ids_and_values_list(self, spark):
+        df = ex.from_columns(
+            {"id": [1, 1], "variable": ["a", "b"], "value": [1, 2], "other_id": [4, 5]}
+        )
+        out = df.pivot_wider("variable", "value")
+        assert sorted(out.names) == sorted(["id", "other_id", "a", "b"])
+        # pre-declared values avoid the distinct job and pin column order
+        out2 = df.pivot_wider("variable", "value", id_columns=["id"], values=["a", "b"])
+        assert out2.names == ["id", "a", "b"]
