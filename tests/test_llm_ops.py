@@ -302,3 +302,17 @@ def test_neardup_components_and_representatives(spark):
     docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 20]], ["doc_id"])
     kept = sorted(r.doc_id for r in dedup_representatives(docs, neardup_components(pairs)).collect())
     assert kept == [1, 10, 20]
+
+
+def test_neardup_components_iterative_path(spark, monkeypatch):
+    """Force the distributed label-propagation kernel (gate zeroed) and
+    check it matches the driver union-find on the same graph."""
+    from explorer_spark.operators import dedup as dd
+
+    edges = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (3, 4)]
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    want = {r.vertex: r.component for r in dd.neardup_components(pairs).collect()}
+    monkeypatch.setattr(dd, "SMALL_EDGES_MAX", 0)
+    got = {r.vertex: r.component for r in dd.neardup_components(pairs).collect()}
+    assert got == want
+    assert want[4] == 1 and want[22] == 20 and want[11] == 10
