@@ -74,6 +74,13 @@ class Expr:
         if self.op in AGG_OPS and not ctx.summarise:
             # grouped mutate/filter: aggregation broadcasts over its group
             out = out.over(_group_window(ctx))
+        if self.op in _AGG_NULL_DEFAULTS:
+            # all-null/empty input: the reference yields the identity
+            # element (vacuous truth — all?=true, any?=false; summarise
+            # grid data_frame_test.exs:4483-4502); Spark's bool_and/bool_or
+            # yield null. Applied AFTER the window wrap so the coalesce
+            # stays outside the over().
+            out = F.coalesce(out, F.lit(_AGG_NULL_DEFAULTS[self.op]))
         return out
 
     def is_agg(self) -> bool:
@@ -469,6 +476,8 @@ def _between(ctx, a, lo, hi):
     c = _c(a, ctx)
     return (c >= _c(lo, ctx)) & (c <= _c(hi, ctx))
 
+
+_AGG_NULL_DEFAULTS = {"all": True, "any": False}
 
 _LOWER = {
     # leaves

@@ -593,13 +593,33 @@ class DataFrame:
 
     def summarise_with(self, **exprs) -> "DataFrame":
         """Per-group aggregation; group cols prepended to output
-        (reference data_frame.ex:6128-6290)."""
-        ctx = self._ctx(summarise=True)
-        aggs = [e.lower(ctx).alias(name) for name, e in exprs.items()]
+        (reference data_frame.ex:6128-6290). A non-aggregate expression
+        implicitly collects the group's values into a LIST in frame
+        order (reference 'allows returning the group as a list',
+        data_frame_test.exs:4352-4368); plain Python values become
+        literal columns (`summarise(c: nil)`)."""
+
+        def _implicit_list(e) -> bool:
+            return isinstance(e, Expr) and not e.references_agg() and _tree_has_column(e)
+
+        needs_order = any(_implicit_list(e) for e in exprs.values())
+        base = self._ordered() if needs_order else self
+        ctx = base._ctx(summarise=True)
+        aggs = []
+        for name, e in exprs.items():
+            if not isinstance(e, Expr):
+                aggs.append(F.lit(e).alias(name))
+            elif _implicit_list(e):
+                pair = F.struct(F.col(ORDER_COL).alias("o"), e.lower(ctx).alias("v"))
+                aggs.append(
+                    F.transform(F.array_sort(F.collect_list(pair)), lambda s: s["v"]).alias(name)
+                )
+            else:
+                aggs.append(e.lower(ctx).alias(name))
         if self.groups:
-            out = self._sdf.groupBy(*self.groups).agg(*aggs)
+            out = base._sdf.groupBy(*self.groups).agg(*aggs)
         else:
-            out = self._sdf.agg(*aggs)
+            out = base._sdf.agg(*aggs)
         return DataFrame(out, groups=[], has_order=False)
 
     summarise = summarise_with
@@ -1393,9 +1413,22 @@ class DataFrame:
 
     def describe(self, percentiles: Sequence[float] = (0.25, 0.5, 0.75)) -> "DataFrame":
         """count/nil_count/mean/std/min/percentiles/max per column,
-        matching the reference's shape (data_frame.ex:6678-6744)."""
+        matching the reference's shape AND dtype rules
+        (data_frame.ex:6678-6744; test grid data_frame_test.exs:4035-4160):
+        numeric columns render as f64; every other dtype renders as a
+        STRING column whose count/nil_count stringify, with min/max
+        additionally formatted for naive_datetime (µs precision) and
+        duration (compact "366d"-style) — dates/times/strings/lists show
+        counts only, as the reference does."""
+        import datetime as _dt
+
         sdf = self.lazy_sdf()
-        num = {f.name: isinstance(f.dataType, T.NumericType) for f in sdf.schema.fields}
+        types = {f.name: f.dataType for f in sdf.schema.fields}
+        num = {c: isinstance(t, T.NumericType) for c, t in types.items()}
+        fmt_minmax = {
+            c: isinstance(t, (T.TimestampNTZType, T.TimestampType, T.DayTimeIntervalType))
+            for c, t in types.items()
+        }
         rows = ["count", "nil_count", "mean", "std", "min"] + [f"{int(p * 100)}%" for p in percentiles] + ["max"]
         aggs = []
         for c in self.names:
@@ -1408,32 +1441,64 @@ class DataFrame:
                 for p in percentiles:
                     aggs.append(F.percentile(F.col(c), F.lit(p)).alias(f"{c}__p{p}"))
                 aggs.append(F.max(F.col(c)).cast("double").alias(f"{c}__max"))
+            elif fmt_minmax[c]:
+                aggs.append(F.min(F.col(c)).alias(f"{c}__min"))
+                aggs.append(F.max(F.col(c)).alias(f"{c}__max"))
         stats = sdf.agg(*aggs).collect()[0].asDict()
         spark = sdf.sparkSession
+
+        def _fmt(v):
+            if v is None:
+                return None
+            if isinstance(v, _dt.timedelta):
+                # Polars-style compact duration: days then remaining time
+                parts = []
+                days, secs, us = v.days, v.seconds, v.microseconds
+                if days:
+                    parts.append(f"{days}d")
+                h, rem = divmod(secs, 3600)
+                m, s = divmod(rem, 60)
+                if h:
+                    parts.append(f"{h}h")
+                if m:
+                    parts.append(f"{m}m")
+                if s:
+                    parts.append(f"{s}s")
+                if us:
+                    parts.append(f"{us}us")
+                return " ".join(parts) if parts else "0s"
+            if isinstance(v, _dt.datetime):
+                return f"{v:%Y-%m-%d %H:%M:%S}.{v.microsecond:06d}"
+            return str(v)
+
         data = []
-        for i, rname in enumerate(rows):
+        for rname in rows:
             row = {"describe": rname}
             for c in self.names:
                 if rname == "count":
-                    row[c] = float(stats[f"{c}__count"])
+                    n = stats[f"{c}__count"]
+                    row[c] = float(n) if num[c] else str(n)
                 elif rname == "nil_count":
-                    row[c] = float(stats[f"{c}__nil_count"])
-                elif not num[c]:
-                    row[c] = None
-                elif rname == "mean":
-                    row[c] = stats[f"{c}__mean"]
-                elif rname == "std":
-                    row[c] = stats[f"{c}__std"]
-                elif rname == "min":
-                    row[c] = stats[f"{c}__min"]
-                elif rname == "max":
-                    row[c] = stats[f"{c}__max"]
+                    n = stats[f"{c}__nil_count"]
+                    row[c] = float(n) if num[c] else str(n)
+                elif num[c]:
+                    if rname == "mean":
+                        row[c] = stats[f"{c}__mean"]
+                    elif rname == "std":
+                        row[c] = stats[f"{c}__std"]
+                    elif rname in ("min", "max"):
+                        row[c] = stats[f"{c}__{rname}"]
+                    else:
+                        p = percentiles[rows.index(rname) - 5]
+                        row[c] = stats[f"{c}__p{p}"]
+                elif fmt_minmax[c] and rname in ("min", "max"):
+                    row[c] = _fmt(stats[f"{c}__{rname}"])
                 else:
-                    p = percentiles[rows.index(rname) - 5]
-                    row[c] = stats[f"{c}__p{p}"]
+                    row[c] = None
             data.append(row)
         schema = T.StructType(
-            [T.StructField("describe", T.StringType())] + [T.StructField(c, T.DoubleType()) for c in self.names]
+            [T.StructField("describe", T.StringType())]
+            + [T.StructField(c, T.DoubleType() if num[c] else T.StringType()) for c in self.names]
         )
         return DataFrame(spark.createDataFrame(data, schema), has_order=False)
 
@@ -1542,6 +1607,10 @@ def _tree_has(e, *ops) -> bool:
     if e.op in ops:
         return True
     return any(_tree_has(a, *ops) for a in e.args if isinstance(a, Expr))
+
+
+def _tree_has_column(e) -> bool:
+    return _tree_has(e, "column")
 
 
 # the live set from expr (rolling.register extends it with window_* ops)

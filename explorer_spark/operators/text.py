@@ -220,7 +220,8 @@ def hash_sample(sdf: SDF, key_col: str, rate: float, buckets: int = 10_000) -> S
       fate never depends on which rows surround it);
     * nested rates subset each other (5% ⊂ 10% ⊂ 50%).
 
-    Pure codegen expressions — a filter that pushes down to the scan.
+    Pure codegen expressions — a plain filter in the scan stage, no
+    UDF barrier (md5 itself is not a parquet-pushable predicate).
     """
     h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10).cast("long")
     return sdf.filter(h % F.lit(buckets) < F.lit(int(rate * buckets)))

@@ -810,8 +810,8 @@ def q_events_sessionize(spark, sf_dir):
 def q_text_hash_sample(spark, sf_dir):
     """Deterministic md5-bucket 10% corpus sample (operators/text.
     hash_sample): reproducible across engines/runs/partitionings, nested
-    rates subset each other, and the predicate is pure codegen so it
-    pushes to the scan — the subsetting primitive RNG sampling can't
+    rates subset each other, and the predicate is pure codegen
+    (no UDF barrier in the scan stage) — the subsetting primitive RNG sampling can't
     give a training-data pipeline."""
     from .operators.text import hash_sample
 

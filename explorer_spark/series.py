@@ -16,7 +16,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 
 from . import dtypes as dt
-from .expr import Expr, col, lit
+from .expr import Expr, LowerCtx, col, lit
 from .frame import ORDER_COL, DataFrame
 
 
@@ -523,3 +523,132 @@ class Series:
     def __repr__(self):
         vals = self.head(10).to_list()
         return f"Series[{self.name} :: {self.dtype}] {vals}"
+
+
+# ---------------------------------------------------------------------------
+# cross-series element-wise ops (reference series.ex add/2 … select/3):
+# independent Series align positionally via a row-index equi-join; size-1
+# operands broadcast; other size mismatches raise (reference semantics).
+# ---------------------------------------------------------------------------
+
+
+def _series_zip(first: "Series", *rest: "Series"):
+    """Join independent Series positionally. Returns (sdf, names): an
+    aligned Spark frame carrying ``__zi__`` (the shared row index) plus
+    one column per input series (``__z0__``, ``__z1__``, …)."""
+    sers = (first,) + rest
+    base = first._frame._with_row_index("__zi__")
+    sdf = base._sdf.select("__zi__", F.col(first.name).alias("__z0__"))
+    for i, o in enumerate(rest, start=1):
+        osdf = (
+            o._frame._with_row_index("__zi__")
+            ._sdf.select("__zi__", F.col(o.name).alias(f"__z{i}__"))
+        )
+        sdf = sdf.join(osdf, "__zi__", "inner")
+    return sdf, [f"__z{i}__" for i in range(len(sers))]
+
+
+def _series_result(sdf, expr_col, name: str) -> "Series":
+    out = sdf.select(F.col("__zi__").alias(ORDER_COL), expr_col.alias(name))
+    return Series(DataFrame(out, has_order=True), name)
+
+
+def _broadcast_args(args):
+    """Apply the reference's size rules: every Series operand must share
+    one size or be size 1 (→ scalar); plain values pass through."""
+    sers = [a for a in args if isinstance(a, Series)]
+    sizes = {s.size() for s in sers}
+    big = max(sizes) if sizes else 1
+    if not sizes <= {1, big}:
+        raise ValueError(f"series must all be the same size or size 1, got sizes {sorted(sizes)}")
+    out = []
+    for a in args:
+        if isinstance(a, Series) and a.size() == 1 and big > 1:
+            out.append(a.to_list()[0])
+        else:
+            out.append(a)
+    return out
+
+
+def _series_binop(op: str, a, b, name: str) -> "Series":
+    from .expr import Expr, lit
+
+    a, b = _broadcast_args([a, b])
+    if isinstance(a, Series) and isinstance(b, Series):
+        sdf, (ca, cb) = _series_zip(a, b)
+        return _series_result(sdf, Expr(op, col(ca), col(cb)).lower(LowerCtx()), name)
+    if isinstance(a, Series):
+        return a._apply(Expr(op, a._c(), lit(b)), name=name)
+    if isinstance(b, Series):
+        return b._apply(Expr(op, lit(a), b._c()), name=name)
+    raise TypeError("at least one operand must be a Series")
+
+
+def _install_series_binops():
+    table = {
+        "add": "add",
+        "subtract": "subtract",
+        "multiply": "multiply",
+        "divide": "divide",
+        "pow": "pow",
+        "quotient": "quotient",
+        "remainder": "remainder",
+        "equal": "equal",
+        "not_equal": "not_equal",
+        "greater": "greater",
+        "greater_equal": "greater_equal",
+        "less": "less",
+        "less_equal": "less_equal",
+    }
+    for meth, op in table.items():
+        def make(op=op, meth=meth):
+            def fn(self, other):
+                return _series_binop(op, self, other, self.name)
+            fn.__name__ = meth
+            fn.__doc__ = f"Element-wise {meth} vs a Series or scalar (reference Series.{meth}/2)."
+            return fn
+        setattr(Series, meth, make())
+    dunders = {
+        "__add__": "add", "__sub__": "subtract", "__mul__": "multiply",
+        "__truediv__": "divide", "__pow__": "pow", "__mod__": "remainder",
+        "__gt__": "greater", "__ge__": "greater_equal",
+        "__lt__": "less", "__le__": "less_equal",
+    }
+    for dunder, op in dunders.items():
+        def make(op=op):
+            def fn(self, other):
+                return _series_binop(op, self, other, self.name)
+            return fn
+        setattr(Series, dunder, make())
+    Series.__hash__ = lambda self: id(self)
+
+
+_install_series_binops()
+
+
+def _series_select(predicate: "Series", on_true, on_false, name: str = "values") -> "Series":
+    """Reference Series.select/3: element-wise conditional between two
+    series/scalars under a boolean mask; size-1 operands broadcast,
+    other size mismatches raise."""
+    from .expr import Expr, lit
+
+    if predicate.dtype != "boolean":
+        raise ValueError(f"select/3 expects a boolean mask, got {predicate.dtype}")
+    pred, on_true, on_false = _broadcast_args([predicate, on_true, on_false])
+    if not isinstance(pred, Series):
+        # single-row predicate over longer branches: pure broadcast
+        chosen = on_true if pred else on_false
+        if isinstance(chosen, Series):
+            return Series(chosen._frame.select([chosen.name]), chosen.name)
+        raise ValueError("select/3 with scalar predicate requires a series branch")
+    sers = [s for s in (on_true, on_false) if isinstance(s, Series)]
+    parts = [pred] + sers
+    sdf, names = _series_zip(*parts)
+    it = iter(names[1:])
+    t = col(next(it)) if isinstance(on_true, Series) else lit(on_true)
+    f_ = col(next(it)) if isinstance(on_false, Series) else lit(on_false)
+    expr = Expr("select", col(names[0]), t, f_)
+    return _series_result(sdf, expr.lower(LowerCtx()), name)
+
+
+Series.select = lambda self, on_true, on_false: _series_select(self, on_true, on_false)

