@@ -24,8 +24,30 @@ def main() -> None:
     from explorer_spark.session import get_spark
 
     spark = get_spark()
-    # warmup: prime JVM/codegen paths outside the timed region
+    # warmup: prime the ENGINE outside the timed region — parquet reader,
+    # whole-stage codegen, shuffle machinery, and the Python/Arrow worker
+    # pool (otherwise the registration-order FIRST query absorbs multi-
+    # second session spin-up that belongs to no query)
+    from pyspark.sql import functions as F
+
     spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
+    (
+        spark.range(100_000)
+        .selectExpr("explode(array(id, id + 1)) AS x")
+        .groupBy((F.col("x") % 97).alias("k"))
+        .count()
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    ident = F.pandas_udf(lambda s: s, "double")
+    (
+        spark.range(10_000)
+        .select(ident(F.col("id").cast("double")).alias("v"))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     timings: dict[str, float] = {}

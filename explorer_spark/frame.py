@@ -154,6 +154,11 @@ class DataFrame:
         if float_cols:
             sdf = sdf.withColumns({m: F.isnull(F.col(c)) for c, m in mask_names.items()})
         pdf = sdf.toPandas()
+        integral = {
+            f.name
+            for f in self._sdf.schema.fields
+            if isinstance(f.dataType, (T.ByteType, T.ShortType, T.IntegerType, T.LongType))
+        }
         out = {}
         for c in self.names:
             s = pdf[c]
@@ -162,7 +167,12 @@ class DataFrame:
                 out[c] = [None if isnull else v for v, isnull in zip(s.tolist(), nulls)]
             else:
                 # represent SQL NULL as None (pandas renders it NaN/NaT)
-                out[c] = s.astype(object).where(s.notna(), None).tolist()
+                vals = s.astype(object).where(s.notna(), None).tolist()
+                if c in integral:
+                    # pandas coerces nullable int columns to float64 —
+                    # restore Python ints so to_list round-trips exactly
+                    vals = [None if v is None else int(v) for v in vals]
+                out[c] = vals
         return out
 
     def _has_deep_nesting(self) -> bool:

@@ -652,3 +652,20 @@ def _series_select(predicate: "Series", on_true, on_false, name: str = "values")
 
 
 Series.select = lambda self, on_true, on_false: _series_select(self, on_true, on_false)
+
+
+def _series_concat(series_list) -> "Series":
+    """Reference Series.concat/1: vertical concatenation with the frame
+    layer's dtype-merge rules (null promotes, ints widen, int+float →
+    float; dtypes.merge via DataFrame.concat_rows)."""
+    first = series_list[0]
+    out = first.to_frame()
+    for s in series_list[1:]:
+        nf = s.to_frame()
+        if s.name != first.name:
+            nf = nf.rename({s.name: first.name})
+        out = out.concat_rows(nf)
+    return Series(out, first.name)
+
+
+Series.concat = staticmethod(_series_concat)

@@ -361,3 +361,21 @@ class TestCrossSeriesOps:
         f5 = Series.from_list([5, 4, 3, 2, 1], name="f", dtype=("s", 64), spark=spark)
         with pytest.raises(ValueError, match="same size or size 1"):
             p4.select(t4, f5)
+
+
+def test_series_concat_grid(spark):
+    """Reference Series.concat/1 grid (series_test.exs:4473-4566):
+    dtype merge (null promotes, widths widen, int+float -> float)."""
+    s1 = Series.from_list([1, 2, 3], name="a", dtype=("s", 64), spark=spark)
+    s2 = Series.from_list([4, 5, 6], name="b", dtype=("s", 16), spark=spark)
+    out = Series.concat([s1, s2])
+    assert out.to_list() == [1, 2, 3, 4, 5, 6]
+    assert out.dtype == ("s", 64)
+    sn = Series.from_list([None, None, None], name="n", spark=spark)
+    s8 = Series.from_list([4, 5, 6], name="v", dtype=("s", 8), spark=spark)
+    out2 = Series.concat([sn, s8])
+    assert out2.to_list() == [None, None, None, 4, 5, 6]
+    f = Series.from_list([1.5], name="f", dtype=("f", 64), spark=spark)
+    out3 = Series.concat([s1, f])
+    assert out3.dtype == ("f", 64)
+    assert out3.to_list() == [1.0, 2.0, 3.0, 1.5]
