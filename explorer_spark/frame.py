@@ -766,21 +766,41 @@ class DataFrame:
                 out = out.orderBy(F.rand(seed))
             out = out.drop(ORDER_COL).withColumn(ORDER_COL, F.monotonically_increasing_id())
             return DataFrame(out, groups=self.groups, has_order=True, aligned=True)
-        sdf = self.lazy_sdf()
-        if isinstance(n_or_frac, float) and not replace:
-            out = sdf.sample(fraction=n_or_frac, seed=seed)
-        else:
-            n = n_or_frac if isinstance(n_or_frac, int) else None
-            if replace:
-                total = sdf.count()
-                frac = (n / total if n is not None else n_or_frac) * 1.0
-                out = sdf.sample(withReplacement=True, fraction=frac, seed=seed)
-                if n is not None:
-                    out = out.limit(n)
+        if not replace:
+            # reference semantics (series_test.exs:3822-3895): fractions
+            # take EXACTLY floor(frac*n) rows; over-sampling requires
+            # replace=true; shuffle=False keeps the FRAME order of the
+            # picked rows (shuffle=True leaves them in pick order)
+            base = self._ordered()
+            total = base._sdf.count()
+            if isinstance(n_or_frac, float):
+                if n_or_frac > 1.0:
+                    raise ValueError(
+                        "in order to sample more elements than are in the frame "
+                        f"({total}), sampling `replace` must be true"
+                    )
+                n = int(n_or_frac * total)
             else:
-                out = sdf.withColumn("__r__", F.rand(seed)).orderBy("__r__").limit(n).drop("__r__")
-        if shuffle:
-            out = out.withColumn("__r__", F.rand(seed)).orderBy("__r__").drop("__r__")
+                n = n_or_frac
+                if n > total:
+                    raise ValueError(
+                        f"in order to sample more elements than are in the frame ({total}), "
+                        "sampling `replace` must be true"
+                    )
+            picked = base._sdf.withColumn("__r__", F.rand(seed)).orderBy("__r__").limit(n).drop("__r__")
+            if not shuffle:
+                picked = picked.orderBy(F.col(ORDER_COL).asc())
+            out = picked.drop(ORDER_COL)
+        else:
+            sdf = self.lazy_sdf()
+            n = n_or_frac if isinstance(n_or_frac, int) else None
+            total = sdf.count()
+            frac = (n / total if n is not None else n_or_frac) * 1.0
+            out = sdf.sample(withReplacement=True, fraction=min(frac * 1.5 + 0.1, 10.0), seed=seed)
+            want = n if n is not None else int(n_or_frac * total)
+            out = out.limit(want)
+            if shuffle:
+                out = out.withColumn("__r__", F.rand(seed)).orderBy("__r__").drop("__r__")
         out = out.withColumn(ORDER_COL, F.monotonically_increasing_id())
         return DataFrame(out, groups=self.groups, has_order=True, aligned=True)
 

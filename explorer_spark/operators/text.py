@@ -246,3 +246,40 @@ def pack_context_windows(frame, token_col: str, budget: int, bin_col: str = "bin
     excl = cum - col(token_col)
     binned = Expr("floor", excl / lit(float(budget))).cast(("s", 64))
     return frame.mutate(**{bin_col: binned})
+
+
+def repetition_stats(text: Column) -> dict[str, Column]:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1 quality
+    filtering; public heuristics): fraction of duplicate lines, fraction
+    of duplicate words, and the share of the text taken by the single
+    most frequent word. All pure built-in expressions — codegen, no
+    shuffle until the caller aggregates; the standard cheap prefilter
+    for LLM corpus cleaning alongside :func:`quality_score`."""
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines)
+    dup_line_fraction = F.when(
+        n_lines > 0,
+        (n_lines - F.size(F.array_distinct(lines))).cast("double") / n_lines.cast("double"),
+    ).otherwise(F.lit(0.0))
+    ws = words(F.lower(text))
+    n_words = F.size(ws)
+    dup_word_fraction = F.when(
+        n_words > 0,
+        (n_words - F.size(F.array_distinct(ws))).cast("double") / n_words.cast("double"),
+    ).otherwise(F.lit(0.0))
+    # share of occurrences of the single most frequent word: max over the
+    # distinct words of their counts, via a higher-order filter per word
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(ws),
+            lambda w: F.size(F.filter(ws, lambda x: x == w)),
+        )
+    )
+    top_word_share = F.when(
+        n_words > 0, top.cast("double") / n_words.cast("double")
+    ).otherwise(F.lit(0.0))
+    return {
+        "dup_line_fraction": dup_line_fraction,
+        "dup_word_fraction": dup_word_fraction,
+        "top_word_share": top_word_share,
+    }

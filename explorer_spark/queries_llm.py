@@ -862,3 +862,68 @@ def q_pack_context_windows(spark, sf_dir):
         SF.count(SF.lit(1)).alias("n_docs"),
         SF.sum("n_tokens").cast("bigint").alias("bin_tokens"),
     )
+
+
+@query(
+    "q_text_repetition",
+    r"""
+    WITH nz AS (
+        SELECT doc_id, lang, text FROM documents WHERE length(trim(text)) > 0
+    ),
+    w AS (
+        SELECT doc_id, lang, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        FROM nz
+    ),
+    wc AS (SELECT doc_id, lang, w, COUNT(*) AS c FROM w GROUP BY doc_id, lang, w),
+    ds AS (
+        SELECT doc_id, lang,
+               CAST(SUM(c) AS DOUBLE) AS nw,
+               CAST(COUNT(*) AS DOUBLE) AS nd,
+               CAST(MAX(c) AS DOUBLE) AS mx
+        FROM wc GROUP BY doc_id, lang
+    ),
+    ls AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, chr(10))) AS DOUBLE) AS nl,
+               CAST(len(list_distinct(string_split(text, chr(10)))) AS DOUBLE) AS nld
+        FROM nz
+    )
+    SELECT ds.lang,
+           ROUND(AVG((ls.nl - ls.nld) / ls.nl), 6) AS dup_line_fraction,
+           ROUND(AVG((ds.nw - ds.nd) / ds.nw), 6) AS dup_word_fraction,
+           ROUND(AVG(ds.mx / ds.nw), 6) AS top_word_share
+    FROM ds JOIN ls ON ds.doc_id = ls.doc_id
+    GROUP BY ds.lang
+    """,
+)
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals per language
+    (operators/text.repetition_stats documents the per-row expression
+    form; this bulk path uses explode + two-level aggregation — word
+    counts shuffle on (doc, word), codegen throughout, linear at any
+    corpus size)."""
+    from .operators.text import words
+
+    docs = _t(spark, sf_dir, "documents").lazy_sdf().filter(SF.length(SF.trim("text")) > 0)
+    w = docs.select("doc_id", "lang", SF.explode(words(SF.lower(SF.col("text")))).alias("w"))
+    wc = w.groupBy("doc_id", "lang", "w").agg(SF.count(SF.lit(1)).alias("c"))
+    ds = wc.groupBy("doc_id", "lang").agg(
+        SF.sum("c").cast("double").alias("nw"),
+        SF.count(SF.lit(1)).cast("double").alias("nd"),
+        SF.max("c").cast("double").alias("mx"),
+    )
+    lines = SF.split(SF.col("text"), "\n")
+    ls = docs.select(
+        "doc_id",
+        SF.size(lines).cast("double").alias("nl"),
+        SF.size(SF.array_distinct(lines)).cast("double").alias("nld"),
+    )
+    return (
+        ds.join(ls, "doc_id")
+        .groupBy("lang")
+        .agg(
+            SF.round(SF.avg((SF.col("nl") - SF.col("nld")) / SF.col("nl")), 6).alias("dup_line_fraction"),
+            SF.round(SF.avg((SF.col("nw") - SF.col("nd")) / SF.col("nw")), 6).alias("dup_word_fraction"),
+            SF.round(SF.avg(SF.col("mx") / SF.col("nw")), 6).alias("top_word_share"),
+        )
+    )

@@ -297,8 +297,12 @@ class Series:
     def at_every(self, n: int) -> "Series":
         return Series(self._frame.at_every(n), self.name)
 
-    def sample(self, n_or_frac, replace: bool = False, seed: int | None = None) -> "Series":
-        return Series(self._frame.sample(n_or_frac, replace=replace, seed=seed), self.name)
+    def sample(
+        self, n_or_frac, replace: bool = False, seed: int | None = None, shuffle: bool = False
+    ) -> "Series":
+        return Series(
+            self._frame.sample(n_or_frac, replace=replace, seed=seed, shuffle=shuffle), self.name
+        )
 
     def shift(self, offset: int, default=None) -> "Series":
         return self._apply(Expr("shift", self._c(), offset, default))

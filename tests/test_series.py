@@ -379,3 +379,25 @@ def test_series_concat_grid(spark):
     out3 = Series.concat([s1, f])
     assert out3.dtype == ("f", 64)
     assert out3.to_list() == [1.0, 2.0, 3.0, 1.5]
+
+
+def test_sample_reference_semantics(spark):
+    """Reference sample/2 grid (series_test.exs:3822-3895): exact counts
+    for fractions, over-sampling guard, shuffle=False keeps order."""
+    s = Series.from_list(list(range(1, 101)), name="v", dtype=("s", 64), spark=spark)
+    assert len(s.sample(10, seed=100)) == 10
+    assert len(s.sample(0.05, seed=100)) == 5
+    small = Series.from_list(list(range(1, 11)), name="v", dtype=("s", 64), spark=spark)
+    with pytest.raises(ValueError, match="`replace` must be true"):
+        small.sample(15)
+    with pytest.raises(ValueError, match="`replace` must be true"):
+        small.sample(1.2)
+    assert len(small.sample(15, replace=True, seed=100)) == 15
+    assert len(small.sample(1.2, replace=True, seed=100)) == 12
+    # full-fraction sample without shuffle is the identity
+    ten = Series.from_list(list(range(10)), name="v", dtype=("s", 64), spark=spark)
+    assert ten.sample(1.0, seed=100).to_list() == list(range(10))
+    shuffled = ten.sample(1.0, seed=100, shuffle=True).to_list() if hasattr(ten, "sample") else None
+    # sampling a subset without shuffle preserves frame order
+    sub = ten.sample(5, seed=7).to_list()
+    assert sub == sorted(sub)
