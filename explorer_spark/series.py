@@ -109,8 +109,24 @@ class Series:
     def median(self):
         return self._agg(Expr("median", self._c()))
 
-    def mode(self):
-        return self._agg(Expr("mode", self._c()))
+    def mode(self) -> "Series":
+        """ALL tied modes as a Series (reference Series.mode/1,
+        series_test.exs:5094-5161 — multi-value when counts tie; nulls
+        don't count). Value-count groupBy + a broadcast max join; the
+        frame-level ``f.mode`` aggregate stays single-valued (Spark's
+        F.mode) for summarise pipelines."""
+        counts = (
+            self._frame._sdf.filter(F.col(self.name).isNotNull())
+            .groupBy(self.name)
+            .agg(F.count(F.lit(1)).alias("__c__"))
+        )
+        mx = counts.agg(F.max("__c__").alias("__m__"))
+        out = (
+            counts.join(F.broadcast(mx), F.col("__c__") == F.col("__m__"))
+            .select(self.name)
+            .withColumn(ORDER_COL, F.monotonically_increasing_id())
+        )
+        return Series(DataFrame(out, has_order=True), self.name)
 
     def product(self):
         return self._agg(Expr("product", self._c()))

@@ -401,3 +401,19 @@ def test_sample_reference_semantics(spark):
     # sampling a subset without shuffle preserves frame order
     sub = ten.sample(5, seed=7).to_list()
     assert sub == sorted(sub)
+
+
+def test_mode_returns_all_ties(spark):
+    """Reference Series.mode/1 (series_test.exs:5094-5161): a SERIES of
+    every tied mode, across dtypes."""
+    assert Series.from_list([1, 2, 2, 3], name="v", spark=spark).mode().to_list() == [2]
+    multi = Series.from_list([1, 2, 2, 3, 3], name="v", spark=spark).mode().sort().to_list()
+    assert multi == [2, 3]
+    assert Series.from_list(["a", "b", "b", "c"], name="v", spark=spark).mode().to_list() == ["b"]
+    assert Series.from_list([True, False, False, True, False], name="v", spark=spark).mode().to_list() == [False]
+    import datetime as dt
+
+    d = Series.from_list(
+        [dt.date(2022, 1, 1), dt.date(2022, 1, 2), dt.date(2022, 1, 2)], name="v", spark=spark
+    )
+    assert d.mode().to_list() == [dt.date(2022, 1, 2)]
