@@ -273,19 +273,32 @@ class DataFrame:
             i = 0
         return self.select(rest[:i] + moving + rest[i:])
 
-    def pull(self, name: str) -> "DataFrame":
-        return self.select([name])
+    def pull(self, name) -> "Series":
+        """One column as a Series (reference pull/2 returns %Series{})."""
+        from .series import Series
+
+        names = self.names
+        if isinstance(name, int):
+            name = names[name]
+        return Series(self.select([name]), name)
 
     def fetch(self, key):
-        """Access-style column fetch (reference fetch/2, Access impl):
-        a column name or 0-based index -> single-column frame, or None
-        when absent (``df[key]`` raises instead)."""
+        """Access-style fetch (reference fetch/2, Access impl): a column
+        name or 0-based index -> SERIES; a list/range of either -> frame
+        of those columns; None when absent (``df[key]`` raises instead)."""
         names = self.names
         if isinstance(key, int):
-            if -len(names) <= key < len(names):
-                return self.select([names[key]])
-            return None
-        return self.select([key]) if key in names else None
+            return self.pull(key) if -len(names) <= key < len(names) else None
+        if isinstance(key, str):
+            return self.pull(key) if key in names else None
+        if isinstance(key, range):
+            key = list(key)
+        if isinstance(key, (list, tuple)):
+            cols = [names[k] if isinstance(k, int) else k for k in key]
+            if any(c not in names for c in cols):
+                return None
+            return self.select(cols)
+        return None
 
     def __getitem__(self, key):
         got = self.fetch(key)
@@ -298,8 +311,8 @@ class DataFrame:
 
     def pop(self, name: str):
         """Split one column off the frame (the reference's Access.pop):
-        returns (popped single-column frame, remainder)."""
-        return self.select([name]), self.discard([name])
+        returns (popped Series, remainder frame)."""
+        return self.pull(name), self.discard([name])
 
     def estimated_size(self) -> int:
         """Catalyst's in-memory size estimate in bytes (reference

@@ -282,10 +282,11 @@ def test_access_fetch_getitem(spark):
     import explorer_spark as ex
 
     df = ex.from_columns({"a": [1, 2], "b": ["x", "y"]}, spark=spark)
-    assert df.fetch("b").to_columns() == {"b": ["x", "y"]}
-    assert df.fetch(0).names == ["a"]
+    assert df.fetch("b").to_list() == ["x", "y"]  # fetch of one column is a Series
+    assert df.fetch(0).name == "a"
     assert df.fetch("nope") is None and df.fetch(7) is None
-    assert df["a"].to_columns() == {"a": [1, 2]}
+    assert df["a"].to_list() == [1, 2]
+    assert df[["a", "b"]].names == ["a", "b"]
     assert "a" in df and "zz" not in df
     import pytest as _pt
 
@@ -447,3 +448,15 @@ def test_summarise_literal_and_group_list(spark):
         any_nils=f.any(col("nils")),
     ).to_columns()
     assert agg == {"all_": [False], "any_": [True], "all_nils": [True], "any_nils": [False]}
+
+
+def test_dataframe_transform_row_udf(spark):
+    """DataFrame.transform: row->dict function via mapInPandas (the
+    reference materializes rows on the BEAM; here Arrow-batched and
+    distributed), appending schema-typed columns."""
+    d = ex.from_columns({"a": [1, 2, 3], "b": ["x", "y", "z"]}, spark=spark)
+    out = d.transform(lambda r: {"c": r["a"] * 10, "tag": r["b"] + "!"}, {"c": ("s", 64), "tag": "string"})
+    cols = out.sort_by("a").to_columns()
+    assert cols["c"] == [10, 20, 30]
+    assert cols["tag"] == ["x!", "y!", "z!"]
+    assert out.dtypes["c"] == ("s", 64)

@@ -239,7 +239,7 @@ def test_dump_load_binary_family(spark):
     assert len(src.dump_ipc_record_batch(df)) > 0
     assert df.estimated_size() > 0
     popped, rest = df.pop("a")
-    assert popped.names == ["a"] and rest.names == ["s"]
+    assert popped.name == "a" and rest.names == ["s"]  # pop yields a Series
 
 
 def test_from_query_sqlite_conn(spark, tmp_path):
