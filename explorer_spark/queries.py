@@ -613,9 +613,22 @@ _DRIVER_VERIFIED = frozenset({
 })
 
 
+# Cheap scan-shaped queries to run FIRST: whatever runs first in a bench
+# session absorbs any residual spin-up the warmup missed; a sub-second
+# query bounds that distortion (the heavy hamming census used to land
+# there and read multi-second on cold sessions).
+_LIGHT_OPENERS = ("q_cummax_running", "q_mask", "q_sql_passthrough")
+
+
 def _reorder_unverified_first() -> None:
     global QUERIES, ORACLES
-    order = sorted(QUERIES, key=lambda n: n in _DRIVER_VERIFIED)
+    order = sorted(
+        QUERIES,
+        key=lambda n: (
+            n in _DRIVER_VERIFIED,
+            _LIGHT_OPENERS.index(n) - len(_LIGHT_OPENERS) if n in _LIGHT_OPENERS else 0,
+        ),
+    )
     QUERIES = {n: QUERIES[n] for n in order}
     ORACLES = {n: ORACLES[n] for n in order if n in ORACLES}
 
