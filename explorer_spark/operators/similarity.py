@@ -392,3 +392,21 @@ def embedding_neardup_pairs(
         # codegen — pass threshold=None for top-k flows that don't filter
         out = out.filter(F.col("cosine") >= threshold)
     return out
+
+
+def quantize_int8(sdf: SDF, vec_col: str = "embedding", out_col: str = "q8", scale_col: str = "q_scale") -> SDF:
+    """Symmetric per-vector int8 quantization for ANN storage: scale =
+    max|x|/127, q_i = floor(x_i/scale + 0.5) (explicit half-up so the
+    DuckDB oracle reproduces every code exactly) — the standard 4x
+    embedding compression before index build; dequant = q*scale.
+    Pure built-in expressions, codegen, no UDF."""
+    mx = F.greatest(
+        F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double")))),
+        F.lit(1e-30),
+    )
+    scale = mx / F.lit(127.0)
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") / scale + F.lit(0.5)).cast("int"),
+    )
+    return sdf.withColumn(scale_col, scale).withColumn(out_col, q)

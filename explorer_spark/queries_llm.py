@@ -927,3 +927,53 @@ def q_text_repetition(spark, sf_dir):
             SF.round(SF.avg(SF.col("mx") / SF.col("nw")), 6).alias("top_word_share"),
         )
     )
+
+
+@query(
+    "q_embed_quantize_int8",
+    r"""
+    WITH q AS (
+        SELECT vec_id,
+               CAST(embedding AS DOUBLE[]) AS e,
+               greatest(list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))), 1e-30) / 127.0 AS s
+        FROM embeddings
+    ),
+    err AS (
+        SELECT vec_id,
+               list_avg(
+                   list_transform(
+                       list_zip(e, list_transform(e, x -> floor(x / s + 0.5))),
+                       p -> pow(p[1] - p[2] * s, 2)
+                   )
+               ) AS mse
+        FROM q
+    )
+    SELECT COUNT(*) AS n_vectors, ROUND(AVG(mse), 9) AS avg_mse
+    FROM err
+    """,
+)
+def q_embed_quantize_int8(spark, sf_dir):
+    """Int8 embedding quantization (operators/similarity.quantize_int8):
+    per-vector symmetric scale, explicit half-up rounding so the oracle
+    reproduces every code; the query reports corpus-wide reconstruction
+    MSE — the go/no-go metric before building a quantized ANN index."""
+    from .operators.similarity import quantize_int8
+
+    emb = _t(spark, sf_dir, "embeddings").lazy_sdf()
+    q = quantize_int8(emb)
+    pair = SF.arrays_zip(
+        SF.col("embedding").cast("array<double>").alias("e"),
+        SF.col("q8").cast("array<double>").alias("q"),
+    )
+    mse = SF.aggregate(
+        pair,
+        SF.lit(0.0),
+        lambda acc, p: acc + SF.pow(p["e"] - p["q"] * SF.col("q_scale"), 2),
+    ) / SF.size(SF.col("q8"))
+    return (
+        q.withColumn("__mse__", mse)
+        .agg(
+            SF.count(SF.lit(1)).alias("n_vectors"),
+            SF.round(SF.avg("__mse__"), 9).alias("avg_mse"),
+        )
+    )
