@@ -342,14 +342,22 @@ def _cov(ctx, a, b, ddof=1):
 
 def _substring(ctx, s, offset, length=None):
     c = _c(s, ctx)
-    # Explorer offset is 0-based, may be negative (from end); Spark 1-based
+    # Explorer offset is 0-based, may be negative (from end); Spark 1-based.
+    # Polars anchors the window at the VIRTUAL position: a negative offset
+    # overshooting the string start clamps to position 0 but CONSUMES the
+    # overshoot from the length ("earth"[-6, 2] -> "e", "mars"[-6, 2] -> "";
+    # reference string_slicing grid, series_test.exs:6078-6106).
     if offset >= 0:
-        start = offset + 1
+        start = F.lit(offset + 1)
+        overshoot = F.lit(0)
     else:
-        start = F.greatest(F.length(c) + F.lit(offset) + 1, F.lit(1))
+        virtual = F.length(c) + F.lit(offset)  # 0-based, may be negative
+        start = F.greatest(virtual + 1, F.lit(1))
+        overshoot = F.greatest(-virtual, F.lit(0))
     if length is None:
-        return F.substring(c, start, 2**31 - 1) if isinstance(start, int) else c.substr(start, F.length(c))
-    return c.substr(F.lit(start) if isinstance(start, int) else start, F.lit(int(length)))
+        return c.substr(start, F.length(c))
+    eff = F.greatest(F.lit(int(length)) - overshoot, F.lit(0))
+    return c.substr(start, eff)
 
 
 def _shift(ctx, a, offset, default=None):
@@ -630,7 +638,9 @@ _LOWER = {
         F.pmod(F.unix_micros(_c(a, ctx).cast("timestamp_ltz")), F.lit(86_400_000_000)) * 1_000
     ).cast("long"),
     "strftime": lambda ctx, a, fmt: F.date_format(_c(a, ctx), _strftime_to_java(fmt)),
-    "strptime": lambda ctx, a, fmt: F.to_timestamp(_c(a, ctx), _strftime_to_java(fmt)),
+    # try_: unparseable strings yield nil, not an error (reference
+    # strptime doctest: ["2023-01-05 12:34:56", "XYZ", nil] -> [ts, nil, nil])
+    "strptime": lambda ctx, a, fmt: F.try_to_timestamp(_c(a, ctx), F.lit(_strftime_to_java(fmt))),
     # lists
     "list_join": lambda ctx, a, sep: F.array_join(_c(a, ctx), sep),
     "list_lengths": _unop(F.size),

