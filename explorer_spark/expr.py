@@ -490,7 +490,11 @@ _AGG_NULL_DEFAULTS = {"all": True, "any": False}
 _LOWER = {
     # leaves
     "column": lambda ctx, name: F.col(name),
-    "literal": lambda ctx, v: F.lit(v),
+    # python ints are s64 in the reference type system; PySpark's lit
+    # would infer IntegerType — pin LongType (bools are not ints here)
+    "literal": lambda ctx, v: (
+        F.lit(v).cast("long") if isinstance(v, int) and not isinstance(v, bool) else F.lit(v)
+    ),
     "alias": lambda ctx, a, name: _c(a, ctx).alias(name),
     "cast": lambda ctx, a, dtype: _c(a, ctx).cast(dt.to_spark(dtype)),
     # arithmetic
@@ -647,6 +651,11 @@ _LOWER = {
     "list_member": lambda ctx, a, v: F.array_contains(_c(a, ctx), v),
     # structs / json
     "field": lambda ctx, a, name: _c(a, ctx).getField(name),
+    # struct literal from alternating (name, child) args — mutate's map
+    # form (reference "mutate with map": c: %{a: a, lit: 1} -> struct col)
+    "make_struct": lambda ctx, *kv: F.struct(
+        *[_c(kv[i + 1], ctx).alias(kv[i]) for i in range(0, len(kv), 2)]
+    ),
     "duration_total": _duration_total,
     "json_path_match": lambda ctx, a, path: F.get_json_object(_c(a, ctx), path),
     "json_decode": lambda ctx, a, dtype: F.from_json(_c(a, ctx), dt.to_spark(dtype)),

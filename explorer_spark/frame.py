@@ -320,7 +320,19 @@ class DataFrame:
         return int(self._sdf._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
 
     def put(self, name: str, values) -> "DataFrame":
-        """Insert/replace a column from a python list (positional align)."""
+        """Insert/replace a column from a python list or a Series
+        (positional align; reference put/3). Series stay distributed —
+        a row-index equi-join, never a driver collect."""
+        from .series import Series as _Series
+
+        if isinstance(values, _Series):
+            idx_df = self._with_row_index("__pos__")
+            sv = (
+                values._frame._with_row_index("__pos__")
+                ._sdf.select("__pos__", F.col(values.name).alias(name))
+            )
+            left = idx_df._sdf.drop(name) if name in self.names else idx_df._sdf
+            return idx_df._replace(left.join(sv, "__pos__", "left").drop("__pos__"))
         spark = self._sdf.sparkSession
         idx_df = self._with_row_index("__pos__")
         vals = spark.createDataFrame([(i, v) for i, v in enumerate(values)], ["__pos__", name])
@@ -378,7 +390,36 @@ class DataFrame:
         call styles (rename first)."""
         if keep not in ("all", "none"):
             raise ValueError(f"keep must be 'all' or 'none', got {keep!r}")
-        out = self._mutate_all(exprs)
+        from .series import Series as _Series
+
+        def _dict_to_struct(d: dict) -> Expr:
+            kv: list = []
+            for k, val in d.items():
+                if isinstance(val, dict):
+                    val = _dict_to_struct(val)
+                elif not isinstance(val, Expr):
+                    val = lit(val)
+                kv += [str(k), val]
+            return Expr("make_struct", *kv)
+
+        exprs = dict(exprs)
+        for n, v in exprs.items():
+            # reference mutate rejects lists outright (query_to_series!):
+            # positional data goes through put/3
+            if isinstance(v, (list, tuple, range)):
+                raise ValueError(
+                    "expecting an expression or scalar value, but instead got a list. "
+                    "If you want to create a new column from a list, use put/3"
+                )
+            # map form builds a struct column (reference 'mutate with map')
+            if isinstance(v, dict):
+                exprs[n] = _dict_to_struct(v)
+        series_vals = {n: v for n, v in exprs.items() if isinstance(v, _Series)}
+        plain = {n: v for n, v in exprs.items() if n not in series_vals}
+        out = self._mutate_all(plain) if plain else self
+        for n, s in series_vals.items():
+            put_out = out.put(n, s)
+            out = put_out._replace(put_out._sdf, groups=self.groups, has_order=put_out._has_order)
         if keep == "none":
             cols = list(dict.fromkeys(self.groups + list(exprs.keys())))
             return out.select(cols)

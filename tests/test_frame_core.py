@@ -460,3 +460,42 @@ def test_dataframe_transform_row_udf(spark):
     assert cols["c"] == [10, 20, 30]
     assert cols["tag"] == ["x!", "y!", "z!"]
     assert out.dtypes["c"] == ("s", 64)
+
+
+def test_mutate_series_value_and_list_rejection(spark):
+    """Reference mutate semantics: a raw list raises (use put/3), an
+    eager Series aligns positionally; put/3 accepts a Series without a
+    driver collect."""
+    from explorer_spark import Series
+
+    d = ex.from_columns({"a": [1, 2, 3]}, spark=spark)
+    with pytest.raises(ValueError, match="use put/3"):
+        d.mutate(b=[10, 20, 30])
+    s = Series.from_list([10, 20, 30], name="v", dtype=("s", 64), spark=spark)
+    out = d.mutate(b=s).sort_by("a").to_columns()
+    assert out == {"a": [1, 2, 3], "b": [10, 20, 30]}
+    # mixed: expression + series in one mutate
+    out2 = d.mutate(c=col("a") * 2, b=s).sort_by("a").to_columns()
+    assert out2["c"] == [2, 4, 6] and out2["b"] == [10, 20, 30]
+    # put with a Series replaces in place
+    out3 = d.put("a", s).to_columns()
+    assert out3["a"] == [10, 20, 30]
+
+
+def test_mutate_map_builds_struct(spark):
+    """Reference 'mutate with map' (data_frame_test.exs:728-762): a dict
+    value builds a struct column from expressions/literals, nesting
+    allowed."""
+    d = ex.from_rows(
+        [{"a": 1, "b": "a"}, {"a": None, "b": "b"}, {"a": 3, "b": None}], spark=spark
+    )
+    out = d.mutate(c={"a": col("a"), "b": col("b"), "lit": 1, "null": f.is_nil(col("a"))})
+    assert out.dtypes["c"] == (
+        "struct",
+        [("a", ("s", 64)), ("b", "string"), ("lit", ("s", 64)), ("null", "boolean")],
+    )
+    rows = out.sort_by("a", nils_last=True).to_columns()["c"]
+    assert rows[0] == {"a": 1, "b": "a", "lit": 1, "null": False}
+    assert rows[2] == {"a": None, "b": "b", "lit": 1, "null": True}
+    nested = d.mutate(c={"s": {"a": col("a"), "b": col("b")}})
+    assert nested.dtypes["c"] == ("struct", [("s", ("struct", [("a", ("s", 64)), ("b", "string")]))])
