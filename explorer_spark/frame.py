@@ -374,7 +374,23 @@ class DataFrame:
 
     filter = filter_with
 
-    def mask(self, bool_col: Column) -> "DataFrame":
+    def mask(self, bool_col) -> "DataFrame":
+        """Row filter by a boolean Column, Expr, or a standalone boolean
+        SERIES (reference mask/2 — positional alignment via a row-index
+        equi-join, the distributed form)."""
+        from .series import Series as _Series
+
+        if isinstance(bool_col, _Series):
+            idxed = self._with_row_index("__mi__")
+            pf = bool_col._frame._with_row_index("__mi__")
+            pred = pf._sdf.select(
+                F.col("__mi__"), F.col(bool_col.name).cast("boolean").alias("__mv__")
+            )
+            keep = pred.filter(F.col("__mv__")).drop("__mv__")
+            out = idxed._sdf.join(keep, "__mi__", "inner").drop("__mi__")
+            return idxed._replace(out)
+        if isinstance(bool_col, Expr):
+            bool_col = bool_col.lower(self._ctx())
         return self._replace(self._sdf.filter(bool_col), aligned=self._aligned)
 
     def mutate_with(self, keep: str = "all", **exprs) -> "DataFrame":

@@ -499,3 +499,16 @@ def test_mutate_map_builds_struct(spark):
     assert rows[2] == {"a": None, "b": "b", "lit": 1, "null": True}
     nested = d.mutate(c={"s": {"a": col("a"), "b": col("b")}})
     assert nested.dtypes["c"] == ("struct", [("s", ("struct", [("a", ("s", 64)), ("b", "string")]))])
+
+
+def test_mask_with_series_and_expr(spark):
+    """Reference mask/2: a standalone boolean Series aligns positionally;
+    an Expr predicate also works."""
+    from explorer_spark import Series
+
+    d = ex.from_columns({"a": [1, 2, 3, 2], "b": [5.3, 2.4, 1.0, 2.0]}, spark=spark)
+    m = Series.from_list([True, False, True, False], name="m", spark=spark)
+    out = d.mask(m).sort_by("a").to_columns()
+    assert out["a"] == [1, 3]
+    out2 = d.mask(col("a") == lit(2)).sort_by("b").to_columns()
+    assert out2["b"] == [2.0, 2.4]
