@@ -88,3 +88,17 @@ def salted_join(
     )
     out = l_s.join(r_s, [on, "__salt__"], how)
     return out.drop("__salt__")
+
+
+def fan_out_small(sdf, min_factor: int = 2):
+    """Repartition a frame whose scan yields fewer partitions than
+    cores/min_factor (single-row-group files read as ONE split — parquet
+    can't split inside a row group, so a heavy per-row pass such as an
+    Arrow UDF or an md5 pipeline would run serially). Above the gate the
+    scan's own splits already parallelize and no shuffle is added; below
+    it the exchange is input-row-count sized and trivially cheap compared
+    to the work it unlocks."""
+    par = sdf.sparkSession.sparkContext.defaultParallelism
+    if sdf.rdd.getNumPartitions() < max(par // min_factor, 2):
+        return sdf.repartition(par)
+    return sdf

@@ -236,6 +236,12 @@ def simhash_bits(
     if bits % 4 != 0 or not 4 <= bits <= 60:
         raise ValueError(f"bits must be a multiple of 4 in [4, 60], got {bits}")
     nchars = bits // 4
+    # fan out before the explode: a corpus read from few files (one
+    # parquet at test scale) would otherwise run the whole md5+lane-sum
+    # pipeline on 1-2 tasks (operators/bucketing.fan_out_small)
+    from .bucketing import fan_out_small
+
+    sdf = fan_out_small(sdf)
     ws = sdf.select(F.col(key_col), F.explode(words(F.lower(F.col(text_col)))).alias("__w__"))
     # parse the first bits/4 hex chars into ONE long, then `bits`
     # shift/mask +/-1 projections feeding PLAIN sums. (Alternatives

@@ -292,7 +292,11 @@ def embedding_lsh_pairs(
     assert r * bands == nbits, "nbits must divide evenly into bands"
     planes = rhp_planes(nbits, dim if dim is not None else _infer_dim(sdf, vec_col), seed)
 
-    base = sdf.select(F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("__n__"))
+    from .bucketing import fan_out_small
+
+    base = fan_out_small(
+        sdf.select(F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("__n__"))
+    )
 
     # all nbits plane dots in ONE Arrow-vectorized pass. The accumulation
     # loops over the dim axis sequentially (vectorized across rows and
