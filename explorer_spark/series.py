@@ -308,6 +308,37 @@ class Series:
         return Series(self._frame.tail(n), self.name)
 
     def slice(self, offset, length=None) -> "Series":
+        """Positional slice (reference Series.slice/2): offset+len, a
+        list/range of indices, or a SERIES of indices — the series form
+        is a distributed take (row-index equi-join ordered by the index
+        series' own order; duplicates repeat), with the reference's
+        dtype/positivity/bounds errors."""
+        if isinstance(offset, Series):
+            idx = offset
+            base = idx.dtype
+            kind = base[0] if isinstance(base, tuple) else base
+            if kind not in ("s", "u"):
+                raise ValueError(
+                    f"Series.slice/2 not implemented for dtype {base}. "
+                    "Valid dtypes are integer types"
+                )
+            lo = idx.min()
+            if lo is not None and lo < 0:
+                raise ValueError("slice/2 expects a series of positive integers")
+            hi = idx.max()
+            n = len(self)
+            if hi is not None and hi >= n:
+                raise ValueError("slice/2 cannot select from indices that are out-of-bounds")
+            data = self._frame._with_row_index("__ti__")._sdf.select(
+                "__ti__", F.col(self.name)
+            )
+            picks = idx._frame._with_row_index("__to__")._sdf.select(
+                F.col("__to__"), F.col(idx.name).cast("long").alias("__ti__")
+            )
+            out = picks.join(data, "__ti__", "inner").select(
+                F.col("__to__").alias(ORDER_COL), F.col(self.name)
+            )
+            return Series(DataFrame(out, has_order=True), self.name)
         return Series(self._frame.slice(offset, length), self.name)
 
     def at_every(self, n: int) -> "Series":

@@ -466,3 +466,20 @@ def test_cross_series_correlation_covariance(spark):
     y = Series.from_list([2.0, 1.0, 9.0], name="y", spark=spark)
     want = np.corrcoef([1.0, 5.0, 3.0], [2.0, 1.0, 9.0])[0, 1]
     assert x.correlation(y) == pytest.approx(want)
+
+
+def test_slice_by_index_series(spark):
+    """Reference Series.slice/2 with a series of indices
+    (series_test.exs:4594-4634): distributed take in pick order with
+    dtype/positivity/bounds guards."""
+    s = Series.from_list(["a", "b", "c"], name="s", spark=spark)
+    picks = Series.from_list([0, 2], name="i", dtype=("s", 64), spark=spark)
+    assert s.slice(picks).to_list() == ["a", "c"]
+    dup = Series.from_list([2, 0, 2], name="i", dtype=("s", 16), spark=spark)
+    assert s.slice(dup).to_list() == ["c", "a", "c"]
+    with pytest.raises(ValueError, match="not implemented for dtype"):
+        s.slice(Series.from_list(["0", "2"], name="i", spark=spark))
+    with pytest.raises(ValueError, match="positive integers"):
+        s.slice(Series.from_list([0, 2, -1], name="i", dtype=("s", 64), spark=spark))
+    with pytest.raises(ValueError, match="out-of-bounds"):
+        s.slice(Series.from_list([0, 2, 20], name="i", dtype=("s", 64), spark=spark))
