@@ -255,3 +255,18 @@ def test_mutate_agg_of_agg_two_batches(spark):
     out = df.mutate(dev=f.sum(col("r_regionkey") - f.mean(col("r_regionkey"))))
     vals = [r["dev"] for r in out.to_rows()]
     assert vals[0] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_fan_out_small_gates(spark):
+    """fan_out_small repartitions ONLY under-split scans (test parquet =
+    one row group = one partition) and passes well-split frames through
+    untouched — no shuffle added on a properly partitioned corpus."""
+    from explorer_spark.operators.bucketing import fan_out_small
+
+    par = spark.sparkContext.defaultParallelism
+    one = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert one.rdd.getNumPartitions() < max(par // 2, 2)
+    fanned = fan_out_small(one)
+    assert fanned.rdd.getNumPartitions() == par
+    wide = one.repartition(par)
+    assert fan_out_small(wide) is wide
