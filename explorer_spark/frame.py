@@ -1292,9 +1292,12 @@ class DataFrame:
             return F.unix_date(c).cast("double")
         return c.cast("double")
 
-    def concat_rows(self, *others: "DataFrame") -> "DataFrame":
+    def concat_rows(self, *others) -> "DataFrame":
         """Vertical union by name with dtype merging
-        (reference data_frame.ex:5762-5869)."""
+        (reference data_frame.ex:5762-5869). Accepts frames variadically
+        or one list of frames (``df.concat_rows([df2, df3])``)."""
+        if len(others) == 1 and isinstance(others[0], (list, tuple)):
+            others = tuple(others[0])
         frames = [self, *others]
         merged: dict[str, object] = {}
         for fr in frames:

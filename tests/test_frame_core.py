@@ -512,3 +512,24 @@ def test_mask_with_series_and_expr(spark):
     assert out["a"] == [1, 3]
     out2 = d.mask(col("a") == lit(2)).sort_by("b").to_columns()
     assert out2["b"] == [2.0, 2.4]
+
+
+def test_concat_rows_dtype_ladder(spark):
+    """Reference concat_rows dtype-merge grid
+    (data_frame_test.exs:2886-2960): u16+s16 -> s32; f32+f64 -> f64;
+    u16+f32+null+s16 -> f32; list form accepted."""
+    from explorer_spark import Series
+
+    u16 = ex.from_columns({"x": [1, 2]}).mutate(x=col("x").cast(("u", 16)))
+    s16 = ex.from_columns({"x": [4, 5]}).mutate(x=col("x").cast(("s", 16)))
+    out = u16.concat_rows(s16)
+    assert out.dtypes["x"] == ("s", 32)
+    assert sorted(out.to_columns()["x"]) == [1, 2, 4, 5]
+    f32 = ex.from_columns({"x": [1.0, 2.0]}).mutate(x=col("x").cast(("f", 32)))
+    f64 = ex.from_columns({"x": [4.0, 5.0]})
+    assert f32.concat_rows(f64).dtypes["x"] == ("f", 64)
+    nulls = ex.from_columns({"x": [None, None]})
+    ladder = u16.concat_rows([f32, nulls, s16])
+    assert ladder.dtypes["x"] == ("f", 32)
+    got = ladder.to_columns()["x"]
+    assert got.count(None) == 2 and sorted(v for v in got if v is not None) == [1.0, 1.0, 2.0, 2.0, 4.0, 5.0]
