@@ -1315,9 +1315,12 @@ class DataFrame:
             out = out.unionByName(sdf, allowMissingColumns=False)
         return DataFrame(out.withColumn(ORDER_COL, F.monotonically_increasing_id()), self.groups, True, aligned=True)
 
-    def concat_columns(self, *others: "DataFrame") -> "DataFrame":
-        """Horizontal concat, positional alignment via row index
-        (reference data_frame.ex:5693-5720)."""
+    def concat_columns(self, *others) -> "DataFrame":
+        """Horizontal concat, positional alignment via row index;
+        conflicting names get a numeric suffix (reference
+        data_frame.ex:5693-5720; accepts a list of frames too)."""
+        if len(others) == 1 and isinstance(others[0], (list, tuple)):
+            others = tuple(others[0])
         out = self._with_row_index("__cc__")._sdf
         for i, other in enumerate(others):
             osdf = other._with_row_index("__cc__")._sdf.drop(ORDER_COL)

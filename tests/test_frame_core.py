@@ -533,3 +533,14 @@ def test_concat_rows_dtype_ladder(spark):
     assert ladder.dtypes["x"] == ("f", 32)
     got = ladder.to_columns()["x"]
     assert got.count(None) == 2 and sorted(v for v in got if v is not None) == [1.0, 1.0, 2.0, 2.0, 4.0, 5.0]
+
+
+def test_concat_columns_suffix_and_list(spark):
+    """Reference concat_columns grid (data_frame_test.exs:4206-4237):
+    conflicting names get numeric suffixes; list form accepted."""
+    df1 = ex.from_columns({"x": [1, 2, 3], "y": ["a", "b", "c"]}, spark=spark)
+    df2 = ex.from_columns({"x": [4, 5, 6], "a": ["d", "e", "f"]}, spark=spark)
+    out = df1.concat_columns([df2])
+    assert out.names == ["x", "y", "x_1", "a"]
+    cols = out.sort_by("x").to_columns()
+    assert cols["x"] == [1, 2, 3] and cols["x_1"] == [4, 5, 6] and cols["a"] == ["d", "e", "f"]
