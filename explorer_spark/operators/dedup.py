@@ -223,18 +223,23 @@ def simhash_bits(
     sdf: SDF, bits: int = 16, text_col: str = "text", key_col: str = "doc_id"
 ) -> SDF:
     """``bits``-bit SimHash, fully in built-in expressions
-    (oracle-reproducible; bits must be a multiple of 4, at most 60 —
-    beyond that conv()'s unsigned decimal overflows the signed-long
-    cast to null and words would silently vanish from the bit sums;
-    use :func:`simhash64_pandas` for the full 64-bit width).
+    (oracle-reproducible up to the full 64-bit width).
 
     word hash = first bits/4 hex chars of md5(word); for each bit, sum
     +1/-1 over the words; sign -> bit. Plan: explode(words) -> single
     groupBy(key) with ceil(bits/2) PACKED bit sums (two 31-bit lanes per
     long) + a count -> bit assembly from 2·Σbit > N.
+
+    Widths above 60 bits can't parse through a single conv() (its
+    unsigned decimal overflows the signed-long cast to null), so 64-bit
+    hashes parse as two 32-bit conv() halves recombined with
+    shiftleft|or; the sign bit assembles as −2^63 (two's complement), so
+    the signature is the signed-64 reinterpretation of the big-endian
+    md5 prefix — identical to ``int.from_bytes(md5[:8], "big")`` in
+    :func:`simhash64_pandas` and to the oracle's nibble arithmetic.
     """
-    if bits % 4 != 0 or not 4 <= bits <= 60:
-        raise ValueError(f"bits must be a multiple of 4 in [4, 60], got {bits}")
+    if bits % 4 != 0 or not 4 <= bits <= 64:
+        raise ValueError(f"bits must be a multiple of 4 in [4, 64], got {bits}")
     nchars = bits // 4
     # fan out before the explode: a corpus read from few files (one
     # parquet at test scale) would otherwise run the whole md5+lane-sum
@@ -248,7 +253,15 @@ def simhash_bits(
     # measured at bits=32: CASE-bearing agg expressions, an element_at
     # array projection, and a (key,bit) melt all lose to this on either
     # whole-stage-codegen compile time or shuffle volume.)
-    hw = F.conv(F.substring(F.md5(F.col("__w__")), 1, nchars), 16, 10).cast("long")
+    if nchars <= 15:
+        hw = F.conv(F.substring(F.md5(F.col("__w__")), 1, nchars), 16, 10).cast("long")
+    else:
+        # 16 hex chars: two 32-bit halves, recombined (hi<<32)|lo — the
+        # signed-64 view of the unsigned big-endian md5 prefix
+        _md5 = F.md5(F.col("__w__"))
+        hi = F.conv(F.substring(_md5, 1, 8), 16, 10).cast("long")
+        lo = F.conv(F.substring(_md5, 9, 8), 16, 10).cast("long")
+        hw = F.shiftleft(hi, 32).bitwiseOR(lo)
     # Packed bit-sums: the per-bit ±1 counter equals 2·Σbit − N, so only
     # the non-negative BIT sums need aggregating — and two 31-bit lanes
     # pack into one long (borrow-free: bits are 0/1, per-doc word counts
@@ -274,8 +287,10 @@ def simhash_bits(
     for j in range(bits):
         g, pos = divmod(j, 2)
         s_j = F.shiftrightunsigned(F.col(f"__p{g}__"), 31 * pos).bitwiseAND(F.lit((1 << 31) - 1))
-        # original rule: Σ(2·bit−1) > 0  ⟺  2·Σbit > N
-        term = F.when(s_j * 2 > F.col("__n__"), 2**j).otherwise(0)
+        # original rule: Σ(2·bit−1) > 0  ⟺  2·Σbit > N. Bit 63 adds as
+        # −2^63: setting the sign bit in two's complement.
+        weight = 2**j if j < 63 else -(2**63)
+        term = F.when(s_j * 2 > F.col("__n__"), F.lit(weight)).otherwise(0)
         sig = term if sig is None else sig + term
     return sums.select(F.col(key_col), sig.cast("long").alias("simhash"))
 
@@ -287,26 +302,50 @@ def simhash16(sdf: SDF, text_col: str = "text", key_col: str = "doc_id") -> SDF:
 
 def simhash64_pandas(sdf: SDF, text_col: str = "text", key_col: str = "doc_id") -> SDF:
     """64-bit SimHash via an Arrow-batched pandas UDF (the production-width
-    variant; not oracle-expressible, checked rows-only)."""
+    variant; result identical to ``simhash_bits(bits=64)``, which is the
+    oracle-expressible twin).
+
+    Vectorized kernel: per batch, all word hashes unpack to ONE bit
+    matrix (np.unpackbits on the md5[:8] prefixes) and per-doc ±1 sums
+    reduce with np.add.reduceat over document boundaries — no per-word
+    or per-bit Python loop (the md5 calls remain per-word; hashlib has
+    no batch API)."""
+    import numpy as np
     from pyspark.sql import types as T
 
     def _kernel(texts: pd.Series) -> pd.Series:
         import hashlib
 
-        out = []
+        words_per_doc = []
+        digests = []
         for t in texts:
-            counts = [0] * 64
-            for w in (t or "").lower().split():
-                h = int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
-                for j in range(64):
-                    counts[j] += 1 if (h >> j) & 1 else -1
-            sig = 0
-            for j in range(64):
-                if counts[j] > 0:
-                    sig |= 1 << j
-            # represent as signed 64-bit
-            out.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
-        return pd.Series(out, dtype="int64")
+            ws = (t or "").lower().split()
+            words_per_doc.append(len(ws))
+            for w in ws:
+                digests.append(hashlib.md5(w.encode()).digest()[:8])
+        n_docs = len(words_per_doc)
+        counts = np.asarray(words_per_doc, dtype="int64")
+        if not digests:
+            return pd.Series(np.zeros(n_docs, dtype="int64"))
+        # bytes -> (n_words, 64) bit matrix; unpackbits is MSB-first per
+        # byte, so byte-reverse then flip gives bit j of the big-endian
+        # 64-bit integer at column j (matching (h >> j) & 1)
+        raw = np.frombuffer(b"".join(digests), dtype="uint8").reshape(-1, 8)
+        bits = np.unpackbits(raw[:, ::-1], axis=1, bitorder="little")  # col j = bit j
+        # per-doc bit sums over word ranges
+        starts = np.zeros(len(counts), dtype="int64")
+        np.cumsum(counts[:-1], out=starts[1:])
+        # reduceat needs nonempty segments: mask empty docs afterwards
+        seg = np.add.reduceat(bits.astype("int64"), np.minimum(starts, len(bits) - 1), axis=0)
+        seg[counts == 0] = 0
+        # bit j set iff 2*Σbit_j > n_words  (Σ(±1) > 0)
+        set_bits = (2 * seg) > counts[:, None]
+        weights = np.full(64, 0, dtype="int64")
+        for j in range(63):
+            weights[j] = 1 << j
+        weights[63] = -(1 << 63)  # two's-complement sign bit
+        sigs = (set_bits.astype("int64") * weights).sum(axis=1)
+        return pd.Series(sigs, dtype="int64")
 
     _simhash = F.pandas_udf(_kernel, T.LongType())
     return sdf.select(F.col(key_col), _simhash(F.col(text_col)).alias("simhash64"))

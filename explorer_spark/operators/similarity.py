@@ -52,6 +52,30 @@ def norm(a: Column, dim: int | None = None) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
 
 
+def pair_dot(a: Column, b: Column) -> Column:
+    """Arrow-vectorized pair dot product: sequential over the dim axis,
+    vectorized over pairs — the exact left-to-right double fold the
+    oracle's left-associative SQL sum computes, with none of the
+    per-element interpreter cost of the generic ``F.aggregate`` fold
+    (which walks the expression tree per element: ~60 ns/element vs
+    ~0.5 ns here at bench scale) and none of the ~10 s janino compile of
+    the expanded codegen form. Use for pair columns AFTER a join; for
+    row-vs-broadcast-matrix shapes prefer a dots-array UDF (one Arrow
+    pass, no join)."""
+    import numpy as np
+
+    @F.pandas_udf("double")
+    def _pd(a_s: pd.Series, b_s: pd.Series) -> pd.Series:
+        A = np.asarray(a_s.tolist(), dtype="float64")
+        B = np.asarray(b_s.tolist(), dtype="float64")
+        acc = np.zeros(len(A), dtype="float64")
+        for k in range(A.shape[1] if len(A) else 0):
+            acc += A[:, k] * B[:, k]
+        return pd.Series(acc)
+
+    return _pd(a, b)
+
+
 def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
     return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
 
@@ -63,17 +87,30 @@ def brute_force_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     dim: int | None = None,
+    max_collect_queries: int = 512,
 ) -> SDF:
     """Exact top-k neighbors per query row (excluding identical ids).
 
-    Norms are precomputed per row BEFORE the pair join (never per pair);
-    with ``dim`` the dot product is a codegen'd expression. Output:
-    query_id, neighbor_id, cosine — deterministic tie-break on
-    neighbor_id.
+    Small query sets (the common lookup shape, <= ``max_collect_queries``)
+    collect to the driver and every query dot is computed in ONE
+    Arrow-vectorized pass over the corpus — the corpus never joins and
+    never shuffles wide rows; only skinny (query_id, neighbor_id, cosine)
+    rows reach the per-query top-k window. Larger query sets fall back to
+    a broadcast cross join with the Arrow pair dot. Both accumulate
+    left-to-right over the dim axis, so cosines match the DuckDB oracle
+    bit-for-bit. Output: query_id, neighbor_id, cosine — deterministic
+    tie-break on neighbor_id.
     """
-    # norms run once per ROW (not per pair): the compact aggregate form
-    # avoids compiling another giant expanded expression — codegen compile
-    # time dominates at moderate scale, per-row interpretation is cheap here
+    qrows = (
+        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+        .limit(max_collect_queries + 1)
+        .collect()
+    )
+    if len(qrows) <= max_collect_queries:
+        return _brute_force_topk_collected(corpus, qrows, k, vec_col, id_col)
+
+    # Large query side: broadcast cross join + Arrow pair dot. Norms run
+    # once per ROW (not per pair).
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv__"), norm(F.col(vec_col)).alias("__qn__")
     )
@@ -81,11 +118,64 @@ def brute_force_topk(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv__"), norm(F.col(vec_col)).alias("__cn__")
     )
     joined = c.crossJoin(F.broadcast(q)).filter(F.col("neighbor_id") != F.col("query_id"))
-    sim = F.round(dot(F.col("__qv__"), F.col("__cv__"), dim) / (F.col("__qn__") * F.col("__cn__")), 6)
+    sim = F.round(pair_dot(F.col("__qv__"), F.col("__cv__")) / (F.col("__qn__") * F.col("__cn__")), 6)
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
         joined.withColumn("cosine", sim)
         .withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") <= k)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
+def _brute_force_topk_collected(corpus: SDF, qrows: list, k: int, vec_col: str, id_col: str) -> SDF:
+    """Broadcast-matrix brute force: the collected query matrix rides
+    inside one pandas_udf; each corpus row yields its dot against EVERY
+    query in a single numpy pass (sequential over dim => exact left fold).
+    Division and ROUND stay JVM-side so rounding matches DuckDB."""
+    import numpy as np
+
+    if not qrows:
+        id_t = corpus.schema[id_col].dataType.simpleString()
+        return corpus.sparkSession.createDataFrame(
+            [], f"query_id {id_t}, neighbor_id {id_t}, cosine double"
+        )
+    qids = [r["qid"] for r in qrows]
+    Q = np.asarray([list(r["qv"]) for r in qrows], dtype="float64")  # nq x dim
+    qnorms = []
+    for row in Q:
+        acc = 0.0
+        for x in row:
+            acc += float(x) * float(x)  # left fold, same IEEE ops as norm()
+        qnorms.append(acc ** 0.5)
+
+    @F.pandas_udf("array<double>")
+    def _qdots(vs: pd.Series) -> pd.Series:
+        X = np.asarray(vs.tolist(), dtype="float64")
+        acc = np.zeros((len(X), Q.shape[0]), dtype="float64")
+        for kk in range(Q.shape[1]):
+            acc += X[:, kk : kk + 1] * Q[:, kk]
+        return pd.Series([row.tolist() for row in acc])
+
+    id_type = corpus.schema[id_col].dataType
+    qid_arr = F.array(*[F.lit(i).cast(id_type) for i in qids])
+    qn_arr = F.array(*[F.lit(float(x)) for x in qnorms])
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        norm(F.col(vec_col)).alias("__cn__"),
+        _qdots(F.col(vec_col)).alias("__d__"),
+    )
+    exploded = c.select("neighbor_id", "__cn__", F.posexplode("__d__").alias("__qi__", "__dot__"))
+    out = exploded.select(
+        F.element_at(qid_arr, F.col("__qi__") + 1).alias("query_id"),
+        F.col("neighbor_id"),
+        F.round(
+            F.col("__dot__") / (F.element_at(qn_arr, F.col("__qi__") + 1) * F.col("__cn__")), 6
+        ).alias("cosine"),
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        out.withColumn("__rn__", F.row_number().over(w))
         .filter(F.col("__rn__") <= k)
         .select("query_id", "neighbor_id", "cosine")
     )
@@ -120,7 +210,7 @@ def ivf_topk(
         norm(F.col(vec_col)).alias("__cn__"),
     )
     joined = c.join(F.broadcast(q), (F.col("__cell__") == F.col("__ccell__")) & (F.col("neighbor_id") != F.col("query_id")))
-    sim = F.round(dot(F.col("__qv__"), F.col("__cv__"), dim) / (F.col("__qn__") * F.col("__cn__")), 6)
+    sim = F.round(pair_dot(F.col("__qv__"), F.col("__cv__")) / (F.col("__qn__") * F.col("__cn__")), 6)
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
         joined.withColumn("cosine", sim)
@@ -237,7 +327,7 @@ def ivf_topk_trained(
     joined = c.join(
         F.broadcast(q), (F.col("__cell__") == F.col("__qcell__")) & (F.col("neighbor_id") != F.col("query_id"))
     )
-    sim = F.round(dot(F.col("__qv__"), F.col("__cv__")) / (F.col("__qn__") * F.col("__cn__")), 6)
+    sim = F.round(pair_dot(F.col("__qv__"), F.col("__cv__")) / (F.col("__qn__") * F.col("__cn__")), 6)
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
         joined.withColumn("cosine", sim)
@@ -339,20 +429,10 @@ def embedding_lsh_pairs(
     va = base.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va__"), F.col("__n__").alias("__na__"))
     vb = base.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb__"), F.col("__n__").alias("__nb__"))
 
-    # exact left-fold pair dot, Arrow-vectorized over the candidate set
-    # (sequential over dim, vectorized over pairs — bit-identical to the
-    # oracle's accumulation; the division/round stay JVM-side so rounding
-    # semantics keep matching DuckDB's ROUND)
-    @F.pandas_udf("double")
-    def _pair_dot(a_s: pd.Series, b_s: pd.Series) -> pd.Series:
-        A = np.asarray(a_s.tolist(), dtype="float64")
-        B = np.asarray(b_s.tolist(), dtype="float64")
-        acc = np.zeros(len(A), dtype="float64")
-        for k in range(A.shape[1] if len(A) else 0):
-            acc += A[:, k] * B[:, k]
-        return pd.Series(acc)
-
-    sim = F.round(_pair_dot(F.col("__va__"), F.col("__vb__")) / (F.col("__na__") * F.col("__nb__")), 6)
+    # exact left-fold pair dot (module-level pair_dot): Arrow-vectorized
+    # over the candidate set; the division/round stay JVM-side so rounding
+    # semantics keep matching DuckDB's ROUND
+    sim = F.round(pair_dot(F.col("__va__"), F.col("__vb__")) / (F.col("__na__") * F.col("__nb__")), 6)
     out = pairs.join(va, "id_a").join(vb, "id_b").select("id_a", "id_b", sim.alias("cosine"))
     if threshold is not None:
         out = out.filter(F.col("cosine") >= threshold)
@@ -384,7 +464,7 @@ def embedding_neardup_pairs(
     if block_col:
         cond = (F.col(f"a.{block_col}") == F.col(f"b.{block_col}")) & cond
     sim = F.round(
-        dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"), dim) / (F.col("a.__n__") * F.col("b.__n__")), 6
+        pair_dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) / (F.col("a.__n__") * F.col("b.__n__")), 6
     )
     out = a.join(b, cond).select(
         F.col(f"a.{id_col}").alias("id_a"),
@@ -392,8 +472,9 @@ def embedding_neardup_pairs(
         sim.alias("cosine"),
     )
     if threshold is not None:
-        # NB: the Filter inlines the cosine expression a second time inside
-        # codegen — pass threshold=None for top-k flows that don't filter
+        # pair_dot is an ArrowEvalPython node, so the filter references its
+        # materialized output column — the dot runs once per pair even with
+        # the threshold filter applied
         out = out.filter(F.col("cosine") >= threshold)
     return out
 

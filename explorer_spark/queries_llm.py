@@ -315,7 +315,7 @@ def _simhash_oracle_sql(bits: int) -> str:
         FROM h GROUP BY doc_id
     )
     SELECT doc_id,
-           CAST({" + ".join(f"(CASE WHEN b{j} > 0 THEN {2**j} ELSE 0 END)" for j in range(bits))} AS BIGINT) AS simhash
+           CAST({" + ".join(f"(CASE WHEN b{j} > 0 THEN {2**j if j < 63 else -(2**63)} ELSE 0 END)" for j in range(bits))} AS BIGINT) AS simhash
     FROM bits
 """
 
@@ -335,7 +335,7 @@ def q_dedup_simhash(spark, sf_dir):
 @query(
     "q_dedup_hamming",
     f"""
-    WITH sig AS ({_simhash_oracle_sql(32)}),
+    WITH sig AS ({_simhash_oracle_sql(64)}),
     cnt AS (SELECT simhash, COUNT(*) AS c FROM sig GROUP BY simhash),
     cross_pairs AS (
         SELECT bit_count(xor(a.simhash, b.simhash)) AS hamming, a.c * b.c AS np
@@ -353,19 +353,21 @@ def q_dedup_simhash(spark, sf_dir):
 )
 def q_dedup_hamming(spark, sf_dir):
     """Near-dup pair census by SimHash hamming distance (<=3) over
-    32-BIT signatures: docs collapse to DISTINCT signatures with
+    64-BIT signatures: docs collapse to DISTINCT signatures with
     multiplicities first (the scale move: banding cost stops growing
     with corpus size), pigeonhole-banded candidate pairs over distinct
     signatures (recall 1.0, operators/dedup.hamming_candidates — 4
-    bands of 8 bits makes buckets selective, unlike 16-bit signatures
-    which saturate), then the pair count per distance from the
-    multiplicities. The oracle brute-forces distinct-signature pairs —
-    banding + verify must reproduce it exactly."""
+    bands of 16 bits gives 65k bucket values per band, so candidate
+    volume stays ~linear in distinct signatures; the old 32-bit/8-bit
+    banding saturated at 256 buckets and went near-quadratic), then the
+    pair count per distance from the multiplicities. The oracle
+    brute-forces distinct-signature pairs — banding + verify must
+    reproduce it exactly."""
     from .operators.dedup import hamming_candidates, simhash_bits
 
     docs = _t(spark, sf_dir, "documents").lazy_sdf()
     cnt = (
-        simhash_bits(docs, bits=32)
+        simhash_bits(docs, bits=64)
         .groupBy("simhash")
         .agg(SF.count(SF.lit(1)).alias("c"))
         # the signature table feeds 4 branches (banding, 2 count joins,
@@ -377,7 +379,7 @@ def q_dedup_hamming(spark, sf_dir):
         key_col="sig_id",
         sig_col="simhash",
         max_distance=3,
-        bits=32,
+        bits=64,
     )
     cross = (
         pairs.join(SF.broadcast(cnt.select(SF.col("simhash").alias("id_a"), SF.col("c").alias("ca"))), "id_a")
@@ -518,15 +520,23 @@ def q_ann_ivf_trained(spark, sf_dir):
     return ivf_topk_trained(emb, queries, k=5, centroids=_IVF_CENTROIDS, nprobe=2)
 
 
-@query("q_dedup_embedding_lsh", _rhp_oracle_sql())
+@query("q_dedup_embedding_lsh", _rhp_oracle_sql(nbits=32, bands=4))
 def q_dedup_embedding_lsh(spark, sf_dir):
     """Embedding near-dup with NO blocking column: random-hyperplane
     (SimHash) LSH banding -> candidate pairs -> exact-cosine top-10
-    (operators/similarity.embedding_lsh_pairs; Charikar 2002 SRP)."""
+    (operators/similarity.embedding_lsh_pairs; Charikar 2002 SRP).
+
+    32-bit signatures / 4 bands (8-bit band keys, 256 bucket values per
+    band): measured at sf0.1 the old 16/4 banding put 24% of ALL pairs
+    into the candidate join (526k pairs from 2000 vectors — the
+    dropDuplicates hash-agg alone cost 1.2 CPU-minutes); 8-bit bands cut
+    candidates ~60x while the banding recall at cosine>=0.95 stays ~0.9
+    — and the bucket count is what grows when the corpus does, which is
+    the 100 TB lever."""
     from .operators.similarity import embedding_lsh_pairs
 
     emb = _t(spark, sf_dir, "embeddings").lazy_sdf()
-    pairs = embedding_lsh_pairs(emb, nbits=16, bands=4, dim=64, seed=42)
+    pairs = embedding_lsh_pairs(emb, nbits=32, bands=4, dim=64, seed=42)
     return pairs.orderBy(SF.col("cosine").desc(), SF.col("id_a"), SF.col("id_b")).limit(10)
 
 
