@@ -38,6 +38,24 @@ from .expr import AGG_OPS, Expr, LowerCtx, col, lit
 ORDER_COL = "__row_order__"
 
 
+def _resolve_seed(seed) -> int:
+    """A concrete int seed (fresh entropy when None) so hash-draw
+    sampling is reproducible within one call."""
+    if seed is None:
+        import random
+
+        return random.randrange(2**31)
+    return int(seed)
+
+
+def _hash_draw(parts: list[Column]) -> Column:
+    """Deterministic uniform draw in [0, 2^32): the first 8 hex chars of
+    md5('|'-joined parts) as an integer. Engine-portable (any SQL engine
+    reproduces it), so seeded sampling is oracle-checkable, and a pure
+    column expression, so draw streams never touch the driver."""
+    return F.conv(F.substring(F.md5(F.concat_ws("|", *parts)), 1, 8), 16, 10).cast("long")
+
+
 class DataFrame:
     """Immutable wrapper; every verb returns a new DataFrame."""
 
@@ -294,7 +312,14 @@ class DataFrame:
         if isinstance(key, range):
             key = list(key)
         if isinstance(key, (list, tuple)):
-            cols = [names[k] if isinstance(k, int) else k for k in key]
+            cols = []
+            for k in key:
+                if isinstance(k, int):
+                    if not -len(names) <= k < len(names):
+                        return None  # absent key -> None, like the scalar branch
+                    cols.append(names[k])
+                else:
+                    cols.append(k)
             if any(c not in names for c in cols):
                 return None
             return self.select(cols)
@@ -329,10 +354,34 @@ class DataFrame:
             idx_df = self._with_row_index("__pos__")
             sv = (
                 values._frame._with_row_index("__pos__")
-                ._sdf.select("__pos__", F.col(values.name).alias(name))
+                ._sdf.select(
+                    "__pos__",
+                    F.col(values.name).alias(name),
+                    F.lit(True).alias("__sv_ok__"),
+                )
             )
             left = idx_df._sdf.drop(name) if name in self.names else idx_df._sdf
-            return idx_df._replace(left.join(sv, "__pos__", "left").drop("__pos__"))
+            left = left.withColumn("__lhs_ok__", F.lit(True))
+            # Full-outer on the row index: a length mismatch leaves one
+            # side's marker null on some row, and the raise_error branch
+            # (woven into the value column, so Catalyst can't fold it
+            # away) raises the reference's size-mismatch error at
+            # execution time — no extra count jobs (reference put/3
+            # raises on size mismatch).
+            joined = left.join(sv, "__pos__", "full")
+            ok = F.col("__lhs_ok__").isNotNull() & F.col("__sv_ok__").isNotNull()
+            joined = joined.withColumn(
+                name,
+                F.when(ok, F.col(name)).otherwise(
+                    F.raise_error(
+                        F.lit(
+                            "put: length of the series must match the number of rows "
+                            f"in the frame (column {name!r})"
+                        )
+                    )
+                ),
+            ).drop("__pos__", "__lhs_ok__", "__sv_ok__")
+            return idx_df._replace(joined)
         spark = self._sdf.sparkSession
         idx_df = self._with_row_index("__pos__")
         vals = spark.createDataFrame([(i, v) for i, v in enumerate(values)], ["__pos__", name])
@@ -386,8 +435,24 @@ class DataFrame:
             pred = pf._sdf.select(
                 F.col("__mi__"), F.col(bool_col.name).cast("boolean").alias("__mv__")
             )
-            keep = pred.filter(F.col("__mv__")).drop("__mv__")
-            out = idxed._sdf.join(keep, "__mi__", "inner").drop("__mi__")
+            # Full-outer on the row index so a length mismatch is an
+            # ERROR (reference mask raises on size mismatch), not a
+            # silent drop/pad: a missing side leaves __mm__/frame cols
+            # null and raise_error fires at execution time.
+            left = idxed._sdf.withColumn("__mf__", F.lit(True))
+            pred = pred.withColumn("__mm__", F.lit(True))
+            joined = left.join(pred, "__mi__", "full")
+            ok = F.col("__mf__").isNotNull() & F.col("__mm__").isNotNull()
+            checked = F.when(ok, F.col("__mv__")).otherwise(
+                F.raise_error(
+                    F.lit("mask: length of the mask series must match the number of rows in the frame")
+                )
+            )
+            out = (
+                joined.withColumn("__mv__", checked)
+                .filter(F.col("__mv__"))
+                .drop("__mi__", "__mv__", "__mf__", "__mm__")
+            )
             return idxed._replace(out)
         if isinstance(bool_col, Expr):
             bool_col = bool_col.lower(self._ctx())
@@ -682,6 +747,22 @@ class DataFrame:
         def _implicit_list(e) -> bool:
             return isinstance(e, Expr) and not e.references_agg() and _tree_has_column(e)
 
+        ordered_impl = {
+            n: e for n, e in exprs.items() if _implicit_list(e) and _tree_has(e, *ORDERED_EXPR_OPS)
+        }
+        if ordered_impl:
+            # Ordered/window ops can't lower inside collect_list (Spark
+            # rejects a window function in an aggregate): materialize them
+            # as columns first — grouped mutate runs them through windows /
+            # the distributed kernels — then list-collect the materialized
+            # values (the reference returns the list column,
+            # data_frame_test.exs:4352-4368).
+            tmp = {f"__sl{i}__": e for i, e in enumerate(ordered_impl.values())}
+            pre = self.mutate_with(**tmp)
+            remap = dict(zip(ordered_impl, (col(t) for t in tmp)))
+            out = pre.summarise_with(**{n: remap.get(n, e) for n, e in exprs.items()})
+            return out
+
         needs_order = any(_implicit_list(e) for e in exprs.values())
         base = self._ordered() if needs_order else self
         ctx = base._ctx(summarise=True)
@@ -819,7 +900,7 @@ class DataFrame:
         n rows (or floor(frac*len)) from each group, one hash shuffle on the
         group keys."""
         if self.groups and replace:
-            raise NotImplementedError("grouped sample with replace=True is not supported")
+            return self._sample_replace_grouped(n_or_frac, seed, shuffle)
         if self.groups:
             base = self._ordered()
             w = W.partitionBy(*self.groups).orderBy(F.rand(seed))
@@ -862,16 +943,88 @@ class DataFrame:
                 picked = picked.orderBy(F.col(ORDER_COL).asc())
             out = picked.drop(ORDER_COL)
         else:
-            sdf = self.lazy_sdf()
-            n = n_or_frac if isinstance(n_or_frac, int) else None
-            total = sdf.count()
-            frac = (n / total if n is not None else n_or_frac) * 1.0
-            out = sdf.sample(withReplacement=True, fraction=min(frac * 1.5 + 0.1, 10.0), seed=seed)
-            want = n if n is not None else int(n_or_frac * total)
-            out = out.limit(want)
+            # EXACT n-with-replacement (reference sample_n semantics —
+            # always exactly n rows, unlike Spark's Poisson .sample which
+            # is probabilistic): draw positions DETERMINISTICALLY as
+            # hash(seed, i) % total for i in 0..n-1 (md5 prefix — a
+            # uniform seeded stream any engine reproduces), aggregate to
+            # (pos, multiplicity), broadcast-join on the row index,
+            # sequence-explode. Fully distributed: no driver-side draw
+            # state, so sample size is unbounded by driver memory.
+            total = self._sdf.count()
+            want = n_or_frac if isinstance(n_or_frac, int) else int(n_or_frac * total)
+            if total == 0 and want > 0:
+                raise ValueError("cannot sample with replace=true from an empty frame")
+            seed = _resolve_seed(seed)
+            idxed = self._with_row_index("__pos__")
+            spark = idxed._sdf.sparkSession
+            draws = spark.range(want).select(
+                (_hash_draw([F.lit(str(seed)), F.col("id").cast("string")]) % total).alias("__pos__")
+            )
+            mult = draws.groupBy("__pos__").agg(F.count(F.lit(1)).alias("__mult__"))
+            picked = idxed._sdf.join(F.broadcast(mult), "__pos__", "inner")
+            out = (
+                picked.withColumn("__dup__", F.explode(F.sequence(F.lit(1), F.col("__mult__"))))
+                .drop("__mult__", "__dup__", "__pos__")
+            )
             if shuffle:
                 out = out.withColumn("__r__", F.rand(seed)).orderBy("__r__").drop("__r__")
+            else:
+                out = out.orderBy(F.col(ORDER_COL).asc())
+            out = out.drop(ORDER_COL)
         out = out.withColumn(ORDER_COL, F.monotonically_increasing_id())
+        return DataFrame(out, groups=self.groups, has_order=True, aligned=True)
+
+    def _sample_replace_grouped(self, n_or_frac, seed, shuffle) -> "DataFrame":
+        """Grouped sample WITH replacement (reference data_frame.ex:4475-4540
+        supports replace: true on grouped frames): per-group sizes come
+        from one aggregate, each group's draw i is the deterministic
+        hash(seed, group, i) % group_len (md5 prefix), and the picks
+        resolve via a broadcast (group, pos-in-group, multiplicity) join
+        against a per-group row_number. Exactly n (or
+        floor(frac*group_len)) rows per group, always — and the whole
+        pipeline is distributed: draws never touch the driver."""
+        base = self._ordered()
+        gcols = list(self.groups)
+        seed = _resolve_seed(seed)
+        sizes = base._sdf.groupBy(*gcols).agg(F.count(F.lit(1)).alias("__gn__"))
+        if isinstance(n_or_frac, int):
+            want = F.lit(n_or_frac)
+        else:
+            want = F.floor(F.col("__gn__") * F.lit(n_or_frac)).cast("int")
+        idx_arr = F.when(want > 0, F.sequence(F.lit(0), want - 1)).otherwise(
+            F.array().cast("array<int>")
+        )
+        draws = sizes.select(*gcols, "__gn__", F.explode(idx_arr).alias("__i__"))
+        h = _hash_draw(
+            [F.lit(str(seed))]
+            + [F.col(g).cast("string") for g in gcols]
+            + [F.col("__i__").cast("string")]
+        )
+        mult = (
+            draws.select(*gcols, (h % F.col("__gn__")).alias("__gp2__"))
+            .groupBy(*gcols, "__gp2__")
+            .agg(F.count(F.lit(1)).alias("__mult__"))
+        )
+        mult = mult.select(
+            *[F.col(g).alias(f"__mg{i}__") for i, g in enumerate(gcols)], "__gp2__", "__mult__"
+        )
+        w = W.partitionBy(*gcols).orderBy(F.col(ORDER_COL).asc())
+        sdf = base._sdf.withColumn("__gp__", F.row_number().over(w) - 1)
+        cond = F.col("__gp__") == F.col("__gp2__")
+        for i, g in enumerate(gcols):
+            cond = cond & sdf[g].eqNullSafe(F.col(f"__mg{i}__"))  # null group keys are groups too
+        out = sdf.join(F.broadcast(mult), cond, "inner").drop(
+            "__gp__", "__gp2__", *[f"__mg{i}__" for i in range(len(gcols))]
+        )
+        out = out.withColumn("__dup__", F.explode(F.sequence(F.lit(1), F.col("__mult__")))).drop(
+            "__mult__", "__dup__"
+        )
+        if shuffle:
+            out = out.orderBy(F.rand(seed))
+        else:
+            out = out.orderBy(F.col(ORDER_COL).asc())
+        out = out.drop(ORDER_COL).withColumn(ORDER_COL, F.monotonically_increasing_id())
         return DataFrame(out, groups=self.groups, has_order=True, aligned=True)
 
     def shuffle(self, seed: int | None = None) -> "DataFrame":

@@ -5,11 +5,13 @@ decode / feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` operators so bytes stream through executors in columnar
 batches and never transit the driver.
 
-The decode kernels themselves are STUBBED (no image/audio libs in this
-container): ``decode_image`` raises NotImplementedError unless
-``fake=True``, in which case a deterministic fake decoder (derived from
-the payload bytes) exercises the real plumbing — schema, partitioning,
-UDF signature, batch shape — end to end.
+Decoding: formats that need no external codec libraries — PPM (P6) and
+uncompressed 24-bit BMP — decode for real through :func:`decode_image`
+(pure numpy; ``extract_features(fake=False)`` computes genuine pixel
+statistics). Compressed formats (JPEG/PNG/video) would slot into the
+same kernel behind PIL/ffmpeg, absent from this container — they raise
+a clear ValueError. ``fake=True`` keeps the deterministic bytes-derived
+extractor for plumbing tests independent of any codec.
 """
 
 from __future__ import annotations
@@ -53,20 +55,64 @@ def attach_media(sdf: SDF, payload_col: str, mime: str = "application/octet-stre
 _FEATURE_SCHEMA = "media_id long, n_bytes long, digest string, features array<double>"
 
 
+def decode_image(raw: bytes):
+    """Decode PPM (P6, maxval<=255) or uncompressed 24-bit BMP bytes to a
+    (height, width, 3) uint8 RGB numpy array — pure numpy, no codec
+    library. Raises ValueError for anything else (JPEG/PNG need PIL,
+    absent from this container; same kernel slot)."""
+    import numpy as np
+
+    if raw[:2] == b"P6":
+        # header: P6 <w> <h> <maxval> with whitespace/comments, then raw RGB
+        pos, fields = 2, []
+        while len(fields) < 3:
+            while pos < len(raw) and raw[pos : pos + 1].isspace():
+                pos += 1
+            if raw[pos : pos + 1] == b"#":
+                while pos < len(raw) and raw[pos] != 0x0A:
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(raw) and not raw[pos : pos + 1].isspace():
+                pos += 1
+            fields.append(int(raw[start:pos]))
+        pos += 1  # single whitespace after maxval
+        w, h, maxval = fields
+        if maxval > 255:
+            raise ValueError("16-bit PPM not supported")
+        px = np.frombuffer(raw, dtype=np.uint8, count=w * h * 3, offset=pos)
+        return px.reshape(h, w, 3).copy()
+    if raw[:2] == b"BM":
+        off = int.from_bytes(raw[10:14], "little")
+        w = int.from_bytes(raw[18:22], "little", signed=True)
+        h = int.from_bytes(raw[22:26], "little", signed=True)
+        bpp = int.from_bytes(raw[28:30], "little")
+        comp = int.from_bytes(raw[30:34], "little")
+        if bpp != 24 or comp != 0:
+            raise ValueError(f"only uncompressed 24-bit BMP supported (bpp={bpp}, comp={comp})")
+        flip = h > 0  # positive height = bottom-up row order
+        h = abs(h)
+        stride = (w * 3 + 3) & ~3  # rows pad to 4 bytes
+        rows = np.frombuffer(raw, dtype=np.uint8, count=stride * h, offset=off).reshape(h, stride)
+        img = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+        return (img[::-1] if flip else img).copy()
+    raise ValueError(f"undecodable media magic {raw[:2]!r}: PPM(P6)/BMP decode only without codec libs")
+
+
 def extract_features(sdf: SDF, id_col: str = "media_id", payload_col: str = "payload", fake: bool = True, dim: int = 8) -> SDF:
     """Per-item feature extraction via mapInPandas (Arrow batches).
 
-    With ``fake=True`` features are a deterministic function of the bytes
-    (length + md5-derived values) so tests can assert exact results; with
-    ``fake=False`` this is where a real decoder (PIL/ffmpeg) would slot
-    in — raises NotImplementedError in this container.
-    """
-    if not fake:
-        raise NotImplementedError("real media decode needs image/audio libs not present in this container")
+    ``fake=False`` REALLY decodes each payload (:func:`decode_image`) and
+    emits pixel statistics: [width, height, mean_r, mean_g, mean_b,
+    std_gray, min_gray, max_gray] (padded/truncated to ``dim``).
+    ``fake=True`` emits a deterministic function of the bytes (length +
+    md5-derived values) so plumbing tests run without any decodable
+    payload."""
 
     def op(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import hashlib
 
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
@@ -77,7 +123,22 @@ def extract_features(sdf: SDF, id_col: str = "media_id", payload_col: str = "pay
                 ids.append(mid)
                 sizes.append(len(raw))
                 digests.append(digest)
-                feats.append([int(digest[i * 2 : i * 2 + 2], 16) / 255.0 for i in range(dim)])
+                if fake:
+                    feats.append([int(digest[i * 2 : i * 2 + 2], 16) / 255.0 for i in range(dim)])
+                else:
+                    img = decode_image(raw)
+                    gray = img.astype("float64").mean(axis=2)
+                    v = [
+                        float(img.shape[1]),
+                        float(img.shape[0]),
+                        float(img[:, :, 0].mean()),
+                        float(img[:, :, 1].mean()),
+                        float(img[:, :, 2].mean()),
+                        float(gray.std()),
+                        float(gray.min()),
+                        float(gray.max()),
+                    ]
+                    feats.append((v + [0.0] * dim)[:dim])
             yield pd.DataFrame(
                 {"media_id": ids, "n_bytes": sizes, "digest": digests, "features": feats}
             )

@@ -744,6 +744,51 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+@query(
+    "q_multimodal_decode",
+    """
+    SELECT doc_id AS media_id,
+           2.0 AS w, 2.0 AS h,
+           ROUND(CAST(doc_id % 256 AS DOUBLE), 6) AS mean_r,
+           ROUND(CAST((doc_id * 7) % 256 AS DOUBLE), 6) AS mean_g,
+           ROUND(CAST((doc_id * 13) % 256 AS DOUBLE), 6) AS mean_b,
+           0.0 AS gray_std,
+           ROUND((doc_id % 256 + (doc_id * 7) % 256 + (doc_id * 13) % 256) / 3.0, 6) AS gray_mx
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def q_multimodal_decode(spark, sf_dir):
+    """REAL image decode through the media pipeline: a 2x2 PPM payload is
+    synthesized per doc JVM-side (pixel channels are a known function of
+    doc_id), mapInPandas decodes the actual bytes (operators/multimodal.
+    decode_image, pure numpy) and emits pixel statistics — the oracle
+    recomputes the same statistics arithmetically, so a decode bug
+    (header parse, stride, channel order) breaks the match."""
+    from .operators.multimodal import extract_features
+
+    docs = _t(spark, sf_dir, "documents").lazy_sdf().filter(SF.col("doc_id") < 200)
+    byte = lambda c: SF.unhex(SF.lpad(SF.hex(c.cast("int")), 2, "0"))  # noqa: E731
+    a, b, c = (
+        byte(SF.col("doc_id") % 256),
+        byte((SF.col("doc_id") * 7) % 256),
+        byte((SF.col("doc_id") * 13) % 256),
+    )
+    px = SF.concat(a, b, c)
+    payload = SF.concat(SF.lit("P6\n2 2\n255\n").cast("binary"), px, px, px, px)
+    media = docs.select(SF.col("doc_id").alias("media_id"), payload.alias("payload"))
+    feats = extract_features(media, fake=False, dim=8)
+    return feats.select(
+        "media_id",
+        SF.col("features")[0].alias("w"),
+        SF.col("features")[1].alias("h"),
+        SF.round(SF.col("features")[2], 6).alias("mean_r"),
+        SF.round(SF.col("features")[3], 6).alias("mean_g"),
+        SF.round(SF.col("features")[4], 6).alias("mean_b"),
+        SF.col("features")[5].alias("gray_std"),
+        SF.round(SF.col("features")[7], 6).alias("gray_mx"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # event streaming shapes (batch-equivalent, run as streaming in tests)
 # ---------------------------------------------------------------------------

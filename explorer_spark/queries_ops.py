@@ -585,3 +585,79 @@ def q_time_parts(spark, sf_dir):
     return ev.mutate(
         ns_of_sec=f.nanosecond(col("ts")), ns_of_day=f.to_time(col("ts"))
     ).select(["event_id", "ns_of_sec", "ns_of_day"]).lazy_sdf()
+
+
+# ---------------------------------------------------------------------------
+# sample with replacement (round 4): exact-n via deterministic hash draws
+# ---------------------------------------------------------------------------
+
+# DuckDB mirror of frame._hash_draw: first 8 hex chars of md5 parsed by
+# nibble arithmetic (same trick as the simhash oracle) — draw values
+# reproduce bit-for-bit, so replacement sampling is value-checkable.
+_HEX8 = "(" + " + ".join(
+    f"(CASE WHEN ascii(substr(h, {k}, 1)) <= 57 THEN ascii(substr(h, {k}, 1)) - 48 "
+    f"ELSE ascii(substr(h, {k}, 1)) - 87 END) * CAST({16 ** (8 - k)} AS BIGINT)"
+    for k in range(1, 9)
+) + ")"
+
+
+@query(
+    "q_sample_replace",
+    f"""
+    WITH base AS (
+        SELECT r_regionkey, row_number() OVER (ORDER BY r_regionkey) - 1 AS gp FROM region
+    ),
+    hashed AS (
+        SELECT {_HEX8} % (SELECT COUNT(*) FROM region) AS gp
+        FROM (SELECT md5('3|' || CAST(i AS VARCHAR)) AS h FROM generate_series(0, 11) t(i))
+    )
+    SELECT COUNT(*) AS n_rows, CAST(SUM(b.r_regionkey) AS BIGINT) AS key_sum
+    FROM hashed x JOIN base b ON b.gp = x.gp
+    """,
+)
+def q_sample_replace(spark, sf_dir):
+    """sample(n, replace=True) is EXACT: always n rows, oversampling past
+    the frame length allowed (reference sample_n with replacement). Draw
+    i resolves to row hash(seed, i) % total (frame._hash_draw), a pure
+    column expression any engine reproduces — the oracle rebuilds the
+    drawn multiset value-for-value."""
+    reg = _t(spark, sf_dir, "region").sort_by("r_regionkey")
+    picked = reg.sample(12, replace=True, seed=3)
+    return picked.summarise(
+        n_rows=f.size(col("r_regionkey")), key_sum=f.sum(col("r_regionkey"))
+    ).lazy_sdf()
+
+
+@query(
+    "q_grouped_sample_replace",
+    f"""
+    WITH sizes AS (SELECT c_nationkey, COUNT(*) AS gn FROM customer GROUP BY c_nationkey),
+    hashed AS (
+        SELECT c_nationkey, {_HEX8} % gn AS gp
+        FROM (
+            SELECT c_nationkey, gn,
+                   md5('13|' || CAST(c_nationkey AS VARCHAR) || '|' || CAST(i AS VARCHAR)) AS h
+            FROM sizes, generate_series(0, 3) t(i)
+        )
+    ),
+    ranked AS (
+        SELECT c_nationkey, c_custkey,
+               row_number() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) - 1 AS gp
+        FROM customer
+    )
+    SELECT r.c_nationkey, COUNT(*) AS n, CAST(SUM(r.c_custkey) AS BIGINT) AS key_sum
+    FROM hashed x JOIN ranked r ON r.c_nationkey = x.c_nationkey AND r.gp = x.gp
+    GROUP BY r.c_nationkey
+    """,
+)
+def q_grouped_sample_replace(spark, sf_dir):
+    """Grouped sample(n, replace=True) (reference data_frame.ex:4475-4540
+    replace: true on grouped frames): exactly n draws per group, draw i
+    of group g = row hash(seed, g, i) % group_len within g's frame
+    order. Distributed end-to-end (sizes aggregate -> sequence-explode
+    -> broadcast multiplicity join); the oracle mirrors the hash."""
+    cust = _t(spark, sf_dir, "customer").sort_by("c_custkey").group_by("c_nationkey")
+    picked = cust.sample(4, replace=True, seed=13)
+    return picked.summarise(
+        n=f.size(col("c_custkey")), key_sum=f.sum(col("c_custkey"))
+    ).lazy_sdf()

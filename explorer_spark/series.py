@@ -664,6 +664,7 @@ def _install_series_binops():
         "__truediv__": "divide", "__pow__": "pow", "__mod__": "remainder",
         "__gt__": "greater", "__ge__": "greater_equal",
         "__lt__": "less", "__le__": "less_equal",
+        "__eq__": "equal", "__ne__": "not_equal",
     }
     for dunder, op in dunders.items():
         def make(op=op):
@@ -671,7 +672,16 @@ def _install_series_binops():
                 return _series_binop(op, self, other, self.name)
             return fn
         setattr(Series, dunder, make())
+    # __eq__ returns an element-wise Series (like the rest of the operator
+    # surface), so identity hashing must be explicit, and truth-testing a
+    # Series is ambiguous (mirrors pandas/numpy)
     Series.__hash__ = lambda self: id(self)
+    def _no_bool(self):
+        raise ValueError(
+            "the truth value of a Series is ambiguous — use .all()/.any() "
+            "or compare with .equal()/.not_equal() and aggregate"
+        )
+    Series.__bool__ = _no_bool
 
 
 _install_series_binops()

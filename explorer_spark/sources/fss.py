@@ -70,8 +70,23 @@ def parse_s3(url: str, config: dict | S3Config | None = None) -> tuple[str, S3Co
     return key, cfg
 
 
+def s3a_available(spark) -> bool:
+    """True iff the Hadoop-S3A connector classes are on the JVM
+    classpath. The PySpark distribution does not BUNDLE hadoop-aws — on
+    clusters it ships via ``spark.jars.packages
+    org.apache.hadoop:hadoop-aws:<hadoop version>`` (plus the matching
+    aws-sdk bundle); this probe exists so a missing jar fails with an
+    actionable message instead of a deep ClassNotFoundException."""
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.hadoop.fs.s3a.S3AFileSystem")
+        return True
+    except Exception:
+        return False
+
+
 def apply_s3_config(spark, cfg: S3Config) -> None:
-    """Install the spec onto the session's Hadoop conf (fs.s3a.*)."""
+    """Install the spec onto the session's Hadoop conf (fs.s3a.*) —
+    pure conf mapping, no classpath requirement (tested directly)."""
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     hconf.set("fs.s3a.access.key", cfg.access_key_id)
     hconf.set("fs.s3a.secret.key", cfg.secret_access_key)
@@ -88,11 +103,22 @@ def apply_s3_config(spark, cfg: S3Config) -> None:
         hconf.set("fs.s3a.path.style.access", "true")
 
 
-def resolve_path(path: str, spark, config: dict | S3Config | None = None) -> str:
+def resolve_path(
+    path: str, spark, config: dict | S3Config | None = None, require_connector: bool = True
+) -> str:
     """``s3://...`` -> configure the session and return the s3a path;
-    any other scheme (local, s3a, hdfs, file) passes through untouched."""
+    any other scheme (local, s3a, hdfs, file) passes through untouched.
+    Fails up front with an actionable message when the S3A connector jar
+    is missing (``require_connector=False`` skips the probe — conf-only
+    wiring, e.g. when the jar loads later via spark.jars.packages)."""
     if not path.startswith("s3://"):
         return path
+    if require_connector and not s3a_available(spark):
+        raise RuntimeError(
+            "s3:// paths need the Hadoop-S3A connector on the JVM classpath; "
+            "add spark.jars.packages=org.apache.hadoop:hadoop-aws:<hadoop-version> "
+            "(not bundled with pip pyspark, and absent from this container)"
+        )
     key, cfg = parse_s3(path, config)
     apply_s3_config(spark, cfg)
     return f"s3a://{cfg.bucket}/{key}"

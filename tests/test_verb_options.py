@@ -40,9 +40,11 @@ def test_grouped_sample_frac_floor(grouped):
     assert out.groupby("g").size().to_dict() == {"a": 3, "b": 2, "c": 1}
 
 
-def test_grouped_sample_replace_raises(grouped):
-    with pytest.raises(NotImplementedError):
-        grouped.group_by("g").sample(3, replace=True)
+def test_grouped_sample_replace_exact(grouped):
+    # round 4: grouped replace=True is implemented (exact n per group,
+    # deterministic hash draws — see test_round4 for the full contract)
+    out = grouped.group_by("g").sample(3, replace=True, seed=4).to_pandas()
+    assert out.groupby("g").size().to_dict() == {"a": 3, "b": 3, "c": 3}
 
 
 def test_mutate_keep_none_grouped(grouped):
