@@ -48,6 +48,30 @@ def main() -> None:
         .mode("overwrite")
         .save()
     )
+    # regex + higher-order-function machinery: the java.util.regex and
+    # lambda-expression codegen paths JIT-compile on first use — several
+    # seconds of C2 time that used to land on whichever text query ran
+    # first (measured: q_string_ops 2.9s cold vs 0.2s warm at sf0.1)
+    (
+        spark.range(20_000)
+        .select(F.concat(F.lit("warm up 10.0.0."), (F.col("id") % 256).cast("string")).alias("s"))
+        .select(
+            F.regexp_replace(F.col("s"), r"\d+", "#").alias("r"),
+            F.regexp_count(F.col("s"), F.lit(r"\b\d+\b")).alias("c"),
+            F.regexp_extract(F.col("s"), r"(\d+)", 1).alias("e"),
+            F.aggregate(
+                F.filter(
+                    F.transform(F.split(F.col("s"), r"\s+"), lambda w: F.length(w)),
+                    lambda x: x > 0,
+                ),
+                F.lit(0),
+                lambda a, b: a + b,
+            ).alias("h"),
+        )
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     timings: dict[str, float] = {}

@@ -283,3 +283,74 @@ def repetition_stats(text: Column) -> dict[str, Column]:
         "dup_word_fraction": dup_word_fraction,
         "top_word_share": top_word_share,
     }
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (round 4)
+# ---------------------------------------------------------------------------
+
+# RE2-compatible patterns (no lookaround), so the same strings run in
+# Spark (java.util.regex) and DuckDB (RE2) — oracle-reproducible.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def scrub_pii(sdf, text_col: str = "text", out_col: str = "scrubbed", with_counts: bool = True):
+    """Redact emails/phones/IPv4s with ``<EMAIL>``/``<PHONE>``/``<IPV4>``
+    tokens, optionally counting matches per category first (counts are
+    against the ORIGINAL text). Pure regexp_count/regexp_replace column
+    expressions — JVM-side, codegen, no shuffle, linear at any scale.
+    Replacement applies in the fixed PII_PATTERNS order (email before
+    phone before ipv4) so engines agree on overlapping matches."""
+    out = sdf
+    src = F.col(text_col)
+    if with_counts:
+        for name, pat in PII_PATTERNS.items():
+            out = out.withColumn(f"n_{name}", F.regexp_count(src, F.lit(pat)))
+    scrubbed = src
+    for name, pat in PII_PATTERNS.items():
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{name.upper()}>")
+    return out.withColumn(out_col, scrubbed)
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (round 4)
+# ---------------------------------------------------------------------------
+
+
+def decontaminate_ngrams(
+    corpus,
+    eval_frame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Benchmark decontamination: flag corpus docs sharing any word
+    n-gram with an evaluation set (the standard contamination check a
+    training pipeline runs before a data release — cf. GPT-3 appendix C /
+    PaLM-style 8-gram overlap).
+
+    Plan shape for 100 TB: the eval side collapses to DISTINCT n-grams
+    (eval sets are small — thousands of docs) and BROADCASTS; the corpus
+    side is a map-only explode feeding a broadcast hash join, so the
+    corpus never shuffles — the only exchange is the final per-doc
+    aggregate of matched grams. Returns (id_col,
+    n_contaminated_ngrams) for every corpus doc with >= 1 hit.
+    """
+    # shingle_rows (posexplode + leads) keeps gram generation inside
+    # whole-stage codegen — the array_distinct(transform(...)) expression
+    # form runs interpreted, ~6x slower in bulk (same lesson as the
+    # jaccard pipeline)
+    lower_ev = eval_frame.select(F.col(id_col), F.lower(F.col(text_col)).alias(text_col))
+    ev = shingle_rows(lower_ev, id_col, text_col, n).select(
+        F.col("shingle").alias("__g__")
+    ).distinct()
+    lower_c = corpus.select(F.col(id_col), F.lower(F.col(text_col)).alias(text_col))
+    cg = shingle_rows(lower_c, id_col, text_col, n).select(
+        F.col(id_col), F.col("shingle").alias("__g__")
+    )
+    hits = cg.join(F.broadcast(ev), "__g__")
+    return hits.groupBy(id_col).agg(F.count_distinct(F.col("__g__")).alias("n_contaminated_ngrams"))

@@ -617,16 +617,35 @@ _SW = "('the','a','an','and','or','of','to','in','is','it')"
     """,
 )
 def q_text_stats(spark, sf_dir):
-    """Token counting + quality components per lang (all built-ins)."""
-    from .operators.text import mean_word_length, stopword_ratio, token_count
+    """Token counting + quality components per lang.
+
+    One explode + ONE codegen hash-aggregate per doc computes token
+    count, stopword hits and summed word length together — the
+    higher-order filter/aggregate lambdas this replaced are
+    CodegenFallback (interpreted per word: ~6s at sf0.1 vs ~1s here).
+    Words of a doc are co-located, so map-side combine collapses the
+    shuffle to one row per doc."""
+    from .operators.text import STOPWORDS, words
 
     docs = _t(spark, sf_dir, "documents").lazy_sdf()
-    enriched = docs.select(
+    ws_rows = docs.select(
+        "doc_id",
         "lang",
-        token_count(SF.col("text")).alias("n_tokens"),
-        SF.col("n_chars"),
-        stopword_ratio(SF.col("text")).alias("sw_ratio"),
-        mean_word_length(SF.col("text")).alias("mwl"),
+        "n_chars",
+        (SF.length(SF.trim(SF.col("text"))) == 0).alias("__empty__"),
+        SF.explode(words(SF.col("text"))).alias("__w__"),
+    )
+    per_doc = ws_rows.groupBy("doc_id", "lang", "n_chars", "__empty__").agg(
+        SF.count(SF.lit(1)).alias("__nw__"),
+        SF.sum(SF.length("__w__")).alias("__wl__"),
+        SF.sum(SF.when(SF.lower(SF.col("__w__")).isin(STOPWORDS), 1).otherwise(0)).alias("__sw__"),
+    )
+    enriched = per_doc.select(
+        "lang",
+        SF.when(SF.col("__empty__"), 0).otherwise(SF.col("__nw__")).alias("n_tokens"),
+        "n_chars",
+        (SF.col("__sw__").cast("double") / SF.col("__nw__")).alias("sw_ratio"),
+        (SF.col("__wl__").cast("double") / SF.col("__nw__")).alias("mwl"),
     )
     return enriched.groupBy("lang").agg(
         SF.count(SF.lit(1)).alias("n_docs"),
@@ -1032,3 +1051,98 @@ def q_embed_quantize_int8(spark, sf_dir):
             SF.round(SF.avg("__mse__"), 9).alias("avg_mse"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing + benchmark decontamination (round 4)
+# ---------------------------------------------------------------------------
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+@query(
+    "q_text_pii_scrub",
+    f"""
+    WITH synth AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com ip 10.0.0.' || CAST(doc_id % 256 AS VARCHAR)
+                    || ' tel 555-867-5309' AS text
+        FROM documents WHERE doc_id < 500
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_email,
+           len(regexp_extract_all(text, '{_PII_PHONE}')) AS n_phone,
+           len(regexp_extract_all(text, '{_PII_IPV4}')) AS n_ipv4,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+               '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g'),
+               '{_PII_IPV4}', '<IPV4>', 'g')) AS scrub_hash
+    FROM synth
+    """,
+)
+def q_text_pii_scrub(spark, sf_dir):
+    """PII redaction (operators/text.scrub_pii): per-category regex
+    counts + sequential token replacement, all JVM-side regexp_count/
+    regexp_replace (RE2-compatible patterns, so DuckDB reproduces both
+    the counts and the md5 of the scrubbed text). PII is synthesized
+    onto each doc identically on both sides so every category actually
+    fires."""
+    from .operators.text import scrub_pii
+
+    docs = _t(spark, sf_dir, "documents").lazy_sdf().filter(SF.col("doc_id") < 500)
+    synth = docs.select(
+        "doc_id",
+        SF.concat(
+            SF.col("text"),
+            SF.lit(" contact user"),
+            SF.col("doc_id").cast("string"),
+            SF.lit("@example.com ip 10.0.0."),
+            (SF.col("doc_id") % 256).cast("string"),
+            SF.lit(" tel 555-867-5309"),
+        ).alias("text"),
+    )
+    out = scrub_pii(synth, text_col="text", out_col="scrubbed")
+    return out.select(
+        "doc_id", "n_email", "n_phone", "n_ipv4", SF.md5(SF.col("scrubbed")).alias("scrub_hash")
+    )
+
+
+_DECON_N = 5
+_DECON_SH = (
+    f"list_distinct(list_transform(range(1, greatest(len(ws) - {_DECON_N - 2}, 1)), "
+    f"i -> array_to_string(list_slice(ws, i, i + {_DECON_N - 1}), ' ')))"
+)
+
+
+@query(
+    "q_text_decontaminate",
+    f"""
+    WITH ev AS (
+        SELECT DISTINCT g FROM (
+            SELECT unnest({_DECON_SH}) AS g
+            FROM (SELECT {_WORDS.format(t="lower(text)")} AS ws FROM documents WHERE doc_id < 20)
+        )
+    ),
+    cg AS (
+        SELECT doc_id, unnest({_DECON_SH}) AS g
+        FROM (SELECT doc_id, {_WORDS.format(t="lower(text)")} AS ws FROM documents WHERE doc_id >= 20)
+    )
+    SELECT doc_id, COUNT(DISTINCT g) AS n_contaminated_ngrams
+    FROM cg JOIN ev USING (g) GROUP BY doc_id
+    """,
+)
+def q_text_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (operators/text.decontaminate_ngrams):
+    corpus docs sharing any word 5-gram with the doc_id<20 'eval set'.
+    Eval grams collapse to distinct + broadcast; the corpus side is a
+    map-only explode into a broadcast hash join (corpus never shuffles
+    — the 100 TB shape; cf. GPT-3 appx C n-gram overlap)."""
+    from .operators.text import decontaminate_ngrams
+
+    docs = _t(spark, sf_dir, "documents").lazy_sdf()
+    ev = docs.filter(SF.col("doc_id") < 20)
+    corpus = docs.filter(SF.col("doc_id") >= 20)
+    return decontaminate_ngrams(corpus, ev, n=_DECON_N)
