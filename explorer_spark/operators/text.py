@@ -354,3 +354,43 @@ def decontaminate_ngrams(
     )
     hits = cg.join(F.broadcast(ev), "__g__")
     return hits.groupBy(id_col).agg(F.count_distinct(F.col("__g__")).alias("n_contaminated_ngrams"))
+
+
+# ---------------------------------------------------------------------------
+# C4-style line cleaning (round 4)
+# ---------------------------------------------------------------------------
+
+
+def clean_lines(sdf, text_col: str = "text", id_col: str = "doc_id", min_words: int = 3, out_col: str = "clean_text"):
+    """C4-style boilerplate line filtering (Raffel et al. 2020 §2.2):
+    keep only lines with >= ``min_words`` words AND terminal punctuation,
+    rejoin survivors in original line order. Docs with no surviving line
+    come back with an empty string (kept, so callers can drop or inspect).
+
+    Plan: posexplode lines (codegen) -> codegen filter -> one groupBy per
+    doc re-assembling via array_sort(collect_list(struct(pos, line))) —
+    the per-line work never leaves whole-stage codegen and the only
+    shuffle carries surviving lines keyed by doc."""
+    lines = sdf.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), "\n")).alias("__ln__", "__line__")
+    )
+    keep = lines.filter(
+        (F.size(F.split(F.trim(F.col("__line__")), r"\s+")) >= min_words)
+        & F.col("__line__").rlike(r"[.!?]$")
+    )
+    agg = keep.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_lines_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__ln__", "__line__"))),
+                lambda s: s["__line__"],
+            ),
+            "\n",
+        ).alias(out_col),
+    )
+    base = sdf.select(F.col(id_col))
+    return base.join(agg, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_lines_kept"), F.lit(0)).alias("n_lines_kept"),
+        F.coalesce(F.col(out_col), F.lit("")).alias(out_col),
+    )

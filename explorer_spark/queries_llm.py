@@ -1146,3 +1146,54 @@ def q_text_decontaminate(spark, sf_dir):
     ev = docs.filter(SF.col("doc_id") < 20)
     corpus = docs.filter(SF.col("doc_id") >= 20)
     return decontaminate_ngrams(corpus, ev, n=_DECON_N)
+
+
+_C4_SYNTH_SQL = (
+    "list_transform(range(1, CAST(ceil(len(ws)/8.0) AS INT) + 1), "
+    "i -> array_to_string(list_slice(ws, (i-1)*8+1, (i-1)*8+8), ' ') "
+    "|| CASE WHEN i % 2 = 0 THEN '.' ELSE '' END)"
+)
+
+
+@query(
+    "q_text_line_clean",
+    f"""
+    WITH ws_t AS (
+        SELECT doc_id, {_WORDS.format(t="text")} AS ws FROM documents WHERE doc_id < 500
+    ),
+    synth AS (SELECT doc_id, {_C4_SYNTH_SQL} AS lines FROM ws_t),
+    cleaned AS (
+        SELECT doc_id,
+               list_filter(lines, l -> len(string_split_regex(trim(l), '\s+')) >= 3
+                                       AND regexp_matches(l, '[.!?]$')) AS keep
+        FROM synth
+    )
+    SELECT doc_id, len(keep) AS n_lines_kept,
+           md5(COALESCE(array_to_string(keep, chr(10)), '')) AS clean_hash
+    FROM cleaned
+    """,
+)
+def q_text_line_clean(spark, sf_dir):
+    """C4-style boilerplate line filtering (operators/text.clean_lines;
+    Raffel et al. 2020 §2.2): keep lines with >=3 words and terminal
+    punctuation, rejoin in order. The synthetic corpus has no newlines,
+    so line structure is synthesized identically on both sides (8-word
+    lines, '.' on even lines) — the oracle then re-runs the filter with
+    DuckDB list functions and compares count + md5 of the cleaned text."""
+    from .operators.text import clean_lines, words
+
+    docs = _t(spark, sf_dir, "documents").lazy_sdf().filter(SF.col("doc_id") < 500)
+    ws = words(SF.col("text"))
+    nlines = SF.ceil(SF.size(ws) / SF.lit(8.0)).cast("int")
+    lines = SF.transform(
+        SF.sequence(SF.lit(1), nlines),
+        lambda i: SF.concat(
+            SF.array_join(SF.slice(ws, (i - 1) * 8 + 1, 8), " "),
+            SF.when(i % 2 == 0, SF.lit(".")).otherwise(SF.lit("")),
+        ),
+    )
+    synth = docs.select("doc_id", SF.array_join(lines, "\n").alias("text"))
+    out = clean_lines(synth, text_col="text", id_col="doc_id", min_words=3)
+    return out.select(
+        "doc_id", "n_lines_kept", SF.md5(SF.col("clean_text")).alias("clean_hash")
+    )

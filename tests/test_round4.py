@@ -198,3 +198,23 @@ def test_s3_guard_actionable_without_s3a_jar(spark):
     else:
         with pytest.raises(RuntimeError, match="hadoop-aws"):
             resolve_path("s3://b/key.parquet", spark, cfg)
+
+
+# ---------------------------------------------------------------------------
+# C4-style line cleaning
+# ---------------------------------------------------------------------------
+
+
+def test_clean_lines_order_and_filters(spark):
+    from explorer_spark.operators.text import clean_lines
+
+    rows = [
+        (1, "first line keeps this.\nno punct line here\nshort.\nlast line also kept!"),
+        (2, "nothing survives here"),
+    ]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in clean_lines(sdf, min_words=3).collect()}
+    assert got[1].n_lines_kept == 2
+    # original line order preserved
+    assert got[1].clean_text == "first line keeps this.\nlast line also kept!"
+    assert got[2].n_lines_kept == 0 and got[2].clean_text == ""
