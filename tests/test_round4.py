@@ -218,3 +218,15 @@ def test_clean_lines_order_and_filters(spark):
     # original line order preserved
     assert got[1].clean_text == "first line keeps this.\nlast line also kept!"
     assert got[2].n_lines_kept == 0 and got[2].clean_text == ""
+
+
+def test_sample_replace_draws_roughly_uniform(spark):
+    """The md5-prefix draw stream behaves like a uniform RNG: 3000 draws
+    over 10 rows hit every row, each within generous binomial bounds."""
+    from collections import Counter
+
+    df = _frame(spark, x=list(range(10)))
+    rows = df.sample(3000, replace=True, seed=11).to_columns()["x"]
+    c = Counter(rows)
+    assert len(c) == 10
+    assert all(200 <= v <= 400 for v in c.values()), c

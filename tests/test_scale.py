@@ -270,3 +270,44 @@ def test_fan_out_small_gates(spark):
     assert fanned.rdd.getNumPartitions() == par
     wide = one.repartition(par)
     assert fan_out_small(wide) is wide
+
+
+def test_decontaminate_plan_is_broadcast_equi_join(spark):
+    """The contamination check must never plan a cartesian/BNL: eval
+    grams broadcast into a hash join; the corpus side is map-only."""
+    from explorer_spark.operators.text import decontaminate_ngrams
+    from explorer_spark.sources import read_parquet
+
+    docs = read_parquet("/root/testdata/sf0.001/documents.parquet", spark=spark).lazy_sdf()
+    out = decontaminate_ngrams(
+        docs.filter(F.col("doc_id") >= 20), docs.filter(F.col("doc_id") < 20), n=5
+    )
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_brute_force_small_queries_has_no_join(spark):
+    """With a collected query set the ANN brute-force plan contains NO
+    join operator at all — the query matrix rides inside one Arrow UDF
+    and the corpus only scans."""
+    from explorer_spark.operators.similarity import brute_force_topk
+    from explorer_spark.sources import read_parquet
+
+    emb = read_parquet("/root/testdata/sf0.001/embeddings.parquet", spark=spark).lazy_sdf()
+    out = brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=3)
+    plan = _plan(out)
+    assert "Join" not in plan, plan
+    assert "ArrowEvalPython" in plan
+
+
+def test_sample_replace_plan_broadcasts_multiplicities(spark):
+    """Replacement sampling resolves draws via a BROADCAST multiplicity
+    join — the frame side never shuffles for the join itself."""
+    from explorer_spark.sources import read_parquet
+
+    reg = read_parquet("/root/testdata/sf0.001/region.parquet", spark=spark)
+    out = reg.sample(12, replace=True, seed=3)
+    plan = _plan(out.lazy_sdf())
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
