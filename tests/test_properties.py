@@ -293,3 +293,63 @@ def test_join_asof_by_keys_matches_pandas(spark, n, strategy, seed):
     got_rv = [None if v != v else int(v) for v in got["rv"].astype("float64")]
     want_rv = [None if v != v else int(v) for v in want["rv"].astype("float64")]
     assert got_rv == want_rv, (strategy, seed)
+
+
+# ---------------------------------------------------------------------------
+# round-4 ops: replacement sampling, PII scrub, line cleaning
+# ---------------------------------------------------------------------------
+
+
+@given(
+    xs=st.lists(st.integers(min_value=0, max_value=1000), min_size=1, max_size=12),
+    n=st.integers(min_value=0, max_value=30),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(**_SETTINGS)
+def test_sample_replace_always_exact_n(spark, xs, n, seed):
+    df = ex.from_columns({"x": xs}, spark=spark)
+    got = df.sample(n, replace=True, seed=seed).to_columns()["x"]
+    assert len(got) == n
+    assert set(got) <= set(xs)
+
+
+@given(xs=st.lists(st.text(max_size=40), min_size=1, max_size=10))
+@settings(**_SETTINGS)
+def test_clean_lines_matches_python_model(spark, xs):
+    """clean_lines == the obvious per-doc Python model on arbitrary text."""
+    import re
+
+    from explorer_spark.operators.text import clean_lines
+
+    text = "\n".join(xs)
+    sdf = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = clean_lines(sdf, min_words=2).collect()[0]
+
+    def keep(line):
+        return len([w for w in line.strip().split() if w]) >= 2 and re.search(r"[.!?]$", line)
+
+    want = [l for l in text.split("\n") if keep(l)]
+    assert got.n_lines_kept == len(want)
+    assert got.clean_text == "\n".join(want)
+
+
+@given(body=st.text(alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters="@"), max_size=60))
+@settings(**_SETTINGS)
+def test_scrub_pii_counts_match_python_re(spark, body):
+    """Spark regexp_count/replace agree with Python re on arbitrary text
+    with one appended known-PII suffix (patterns are RE2/Java/Python
+    compatible by construction)."""
+    import re
+
+    from explorer_spark.operators.text import PII_PATTERNS, scrub_pii
+
+    text = body + " reach me: a.b@c.io or 10.0.0.7 tel 555-123-4567"
+    sdf = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = scrub_pii(sdf).collect()[0]
+    assert row.n_email == len(re.findall(PII_PATTERNS["email"], text))
+    assert row.n_phone == len(re.findall(PII_PATTERNS["phone"], text))
+    assert row.n_ipv4 == len(re.findall(PII_PATTERNS["ipv4"], text))
+    scrubbed = text
+    for name, pat in PII_PATTERNS.items():
+        scrubbed = re.sub(pat, f"<{name.upper()}>", scrubbed)
+    assert row.scrubbed == scrubbed
