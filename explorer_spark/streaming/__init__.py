@@ -130,3 +130,12 @@ def write_exactly_once(df: SDF, out_dir: str, checkpoint_dir: str, query_name: s
         .trigger(availableNow=True)
         .start()
     )
+
+
+def enrich_stream(events: SDF, dim: SDF, on, how: str = "left") -> SDF:
+    """Stream-static enrichment join — the standard dimension-lookup shape
+    for an ingest pipeline (events stream ⋈ slowly-changing dim table).
+    Spark re-plans the static side per micro-batch (so a refreshed dim
+    parquet is picked up) and broadcasts it when small; stateless, so no
+    watermark is needed. Works identically on batch frames."""
+    return events.join(dim, on, how)

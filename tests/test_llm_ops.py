@@ -376,3 +376,29 @@ def test_neardup_components_iterative_path(spark, monkeypatch):
     got = {r.vertex: r.component for r in dd.neardup_components(pairs).collect()}
     assert got == want
     assert want[4] == 1 and want[22] == 20 and want[11] == 10
+
+
+def test_stream_static_enrichment_matches_batch(spark, tmp_path):
+    """Stream-static join: events stream enriched against a static dim
+    produces exactly the batch join's rows."""
+    from explorer_spark.streaming import enrich_stream, run_stream_once
+
+    src = str(tmp_path / "ev")
+    events = spark.createDataFrame(
+        [(i, i % 3) for i in range(30)], "event_id long, user_id long"
+    )
+    events.write.parquet(src)
+    dim = spark.createDataFrame(
+        [(0, "bronze"), (1, "silver"), (2, "gold")], "user_id long, tier string"
+    )
+    got = run_stream_once(
+        spark,
+        src,
+        lambda s: enrich_stream(s, dim, "user_id"),
+        query_name="enriched",
+        output_mode="append",  # stateless join, not an aggregation
+    )
+    want = events.join(dim, "user_id")
+    assert sorted((r.event_id, r.tier) for r in got.collect()) == sorted(
+        (r.event_id, r.tier) for r in want.collect()
+    )
