@@ -221,15 +221,30 @@ def ivf_topk(
 
 
 def assign_cells(corpus: SDF, centroids: SDF, vec_col: str = "embedding", centroid_col: str = "centroid") -> SDF:
-    """Nearest-centroid assignment (the trained-IVF building block):
-    broadcast the centroid table, argmin cosine distance per row."""
-    cent = centroids.select(F.col("cell_id"), F.col(centroid_col).alias("__cent__"))
-    joined = corpus.crossJoin(F.broadcast(cent))
-    d = F.lit(1.0) - cosine(F.col(vec_col), F.col("__cent__"))
-    w = W.partitionBy(*[corpus[c] for c in corpus.columns]).orderBy(d.asc(), F.col("cell_id").asc())
-    # partitioning by all corpus columns is row identity; callers with an
-    # id column should prefer that — provided for generality
-    return joined.withColumn("__rn__", F.row_number().over(w)).filter(F.col("__rn__") == 1).drop("__rn__", "__cent__")
+    """Nearest-centroid assignment (the trained-IVF building block).
+
+    The centroid table is small BY DEFINITION (coarse quantizer), so it
+    collects to the driver and rides inside one Arrow UDF computing every
+    centroid similarity per row; the argmin resolves with array functions.
+    No join, no window, no shuffle — one map pass over the corpus (the
+    previous version cross-joined + windowed by every corpus column for
+    row identity, which degenerates on wide frames)."""
+    cent_rows = centroids.select(F.col("cell_id"), F.col(centroid_col).alias("__cent__")).collect()
+    cent_rows.sort(key=lambda r: r["cell_id"])
+    import numpy as np
+
+    C = np.asarray([list(r["__cent__"]) for r in cent_rows], dtype="float64")
+    norms = np.sqrt((C * C).sum(axis=1))
+    ids = [r["cell_id"] for r in cent_rows]
+    dots = _centroid_dots_udf([c.tolist() for c in C])
+    id_type = centroids.schema["cell_id"].dataType
+    id_arr = F.array(*[F.lit(i).cast(id_type) for i in ids])
+    norm_arr = F.array(*[F.lit(float(x)) for x in norms])
+    # cosine distance = 1 - dot/(|v||c|): |v| is constant per row, so the
+    # argmin over cells only needs dot/|c| — skip the row norm entirely
+    scaled = F.zip_with(dots(F.col(vec_col)), norm_arr, lambda d, n: d / n)
+    best = F.array_position(scaled, F.array_max(scaled))  # first argmax, 1-based
+    return corpus.withColumn("cell_id", F.element_at(id_arr, best.cast("int")))
 
 
 def kmeans_fit(

@@ -402,3 +402,27 @@ def test_stream_static_enrichment_matches_batch(spark, tmp_path):
     assert sorted((r.event_id, r.tier) for r in got.collect()) == sorted(
         (r.event_id, r.tier) for r in want.collect()
     )
+
+
+def test_assign_cells_nearest_centroid(spark):
+    """assign_cells: one Arrow map pass (no join/window) assigning each
+    vector its max-cosine cell; ties take the smallest cell_id."""
+    from explorer_spark.operators.similarity import assign_cells
+
+    cent = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "cell_id int, centroid array<double>"
+    )
+    corpus = spark.createDataFrame(
+        [(10, [0.9, 0.1]), (11, [0.2, 0.8]), (12, [0.5, 0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r.vec_id: r.cell_id for r in assign_cells(corpus, cent).collect()}
+    assert got == {10: 0, 11: 1, 12: 0}  # 12 ties -> smallest cell_id
+    # plan shape: no join operator at all
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assign_cells(corpus, cent).explain("formatted")
+    assert "Join" not in buf.getvalue()
