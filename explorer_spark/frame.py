@@ -386,8 +386,26 @@ class DataFrame:
         idx_df = self._with_row_index("__pos__")
         vals = spark.createDataFrame([(i, v) for i, v in enumerate(values)], ["__pos__", name])
         left = idx_df._sdf.drop(name) if name in self.names else idx_df._sdf
-        joined = left.join(F.broadcast(vals), "__pos__", "left")
-        return idx_df._replace(joined.drop("__pos__"), aligned=True)
+        # same mismatch guard as the Series branch: a full-outer keeps any
+        # unmatched row from either side and the raise_error branch fires
+        left = left.withColumn("__lhs_ok__", F.lit(True))
+        vals = vals.withColumn("__sv_ok__", F.lit(True))
+        # full outer can't broadcast-hash (falls back to a shuffle join),
+        # so alignment is NOT preserved — don't claim it
+        joined = left.join(vals, "__pos__", "full")
+        ok = F.col("__lhs_ok__").isNotNull() & F.col("__sv_ok__").isNotNull()
+        joined = joined.withColumn(
+            name,
+            F.when(ok, F.col(name)).otherwise(
+                F.raise_error(
+                    F.lit(
+                        "put: length of the list must match the number of rows "
+                        f"in the frame (column {name!r})"
+                    )
+                )
+            ),
+        ).drop("__pos__", "__lhs_ok__", "__sv_ok__")
+        return idx_df._replace(joined)
 
     # ------------------------------------------------------------------
     # filter / mutate / summarise

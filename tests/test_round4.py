@@ -230,3 +230,12 @@ def test_sample_replace_draws_roughly_uniform(spark):
     c = Counter(rows)
     assert len(c) == 10
     assert all(200 <= v <= 400 for v in c.values()), c
+
+
+def test_put_list_length_mismatch_raises(spark):
+    df = _frame(spark, x=[1, 2, 3])
+    with pytest.raises(Exception, match="length"):
+        df.put("y", [10, 20]).to_columns()
+    with pytest.raises(Exception, match="length"):
+        df.put("y", [10, 20, 30, 40]).to_columns()
+    assert df.put("y", [10, 20, 30]).to_columns()["y"] == [10, 20, 30]
