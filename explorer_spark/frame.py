@@ -48,6 +48,13 @@ def _resolve_seed(seed) -> int:
     return int(seed)
 
 
+def _known_count(frame: "DataFrame") -> int:
+    """Exact row count of a frame that just went through the row-index
+    kernel — free from its stats job; a real count() only as fallback."""
+    n = getattr(frame, "_row_count_hint", None)
+    return int(n) if n is not None else frame._sdf.count()
+
+
 def _hash_draw(parts: list[Column]) -> Column:
     """Deterministic uniform draw in [0, 2^32): the first 8 hex chars of
     md5('|'-joined parts) as an integer. Engine-portable (any SQL engine
@@ -352,60 +359,33 @@ class DataFrame:
 
         if isinstance(values, _Series):
             idx_df = self._with_row_index("__pos__")
-            sv = (
-                values._frame._with_row_index("__pos__")
-                ._sdf.select(
-                    "__pos__",
-                    F.col(values.name).alias(name),
-                    F.lit(True).alias("__sv_ok__"),
+            sv_frame = values._frame._with_row_index("__pos__")
+            # EAGER length validation (reference put/3 raises on size
+            # mismatch): the row-index kernel's stats job already knows
+            # each side's exact count, so this is free — and deterministic,
+            # unlike weaving raise_error into a column Catalyst may prune.
+            n_l = _known_count(idx_df)
+            n_r = _known_count(sv_frame)
+            if n_l != n_r:
+                raise ValueError(
+                    f"put: length of the series ({n_r}) must match the number "
+                    f"of rows in the frame ({n_l}) (column {name!r})"
                 )
-            )
+            sv = sv_frame._sdf.select("__pos__", F.col(values.name).alias(name))
             left = idx_df._sdf.drop(name) if name in self.names else idx_df._sdf
-            left = left.withColumn("__lhs_ok__", F.lit(True))
-            # Full-outer on the row index: a length mismatch leaves one
-            # side's marker null on some row, and the raise_error branch
-            # (woven into the value column, so Catalyst can't fold it
-            # away) raises the reference's size-mismatch error at
-            # execution time — no extra count jobs (reference put/3
-            # raises on size mismatch).
-            joined = left.join(sv, "__pos__", "full")
-            ok = F.col("__lhs_ok__").isNotNull() & F.col("__sv_ok__").isNotNull()
-            joined = joined.withColumn(
-                name,
-                F.when(ok, F.col(name)).otherwise(
-                    F.raise_error(
-                        F.lit(
-                            "put: length of the series must match the number of rows "
-                            f"in the frame (column {name!r})"
-                        )
-                    )
-                ),
-            ).drop("__pos__", "__lhs_ok__", "__sv_ok__")
-            return idx_df._replace(joined)
-        spark = self._sdf.sparkSession
+            return idx_df._replace(left.join(sv, "__pos__", "left").drop("__pos__"))
         idx_df = self._with_row_index("__pos__")
+        n_l = _known_count(idx_df)
+        if n_l != len(values):
+            raise ValueError(
+                f"put: length of the list ({len(values)}) must match the number "
+                f"of rows in the frame ({n_l}) (column {name!r})"
+            )
+        spark = self._sdf.sparkSession
         vals = spark.createDataFrame([(i, v) for i, v in enumerate(values)], ["__pos__", name])
         left = idx_df._sdf.drop(name) if name in self.names else idx_df._sdf
-        # same mismatch guard as the Series branch: a full-outer keeps any
-        # unmatched row from either side and the raise_error branch fires
-        left = left.withColumn("__lhs_ok__", F.lit(True))
-        vals = vals.withColumn("__sv_ok__", F.lit(True))
-        # full outer can't broadcast-hash (falls back to a shuffle join),
-        # so alignment is NOT preserved — don't claim it
-        joined = left.join(vals, "__pos__", "full")
-        ok = F.col("__lhs_ok__").isNotNull() & F.col("__sv_ok__").isNotNull()
-        joined = joined.withColumn(
-            name,
-            F.when(ok, F.col(name)).otherwise(
-                F.raise_error(
-                    F.lit(
-                        "put: length of the list must match the number of rows "
-                        f"in the frame (column {name!r})"
-                    )
-                )
-            ),
-        ).drop("__pos__", "__lhs_ok__", "__sv_ok__")
-        return idx_df._replace(joined)
+        joined = left.join(F.broadcast(vals), "__pos__", "left")
+        return idx_df._replace(joined.drop("__pos__"), aligned=True)
 
     # ------------------------------------------------------------------
     # filter / mutate / summarise
@@ -450,27 +430,20 @@ class DataFrame:
         if isinstance(bool_col, _Series):
             idxed = self._with_row_index("__mi__")
             pf = bool_col._frame._with_row_index("__mi__")
+            # EAGER length validation (reference mask raises on size
+            # mismatch) via the row-index kernels' known counts — see put()
+            n_l = _known_count(idxed)
+            n_r = _known_count(pf)
+            if n_l != n_r:
+                raise ValueError(
+                    f"mask: length of the mask series ({n_r}) must match "
+                    f"the number of rows in the frame ({n_l})"
+                )
             pred = pf._sdf.select(
                 F.col("__mi__"), F.col(bool_col.name).cast("boolean").alias("__mv__")
             )
-            # Full-outer on the row index so a length mismatch is an
-            # ERROR (reference mask raises on size mismatch), not a
-            # silent drop/pad: a missing side leaves __mm__/frame cols
-            # null and raise_error fires at execution time.
-            left = idxed._sdf.withColumn("__mf__", F.lit(True))
-            pred = pred.withColumn("__mm__", F.lit(True))
-            joined = left.join(pred, "__mi__", "full")
-            ok = F.col("__mf__").isNotNull() & F.col("__mm__").isNotNull()
-            checked = F.when(ok, F.col("__mv__")).otherwise(
-                F.raise_error(
-                    F.lit("mask: length of the mask series must match the number of rows in the frame")
-                )
-            )
-            out = (
-                joined.withColumn("__mv__", checked)
-                .filter(F.col("__mv__"))
-                .drop("__mi__", "__mv__", "__mf__", "__mm__")
-            )
+            keep = pred.filter(F.col("__mv__")).drop("__mv__")
+            out = idxed._sdf.join(keep, "__mi__", "inner").drop("__mi__")
             return idxed._replace(out)
         if isinstance(bool_col, Expr):
             bool_col = bool_col.lower(self._ctx())
@@ -980,7 +953,11 @@ class DataFrame:
                 (_hash_draw([F.lit(str(seed)), F.col("id").cast("string")]) % total).alias("__pos__")
             )
             mult = draws.groupBy("__pos__").agg(F.count(F.lit(1)).alias("__mult__"))
-            picked = idxed._sdf.join(F.broadcast(mult), "__pos__", "inner")
+            # no broadcast HINT: the multiplicity table is O(min(n, total))
+            # rows — AQE broadcasts it when small and shuffle-joins when a
+            # frac-scale sample makes it huge (forcing broadcast would cap
+            # sample size at the driver/broadcast limits)
+            picked = idxed._sdf.join(mult, "__pos__", "inner")
             out = (
                 picked.withColumn("__dup__", F.explode(F.sequence(F.lit(1), F.col("__mult__"))))
                 .drop("__mult__", "__dup__", "__pos__")
@@ -1032,7 +1009,8 @@ class DataFrame:
         cond = F.col("__gp__") == F.col("__gp2__")
         for i, g in enumerate(gcols):
             cond = cond & sdf[g].eqNullSafe(F.col(f"__mg{i}__"))  # null group keys are groups too
-        out = sdf.join(F.broadcast(mult), cond, "inner").drop(
+        # no broadcast hint — AQE decides (see the ungrouped branch)
+        out = sdf.join(mult, cond, "inner").drop(
             "__gp__", "__gp2__", *[f"__mg{i}__" for i in range(len(gcols))]
         )
         out = out.withColumn("__dup__", F.explode(F.sequence(F.lit(1), F.col("__mult__")))).drop(

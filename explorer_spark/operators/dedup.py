@@ -315,11 +315,15 @@ def simhash64_pandas(sdf: SDF, text_col: str = "text", key_col: str = "doc_id") 
 
     def _kernel(texts: pd.Series) -> pd.Series:
         import hashlib
+        import re
 
         words_per_doc = []
         digests = []
         for t in texts:
-            ws = (t or "").lower().split()
+            # EXACT Spark tokenization — split(trim(lower(t)), '\s+')
+            # yields [''] for empty text (one empty token), not []; the
+            # bare str.split() would diverge from simhash_bits there
+            ws = re.split(r"\s+", (t or "").lower().strip())
             words_per_doc.append(len(ws))
             for w in ws:
                 digests.append(hashlib.md5(w.encode()).digest()[:8])
@@ -332,12 +336,16 @@ def simhash64_pandas(sdf: SDF, text_col: str = "text", key_col: str = "doc_id") 
         # 64-bit integer at column j (matching (h >> j) & 1)
         raw = np.frombuffer(b"".join(digests), dtype="uint8").reshape(-1, 8)
         bits = np.unpackbits(raw[:, ::-1], axis=1, bitorder="little")  # col j = bit j
-        # per-doc bit sums over word ranges
+        # per-doc bit sums over word ranges. reduceat over ONLY the
+        # non-empty docs' starts (consecutive non-empty starts are
+        # strictly increasing and in-range); empty docs scatter back as
+        # zero rows — clamping empty starts instead would split the
+        # preceding doc's segment and corrupt its sums.
         starts = np.zeros(len(counts), dtype="int64")
         np.cumsum(counts[:-1], out=starts[1:])
-        # reduceat needs nonempty segments: mask empty docs afterwards
-        seg = np.add.reduceat(bits.astype("int64"), np.minimum(starts, len(bits) - 1), axis=0)
-        seg[counts == 0] = 0
+        nonempty = counts > 0
+        seg = np.zeros((n_docs, 64), dtype="int64")
+        seg[nonempty] = np.add.reduceat(bits.astype("int64"), starts[nonempty], axis=0)
         # bit j set iff 2*Σbit_j > n_words  (Σ(±1) > 0)
         set_bits = (2 * seg) > counts[:, None]
         weights = np.full(64, 0, dtype="int64")

@@ -149,13 +149,9 @@ def _brute_force_topk_collected(corpus: SDF, qrows: list, k: int, vec_col: str, 
             acc += float(x) * float(x)  # left fold, same IEEE ops as norm()
         qnorms.append(acc ** 0.5)
 
-    @F.pandas_udf("array<double>")
-    def _qdots(vs: pd.Series) -> pd.Series:
-        X = np.asarray(vs.tolist(), dtype="float64")
-        acc = np.zeros((len(X), Q.shape[0]), dtype="float64")
-        for kk in range(Q.shape[1]):
-            acc += X[:, kk : kk + 1] * Q[:, kk]
-        return pd.Series([row.tolist() for row in acc])
+    # all-query dots per corpus row: same broadcast-matrix kernel as the
+    # trained-IVF centroid assignment (exact left fold over dim)
+    _qdots = _centroid_dots_udf([q.tolist() for q in Q])
 
     id_type = corpus.schema[id_col].dataType
     qid_arr = F.array(*[F.lit(i).cast(id_type) for i in qids])

@@ -628,21 +628,32 @@ def q_text_stats(spark, sf_dir):
     from .operators.text import STOPWORDS, words
 
     docs = _t(spark, sf_dir, "documents").lazy_sdf()
+    # NULL text: coalesce to '' so the doc still explodes to one row (a
+    # doc must never vanish from n_docs/avg_chars), but carry the flag so
+    # the token metrics stay NULL like the oracle's (len(split(NULL)) is
+    # NULL in SQL, and AVG skips NULLs)
     ws_rows = docs.select(
         "doc_id",
         "lang",
         "n_chars",
-        (SF.length(SF.trim(SF.col("text"))) == 0).alias("__empty__"),
-        SF.explode(words(SF.col("text"))).alias("__w__"),
+        SF.col("text").isNull().alias("__isnull__"),
+        (SF.length(SF.trim(SF.coalesce(SF.col("text"), SF.lit("")))) == 0).alias("__empty__"),
+        SF.explode(words(SF.coalesce(SF.col("text"), SF.lit("")))).alias("__w__"),
     )
-    per_doc = ws_rows.groupBy("doc_id", "lang", "n_chars", "__empty__").agg(
+    per_doc = ws_rows.groupBy("doc_id", "lang", "n_chars", "__isnull__", "__empty__").agg(
         SF.count(SF.lit(1)).alias("__nw__"),
         SF.sum(SF.length("__w__")).alias("__wl__"),
         SF.sum(SF.when(SF.lower(SF.col("__w__")).isin(STOPWORDS), 1).otherwise(0)).alias("__sw__"),
     )
+    # oracle NULL-text semantics, exactly: n_tokens is NULL (ELSE branch
+    # evaluates len(split(NULL))), but sw_ratio/mwl fall into their CASEs'
+    # ELSE 0.0 — which the ''-explode already yields (0/1 = 0.0)
     enriched = per_doc.select(
         "lang",
-        SF.when(SF.col("__empty__"), 0).otherwise(SF.col("__nw__")).alias("n_tokens"),
+        SF.when(SF.col("__isnull__"), SF.lit(None))
+        .when(SF.col("__empty__"), 0)
+        .otherwise(SF.col("__nw__"))
+        .alias("n_tokens"),
         "n_chars",
         (SF.col("__sw__").cast("double") / SF.col("__nw__")).alias("sw_ratio"),
         (SF.col("__wl__").cast("double") / SF.col("__nw__")).alias("mwl"),
@@ -1057,9 +1068,12 @@ def q_embed_quantize_int8(spark, sf_dir):
 # PII scrubbing + benchmark decontamination (round 4)
 # ---------------------------------------------------------------------------
 
-_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-_PII_PHONE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
-_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+# single source of truth: the operator's own patterns feed the oracle SQL
+from .operators.text import PII_PATTERNS as _PII  # noqa: E402
+
+_PII_EMAIL = _PII["email"]
+_PII_PHONE = _PII["phone"]
+_PII_IPV4 = _PII["ipv4"]
 
 
 @query(

@@ -426,3 +426,22 @@ def test_assign_cells_nearest_centroid(spark):
     with redirect_stdout(buf):
         assign_cells(corpus, cent).explain("formatted")
     assert "Join" not in buf.getvalue()
+
+
+def test_simhash64_pandas_equals_expression_form(spark):
+    """The vectorized Arrow kernel is bit-identical to simhash_bits(64)
+    — including empty/whitespace docs and a trailing-empty batch (a
+    reduceat clamping bug once corrupted the last non-empty doc)."""
+    from explorer_spark.operators.dedup import simhash64_pandas, simhash_bits
+
+    rows = [
+        (1, "aaa bbb ccc"),
+        (2, ""),            # trailing empty in the batch
+        (3, "   "),         # whitespace-only
+        (4, "zz yy"),
+        (5, ""),
+    ]
+    sdf = spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(1)
+    a = {r.doc_id: r.simhash for r in simhash_bits(sdf, bits=64).collect()}
+    b = {r.doc_id: r.simhash64 for r in simhash64_pandas(sdf).collect()}
+    assert a == b, {k: (a[k], b.get(k)) for k in a if a[k] != b.get(k)}

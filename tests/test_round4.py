@@ -239,3 +239,23 @@ def test_put_list_length_mismatch_raises(spark):
     with pytest.raises(Exception, match="length"):
         df.put("y", [10, 20, 30, 40]).to_columns()
     assert df.put("y", [10, 20, 30]).to_columns()["y"] == [10, 20, 30]
+
+
+def test_put_mask_mismatch_raises_eagerly(spark):
+    """Length mismatch raises at CALL time (before any action), so no
+    downstream projection/pruning can hide it — a raise_error woven into
+    the value column could be pruned away with the column."""
+    from explorer_spark.series import Series
+
+    df = _frame(spark, x=[1, 2, 3])
+    long = Series.from_list([1, 2, 3, 4], name="v", spark=spark)
+    with pytest.raises(ValueError, match="length"):
+        df.put("y", long)  # no action needed
+    with pytest.raises(ValueError, match="length"):
+        df.put("y", [1, 2])
+    mask4 = Series.from_list([True, False, True, False], name="m", spark=spark)
+    with pytest.raises(ValueError, match="length"):
+        df.mask(mask4)
+    # and the select-away-the-column case can't silently pad rows
+    ok = Series.from_list([7, 8, 9], name="v", spark=spark)
+    assert df.put("y", ok).select(["x"]).to_columns()["x"] == [1, 2, 3]
