@@ -100,18 +100,14 @@ def fan_out_small(sdf, min_factor: int = 2):
     to the work it unlocks."""
     par = sdf.sparkSession.sparkContext.defaultParallelism
     gate = max(par // min_factor, 2)
-    # Fast negative first: inputFiles() only resolves the logical plan,
-    # and the file count lower-bounds the scan's split count (a parquet
-    # file yields >= 1 split) — at corpus scale (files >> cores) this
-    # skips the .rdd probe entirely, which runs full physical planning
-    # per call (VERDICT r3 flagged it as the hot-wrapper anti-pattern).
-    # Only genuinely small scans fall through to the precise probe,
-    # where planning cost is trivial next to the work being unlocked.
-    try:
-        if len(sdf.inputFiles()) >= gate:
-            return sdf
-    except Exception:
-        pass
+    # The probe must see the PHYSICAL partitioning: a file count is NOT a
+    # lower bound on scan splits (FileSourceScan bin-packs many small
+    # files into few FilePartitions, and an upstream coalesce/repartition
+    # is invisible to inputFiles()), so only rdd.getNumPartitions() — one
+    # physical-planning pass per call — answers correctly. Callers invoke
+    # this once per pipeline build, not per row/batch, so the planning
+    # cost is bounded and the wrong-parallelism failure mode (a whole
+    # md5/Arrow pipeline on 1-2 tasks) is far costlier.
     if sdf.rdd.getNumPartitions() < gate:
         return sdf.repartition(par)
     return sdf

@@ -320,10 +320,15 @@ def simhash64_pandas(sdf: SDF, text_col: str = "text", key_col: str = "doc_id") 
         words_per_doc = []
         digests = []
         for t in texts:
-            # EXACT Spark tokenization — split(trim(lower(t)), '\s+')
-            # yields [''] for empty text (one empty token), not []; the
-            # bare str.split() would diverge from simhash_bits there
-            ws = re.split(r"\s+", (t or "").lower().strip())
+            # EXACT Spark tokenization — split(trim(lower(t)), '\s+'):
+            # Spark trim strips ONLY ASCII spaces (a trailing '\n'
+            # survives and yields a trailing '' token), Java \s is the
+            # ASCII class [ \t\n\x0b\f\r] (never unicode NBSP etc.), and
+            # Spark split keeps leading/trailing empties (limit=-1) — so
+            # empty text is [''], one empty token, exactly like
+            # simhash_bits. A bare str.strip()/.split() diverges on all
+            # three counts.
+            ws = re.split(r"[ \t\n\x0b\f\r]+", (t or "").lower().strip(" "))
             words_per_doc.append(len(ws))
             for w in ws:
                 digests.append(hashlib.md5(w.encode()).digest()[:8])

@@ -66,12 +66,28 @@ def pair_dot(a: Column, b: Column) -> Column:
 
     @F.pandas_udf("double")
     def _pd(a_s: pd.Series, b_s: pd.Series) -> pd.Series:
-        A = np.asarray(a_s.tolist(), dtype="float64")
-        B = np.asarray(b_s.tolist(), dtype="float64")
-        acc = np.zeros(len(A), dtype="float64")
-        for k in range(A.shape[1] if len(A) else 0):
-            acc += A[:, k] * B[:, k]
-        return pd.Series(acc)
+        # NULL embeddings propagate to a NULL dot (the codegen dot()
+        # expression this replaces did the same) instead of crashing the
+        # task on np.asarray(None); genuine None — not NaN, which Spark
+        # orders as the LARGEST double and would win top-k rankings
+        valid = a_s.notna() & b_s.notna()
+        if valid.all():  # fast path: stay in float64 end to end
+            A = np.asarray(a_s.tolist(), dtype="float64")
+            B = np.asarray(b_s.tolist(), dtype="float64")
+            acc = np.zeros(len(A), dtype="float64")
+            for k in range(A.shape[1] if len(A) else 0):
+                acc += A[:, k] * B[:, k]
+            return pd.Series(acc)
+        out = [None] * len(a_s)
+        if valid.any():
+            A = np.asarray(a_s[valid].tolist(), dtype="float64")
+            B = np.asarray(b_s[valid].tolist(), dtype="float64")
+            acc = np.zeros(len(A), dtype="float64")
+            for k in range(A.shape[1] if len(A) else 0):
+                acc += A[:, k] * B[:, k]
+            for pos, v in zip(np.flatnonzero(valid.to_numpy()), acc):
+                out[pos] = float(v)
+        return pd.Series(out, dtype="object")
 
     return _pd(a, b)
 
@@ -96,7 +112,11 @@ def brute_force_topk(
     Arrow-vectorized pass over the corpus — the corpus never joins and
     never shuffles wide rows; only skinny (query_id, neighbor_id, cosine)
     rows reach the per-query top-k window. Larger query sets fall back to
-    a broadcast cross join with the Arrow pair dot. Both accumulate
+    a broadcast cross join with the Arrow pair dot. NB the size probe is
+    an EAGER ``limit(max+1).collect()`` at call time; on the fallback
+    path the probed prefix is discarded, so an expensive query-side plan
+    executes once for the probe and again inside the join — pre-persist
+    the query frame if that matters. Both accumulate
     left-to-right over the dim axis, so cosines match the DuckDB oracle
     bit-for-bit. Output: query_id, neighbor_id, cosine — deterministic
     tie-break on neighbor_id.
@@ -227,6 +247,10 @@ def assign_cells(corpus: SDF, centroids: SDF, vec_col: str = "embedding", centro
     row identity, which degenerates on wide frames)."""
     cent_rows = centroids.select(F.col("cell_id"), F.col(centroid_col).alias("__cent__")).collect()
     cent_rows.sort(key=lambda r: r["cell_id"])
+    if not cent_rows:
+        # degrade like the old cross-join form: empty result, not a crash
+        id_type = centroids.schema["cell_id"].dataType
+        return corpus.limit(0).withColumn("cell_id", F.lit(None).cast(id_type))
     import numpy as np
 
     C = np.asarray([list(r["__cent__"]) for r in cent_rows], dtype="float64")

@@ -76,6 +76,42 @@ def shingle_rows(sdf, key_col: str, text_col: str, n: int):
     return out.select(F.col(key_col), F.concat_ws(" ", *parts).alias("shingle"))
 
 
+def shingle_rows_arrow(sdf, key_col: str, text_col: str, n: int):
+    """(key, shingle) rows via mapInPandas — MAP-ONLY, unlike
+    :func:`shingle_rows`, whose window (partitionBy key + leads) forces a
+    full shuffle of every exploded word. Use this form when the grams
+    feed a JOIN (decontamination): the corpus side then truly never
+    shuffles. Keep the window form where a per-key aggregate follows
+    anyway (the jaccard pipeline) — there the window's exchange doubles
+    as the aggregate's.
+
+    Tokenization mirrors ``words()`` exactly: Spark trim strips only
+    ASCII spaces, Java \s is the ASCII class, split keeps
+    leading/trailing empty tokens."""
+    import re as _re
+
+    from pyspark.sql import types as T
+
+    key_field = sdf.schema[key_col]
+    schema = T.StructType(
+        [T.StructField(key_col, key_field.dataType), T.StructField("shingle", T.StringType())]
+    )
+
+    def op(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            keys, grams = [], []
+            for k, t in zip(pdf[key_col], pdf[text_col]):
+                ws = _re.split(r"[ \t\n\x0b\f\r]+", (t or "").strip(" "))
+                for j in range(len(ws) - n + 1):
+                    keys.append(k)
+                    grams.append(" ".join(ws[j : j + n]))
+            yield pd.DataFrame({key_col: keys, "shingle": grams})
+
+    return sdf.select(key_col, text_col).mapInPandas(op, schema)
+
+
 def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
     sw = stopwords or STOPWORDS
     ws = words(F.lower(text))
@@ -340,16 +376,16 @@ def decontaminate_ngrams(
     aggregate of matched grams. Returns (id_col,
     n_contaminated_ngrams) for every corpus doc with >= 1 hit.
     """
-    # shingle_rows (posexplode + leads) keeps gram generation inside
-    # whole-stage codegen — the array_distinct(transform(...)) expression
-    # form runs interpreted, ~6x slower in bulk (same lesson as the
-    # jaccard pipeline)
+    # shingle_rows_arrow (mapInPandas) keeps gram generation MAP-ONLY:
+    # the window form would shuffle every exploded corpus word just to
+    # assemble n-grams, and the array-expression form runs interpreted
+    # per element — this is the no-shuffle, vectorized-batch middle.
     lower_ev = eval_frame.select(F.col(id_col), F.lower(F.col(text_col)).alias(text_col))
-    ev = shingle_rows(lower_ev, id_col, text_col, n).select(
+    ev = shingle_rows_arrow(lower_ev, id_col, text_col, n).select(
         F.col("shingle").alias("__g__")
     ).distinct()
     lower_c = corpus.select(F.col(id_col), F.lower(F.col(text_col)).alias(text_col))
-    cg = shingle_rows(lower_c, id_col, text_col, n).select(
+    cg = shingle_rows_arrow(lower_c, id_col, text_col, n).select(
         F.col(id_col), F.col("shingle").alias("__g__")
     )
     hits = cg.join(F.broadcast(ev), "__g__")

@@ -599,7 +599,7 @@ from . import queries_ops  # noqa: E402,F401  isort: skip
 _DRIVER_VERIFIED = frozenset({
     "q1_groupby_agg", "q3_join_topk", "q6_filter_agg", "q_argminmax",
     "q_at_every", "q_categorise", "q_concat_columns", "q_cummax_running",
-    "q_cut_breaks", "q_dedup_hamming", "q_describe_stats",
+    "q_cut_breaks", "q_describe_stats",
     "q_distinct_first", "q_distinct_sorted", "q_duration_us",
     "q_embed_quantize_int8", "q_events_session_window", "q_events_sliding",
     "q_ewm_global", "q_ewm_mean", "q_fill_stats", "q_frequencies",
@@ -607,11 +607,16 @@ _DRIVER_VERIFIED = frozenset({
     "q_iso_temporal", "q_iso_year_edges", "q_join_asof_forward",
     "q_join_asof_nearest", "q_join_asof_tolerance", "q_join_left_nulls",
     "q_join_multi_dim", "q_mask", "q_mutate_keep_none",
-    "q_pack_context_windows", "q_pivot_first", "q_put", "q_rank_ties",
+    "q_pack_context_windows", "q_pivot_first", "q_rank_ties",
     "q_sample_seeded", "q_series_transform", "q_spearman_corr",
     "q_sql_passthrough", "q_stats_agg", "q_text_hash_sample",
     "q_text_repetition", "q_time_parts", "q_transpose", "q_unnest_struct",
     "q_window_cumsum", "q_window_lag", "q_window_rank",
+    # NOT listed although r3-green: q_dedup_hamming (rewritten on 64-bit
+    # signatures this round) and q_put (validation rework) — a query whose
+    # implementation changed AFTER its last driver row must re-verify, so
+    # they sort back into the window. q_mask also changed but is a light
+    # opener, which is always sampled.
 })
 
 

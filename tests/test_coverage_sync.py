@@ -11,7 +11,10 @@ def test_coverage_lists_every_registered_query():
     from explorer_spark.queries import QUERIES
 
     text = open(os.path.join(REPO, "COVERAGE.md")).read()
-    missing = [n for n in QUERIES if f"`{n}`" not in text and n not in text]
+    # backticked names ONLY: a bare-substring fallback is blind to any
+    # name that is a substring of another (q_sample_replace inside
+    # q_grouped_sample_replace), silently defeating the sync check
+    missing = [n for n in QUERIES if f"`{n}`" not in text]
     assert not missing, f"COVERAGE.md is missing registered queries: {missing}"
 
 

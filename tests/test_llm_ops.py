@@ -440,8 +440,34 @@ def test_simhash64_pandas_equals_expression_form(spark):
         (3, "   "),         # whitespace-only
         (4, "zz yy"),
         (5, ""),
+        (6, "hello\n"),     # Spark trim keeps \n -> trailing '' token
+        (7, "\tlead tab"),  # leading whitespace -> leading '' token
+        (8, "nb sp"),  # NBSP is NOT whitespace to Java \s
     ]
     sdf = spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(1)
     a = {r.doc_id: r.simhash for r in simhash_bits(sdf, bits=64).collect()}
     b = {r.doc_id: r.simhash64 for r in simhash64_pandas(sdf).collect()}
     assert a == b, {k: (a[k], b.get(k)) for k in a if a[k] != b.get(k)}
+
+
+def test_assign_cells_empty_centroids(spark):
+    from explorer_spark.operators.similarity import assign_cells
+
+    cent = spark.createDataFrame([], "cell_id int, centroid array<double>")
+    corpus = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<double>")
+    out = assign_cells(corpus, cent)
+    assert out.count() == 0 and "cell_id" in out.columns
+
+
+def test_pair_dot_null_embedding_propagates(spark):
+    """A NULL embedding yields a NULL cosine (like the codegen dot it
+    replaced), never a task crash, and never a NaN (which Spark would
+    rank as the LARGEST double)."""
+    from explorer_spark.operators.similarity import pair_dot
+
+    sdf = spark.createDataFrame(
+        [(1, [1.0, 2.0], [3.0, 4.0]), (2, None, [1.0, 1.0]), (3, [1.0, 1.0], None)],
+        "id long, a array<double>, b array<double>",
+    )
+    got = {r.id: r.d for r in sdf.select("id", pair_dot(F.col("a"), F.col("b")).alias("d")).collect()}
+    assert got == {1: 11.0, 2: None, 3: None}

@@ -285,6 +285,9 @@ def test_decontaminate_plan_is_broadcast_equi_join(spark):
     plan = _plan(out)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # the corpus side must be genuinely map-only up to the join: gram
+    # generation runs in mapInPandas, never a word-level window shuffle
+    assert "Window" not in plan
 
 
 def test_brute_force_small_queries_has_no_join(spark):
