@@ -259,3 +259,31 @@ def test_put_mask_mismatch_raises_eagerly(spark):
     # and the select-away-the-column case can't silently pad rows
     ok = Series.from_list([7, 8, 9], name="v", spark=spark)
     assert df.put("y", ok).select(["x"]).to_columns()["x"] == [1, 2, 3]
+
+
+def test_grouped_sample_replace_null_group_key(spark):
+    """NULL is a group too: the multiplicity join uses eqNullSafe, so
+    null-keyed groups sample like any other."""
+    df = _frame(spark, g=[None, None, None, "a", "a"], x=[1, 2, 3, 4, 5])
+    got = df.group_by("g").sample(3, replace=True, seed=6)
+    cols = got.ungroup().to_columns()
+    from collections import Counter
+
+    counts = Counter(cols["g"])
+    assert counts[None] == 3 and counts["a"] == 3
+    by_g = {}
+    for g, x in zip(cols["g"], cols["x"]):
+        by_g.setdefault(g, []).append(x)
+    assert set(by_g[None]) <= {1, 2, 3}
+    assert set(by_g["a"]) <= {4, 5}
+
+
+def test_grouped_sample_replace_frac_floor_zero(spark):
+    """A group whose floor(frac*len) is 0 contributes no rows (and no
+    crash from an empty draw sequence)."""
+    df = _frame(spark, g=["a", "b", "b", "b", "b"], x=[1, 2, 3, 4, 5])
+    got = df.group_by("g").sample(0.5, replace=True, seed=2)
+    cols = got.ungroup().to_columns()
+    from collections import Counter
+
+    assert Counter(cols["g"]) == {"b": 2}  # floor(0.5*1)=0 for group a
