@@ -274,21 +274,21 @@ def _rank(ctx, a, method="ordinal", descending=False, seed=None):
     base = W.partitionBy(*ctx.groups) if ctx.groups else W.partitionBy()
     if method == "random":
         # ties broken by a seeded shuffle (reference rank :random + seed)
-        return F.row_number().over(base.orderBy(key, F.rand(seed)))
+        return F.row_number().over(base.orderBy(key, F.rand(seed))).cast("long")
     w = base.orderBy(key, F.col(ctx.order).asc()) if ctx.order is not None else base.orderBy(key)
     wv = base.orderBy(key)
     if method == "ordinal":
-        return F.row_number().over(w)
+        return F.row_number().over(w).cast("long")
     if method == "min":
-        return F.rank().over(wv)
+        return F.rank().over(wv).cast("long")
     if method == "dense":
-        return F.dense_rank().over(wv)
+        return F.dense_rank().over(wv).cast("long")
     if method in ("max", "average"):
         min_rank = F.rank().over(wv)
         tie_w = W.partitionBy(*ctx.groups, c) if ctx.groups else W.partitionBy(c)
         ties = F.count(F.lit(1)).over(tie_w)
         if method == "max":
-            return min_rank + ties - 1
+            return (min_rank + ties - 1).cast("long")
         return (min_rank.cast("double") + (min_rank + ties - 1).cast("double")) / 2.0
     raise NotImplementedError(f"rank method {method!r}")
 

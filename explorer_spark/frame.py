@@ -583,19 +583,19 @@ class DataFrame:
                     name = tmp()
                     meths[m] = name
                     specs[name] = m
-                state["sdf"] = ordk.rank_columns(state["sdf"], None, vname, specs, desc)
+                state["sdf"] = ordk.rank_columns(state["sdf"], None, vname, specs, desc, n_hint=n_hint)
         for (desc, m, _dtype), vnames in multi_groups.items():
             if len(vnames) == 1:
                 name = tmp()
                 rank_fused[(vnames[0], desc)][m] = name
-                state["sdf"] = ordk.global_rank(state["sdf"], None, vnames[0], name, m, desc)
+                state["sdf"] = ordk.global_rank(state["sdf"], None, vnames[0], name, m, desc, n_hint=n_hint)
             else:
                 spec = {}
                 for vname in vnames:
                     name = tmp()
                     rank_fused[(vname, desc)][m] = name
                     spec[vname] = name
-                state["sdf"] = ordk.rank_columns_multi(state["sdf"], spec, method=m, descending=desc)
+                state["sdf"] = ordk.rank_columns_multi(state["sdf"], spec, method=m, descending=desc, n_hint=n_hint)
 
         def as_col(e) -> str:
             """Materialize a pure (already rewritten) expr as a column name."""

@@ -288,6 +288,11 @@ def cumulative(
     back as a literal broadcast."""
     aggfn = _CUM_AGG[kind]
     s = sdf.withColumn(BUCKET, F.floor(F.col(idx_col) / F.lit(bucket_size_for(n_hint))))
+    # pin before the driver summary: the frame is consumed twice (the
+    # per-bucket collect below + the returned plan), and without the pin
+    # an arbitrary upstream chain re-executes per consumption — chained
+    # kernels would multiply upstream cost (review r4)
+    s = s.localCheckpoint(eager=False)
     order = F.col(idx_col).desc() if reverse else F.col(idx_col).asc()
     w = W.partitionBy(BUCKET).orderBy(order).rowsBetween(W.unboundedPreceding, 0)
     local = aggfn(F.col(value_col)).over(w)
@@ -322,6 +327,7 @@ def fill_missing(
 ) -> SDF:
     """Global forward/backward non-null carry over index order."""
     s = sdf.withColumn(BUCKET, F.floor(F.col(idx_col) / F.lit(bucket_size_for(n_hint))))
+    s = s.localCheckpoint(eager=False)  # consumed twice — see cumulative()
     order = F.col(idx_col).desc() if backward else F.col(idx_col).asc()
     w = W.partitionBy(BUCKET).orderBy(order).rowsBetween(W.unboundedPreceding, 0)
     local = F.last(F.col(value_col), ignorenulls=True).over(w)
@@ -406,6 +412,7 @@ def rank_columns(
     methods: dict[str, str],
     descending: bool = False,
     seed: int | None = None,
+    n_hint: int | None = None,
 ) -> SDF:
     """Attach one or more global-rank columns of ``value_col`` in a
     single pass per family (reference series.ex rank/1-3; methods
@@ -427,11 +434,11 @@ def rank_columns(
         if method == "random":
             s = out.withColumn("__rnd__", F.rand(seed))
             s = with_global_index(s, [key, F.col("__rnd__").asc()], name="__rk__")
-            out = s.withColumn(out_col, (F.col("__rk__") + 1).cast("int")).drop("__rk__", "__rnd__")
+            out = s.withColumn(out_col, (F.col("__rk__") + 1).cast("long")).drop("__rk__", "__rnd__")
         elif method == "ordinal":
             tie = [F.col(order_col).asc()] if order_col is not None else []
             s = with_global_index(out, [key] + tie, name="__rk__")
-            out = s.withColumn(out_col, (F.col("__rk__") + 1).cast("int")).drop("__rk__")
+            out = s.withColumn(out_col, (F.col("__rk__") + 1).cast("long")).drop("__rk__")
         elif method in ("min", "max", "average", "dense"):
             val_specs[out_col] = method
         else:
@@ -440,9 +447,10 @@ def rank_columns(
         return out
 
     vals = sdf.select(value_col).groupBy(value_col).agg(F.count(F.lit(1)).alias("__c__"))
-    # limit-probed row count bounds the value table (full count() would
-    # execute arbitrary upstream plans completely just to pick a path)
-    nv = sdf.limit(SMALL_VALS_MAX + 1).count()
+    # exact row count when the caller already knows it (mutate's row-index
+    # stats job); else a limit-probe (a full count() would execute
+    # arbitrary upstream plans completely just to pick a path)
+    nv = n_hint if n_hint is not None else sdf.limit(SMALL_VALS_MAX + 1).count()
     if nv <= SMALL_VALS_MAX:
         # summary-sized value table: a deliberate one-partition window
         # (bounded by nv, like every driver summary here) — no range
@@ -506,13 +514,13 @@ def rank_columns(
     tmp_names = {}
     for i, (out_col, method) in enumerate(val_specs.items()):
         if method == "min":
-            e = (cum - F.col("__c__") + 1).cast("int")
+            e = (cum - F.col("__c__") + 1).cast("long")
         elif method == "max":
-            e = cum.cast("int")
+            e = cum.cast("long")
         elif method == "average":
             e = (2 * cum - F.col("__c__") + 1).cast("double") / 2.0
         else:  # dense
-            e = (dense_pos + 1).cast("int")
+            e = (dense_pos + 1).cast("long")
         tmp_names[out_col] = f"__rv{i}__"
         sel.append(e.alias(tmp_names[out_col]))
     rv = v2.select(*sel)
@@ -533,9 +541,10 @@ def global_rank(
     method: str = "ordinal",
     descending: bool = False,
     seed: int | None = None,
+    n_hint: int | None = None,
 ) -> SDF:
     """Single-column convenience wrapper over :func:`rank_columns`."""
-    return rank_columns(sdf, order_col, value_col, {out_col: method}, descending, seed)
+    return rank_columns(sdf, order_col, value_col, {out_col: method}, descending, seed, n_hint=n_hint)
 
 
 def rank_columns_multi(
@@ -543,6 +552,7 @@ def rank_columns_multi(
     value_cols: dict[str, str],
     method: str = "average",
     descending: bool = False,
+    n_hint: int | None = None,
 ) -> SDF:
     """Global value-statistic ranks for SEVERAL (double-castable) columns
     in ONE kernel pass: the (col_id, value) melt range-shuffles once, one
@@ -565,9 +575,8 @@ def rank_columns_multi(
     key = F.col("__v__").desc() if descending else F.col("__v__").asc()
     melted = sdf.select(F.posexplode(F.array(*[F.col(c) for c in cols])).alias("__cid__", "__v__"))
     vals = melted.groupBy("__cid__", "__v__").agg(F.count(F.lit(1)).alias("__c__"))
-    # limit-probed row count bounds every per-cid value table (see
-    # rank_columns: avoids fully executing arbitrary upstream plans)
-    nv = sdf.limit(SMALL_VALS_MAX + 1).count()
+    # caller-known exact count, else limit-probe (see rank_columns)
+    nv = n_hint if n_hint is not None else sdf.limit(SMALL_VALS_MAX + 1).count()
     if nv <= SMALL_VALS_MAX:
         # summary-sized value table: one window hash-partitioned by column
         # id replaces range shuffle + checkpoint + stats job (see
@@ -638,13 +647,13 @@ def _rank_multi_emit(sdf, v2, cum, dense_pos, cols, value_cols, method, broadcas
     """Shared tail of rank_columns_multi: derive the rank from the prefix
     columns and equi-join each column's slice back onto the frame."""
     if method == "min":
-        rk = (cum - F.col("__c__") + 1).cast("int")
+        rk = (cum - F.col("__c__") + 1).cast("long")
     elif method == "max":
-        rk = cum.cast("int")
+        rk = cum.cast("long")
     elif method == "average":
         rk = (2 * cum - F.col("__c__") + 1).cast("double") / 2.0
     else:  # dense
-        rk = (dense_pos + 1).cast("int")
+        rk = (dense_pos + 1).cast("long")
     rv = v2.select("__cid__", F.col("__v__").alias("__vv__"), rk.alias("__rk__"))
     if broadcast_rv and len(cols) > 1:
         # small path has no upstream checkpoint: pin the (bounded) rank
@@ -691,7 +700,8 @@ def _geo_scan(x, c):
     out = np.empty(n, dtype="float64")
     if c <= 0.0:  # alpha == 1: y_t = x_t
         return x.astype("float64")
-    chunk = 128 if c >= 0.02 else max(1, int(600.0 / -_math.log10(c)))
+    # invc = (1/c)^(chunk-1) must stay finite: exponent bound 300 < 308
+    chunk = 128 if c >= 0.02 else max(1, int(300.0 / -_math.log10(c)))
     powc = c ** np.arange(1, chunk + 1, dtype="float64")
     invc = (1.0 / c) ** np.arange(chunk, dtype="float64")
     carry = 0.0
@@ -745,23 +755,26 @@ def ewm_global(sdf: SDF, idx_col: str, specs: dict, n_hint: int | None = None) -
         if not specs:
             return sdf
 
-    src_keys = sorted({(src, ign) for (_k, src, _a, _adj, ign) in specs.values()})
-    alphas = sorted({a for (_k, _s, a, _adj, _i) in specs.values()})
-    needs_sq = any(k != "mean" for (k, _s, _a, _adj, _i) in specs.values())
+    # accumulator channels for EXACTLY the requested (src, alpha,
+    # ignore_nils) tuples — a src_keys x alphas cross product would build
+    # (and scan, shuffle, checkpoint, and agg) channels no spec asked
+    # for; ssq/dn2 only where that tuple has a variance/std request
+    from collections import defaultdict
+
+    sq_need: dict = defaultdict(bool)
+    for (k, src, a, _adj, ign) in specs.values():
+        sq_need[(src, a, ign)] |= k != "mean"
 
     bw = bucket_size_for(n_hint)
     s = sdf.withColumn(BUCKET, F.floor(F.col(idx_col) / F.lit(bw)))
 
-    # accumulator channels per (src, alpha, ignore_nils): num/den at ratio
-    # c=(1-a), and ssq/dn2 at ratio c^2 when variance/std is requested
+    # num/den at ratio c=(1-a); ssq shares ratio c, the squared-weight
+    # sum dn2 decays at c^2
     all_chans = []
-    for (src, ign) in src_keys:
-        for a in alphas:
-            all_chans += [("num", src, a, ign, 1), ("den", src, a, ign, 1)]
-            if needs_sq:
-                # ssq = sum w*x^2 shares the weight ratio c; only the
-                # squared-weight sum dn2 = sum w^2 decays at c^2
-                all_chans += [("ssq", src, a, ign, 1), ("dn2", src, a, ign, 2)]
+    for (src, a, ign) in sorted(sq_need):
+        all_chans += [("num", src, a, ign, 1), ("den", src, a, ign, 1)]
+        if sq_need[(src, a, ign)]:
+            all_chans += [("ssq", src, a, ign, 1), ("dn2", src, a, ign, 2)]
 
     def cname(kind, src, a, ign):
         return f"__{kind}_{src}_{str(a).replace('.', '_')}_{int(ign)}__"
@@ -770,7 +783,7 @@ def ewm_global(sdf: SDF, idx_col: str, specs: dict, n_hint: int | None = None) -
         return f"__k_{src}__"
 
     # per-src valid-rank columns, needed by every ignore_nils=True channel
-    k_srcs = sorted({src for (src, ign) in src_keys if ign})
+    k_srcs = sorted({src for (src, _a, ign) in sq_need if ign})
 
     fields = list(sdf.schema.fields) + [T.StructField(BUCKET, T.LongType())]
     local_schema = T.StructType(
@@ -988,7 +1001,6 @@ def ewm_gapped(sdf: SDF, idx_col: str, specs: dict, n_hint: int | None = None) -
     def fname(src, alpha):
         return f"{src}_{str(alpha).replace('.', '_')}"
 
-    from pyspark.sql import types as T
 
     out_fields = list(sdf.schema.fields) + [T.StructField(BUCKET, T.LongType())]
     for (src, alpha) in fams:

@@ -31,6 +31,11 @@ def get_spark(app_name: str = "explorer_spark", cpus: str | int | None = None) -
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Spark 4 defaults ANSI ON; the reference (and the DuckDB oracle)
+        # are permissive — integer % or / by zero is NULL, not an error —
+        # so the session must actually SET this off, not just intend it
+        # (found in round 4: remainder-by-zero raised DIVIDE_BY_ZERO)
+        .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.timestampType", "TIMESTAMP_NTZ")

@@ -156,3 +156,24 @@ def test_qcut():
     d = ex.from_columns({"v": [float(i) for i in range(1, 11)]})
     out = d.qcut("v", [0.5], labels=["low", "high"]).to_columns()
     assert out["category"] == ["low"] * 5 + ["high"] * 5
+
+
+def test_ewm_extreme_alpha_no_overflow(spark):
+    """alpha > 0.98 (and var/std past ~0.86, via the c^2 channel) drives
+    _geo_scan's 1/c powers toward float64 overflow — the chunk bound must
+    keep (1/c)^(chunk-1) finite (review r4: the old bound produced
+    NaN/inf for most rows at alpha=0.99)."""
+    import random
+
+    rng = random.Random(3)
+    xs = [rng.uniform(-10, 10) for _ in range(500)]
+    d = ex.from_columns({"x": xs}, spark=spark)
+    out = d.ewm(
+        m=("mean", "x", 0.99, True),
+        v=("variance", "x", 0.9, True),
+    ).to_columns()
+    wm = pd.Series(xs).ewm(alpha=0.99, adjust=True).mean().tolist()
+    wv = pd.Series(xs).ewm(alpha=0.9, adjust=True).var().tolist()
+    assert out["m"] == pytest.approx(wm)
+    assert out["v"][1:] == pytest.approx(wv[1:])  # first var is NaN both sides
+    assert all(v is not None for v in out["m"])

@@ -287,3 +287,13 @@ def test_grouped_sample_replace_frac_floor_zero(spark):
     from collections import Counter
 
     assert Counter(cols["g"]) == {"b": 2}  # floor(0.5*1)=0 for group a
+
+
+def test_integer_division_by_zero_is_null(spark):
+    """Reference (and DuckDB oracle) semantics: integer % / quotient by
+    zero is NULL, not an error — requires ANSI off, which Spark 4 no
+    longer defaults to (the session must set it explicitly)."""
+    df = _frame(spark, a=[7, 3], b=[2, 0])
+    out = df.mutate(q=f.quotient(col("a"), col("b")), r=f.remainder(col("a"), col("b"))).to_columns()
+    assert out["q"] == [3, None]
+    assert out["r"] == [1, None]
