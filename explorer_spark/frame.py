@@ -165,6 +165,15 @@ class DataFrame:
             rows = self.to_rows()
             names = self.names
             return {c: [r[c] for r in rows] for c in names}
+        # Flat frames: collect through Arrow, not pandas. Arrow keeps
+        # nullable int64 EXACT (pandas widens to float64 — 2^53+1 silently
+        # rounds) and distinguishes NULL from NaN natively (the reference
+        # treats NaN as a VALUE distinct from nil).
+        try:
+            tbl = self.to_sdf().toArrow()
+            return {c: tbl.column(c).to_pylist() for c in self.names}
+        except Exception:
+            pass  # fall through to the masked-pandas path
         # Float columns: NaN is a VALUE distinct from SQL NULL in the
         # reference (fill_missing(:nan) fills nil with NaN) but pandas
         # float64 renders both as NaN — collect an explicit null mask so

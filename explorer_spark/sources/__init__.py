@@ -51,6 +51,19 @@ def _fss_resolve(path: str, spark, config) -> str:
     return path
 
 
+def _arrow_ingest(spark, table) -> "DataFrame":
+    """Arrow table -> frame WITHOUT a pandas round-trip: to_pandas()
+    turns nullable int64 into float64 (null -> NaN) and silently rounds
+    integers past 2^53 — createDataFrame accepts pa.Table directly in
+    Spark 4. pandas stays as the fallback for types the Arrow ingest
+    path rejects."""
+    try:
+        sdf = spark.createDataFrame(table)
+    except Exception:
+        sdf = spark.createDataFrame(table.to_pandas())
+    return _attach_order(sdf)
+
+
 def _attach_order(sdf) -> DataFrame:
     return DataFrame(sdf.withColumn(ORDER_COL, F.monotonically_increasing_id()), has_order=True)
 
@@ -155,7 +168,14 @@ def read_csv(
         # reference skip_rows drops the first N physical lines BEFORE the
         # header (data_frame.ex:607-868). Spark's CSV reader has no such
         # option; zipWithIndex preserves file line order, and the reader
-        # accepts an RDD of lines.
+        # accepts an RDD of lines. textFile decodes UTF-8 and splits \n
+        # ONLY — combining skip_rows with another encoding/eol would
+        # silently produce mojibake, so refuse loudly.
+        if (encoding or "utf-8").lower().replace("-", "") not in ("utf8", "utf_8") or eol_delimiter:
+            raise ValueError(
+                "skip_rows currently supports only UTF-8 input with \n line "
+                "endings (Spark's textFile constraint)"
+            )
         lines = (
             spark.sparkContext.textFile(path)
             .zipWithIndex()
@@ -191,6 +211,13 @@ def read_ndjson(
     (reference data_frame.ex:1572-1740)."""
     spark = spark or get_spark()
     path = _fss_resolve(path, spark, config)
+    if infer_schema_length:
+        # bound inference cost: infer from the first n lines only, then
+        # scan the full file with the pinned schema (the option was
+        # silently ignored before)
+        head = spark.read.text(path).limit(int(infer_schema_length))
+        schema = spark.read.json(head.rdd.map(lambda r: r.value)).schema
+        return _attach_order(spark.read.schema(schema).json(path))
     return _attach_order(spark.read.json(path))
 
 
@@ -215,33 +242,68 @@ def read_ipc_distributed(
     matches = sorted(_glob.glob(path)) if any(ch in path for ch in "*?[") else [path]
     if not matches:
         raise FileNotFoundError(path)
-    with pa.memory_map(matches[0]) as src:
-        schema = ipc.open_file(src).schema
+    # schema probe accepts BOTH formats, like the executor decode below
+    try:
+        with pa.memory_map(matches[0]) as src:
+            schema = ipc.open_file(src).schema
+    except pa.lib.ArrowInvalid:
+        with open(matches[0], "rb") as fh:
+            schema = ipc.open_stream(fh).schema
     if columns:
         schema = pa.schema([schema.field(c) for c in columns])
     cols = list(columns) if columns else None
 
+    # binaryFile packs partitions by SIZE DESCENDING, so partition order
+    # (and a monotonically_increasing_id) would follow file size, not the
+    # sorted file order the row contract promises. The order column is
+    # instead derived per row: (sorted-file index, row-within-file).
+    def _norm(p_):
+        return p_[5:] if p_.startswith("file:") else p_
+
+    path_idx = {os.path.abspath(m): i for i, m in enumerate(matches)}
+    out_arrow_schema = schema.append(pa.field("__fidx__", pa.int64())).append(
+        pa.field("__rpos__", pa.int64())
+    )
+
     def decode(batches):
         import io
+
+        import numpy as np
 
         for batch in batches:  # binaryFile rows: (path, ..., content)
             tbl = pa.Table.from_batches([batch])
             for row in range(tbl.num_rows):
                 blob = tbl.column("content")[row].as_py()
+                fidx = path_idx.get(os.path.abspath(_norm(tbl.column("path")[row].as_py())), 0)
                 try:
-                    reader = ipc.open_file(io.BytesIO(blob))
-                    sub = reader.read_all()
+                    sub = ipc.open_file(io.BytesIO(blob)).read_all()
                 except pa.lib.ArrowInvalid:
                     sub = ipc.open_stream(io.BytesIO(blob)).read_all()
                 if cols:
                     sub = sub.select(cols)
-                yield from sub.to_batches()
+                pos = 0
+                for b in sub.to_batches():
+                    n = b.num_rows
+                    arrs = list(b.columns) + [
+                        pa.array(np.full(n, fidx, dtype="int64")),
+                        pa.array(np.arange(pos, pos + n, dtype="int64")),
+                    ]
+                    pos += n
+                    yield pa.RecordBatch.from_arrays(arrs, schema=out_arrow_schema)
 
+    from pyspark.sql import types as T
     from pyspark.sql.pandas.types import from_arrow_schema
 
+    spark_schema = from_arrow_schema(schema)
+    out_schema = T.StructType(
+        list(spark_schema.fields)
+        + [T.StructField("__fidx__", T.LongType()), T.StructField("__rpos__", T.LongType())]
+    )
     blobs = spark.read.format("binaryFile").load(matches)
-    sdf = blobs.mapInArrow(decode, from_arrow_schema(schema))
-    return _attach_order(sdf)
+    sdf = blobs.mapInArrow(decode, out_schema)
+    order = (F.col("__fidx__") * F.lit(1 << 40) + F.col("__rpos__")).alias(ORDER_COL)
+    sdf = sdf.select(*spark_schema.names, order)
+    return DataFrame(sdf, has_order=True)
 
 
 def read_ipc(path: str, columns=None, spark: SparkSession | None = None) -> DataFrame:
@@ -258,8 +320,7 @@ def read_ipc(path: str, columns=None, spark: SparkSession | None = None) -> Data
             table = ipc.open_stream(f).read_all()
     if columns:
         table = table.select(columns)
-    sdf = spark.createDataFrame(table.to_pandas())
-    return _attach_order(sdf)
+    return _arrow_ingest(spark, table)
 
 
 def write_parquet(
@@ -289,6 +350,7 @@ def write_csv(
     delimiter: str = ",",
     mode: str = "overwrite",
     quote_style: str = "necessary",
+    config=None,
 ) -> str:
     """CSV sink with the reference's quote styles (data_frame.ex:684-747):
     ``necessary`` (default), ``always``, ``non_numeric``, ``never``.
@@ -298,6 +360,7 @@ def write_csv(
     from pyspark.sql import types as T
 
     sdf = df.lazy_sdf()
+    path = _fss_resolve(path, sdf.sparkSession, config)
     if quote_style == "necessary":
         sdf.write.mode(mode).option("header", header).option("sep", delimiter).option(
             "escape", '"'
@@ -335,8 +398,10 @@ def write_csv(
     return path
 
 
-def write_ndjson(df: DataFrame, path: str, mode: str = "overwrite") -> str:
-    df.lazy_sdf().write.mode(mode).json(path)
+def write_ndjson(df: DataFrame, path: str, mode: str = "overwrite", config=None) -> str:
+    sdf = df.lazy_sdf()
+    path = _fss_resolve(path, sdf.sparkSession, config)
+    sdf.write.mode(mode).json(path)
     return path
 
 
@@ -344,7 +409,7 @@ def write_ipc(df: DataFrame, path: str) -> str:
     import pyarrow as pa
     import pyarrow.ipc as ipc
 
-    table = pa.Table.from_pandas(df.to_pandas())
+    table = _to_arrow(df)
     with pa.OSFile(path, "wb") as sink, ipc.new_file(sink, table.schema) as writer:
         writer.write_table(table)
     return path
@@ -436,7 +501,13 @@ def from_query(
                 "the jdbc: path does not support bind params — interpolate "
                 "them into the query or use a DB-API connection"
             )
-        reader = spark.read.format("jdbc").option("url", conn).option("query", query)
+        reader = spark.read.format("jdbc").option("url", conn)
+        if "partitionColumn" in jdbc_options:
+            # Spark rejects 'query' + partitionColumn together: the
+            # parallel path needs the query wrapped as a dbtable subquery
+            reader = reader.option("dbtable", f"({query}) __fq_sub")
+        else:
+            reader = reader.option("query", query)
         for k, v in jdbc_options.items():
             reader = reader.option(k, v)
         return _attach_order(reader.load())
@@ -458,10 +529,14 @@ def from_query(
             raise ValueError(f"unsupported DB url {conn!r} (sqlite://, duckdb://, jdbc:)")
         close_after = True
     try:
-        cur = conn.execute(query, params or [])
+        if hasattr(conn, "execute"):  # sqlite3/duckdb shortcut
+            cur = conn.execute(query, params or [])
+        else:  # strict DB-API 2.0 (psycopg2, MySQLdb): cursor first
+            cur = conn.cursor()
+            cur.execute(query, params or [])
         if hasattr(cur, "fetch_arrow_table"):  # duckdb / ADBC-style cursors
             table = cur.fetch_arrow_table()
-            sdf = spark.createDataFrame(table.to_pandas())
+            return _arrow_ingest(spark, table)
         else:  # generic DB-API: names from cursor.description
             names = [d[0] for d in cur.description]
             rows = cur.fetchall()
@@ -491,14 +566,14 @@ def read_ipc_stream(path: str, columns=None, spark: SparkSession | None = None) 
         table = ipc.open_stream(fh).read_all()
     if columns:
         table = table.select(columns)
-    return _attach_order(spark.createDataFrame(table.to_pandas()))
+    return _arrow_ingest(spark, table)
 
 
 def write_ipc_stream(df: DataFrame, path: str) -> str:
     import pyarrow as pa
     import pyarrow.ipc as ipc
 
-    table = pa.Table.from_pandas(df.to_pandas())
+    table = _to_arrow(df)
     with pa.OSFile(path, "wb") as sink, ipc.new_stream(sink, table.schema) as writer:
         writer.write_table(table)
     return path
@@ -513,23 +588,39 @@ def dump_ndjson(df: DataFrame) -> str:
     return df.to_pandas().to_json(orient="records", lines=True)
 
 
-def load_csv(contents: str, spark: SparkSession | None = None, **opts) -> DataFrame:
-    """Parse CSV from an in-memory string (reference load_csv)."""
+_TMP_LOADS: list[str] = []
+
+
+def _tmp_load_file(contents: str, suffix: str) -> str:
+    """Spill an in-memory payload for a lazy Spark scan. The file must
+    outlive the (lazy) plan, so deletion is deferred to interpreter exit
+    rather than skipped entirely (the old delete=False leaked one file
+    per call for the machine's lifetime)."""
+    import atexit
     import tempfile
 
-    with tempfile.NamedTemporaryFile("w", suffix=".csv", delete=False) as fh:
+    with tempfile.NamedTemporaryFile("w", suffix=suffix, delete=False) as fh:
         fh.write(contents)
         path = fh.name
-    return read_csv(path, spark=spark, **opts)
+    if not _TMP_LOADS:
+        def _cleanup():
+            for p_ in _TMP_LOADS:
+                try:
+                    os.unlink(p_)
+                except OSError:
+                    pass
+        atexit.register(_cleanup)
+    _TMP_LOADS.append(path)
+    return path
+
+
+def load_csv(contents: str, spark: SparkSession | None = None, **opts) -> DataFrame:
+    """Parse CSV from an in-memory string (reference load_csv)."""
+    return read_csv(_tmp_load_file(contents, ".csv"), spark=spark, **opts)
 
 
 def load_ndjson(contents: str, spark: SparkSession | None = None) -> DataFrame:
-    import tempfile
-
-    with tempfile.NamedTemporaryFile("w", suffix=".ndjson", delete=False) as fh:
-        fh.write(contents)
-        path = fh.name
-    return read_ndjson(path, spark=spark)
+    return read_ndjson(_tmp_load_file(contents, ".ndjson"), spark=spark)
 
 
 # -- in-memory binary dumps/loads (reference dump_*/load_* family) ----------
@@ -537,7 +628,26 @@ def load_ndjson(contents: str, spark: SparkSession | None = None) -> DataFrame:
 
 def _to_arrow(df: DataFrame):
     import pyarrow as pa
+    from pyspark.sql import types as T
 
+    sdf = df.to_sdf()  # frame order enforced, ORDER_COL dropped
+
+    def _nested(dt):
+        if isinstance(dt, T.ArrayType):
+            return isinstance(dt.elementType, (T.ArrayType, T.StructType, T.MapType))
+        if isinstance(dt, T.StructType):
+            return any(_nested(f.dataType) or isinstance(f.dataType, (T.ArrayType, T.MapType)) for f in dt.fields)
+        return False
+
+    if not any(_nested(f.dataType) for f in sdf.schema.fields):
+        # direct Arrow collection: pandas would widen nullable int64 to
+        # float64 and round integers past 2^53. Depth>=2 nested columns
+        # keep the pandas path (the Arrow hand-off segfaults this
+        # pyarrow/pyspark pairing on them — see to_columns).
+        try:
+            return sdf.toArrow()
+        except Exception:
+            pass
     return pa.Table.from_pandas(df.to_pandas(), preserve_index=False)
 
 
@@ -554,7 +664,7 @@ def load_parquet(data: bytes, spark: SparkSession | None = None) -> DataFrame:
     import pyarrow.parquet as pq
 
     spark = spark or get_spark()
-    return _attach_order(spark.createDataFrame(pq.read_table(_io.BytesIO(data)).to_pandas()))
+    return _arrow_ingest(spark, pq.read_table(_io.BytesIO(data)))
 
 
 def dump_ipc(df: DataFrame) -> bytes:
@@ -600,7 +710,7 @@ def load_ipc(data: bytes, spark: SparkSession | None = None) -> DataFrame:
         t = ipc.open_file(_io.BytesIO(data)).read_all()
     except pa.lib.ArrowInvalid:
         t = ipc.open_stream(_io.BytesIO(data)).read_all()
-    return _attach_order(spark.createDataFrame(t.to_pandas()))
+    return _arrow_ingest(spark, t)
 
 
 load_ipc_stream = load_ipc

@@ -280,3 +280,57 @@ def test_from_query_url(spark, tmp_path):
     conn.close()
     got = ex.from_query(f"sqlite:///{db}", "SELECT k, v FROM kv ORDER BY k", spark=spark)
     assert got.to_rows() == [{"k": "x", "v": 1}, {"k": "y", "v": 2}]
+
+
+def test_nullable_long_roundtrip_stays_long(spark):
+    """dump/load round trips must not launder nullable int64 through
+    pandas float64 (precision loss past 2^53; dtype flip s64 -> f64)."""
+    import explorer_spark as ex
+    from explorer_spark.sources import (
+        dump_ipc,
+        dump_parquet,
+        load_ipc,
+        load_parquet,
+        read_ipc,
+        write_ipc,
+    )
+
+    big = 9007199254740993  # 2^53 + 1: not representable as float64
+    from explorer_spark.sources import from_rows
+
+    # NB from_columns would already launder this at construction
+    # (pd.DataFrame of ints+None is float64); from_rows infers LongType
+    df = from_rows([{"v": 1}, {"v": None}, {"v": big}], spark=spark)
+    for dump, load in ((dump_parquet, load_parquet), (dump_ipc, load_ipc)):
+        back = load(dump(df), spark=spark)
+        assert back.dtypes["v"] == ("s", 64), (dump.__name__, back.dtypes)
+        assert back.to_columns()["v"] == [1, None, big]
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        p = f"{d}/x.arrow"
+        write_ipc(df, p)
+        back = read_ipc(p, spark=spark)
+        assert back.dtypes["v"] == ("s", 64)
+        assert back.to_columns()["v"] == [1, None, big]
+
+
+def test_read_ipc_distributed_order_follows_sorted_files(spark, tmp_path):
+    """Row order must follow SORTED FILE order even when a later file is
+    much larger (binaryFile packs partitions by size descending)."""
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
+    from explorer_spark.sources import read_ipc_distributed
+
+    # a.arrow tiny, b.arrow much larger -> size-ordered partitions would
+    # put b first without the per-file order column
+    t_a = pa.table({"x": pa.array([1, 2], type=pa.int64())})
+    t_b = pa.table({"x": pa.array(list(range(100, 5100)), type=pa.int64())})
+    for name, t in (("a.arrow", t_a), ("b.arrow", t_b)):
+        with pa.OSFile(str(tmp_path / name), "wb") as sink, ipc.new_file(sink, t.schema) as w:
+            w.write_table(t)
+    got = read_ipc_distributed(str(tmp_path / "*.arrow"), spark=spark)
+    head = got.head(3).to_columns()["x"]
+    assert head == [1, 2, 100], head
+    assert got.n_rows() == 5002
