@@ -39,6 +39,16 @@ def _group_window(ctx: LowerCtx):
     return W.partitionBy(*ctx.groups) if ctx.groups else W.partitionBy()
 
 
+def _w(ctx: LowerCtx, agg: Column) -> Column:
+    """Window-wrap ONE primitive aggregate for the current context.
+    COMPOUND aggregate lowerings (skew correction, custom-ddof variance,
+    struct-based first/argmin, size(collect_set)) must wrap each inner
+    aggregate themselves — Column.over on the compound top is illegal
+    (MISSING_GROUP_BY) — and register in _SELF_WINDOWED so the generic
+    wrap in Expr.lower stays off."""
+    return agg if ctx.summarise else agg.over(_group_window(ctx))
+
+
 def _ordered_window(ctx: LowerCtx, descending: bool = False):
     if ctx.order is None:
         raise ValueError("order-dependent expression requires frame row order")
@@ -71,7 +81,7 @@ class Expr:
         if fn is None:
             raise NotImplementedError(f"expression op {self.op!r} not implemented")
         out = fn(ctx, *self.args)
-        if self.op in AGG_OPS and not ctx.summarise:
+        if self.op in AGG_OPS and not ctx.summarise and self.op not in _SELF_WINDOWED:
             # grouped mutate/filter: aggregation broadcasts over its group
             out = out.over(_group_window(ctx))
         if self.op in _AGG_NULL_DEFAULTS:
@@ -120,8 +130,14 @@ class Expr:
     def __mod__(self, o):
         return Expr("remainder", self, _wrap(o))
 
+    def __rmod__(self, o):
+        return Expr("remainder", _wrap(o), self)
+
     def __pow__(self, o):
         return Expr("pow", self, _wrap(o))
+
+    def __rpow__(self, o):
+        return Expr("pow", _wrap(o), self)
 
     def __neg__(self):
         return Expr("subtract", lit(0), self)
@@ -300,19 +316,19 @@ def _quantile(ctx, a, q):
 def _variance(ctx, a, ddof=1):
     c = _c(a, ctx)
     if ddof == 1:
-        return F.var_samp(c)
+        return _w(ctx, F.var_samp(c))
     if ddof == 0:
-        return F.var_pop(c)
-    n = F.count(c)
-    return F.var_samp(c) * (n - F.lit(1)) / (n - F.lit(ddof))
+        return _w(ctx, F.var_pop(c))
+    n = _w(ctx, F.count(c))
+    return _w(ctx, F.var_samp(c)) * (n - F.lit(1)) / (n - F.lit(ddof))
 
 
 def _std(ctx, a, ddof=1):
     c = _c(a, ctx)
     if ddof == 1:
-        return F.stddev_samp(c)
+        return _w(ctx, F.stddev_samp(c))
     if ddof == 0:
-        return F.stddev_pop(c)
+        return _w(ctx, F.stddev_pop(c))
     return F.sqrt(_variance(ctx, a, ddof))
 
 
@@ -320,12 +336,14 @@ def _skew(ctx, a, bias=True):
     c = _c(a, ctx).cast("double")
     if bias:
         # population skewness g1 = m3 / m2^1.5 — matches Polars bias=true
-        n = F.count(c)
-        m = F.avg(c)
-        m2 = F.avg(c * c) - m * m
-        m3 = F.avg(c * c * c) - 3 * m * F.avg(c * c) + 2 * m * m * m
+        m = _w(ctx, F.avg(c))
+        m2 = _w(ctx, F.avg(c * c)) - m * m
+        m3 = _w(ctx, F.avg(c * c * c)) - 3 * m * _w(ctx, F.avg(c * c)) + 2 * m * m * m
         return m3 / F.pow(m2, 1.5)
-    return F.skewness(c)
+    # bias=False: Fisher-Pearson sample correction g1*sqrt(n(n-1))/(n-2)
+    # (F.skewness alone is the BIASED g1 — both branches were equal)
+    n = _w(ctx, F.count(c))
+    return _w(ctx, F.skewness(c)) * F.sqrt(n * (n - F.lit(1))) / (n - F.lit(2))
 
 
 def _corr(ctx, a, b, method="pearson"):
@@ -464,14 +482,19 @@ def _duration_total(ctx, a, precision: str = "us"):
     div = _DUR_UNITS[precision]
     if div == 1:
         return total_us
-    # integer division truncating toward zero (Spark % keeps dividend sign)
-    return ((total_us - total_us % div) / div).cast("long")
+    # integer division truncating toward zero (Spark % keeps dividend
+    # sign). The numerator is cast to DECIMAL before the divide: long/int
+    # in Spark is DOUBLE division, which drops low-order units past 2^53
+    # µs (~285 years); decimal division of an exactly-divisible numerator
+    # is exact at any magnitude.
+    return ((total_us - total_us % div).cast("decimal(38,0)") / F.lit(div)).cast("long")
 
 
 def _trim_side(c: Column, chars: str, leading: bool) -> Column:
-    pat = "^[{0}]+".format(chars.replace("\\", "\\\\").replace("]", "\\]")) if leading else "[{0}]+$".format(
-        chars.replace("\\", "\\\\").replace("]", "\\]")
-    )
+    # escape every character-class metachar: '-' (range), '^' (negation),
+    # '[' and ']' and '\\' — otherwise strip("a-c") means the RANGE a..c
+    esc = "".join("\\" + ch if ch in "\\]^-[" else ch for ch in chars)
+    pat = f"^[{esc}]+" if leading else f"[{esc}]+$"
     return F.regexp_replace(c, pat, "")
 
 
@@ -486,6 +509,12 @@ def _between(ctx, a, lo, hi):
 
 
 _AGG_NULL_DEFAULTS = {"all": True, "any": False}
+
+# ops whose lowerings window-wrap their inner aggregates themselves
+_SELF_WINDOWED = {
+    "n_distinct", "first", "last", "argmin", "argmax",
+    "skew", "variance", "standard_deviation",
+}
 
 _LOWER = {
     # leaves
@@ -543,7 +572,10 @@ _LOWER = {
     "between": _between,
     "all_equal": lambda ctx, a, b: F.bool_and(_c(a, ctx).eqNullSafe(_c(b, ctx))),
     # conditional / null handling
-    "select": lambda ctx, p, t, f: F.when(_c(p, ctx), _c(t, ctx)).otherwise(_c(f, ctx)),
+    # two guarded branches, no otherwise: a NIL predicate matches
+    # neither and yields nil (reference when/then/otherwise semantics;
+    # plain when().otherwise() sends nil to the false branch)
+    "select": lambda ctx, p, t, f: F.when(_c(p, ctx), _c(t, ctx)).when(~_c(p, ctx), _c(f, ctx)),
     "coalesce": lambda ctx, *xs: F.coalesce(*[_c(x, ctx) for x in xs]),
     "fill_missing_with_value": lambda ctx, a, v: F.coalesce(_c(a, ctx), _c(v, ctx)),
     "fill_missing_forward": _fill_forward,
@@ -558,16 +590,43 @@ _LOWER = {
     "count": _unop(F.count),
     "size": lambda ctx, a: F.count(F.lit(1)),
     "nil_count": lambda ctx, a: F.count(F.when(_c(a, ctx).isNull(), 1)),
-    "first": lambda ctx, a: F.first(_c(a, ctx)),
-    "last": lambda ctx, a: F.last(_c(a, ctx)),
-    "n_distinct": lambda ctx, a: F.count_distinct(_c(a, ctx)),
+    # order-exact when the frame order is known: min/max over a
+    # (order, value) struct — F.first/F.last without an ordering are
+    # whatever partition order the shuffle produced. Null values ride
+    # inside the struct, so a null first element is returned as null.
+    "first": lambda ctx, a: (
+        _w(ctx, F.min(F.struct(F.col(ctx.order).alias("i"), _c(a, ctx).alias("v"))))["v"]
+        if ctx.order else _w(ctx, F.first(_c(a, ctx)))
+    ),
+    "last": lambda ctx, a: (
+        _w(ctx, F.max(F.struct(F.col(ctx.order).alias("i"), _c(a, ctx).alias("v"))))["v"]
+        if ctx.order else _w(ctx, F.last(_c(a, ctx)))
+    ),
+    # count_distinct is rejected as a window function — the grouped
+    # mutate/filter path (AGG wrapped .over()) needs size(collect_set);
+    # summarise keeps the native distinct aggregate (collect_set drops
+    # nulls, matching count_distinct's null exclusion)
+    "n_distinct": lambda ctx, a: (
+        F.count_distinct(_c(a, ctx)) if ctx.summarise
+        else F.size(_w(ctx, F.collect_set(_c(a, ctx)))).cast("long")
+    ),
     "product": lambda ctx, a: F.product(_c(a, ctx)),
     "variance": _variance,
     "standard_deviation": _std,
     "quantile": _quantile,
     "skew": _skew,
-    "argmin": lambda ctx, a: F.min_by(F.col(ctx.order), _c(a, ctx)) if ctx.order else F.min_by(F.lit(0), _c(a, ctx)),
-    "argmax": lambda ctx, a: F.max_by(F.col(ctx.order), _c(a, ctx)) if ctx.order else F.max_by(F.lit(0), _c(a, ctx)),
+    # struct extremum = lexicographic (value, index): exact FIRST-
+    # occurrence tie-break (min_by ties are nondeterministic); argmax
+    # negates the index so ties still take the smallest index; null
+    # values are excluded by the when() guard
+    "argmin": lambda ctx, a: (
+        _w(ctx, F.min(F.when(_c(a, ctx).isNotNull(), F.struct(_c(a, ctx).alias("v"), F.col(ctx.order).alias("i")))))["i"]
+        if ctx.order else _w(ctx, F.min_by(F.lit(0), _c(a, ctx)))
+    ),
+    "argmax": lambda ctx, a: (
+        -_w(ctx, F.max(F.when(_c(a, ctx).isNotNull(), F.struct(_c(a, ctx).alias("v"), (-F.col(ctx.order)).alias("ni")))))["ni"]
+        if ctx.order else _w(ctx, F.max_by(F.lit(0), _c(a, ctx)))
+    ),
     "correlation": _corr,
     "covariance": _cov,
     "all": _unop(F.bool_and),

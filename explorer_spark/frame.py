@@ -764,8 +764,24 @@ class DataFrame:
             return out
 
         needs_order = any(_implicit_list(e) for e in exprs.values())
-        base = self._ordered() if needs_order else self
+        # argmin/argmax (and order-exact first/last) return/consume row
+        # POSITIONS: the hidden order column is a sparse monotonic id, so
+        # materialize a contiguous index — per group when grouped (the
+        # reference's grouped argmin is the within-group position)
+        needs_pos = any(
+            isinstance(e, Expr) and _tree_has(e, "argmin", "argmax") for e in exprs.values()
+        )
+        base = self._ordered() if (needs_order or needs_pos) else self
         ctx = base._ctx(summarise=True)
+        if needs_pos:
+            if self.groups:
+                w = W.partitionBy(*self.groups).orderBy(F.col(ORDER_COL).asc())
+                base = base._replace(
+                    base._sdf.withColumn("__pos_idx__", (F.row_number().over(w) - 1).cast("long"))
+                )
+            else:
+                base = base._with_row_index("__pos_idx__")
+            ctx.order = "__pos_idx__"
         aggs = []
         for name, e in exprs.items():
             if not isinstance(e, Expr):

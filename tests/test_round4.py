@@ -297,3 +297,62 @@ def test_integer_division_by_zero_is_null(spark):
     out = df.mutate(q=f.quotient(col("a"), col("b")), r=f.remainder(col("a"), col("b"))).to_columns()
     assert out["q"] == [3, None]
     assert out["r"] == [1, None]
+
+
+# ---------------------------------------------------------------------------
+# expr-layer review fixes
+# ---------------------------------------------------------------------------
+
+
+def test_n_distinct_in_grouped_mutate(spark):
+    df = _frame(spark, g=["a", "a", "b"], x=[1, 1, 2])
+    out = df.group_by("g").mutate(k=f.n_distinct(col("x"))).ungroup().to_columns()
+    assert out["k"] == [1, 1, 1]
+
+
+def test_skew_bias_false_sample_correction(spark):
+    from explorer_spark.series import Series
+
+    xs = [1.0, 2.0, 3.0, 4.0, 10.0]
+    s = Series.from_list(xs, dtype=("f", 64), name="v", spark=spark)
+    # exact: g1 = m3/m2^1.5 = 36/10^1.5 = 1.1384200; sample correction
+    # *sqrt(n(n-1))/(n-2) = sqrt(20)/3 -> 1.6970663
+    assert s.skew(bias=False) == pytest.approx(1.6970663, rel=1e-3)
+    assert s.skew(bias=True) == pytest.approx(1.1384200, rel=1e-3)
+
+
+def test_select_nil_predicate_yields_nil(spark):
+    df = _frame(spark, p=[True, None, False], x=[1, 2, 3])
+    out = df.mutate(y=f.select(col("p"), col("x"), col("x") * 10)).to_columns()
+    assert out["y"] == [1, None, 30]
+
+
+def test_argminmax_contiguous_and_grouped(spark):
+    df = _frame(spark, g=["a", "a", "a", "b", "b"], x=[5, 1, 5, 7, 2])
+    # ungrouped: global position; repartition so mono ids WOULD be sparse
+    whole = df.summarise(i=f.argmin(col("x")), j=f.argmax(col("x"))).to_rows()[0]
+    assert (whole["i"], whole["j"]) == (1, 3)
+    by_g = {
+        r["g"]: (r["i"], r["j"])
+        for r in df.group_by("g").summarise(i=f.argmin(col("x")), j=f.argmax(col("x"))).to_rows()
+    }
+    # within-group positions, first occurrence on ties
+    assert by_g == {"a": (1, 0), "b": (1, 0)}
+
+
+def test_strip_chars_with_class_metachars(spark):
+    from explorer_spark.series import Series
+
+    # lstrip("a-c") strips the LITERAL chars {a, -, c} — never the
+    # range a..c, never negation for '^'
+    s = Series.from_list(["bad", "^xx", "a-c"], dtype="string", name="v", spark=spark)
+    assert s.map(lambda c: f.lstrip(c, "a-c")).to_list() == ["bad", "^xx", ""]
+    s2 = Series.from_list(["cab", "-a-b"], dtype="string", name="v", spark=spark)
+    assert s2.map(lambda c: f.lstrip(c, "a-c")).to_list() == ["b", "b"]
+
+
+def test_reflected_pow_mod(spark):
+    df = _frame(spark, x=[2, 3])
+    out = df.mutate(p=2 ** col("x"), m=7 % col("x")).to_columns()
+    assert out["p"] == [4.0, 8.0]
+    assert out["m"] == [1, 1]
