@@ -56,11 +56,17 @@ def _known_count(frame: "DataFrame") -> int:
 
 
 def _hash_draw(parts: list[Column]) -> Column:
-    """Deterministic uniform draw in [0, 2^32): the first 8 hex chars of
+    """Deterministic uniform draw in [0, 2^60): the first 15 hex chars of
     md5('|'-joined parts) as an integer. Engine-portable (any SQL engine
     reproduces it), so seeded sampling is oracle-checkable, and a pure
-    column expression, so draw streams never touch the driver."""
-    return F.conv(F.substring(F.md5(F.concat_ws("|", *parts)), 1, 8), 16, 10).cast("long")
+    column expression, so draw streams never touch the driver.
+
+    Draws are consumed MOD a frame/group length, which is exactly uniform
+    only when the length divides the draw range; 60 bits of range makes
+    the residual bias ≤ total/2^60 — immaterial at any realistic frame
+    size (an 8-hex draw's total/2^32 bias was measurable for frames past
+    ~1M rows)."""
+    return F.conv(F.substring(F.md5(F.concat_ws("|", *parts)), 1, 15), 16, 10).cast("long")
 
 
 class DataFrame:
@@ -414,8 +420,19 @@ class DataFrame:
                 out = out.withColumn(tmp, p.lower(LowerCtx())).filter(F.col(tmp)).drop(tmp)
             keep = self.names + ([ORDER_COL] if mat._has_order else [])
             return mat._replace(out.select(*keep))
-        base = self._ordered() if needs_order else self
+        # grouped argmin/argmax in a predicate: within-group positions need
+        # a contiguous per-group index (see _mutate_all's needs_pos note)
+        needs_pos = any(
+            isinstance(p, Expr) and _tree_has(p, "argmin", "argmax") for p in predicates
+        )
+        base = self._ordered() if (needs_order or needs_pos) else self
         ctx = base._ctx()
+        if needs_pos:
+            w = W.partitionBy(*self.groups).orderBy(F.col(ORDER_COL).asc())
+            base = base._replace(
+                base._sdf.withColumn("__pos_idx__", (F.row_number().over(w) - 1).cast("long"))
+            )
+            ctx.order = "__pos_idx__"
         out = base._sdf
         for i, p in enumerate(predicates):
             c = p.lower(ctx)
@@ -426,7 +443,9 @@ class DataFrame:
                 out = out.withColumn(tmp, c).filter(F.col(tmp)).drop(tmp)
             else:
                 out = out.filter(c)
-        return base._replace(out, aligned=base._aligned and not (needs_order or has_agg))
+        if needs_pos:
+            out = out.drop("__pos_idx__")
+        return base._replace(out, aligned=base._aligned and not (needs_order or has_agg or needs_pos))
 
     filter = filter_with
 
@@ -519,10 +538,26 @@ class DataFrame:
             keep = list(dict.fromkeys(self.names + list(exprs.keys())))
             keep += [ORDER_COL] if mat._has_order else []
             return mat._replace(out.select(*keep))
-        base = self._ordered() if needs_order else self
+        # argmin/argmax RETURN row positions — in a grouped mutate that is
+        # the WITHIN-GROUP position (reference grouped argmin), so a
+        # contiguous per-group index must replace the sparse ORDER_COL id
+        # as the position source (same materialization as summarise_with)
+        needs_pos = any(
+            isinstance(e, Expr) and _tree_has(e, "argmin", "argmax") for e in exprs.values()
+        )
+        base = self._ordered() if (needs_order or needs_pos) else self
         ctx = base._ctx()
+        if needs_pos:
+            w = W.partitionBy(*self.groups).orderBy(F.col(ORDER_COL).asc())
+            base = base._replace(
+                base._sdf.withColumn("__pos_idx__", (F.row_number().over(w) - 1).cast("long"))
+            )
+            ctx.order = "__pos_idx__"
         cols = {name: (e.lower(ctx) if isinstance(e, Expr) else F.lit(e)) for name, e in exprs.items()}
-        return base._replace(base._sdf.withColumns(cols), aligned=base._aligned and not (needs_order or has_agg))
+        out = base._sdf.withColumns(cols)
+        if needs_pos:
+            out = out.drop("__pos_idx__")
+        return base._replace(out, aligned=base._aligned and not (needs_order or has_agg or needs_pos))
 
     # -- distributed rendering of ungrouped ordered/agg expressions --------
     _IDX = "__gidx__"
@@ -548,7 +583,12 @@ class DataFrame:
                 return True
             return any(_needs_idx(a) for a in e.args)
 
-        needs_idx = any(_needs_idx(e) for e in exprs)
+        # argmin/argmax RETURN row positions: they need the contiguous
+        # 0-based index (the sparse ORDER_COL id would leak through as the
+        # "position", e.g. 8589934592 for partition 1's first row)
+        needs_idx = any(_needs_idx(e) for e in exprs) or any(
+            isinstance(e, Expr) and _tree_has(e, "argmin", "argmax") for e in exprs
+        )
         base = self._with_row_index(self._IDX) if needs_idx else self._ordered()
         n_hint = getattr(base, "_row_count_hint", None)
         state = {"sdf": base._sdf, "n": 0}

@@ -8,10 +8,11 @@ batches and never transit the driver.
 Decoding: formats that need no external codec libraries — PPM (P6) and
 uncompressed 24-bit BMP — decode for real through :func:`decode_image`
 (pure numpy; ``extract_features(fake=False)`` computes genuine pixel
-statistics). Compressed formats (JPEG/PNG/video) would slot into the
-same kernel behind PIL/ffmpeg, absent from this container — they raise
-a clear ValueError. ``fake=True`` keeps the deterministic bytes-derived
-extractor for plumbing tests independent of any codec.
+statistics). Compressed formats (JPEG/PNG) decode through Pillow when
+it is importable (optional, absent from this container) and raise a
+clear ValueError otherwise; video frame extraction would slot into the
+same kernel behind ffmpeg. ``fake=True`` keeps the deterministic
+bytes-derived extractor for plumbing tests independent of any codec.
 """
 
 from __future__ import annotations
@@ -55,11 +56,29 @@ def attach_media(sdf: SDF, payload_col: str, mime: str = "application/octet-stre
 _FEATURE_SCHEMA = "media_id long, n_bytes long, digest string, features array<double>"
 
 
+def _pil_decode(raw: bytes):
+    """Decode via Pillow when importable (JPEG/PNG/anything PIL reads);
+    returns None when PIL is absent so the caller falls through to the
+    no-codec error. Import is per-call inside the executor process —
+    cheap after the first (module cache) and never a driver-only check."""
+    try:
+        from PIL import Image
+    except ImportError:
+        return None
+    import io
+
+    import numpy as np
+
+    img = Image.open(io.BytesIO(raw)).convert("RGB")
+    return np.asarray(img, dtype=np.uint8).copy()
+
+
 def decode_image(raw: bytes):
     """Decode PPM (P6, maxval<=255) or uncompressed 24-bit BMP bytes to a
     (height, width, 3) uint8 RGB numpy array — pure numpy, no codec
-    library. Raises ValueError for anything else (JPEG/PNG need PIL,
-    absent from this container; same kernel slot)."""
+    library. JPEG/PNG and other compressed formats decode through Pillow
+    WHEN it is importable (optional dependency, absent from this
+    container); otherwise they raise a clear ValueError."""
     import numpy as np
 
     if raw[:2] == b"P6":
@@ -96,7 +115,13 @@ def decode_image(raw: bytes):
         rows = np.frombuffer(raw, dtype=np.uint8, count=stride * h, offset=off).reshape(h, stride)
         img = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
         return (img[::-1] if flip else img).copy()
-    raise ValueError(f"undecodable media magic {raw[:2]!r}: PPM(P6)/BMP decode only without codec libs")
+    decoded = _pil_decode(raw)
+    if decoded is not None:
+        return decoded
+    raise ValueError(
+        f"undecodable media magic {raw[:2]!r}: PPM(P6)/BMP decode only "
+        "without codec libs (install Pillow for JPEG/PNG)"
+    )
 
 
 def extract_features(sdf: SDF, id_col: str = "media_id", payload_col: str = "payload", fake: bool = True, dim: int = 8) -> SDF:

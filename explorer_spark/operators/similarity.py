@@ -113,26 +113,27 @@ def brute_force_topk(
     never shuffles wide rows; only skinny (query_id, neighbor_id, cosine)
     rows reach the per-query top-k window. Larger query sets fall back to
     a broadcast cross join with the Arrow pair dot. NB the size probe is
-    an EAGER ``limit(max+1).collect()`` at call time; on the fallback
-    path the probed prefix is discarded, so an expensive query-side plan
-    executes once for the probe and again inside the join — pre-persist
-    the query frame if that matters. Both accumulate
+    an EAGER ``limit(max+1).collect()`` at call time; the skinny
+    (id, vector) projection is pinned with ``localCheckpoint(eager=False)``
+    first, so on the fallback path the join reads the checkpointed rows
+    instead of re-running the query-side plan (each partition computes at
+    most once across probe + join). Both paths accumulate
     left-to-right over the dim axis, so cosines match the DuckDB oracle
     bit-for-bit. Output: query_id, neighbor_id, cosine — deterministic
     tie-break on neighbor_id.
     """
-    qrows = (
-        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
-        .limit(max_collect_queries + 1)
-        .collect()
-    )
+    skinny = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    ).localCheckpoint(eager=False)
+    qrows = skinny.limit(max_collect_queries + 1).collect()
     if len(qrows) <= max_collect_queries:
         return _brute_force_topk_collected(corpus, qrows, k, vec_col, id_col)
 
     # Large query side: broadcast cross join + Arrow pair dot. Norms run
-    # once per ROW (not per pair).
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv__"), norm(F.col(vec_col)).alias("__qn__")
+    # once per ROW (not per pair). Reads the checkpoint, not the original
+    # plan — the probe above already paid for those partitions.
+    q = skinny.select(
+        F.col("qid").alias("query_id"), F.col("qv").alias("__qv__"), norm(F.col("qv")).alias("__qn__")
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv__"), norm(F.col(vec_col)).alias("__cn__")

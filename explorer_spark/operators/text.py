@@ -77,7 +77,7 @@ def shingle_rows(sdf, key_col: str, text_col: str, n: int):
 
 
 def shingle_rows_arrow(sdf, key_col: str, text_col: str, n: int):
-    """(key, shingle) rows via mapInPandas — MAP-ONLY, unlike
+    r"""(key, shingle) rows via mapInPandas — MAP-ONLY, unlike
     :func:`shingle_rows`, whose window (partitionBy key + leads) forces a
     full shuffle of every exploded word. Use this form when the grams
     feed a JOIN (decontamination): the corpus side then truly never

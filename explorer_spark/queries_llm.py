@@ -1171,7 +1171,7 @@ _C4_SYNTH_SQL = (
 
 @query(
     "q_text_line_clean",
-    f"""
+    rf"""
     WITH ws_t AS (
         SELECT doc_id, {_WORDS.format(t="text")} AS ws FROM documents WHERE doc_id < 500
     ),

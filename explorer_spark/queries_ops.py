@@ -591,13 +591,15 @@ def q_time_parts(spark, sf_dir):
 # sample with replacement (round 4): exact-n via deterministic hash draws
 # ---------------------------------------------------------------------------
 
-# DuckDB mirror of frame._hash_draw: first 8 hex chars of md5 parsed by
+# DuckDB mirror of frame._hash_draw: first 15 hex chars of md5 parsed by
 # nibble arithmetic (same trick as the simhash oracle) — draw values
 # reproduce bit-for-bit, so replacement sampling is value-checkable.
+# 15 nibbles = 60 bits, matching the widened draw (mod-total bias
+# ≤ total/2^60, negligible at any frame size).
 _HEX8 = "(" + " + ".join(
     f"(CASE WHEN ascii(substr(h, {k}, 1)) <= 57 THEN ascii(substr(h, {k}, 1)) - 48 "
-    f"ELSE ascii(substr(h, {k}, 1)) - 87 END) * CAST({16 ** (8 - k)} AS BIGINT)"
-    for k in range(1, 9)
+    f"ELSE ascii(substr(h, {k}, 1)) - 87 END) * CAST({16 ** (15 - k)} AS BIGINT)"
+    for k in range(1, 16)
 ) + ")"
 
 
@@ -661,3 +663,133 @@ def q_grouped_sample_replace(spark, sf_dir):
     return picked.summarise(
         n=f.size(col("c_custkey")), key_sum=f.sum(col("c_custkey"))
     ).lazy_sdf()
+
+
+# ---------------------------------------------------------------------------
+# round 5: driver rows for the last unit-only verbs (VERDICT r4 gap #2) —
+# drop_nil, correlation/covariance matrices, rename/rename_with/relocate,
+# pull-shaped materialization
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_drop_nil",
+    """
+    WITH base AS (
+        SELECT event_id,
+               CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v,
+               CASE WHEN user_id % 7 = 0 THEN NULL ELSE user_id END AS u
+        FROM events
+    )
+    SELECT COUNT(*) AS n, ROUND(SUM(v), 2) AS v_sum, CAST(SUM(u) AS BIGINT) AS u_sum
+    FROM base WHERE v IS NOT NULL AND u IS NOT NULL
+    """,
+)
+def q_drop_nil(spark, sf_dir):
+    """drop_nil over synthesized nulls (reference data_frame.ex:3751
+    drop_nil/2 — subset form). Nulls woven into two columns, rows with a
+    null in EITHER dropped, then one aggregate proves the surviving set."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.mutate(
+        v=f.select(col("event_type") == lit("error"), lit(None).cast(("f", 64)), col("value")),
+        u=f.select(col("user_id") % lit(7) == lit(0), lit(None).cast(("s", 64)), col("user_id")),
+    )
+    return (
+        base.drop_nil(["v", "u"])
+        .summarise(
+            n=f.size(col("event_id")),
+            v_sum=f.round(f.sum(col("v")), 2),
+            u_sum=f.sum(col("u")),
+        )
+        .lazy_sdf()
+    )
+
+
+@query(
+    "q_corr_matrix",
+    """
+    WITH s AS (
+        SELECT CAST(l_quantity AS DOUBLE) AS q, CAST(l_extendedprice AS DOUBLE) AS p,
+               CAST(l_discount AS DOUBLE) AS d
+        FROM lineitem
+    )
+    SELECT 'l_quantity' AS names, ROUND(corr(q, q), 6) AS l_quantity,
+           ROUND(corr(q, p), 6) AS l_extendedprice, ROUND(corr(q, d), 6) AS l_discount FROM s
+    UNION ALL
+    SELECT 'l_extendedprice', ROUND(corr(p, q), 6), ROUND(corr(p, p), 6), ROUND(corr(p, d), 6) FROM s
+    UNION ALL
+    SELECT 'l_discount', ROUND(corr(d, q), 6), ROUND(corr(d, p), 6), ROUND(corr(d, d), 6) FROM s
+    """,
+)
+def q_corr_matrix(spark, sf_dir):
+    """Pearson correlation MATRIX (reference data_frame.ex:6832-6860
+    correlation/2): k numeric columns -> k x k frame with a `names`
+    column. ONE aggregate job computes all k^2 cells."""
+    li = _t(spark, sf_dir, "lineitem").select(["l_quantity", "l_extendedprice", "l_discount"])
+    m = li.correlation()
+    return m.mutate(
+        **{c: f.round(col(c), 6) for c in ("l_quantity", "l_extendedprice", "l_discount")}
+    ).lazy_sdf()
+
+
+@query(
+    "q_cov_matrix",
+    """
+    WITH s AS (
+        SELECT CAST(l_quantity AS DOUBLE) AS q, CAST(l_discount AS DOUBLE) AS d FROM lineitem
+    )
+    SELECT 'l_quantity' AS names, ROUND(covar_samp(q, q), 4) AS l_quantity,
+           ROUND(covar_samp(q, d), 4) AS l_discount FROM s
+    UNION ALL
+    SELECT 'l_discount', ROUND(covar_samp(d, q), 4), ROUND(covar_samp(d, d), 4) FROM s
+    """,
+)
+def q_cov_matrix(spark, sf_dir):
+    """Sample covariance MATRIX (reference data_frame.ex:6862-6884
+    covariance/2, ddof=1)."""
+    li = _t(spark, sf_dir, "lineitem").select(["l_quantity", "l_discount"])
+    m = li.covariance()
+    return m.mutate(
+        **{c: f.round(col(c), 4) for c in ("l_quantity", "l_discount")}
+    ).lazy_sdf()
+
+
+@query(
+    "q_rename_relocate",
+    """
+    SELECT n_nationkey, n_name AS nation_name, n_regionkey AS n_regionkey_r
+    FROM nation
+    """,
+)
+def q_rename_relocate(spark, sf_dir):
+    """rename (map form) + rename_with (callback over a selector) +
+    relocate after a named column (reference data_frame.ex:3821-4092)."""
+    nat = _t(spark, sf_dir, "nation")
+    return (
+        nat.rename({"n_name": "nation_name"})
+        .rename_with(lambda c: c + "_r", ["n_regionkey"])
+        .relocate(["nation_name"], after="n_nationkey")
+        .lazy_sdf()
+    )
+
+
+@query(
+    "q_pull_series",
+    """
+    SELECT (SELECT COUNT(*) FROM orders) AS n,
+           (SELECT ROUND(SUM(o_totalprice), 2) FROM orders) AS total,
+           (SELECT CAST(SUM(o_orderkey) AS BIGINT) FROM orders) AS key_sum
+    """,
+)
+def q_pull_series(spark, sf_dir):
+    """pull by NAME and by 0-based INDEX (reference pull/2 returns a
+    %Series{}): both pulled series re-materialize as frames and their
+    aggregates align positionally via concat_columns."""
+    orders = _t(spark, sf_dir, "orders")
+    price = orders.pull("o_totalprice")
+    key = orders.pull(0)  # o_orderkey by position
+    a = price.to_frame().summarise(
+        n=f.size(col("o_totalprice")), total=f.round(f.sum(col("o_totalprice")), 2)
+    )
+    b = key.to_frame().summarise(key_sum=f.sum(col("o_orderkey")))
+    return a.concat_columns(b).lazy_sdf()

@@ -261,6 +261,40 @@ def read_ipc_distributed(
         return p_[5:] if p_.startswith("file:") else p_
 
     path_idx = {os.path.abspath(m): i for i, m in enumerate(matches)}
+    # basename fallback (only where unambiguous) absorbs scheme/symlink
+    # normalization differences between glob and the binaryFile source
+    _base_counts: dict = {}
+    for m in matches:
+        _base_counts[os.path.basename(m)] = _base_counts.get(os.path.basename(m), 0) + 1
+    for i, m in enumerate(matches):
+        b = os.path.basename(m)
+        if _base_counts[b] == 1:
+            path_idx.setdefault(b, i)
+
+    def _lookup_fidx(raw_path: str) -> int:
+        """Map a binaryFile row's path back to its sorted-file index.
+        FAILS LOUDLY on a miss: a silent default of 0 would collapse
+        several files onto one ORDER_COL keyspace and scramble the
+        promised sorted-file row order."""
+        from urllib.parse import unquote, urlparse
+
+        p = _norm(raw_path)
+        for cand in (
+            p,
+            os.path.abspath(p),
+            unquote(p),
+            os.path.abspath(unquote(p)),
+            os.path.abspath(unquote(urlparse(raw_path).path)),
+            os.path.basename(unquote(p)),
+        ):
+            got = path_idx.get(cand)
+            if got is not None:
+                return got
+        raise ValueError(
+            f"read_ipc_distributed: cannot map binaryFile path {raw_path!r} "
+            f"back to an input file index ({len(matches)} input files); "
+            "refusing to guess — row order would silently scramble"
+        )
     out_arrow_schema = schema.append(pa.field("__fidx__", pa.int64())).append(
         pa.field("__rpos__", pa.int64())
     )
@@ -274,7 +308,7 @@ def read_ipc_distributed(
             tbl = pa.Table.from_batches([batch])
             for row in range(tbl.num_rows):
                 blob = tbl.column("content")[row].as_py()
-                fidx = path_idx.get(os.path.abspath(_norm(tbl.column("path")[row].as_py())), 0)
+                fidx = _lookup_fidx(tbl.column("path")[row].as_py())
                 try:
                     sub = ipc.open_file(io.BytesIO(blob)).read_all()
                 except pa.lib.ArrowInvalid:

@@ -1,0 +1,133 @@
+"""Round-5 behavior changes: argmin/argmax exact positions in the MUTATE
+and FILTER paths (grouped window + ungrouped distributed), IPC
+distributed-read path-mapping strictness, sampling draw width."""
+
+import pytest
+
+from explorer_spark import functions as f
+from explorer_spark.expr import col
+from explorer_spark.sources import from_columns
+
+
+def _frame(spark, **cols):
+    return from_columns(cols, spark=spark)
+
+
+# ---------------------------------------------------------------------------
+# argmin/argmax in mutate/filter (reference: grouped argmin broadcasts the
+# WITHIN-GROUP position; ungrouped mutate broadcasts the global position)
+# ---------------------------------------------------------------------------
+
+
+def test_argminmax_ungrouped_mutate_positions(spark):
+    # pre-fix: lowered to min_by(lit(0), v) -> always 0
+    df = _frame(spark, v=[5, 2, 9, 1, 3])
+    out = df.mutate(am=f.argmin(col("v")), ax=f.argmax(col("v"))).to_columns()
+    assert out["am"] == [3, 3, 3, 3, 3]
+    assert out["ax"] == [2, 2, 2, 2, 2]
+
+
+def test_argminmax_ungrouped_mutate_sparse_partitions(spark):
+    # multi-partition frame: monotonically_increasing_id is sparse across
+    # partitions (partition 1 starts at 8589934592) — positions must still
+    # be contiguous 0-based
+    df = _frame(spark, v=list(range(100, 0, -1)))
+    df = df._replace(df._sdf.repartition(8), has_order=df._has_order)
+    out = df.mutate(am=f.argmin(col("v")), ax=f.argmax(col("v"))).to_columns()
+    assert set(out["am"]) == {99}
+    assert set(out["ax"]) == {0}
+
+
+def test_argminmax_grouped_mutate_within_group_positions(spark):
+    # pre-fix: grouped mutate returned the sparse global ORDER_COL id
+    df = _frame(spark, g=["a", "a", "b", "b", "b"], v=[5, 2, 9, 1, 3])
+    out = df.group_by("g").mutate(am=f.argmin(col("v")), ax=f.argmax(col("v"))).to_rows()
+    by_g = {(r["g"], r["v"]): (r["am"], r["ax"]) for r in out}
+    assert by_g[("a", 5)] == (1, 0)
+    assert by_g[("b", 9)] == (1, 0)
+    # ties take the FIRST occurrence
+    df2 = _frame(spark, g=["a"] * 4, v=[3, 1, 1, 3])
+    out2 = df2.group_by("g").mutate(am=f.argmin(col("v")), ax=f.argmax(col("v"))).to_rows()
+    assert out2[0]["am"] == 1 and out2[0]["ax"] == 0
+
+
+def test_argmin_grouped_filter_keeps_min_row(spark):
+    df = _frame(spark, g=["a", "a", "b", "b", "b"], v=[5, 2, 9, 1, 3])
+    out = df.group_by("g").filter(f.row_index() == f.argmin(col("v"))).ungroup()
+    rows = sorted(out.to_rows(), key=lambda r: r["g"])
+    assert [(r["g"], r["v"]) for r in rows] == [("a", 2), ("b", 1)]
+
+
+def test_argminmax_mutate_null_values_excluded(spark):
+    df = _frame(spark, v=[None, 4, None, 1, 7])
+    out = df.mutate(am=f.argmin(col("v")), ax=f.argmax(col("v"))).to_columns()
+    assert set(out["am"]) == {3}
+    assert set(out["ax"]) == {4}
+
+
+# ---------------------------------------------------------------------------
+# brute_force_topk fallback: query-side plan executes once (checkpoint pin)
+# ---------------------------------------------------------------------------
+
+
+def test_brute_force_topk_fallback_single_execution(spark):
+    from explorer_spark.operators.similarity import brute_force_topk
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(1, 7)], "vec_id int, embedding array<double>"
+    )
+    queries = spark.createDataFrame(
+        [(100, [1.0, 0.0]), (101, [0.0, 1.0]), (102, [1.0, 1.0])],
+        "vec_id int, embedding array<double>",
+    )
+    out = brute_force_topk(corpus, queries, k=2, max_collect_queries=1)
+    # fallback path reads the localCheckpoint scan (LogicalRDD /
+    # ExistingRDD), not a second execution of the query-side plan
+    explained = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "ExistingRDD" in explained or "LogicalRDD" in explained, explained
+    rows = out.collect()
+    assert len(rows) == 6  # 3 queries x k=2
+    # top-1 neighbor of [0,1] by cosine is the smallest-x corpus vector
+    top101 = max((r for r in rows if r["query_id"] == 101), key=lambda r: r["cosine"])
+    assert top101["neighbor_id"] == 1
+
+
+# ---------------------------------------------------------------------------
+# PIL-gated compressed-image decode (optional dependency)
+# ---------------------------------------------------------------------------
+
+
+def test_decode_image_pil_gate():
+    from explorer_spark.operators.multimodal import decode_image
+
+    try:
+        from PIL import Image  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+
+    if not has_pil:
+        # without Pillow, compressed magic raises the clear no-codec error
+        with pytest.raises(ValueError, match="Pillow"):
+            decode_image(b"\xff\xd8\xff\xe0 not a real jpeg")
+    else:
+        import io
+
+        img = Image.new("RGB", (3, 2), (10, 20, 30))
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        arr = decode_image(buf.getvalue())
+        assert arr.shape == (2, 3, 3)
+        assert (arr[0, 0] == [10, 20, 30]).all()
+
+
+def test_decode_image_ppm_still_codec_free():
+    import numpy as np
+
+    from explorer_spark.operators.multimodal import decode_image
+
+    raw = b"P6\n2 1\n255\n" + bytes([255, 0, 0, 0, 255, 0])
+    arr = decode_image(raw)
+    assert arr.shape == (1, 2, 3)
+    assert (arr[0, 0] == np.array([255, 0, 0])).all()
