@@ -78,9 +78,16 @@ class DataFrame:
         groups: list[str] | None = None,
         has_order: bool | None = None,
         aligned: bool = False,
+        group_mode: str = "groups",
     ):
         self._sdf = sdf
         self.groups = list(groups or [])
+        # "groups" (plain GROUP BY) | "cube" | "rollup" — Spark-native
+        # multi-dimensional aggregation passthrough (additive over the
+        # reference, like the streaming surface). Only summarise consumes
+        # cube/rollup; every other grouped verb treats the frame as
+        # plainly grouped.
+        self._group_mode = group_mode if groups else "groups"
         self._has_order = ORDER_COL in sdf.columns if has_order is None else has_order
         # True iff the physical layout still matches ORDER_COL: ascending
         # partition id == ascending order, rows in order within partitions.
@@ -115,6 +122,7 @@ class DataFrame:
             self.groups if groups is None else groups,
             self._has_order if has_order is None else has_order,
             aligned=aligned,
+            group_mode=self._group_mode if groups is None else "groups",
         )
 
     def _ordered(self) -> "DataFrame":
@@ -834,18 +842,44 @@ class DataFrame:
             else:
                 aggs.append(e.lower(ctx).alias(name))
         if self.groups:
-            out = base._sdf.groupBy(*self.groups).agg(*aggs)
+            if self._group_mode == "cube":
+                grouped = base._sdf.cube(*self.groups)
+            elif self._group_mode == "rollup":
+                grouped = base._sdf.rollup(*self.groups)
+            else:
+                grouped = base._sdf.groupBy(*self.groups)
+            out = grouped.agg(*aggs)
         else:
             out = base._sdf.agg(*aggs)
         return DataFrame(out, groups=[], has_order=False)
 
     summarise = summarise_with
 
-    def group_by(self, *selectors, stable: bool = True) -> "DataFrame":
+    def group_by(self, *selectors, stable: bool = True, mode: str = "groups") -> "DataFrame":
+        """Group metadata for subsequent verbs. ``mode`` extends the
+        reference surface with Spark-native multi-dimensional
+        aggregation: "cube" / "rollup" make the NEXT summarise aggregate
+        over all cube/rollup grouping sets (null = the rolled-up level,
+        Spark semantics); every other grouped verb ignores the mode and
+        treats the frame as plainly grouped."""
+        if mode not in ("groups", "cube", "rollup"):
+            raise ValueError(f"mode must be 'groups', 'cube' or 'rollup', got {mode!r}")
         cols = []
         for s in selectors:
             cols.extend(self._resolve(s))
-        return self._replace(self._sdf, groups=list(dict.fromkeys(self.groups + cols)))
+        out = self._replace(self._sdf, groups=list(dict.fromkeys(self.groups + cols)))
+        out._group_mode = mode
+        return out
+
+    def cube(self, *selectors) -> "DataFrame":
+        """Spark-native CUBE: summarise aggregates over every subset of
+        the group columns (additive over the reference, like streaming)."""
+        return self.group_by(*selectors, mode="cube")
+
+    def rollup(self, *selectors) -> "DataFrame":
+        """Spark-native ROLLUP: summarise aggregates over each prefix of
+        the group columns."""
+        return self.group_by(*selectors, mode="rollup")
 
     def ungroup(self, *selectors) -> "DataFrame":
         if not selectors:

@@ -793,3 +793,27 @@ def q_pull_series(spark, sf_dir):
     )
     b = key.to_frame().summarise(key_sum=f.sum(col("o_orderkey")))
     return a.concat_columns(b).lazy_sdf()
+
+
+@query(
+    "q_cube_rollup",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total, 'cube' AS kind
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    UNION ALL
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total, 'rollup' AS kind
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube_rollup(spark, sf_dir):
+    """Spark-native CUBE/ROLLUP passthrough (additive over the reference
+    surface, like streaming): one summarise per mode, aggregated over all
+    grouping sets; NULL marks the rolled-up level (Spark semantics, same
+    as ANSI)."""
+    orders = _t(spark, sf_dir, "orders")
+    aggs = dict(n=f.size(col("o_orderkey")), total=f.round(f.sum(col("o_totalprice")), 2))
+    c = orders.cube("o_orderstatus", "o_orderpriority").summarise(**aggs).mutate(kind=lit("cube"))
+    r = orders.rollup("o_orderstatus", "o_orderpriority").summarise(**aggs).mutate(kind=lit("rollup"))
+    return c.concat_rows(r).lazy_sdf()

@@ -71,14 +71,21 @@ def parse_s3(url: str, config: dict | S3Config | None = None) -> tuple[str, S3Co
 
 
 def s3a_available(spark) -> bool:
-    """True iff the Hadoop-S3A connector classes are on the JVM
-    classpath. The PySpark distribution does not BUNDLE hadoop-aws — on
-    clusters it ships via ``spark.jars.packages
-    org.apache.hadoop:hadoop-aws:<hadoop version>`` (plus the matching
-    aws-sdk bundle); this probe exists so a missing jar fails with an
-    actionable message instead of a deep ClassNotFoundException."""
+    """True iff the filesystem class that will serve ``s3a://`` paths is
+    loadable. When the Hadoop conf overrides ``fs.s3a.impl`` (custom
+    connectors — EMRFS-style shims, test mocks), THAT class is probed;
+    otherwise the stock Hadoop-S3A connector. The PySpark distribution
+    does not BUNDLE hadoop-aws — on clusters it ships via
+    ``spark.jars.packages org.apache.hadoop:hadoop-aws:<hadoop version>``
+    (plus the matching aws-sdk bundle); this probe exists so a missing
+    jar fails with an actionable message instead of a deep
+    ClassNotFoundException. Resolution goes through the Hadoop conf's
+    classloader so jars added at runtime (``ADD JAR`` + a conf pointed at
+    the session jar classloader) are honored."""
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    cls = hconf.get("fs.s3a.impl") or "org.apache.hadoop.fs.s3a.S3AFileSystem"
     try:
-        spark._jvm.java.lang.Class.forName("org.apache.hadoop.fs.s3a.S3AFileSystem")
+        hconf.getClassByName(cls)
         return True
     except Exception:
         return False

@@ -90,3 +90,79 @@ def test_resolve_path_configures_hadoop(spark):
 def test_resolve_path_passthrough(spark):
     assert fss.resolve_path("/tmp/x.parquet", spark) == "/tmp/x.parquet"
     assert fss.resolve_path("s3a://already/conf", spark) == "s3a://already/conf"
+
+
+# ---------------------------------------------------------------------------
+# localstack-less END-TO-END contract: a mock Hadoop FileSystem
+# (tests/support/mocks3.jar, source in tests/support/java) serves
+# s3a://bucket/... from local disk, so the full library path —
+# s3:// URL -> fss parse -> fs.s3a.* conf install -> scheme rewrite ->
+# Spark's distributed scan — executes for real without an object store.
+# ---------------------------------------------------------------------------
+
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+MOCK_JAR = os.path.join(REPO, "tests", "support", "mocks3.jar")
+
+
+@pytest.fixture
+def mock_s3(spark, tmp_path):
+    """Install the mock s3a filesystem for one test, restore after."""
+    spark.sql(f"ADD JAR {MOCK_JAR}")
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    # resolve FS classes through the session jar classloader (ADD JAR)
+    hconf.setClassLoader(spark._jsparkSession.sharedState().jarClassLoader())
+    hconf.set("fs.s3a.impl", "exsparktest.MockS3FileSystem")
+    hconf.set("fs.s3a.impl.disable.cache", "true")
+    try:
+        yield hconf
+    finally:
+        hconf.unset("fs.s3a.impl")
+        hconf.unset("fs.s3a.impl.disable.cache")
+
+
+def test_s3_read_parquet_end_to_end(spark, mock_s3, tmp_path):
+    from explorer_spark.sources import read_parquet
+
+    local = tmp_path / "bucket" / "data.parquet"
+    spark.range(25).selectExpr("id", "id * 2 AS v").write.parquet(str(local))
+    url = f"s3://test-bucket{local}"  # authority = bucket, path = local dir
+    df = read_parquet(
+        url,
+        spark=spark,
+        config={"access_key_id": "AK", "secret_access_key": "SK", "region": "us-east-1"},
+    )
+    assert df.n_rows() == 25
+    assert sum(df.to_columns()["v"]) == sum(2 * i for i in range(25))
+    # the fss spec landed on the Hadoop conf (what a real cluster needs)
+    assert mock_s3.get("fs.s3a.access.key") == "AK"
+    assert mock_s3.get("fs.s3a.endpoint.region") == "us-east-1"
+
+
+def test_s3_read_csv_end_to_end(spark, mock_s3, tmp_path):
+    from explorer_spark.sources import read_csv
+
+    local = tmp_path / "bucket" / "t.csv"
+    local.parent.mkdir(parents=True, exist_ok=True)
+    local.write_text("a,b\n1,x\n2,y\n")
+    df = read_csv(
+        f"s3://csv-bucket{local}",
+        spark=spark,
+        config={"access_key_id": "AK", "secret_access_key": "SK", "region": "eu-west-1"},
+    )
+    assert df.to_columns() == {"a": [1, 2], "b": ["x", "y"]}
+
+
+def test_s3_guard_still_raises_without_connector(spark, tmp_path):
+    # with NO fs.s3a.impl override and no hadoop-aws jar, the eager guard
+    # must fire with the actionable message
+    from explorer_spark.sources import fss
+
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    assert hconf.get("fs.s3a.impl") is None
+    with pytest.raises(RuntimeError, match="hadoop-aws"):
+        fss.resolve_path(
+            "s3://b/k.parquet", spark,
+            {"access_key_id": "a", "secret_access_key": "s", "region": "r"},
+        )

@@ -122,6 +122,46 @@ def test_decode_image_pil_gate():
         assert (arr[0, 0] == [10, 20, 30]).all()
 
 
+# ---------------------------------------------------------------------------
+# cube / rollup passthrough (Spark-native, additive over the reference)
+# ---------------------------------------------------------------------------
+
+
+def test_cube_grouping_sets(spark):
+    df = _frame(spark, a=["x", "x", "y"], b=[1, 2, 1], v=[10, 20, 30])
+    out = df.cube("a", "b").summarise(s=f.sum(col("v"))).to_rows()
+    got = {(r["a"], r["b"]): r["s"] for r in out}
+    assert got[(None, None)] == 60  # grand total
+    assert got[("x", None)] == 30 and got[("y", None)] == 30
+    assert got[(None, 1)] == 40 and got[(None, 2)] == 20
+    assert got[("x", 1)] == 10
+    assert len(out) == 3 + 2 + 2 + 1  # cells + a-levels + b-levels + grand
+
+
+def test_rollup_prefix_sets(spark):
+    df = _frame(spark, a=["x", "x", "y"], b=[1, 2, 1], v=[10, 20, 30])
+    out = df.rollup("a", "b").summarise(s=f.sum(col("v"))).to_rows()
+    got = {(r["a"], r["b"]): r["s"] for r in out}
+    assert got[(None, None)] == 60
+    assert got[("x", None)] == 30
+    assert (None, 1) not in got  # rollup has no b-only level
+    assert len(out) == 3 + 2 + 1
+
+
+def test_group_by_mode_consumed_only_by_summarise(spark):
+    df = _frame(spark, a=["x", "y"], v=[1, 2])
+    g = df.cube("a")
+    # a grouped mutate on a cube frame behaves as a PLAIN grouped mutate
+    # (mode travels with the group metadata but only summarise consumes it)
+    m = g.mutate(s=f.sum(col("v")))
+    assert sorted(m.to_columns()["s"]) == [1, 2]
+    assert m._group_mode == "cube"  # still set: a later summarise cubes
+    # ungroup drops the mode with the groups
+    assert g.ungroup()._group_mode == "groups"
+    # regrouping without mode resets to plain groups
+    assert g.ungroup().group_by("a")._group_mode == "groups"
+
+
 def test_decode_image_ppm_still_codec_free():
     import numpy as np
 
