@@ -224,6 +224,32 @@ def test_read_ipc_distributed_multi_file(spark, tmp_path):
     assert rows == sorted((i * 10 + j, f"r{i}{j}") for i in range(3) for j in range(4))
     pruned = read_ipc_distributed(str(tmp_path / "part*.arrow"), columns=["a"], spark=spark)
     assert pruned.names == ["a"] and len(pruned.to_rows()) == 12
+    # rows keep the SORTED-FILE order contract (fidx * 2^40 + row pos);
+    # order would scramble if the executor path-mapping ever misassigned
+    ordered = [r["a"] for r in got.to_rows()]
+    assert ordered == [i * 10 + j for i in range(3) for j in range(4)]
+
+
+def test_read_ipc_distributed_symlinked_path(spark, tmp_path):
+    """Symlinked/alternate path forms must map back to the right file
+    index (basename fallback) instead of silently collapsing to 0."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
+    from explorer_spark.sources import read_ipc_distributed
+
+    real = tmp_path / "real"
+    real.mkdir()
+    for i in range(2):
+        t = pa.table({"a": [i * 10 + j for j in range(3)]})
+        with pa.OSFile(str(real / f"f{i}.arrow"), "wb") as sink, ipc.new_file(sink, t.schema) as w:
+            w.write_table(t)
+    link = tmp_path / "link"
+    os.symlink(real, link)
+    got = read_ipc_distributed(str(link / "f*.arrow"), spark=spark)
+    assert [r["a"] for r in got.to_rows()] == [0, 1, 2, 10, 11, 12]
 
 
 def test_dump_load_binary_family(spark):
