@@ -154,6 +154,11 @@ def from_spark(st: T.DataType):
         return ("datetime", "us", "Etc/UTC")
     if isinstance(st, T.DayTimeIntervalType):
         return ("duration", "us")
+    if hasattr(T, "TimeType") and isinstance(st, T.TimeType):
+        # Spark 4.1+ native time-of-day; the engine's own time columns are
+        # ns-longs (see to_spark), but a scanned TimeType column should
+        # still introspect as :time rather than raise
+        return "time"
     if isinstance(st, T.ArrayType):
         return ("list", from_spark(st.elementType))
     if isinstance(st, T.StructType):

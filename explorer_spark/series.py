@@ -34,6 +34,44 @@ class Series:
         from .sources import from_pandas
 
         spark = spark or get_spark()
+        if dtype is None and not values:
+            # reference from_list([]) -> empty series of :null dtype
+            # (series.ex 'Trying to create an empty series ... will, by
+            # default, result in a series of :null type')
+            dtype = "null"
+        if dtype is None and values:
+            # numeric inference must NOT go through pandas: a pandas
+            # column of [1, None] silently becomes float64 (reference
+            # keeps s64 + nil) and NaN launders into nil (reference keeps
+            # NaN distinct from nil, series_test.exs 'mixing integers and
+            # nan'). Routing through the typed Arrow path preserves both.
+            import datetime as _dtm
+
+            flat = [v for v in values if v is not None]
+            if flat and all(isinstance(v, int) and not isinstance(v, bool) for v in flat):
+                dtype = ("s", 64)
+            elif (
+                flat
+                and all(isinstance(v, (int, float)) and not isinstance(v, bool) for v in flat)
+                and any(isinstance(v, float) for v in flat)
+            ):
+                dtype = ("f", 64)
+            elif flat and all(isinstance(v, _dtm.time) for v in flat):
+                dtype = "time"
+        if dt.normalize(dtype) == "time" if dtype is not None else False:
+            # time-of-day is carried as nanoseconds since midnight in a
+            # LongType column (dtypes.py) — accept datetime.time values
+            # and convert at the boundary
+            import datetime as _dtm
+
+            values = [
+                (
+                    ((v.hour * 3600 + v.minute * 60 + v.second) * 1_000_000 + v.microsecond) * 1_000
+                    if isinstance(v, _dtm.time)
+                    else v
+                )
+                for v in values
+            ]
         if dtype is not None:
             from pyspark.sql import types as T
 
@@ -545,11 +583,23 @@ class Series:
 
     def to_binary(self) -> bytes:
         """Raw little-endian buffer of the values (reference
-        Series.to_binary/to_iovec — nulls are not representable, same as
+        Series.to_binary — nulls are not representable, same as
         the reference's contract)."""
         return self.to_numpy().tobytes()
 
-    to_iovec = to_binary
+    def to_iovec(self) -> list[bytes]:
+        """List of per-chunk binaries (reference Series.to_iovec,
+        series.ex — one binary per underlying chunk; to_binary is their
+        concatenation). Chunks here are Arrow record batches of the
+        collected result; a single-batch series yields one element."""
+        import pyarrow as pa
+
+        tbl = pa.Table.from_pandas(self.to_frame().to_pandas())
+        col_ = tbl.column(0)
+        out = []
+        for chunk in col_.chunks:
+            out.append(chunk.to_numpy(zero_copy_only=False).tobytes())
+        return out
 
     @staticmethod
     def from_binary(data: bytes, dtype, name: str = "values", spark=None) -> "Series":

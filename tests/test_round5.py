@@ -171,3 +171,60 @@ def test_decode_image_ppm_still_codec_free():
     arr = decode_image(raw)
     assert arr.shape == (1, 2, 3)
     assert (arr[0, 0] == np.array([255, 0, 0])).all()
+
+
+# ---------------------------------------------------------------------------
+# reference parity edges found in the round-5 sweep
+# ---------------------------------------------------------------------------
+
+
+def test_from_list_empty_is_null_dtype(spark):
+    # reference series.ex: from_list([]) -> empty series of :null dtype
+    from explorer_spark.series import Series
+
+    s = Series.from_list([], spark=spark)
+    assert s.dtype == "null"
+    assert s.to_list() == [] and s.size() == 0
+
+
+def test_to_iovec_chunks_concatenate(spark):
+    from explorer_spark.series import Series
+
+    s = Series.from_list([10, 20, 30], dtype=("s", 64), spark=spark)
+    iov = s.to_iovec()
+    assert isinstance(iov, list)
+    assert b"".join(iov) == s.to_binary()
+
+
+def test_from_list_numeric_inference_preserves_nil_vs_nan(spark):
+    """Reference inference rules (series_test.exs 'with integers'/'mixing
+    integers and nan'): int+nil stays s64; NaN is a VALUE, distinct from
+    nil; any float promotes to f64."""
+    import math
+
+    from explorer_spark.series import Series
+
+    s = Series.from_list([1, None, 3], spark=spark)
+    assert s.dtype == ("s", 64)
+    assert s.to_list() == [1, None, 3]
+
+    s2 = Series.from_list([1, float("nan")], spark=spark)
+    assert s2.dtype == ("f", 64)
+    vals = s2.to_list()
+    assert vals[0] == 1.0 and isinstance(vals[1], float) and math.isnan(vals[1])
+
+    s3 = Series.from_list([1.5, None, float("nan")], spark=spark)
+    got = s3.to_list()
+    assert got[0] == 1.5 and got[1] is None and math.isnan(got[2])
+
+
+def test_from_list_time_values(spark):
+    import datetime
+
+    from explorer_spark.series import Series
+
+    s = Series.from_list([datetime.time(1, 2, 3), None], dtype="time", spark=spark)
+    # time-of-day carried as ns since midnight (documented rendering)
+    assert s.to_list() == [(1 * 3600 + 2 * 60 + 3) * 10**9, None]
+    inferred = Series.from_list([datetime.time(0, 0, 1)], spark=spark)
+    assert inferred.to_list() == [10**9]

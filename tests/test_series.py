@@ -94,6 +94,9 @@ def test_series_parity_additions(spark):
     assert list(s) == [10, 20, 30, 40]
     buf = s.to_binary()
     assert Series.from_binary(buf, ("s", 64), spark=spark).to_list() == [10, 20, 30, 40]
+    iov = s.to_iovec()
+    assert isinstance(iov, list) and all(isinstance(c, bytes) for c in iov)
+    assert b"".join(iov) == buf  # iovec chunks concatenate to to_binary
     assert s.to_numpy().tolist() == [10, 20, 30, 40]
     import pandas as pd
 
