@@ -288,10 +288,12 @@ class DataFrame:
     # ------------------------------------------------------------------
     def select(self, selector) -> "DataFrame":
         cols = self._resolve(selector)
+        # group columns always survive a projection (reference
+        # grouped_test.exs:736-755 — selecting only other columns, or
+        # discarding a group, 'does not have effect' on the group cols)
+        cols = cols + [g for g in self.groups if g not in cols]
         keep = cols + ([ORDER_COL] if self._has_order else [])
-        return self._replace(
-            self._sdf.select(*keep), groups=[g for g in self.groups if g in cols], aligned=self._aligned
-        )
+        return self._replace(self._sdf.select(*keep), aligned=self._aligned)
 
     def discard(self, selector) -> "DataFrame":
         drop = set(self._resolve(selector))
@@ -866,7 +868,13 @@ class DataFrame:
             raise ValueError(f"mode must be 'groups', 'cube' or 'rollup', got {mode!r}")
         cols = []
         for s in selectors:
-            cols.extend(self._resolve(s))
+            got = self._resolve(s)
+            # a plain string that is neither a column nor a matching
+            # regex must raise (reference group_by/2 'could not find
+            # column name'), never silently group by nothing
+            if isinstance(s, str) and not got:
+                raise KeyError(f"could not find column name {s!r}; available: {self.names}")
+            cols.extend(got)
         out = self._replace(self._sdf, groups=list(dict.fromkeys(self.groups + cols)))
         out._group_mode = mode
         return out
@@ -887,6 +895,14 @@ class DataFrame:
         drop = set()
         for s in selectors:
             drop |= set(self._resolve(s))
+        # resolved names must be CURRENT groups (reference ungroup/2
+        # raises 'could not find <col> in current groups'); note ranges
+        # index df.names, not df.groups — same as the reference
+        missing = [c for c in drop if c not in self.groups]
+        if missing:
+            raise KeyError(
+                f"could not find {missing} in current groups ({self.groups})"
+            )
         return self._replace(self._sdf, groups=[g for g in self.groups if g not in drop])
 
     # ------------------------------------------------------------------

@@ -228,3 +228,27 @@ def test_from_list_time_values(spark):
     assert s.to_list() == [(1 * 3600 + 2 * 60 + 3) * 10**9, None]
     inferred = Series.from_list([datetime.time(0, 0, 1)], spark=spark)
     assert inferred.to_list() == [10**9]
+
+
+def test_grouped_projection_keeps_group_columns(spark):
+    """reference grouped_test.exs:736-755: selecting only other columns
+    (or discarding a group) does not remove group columns."""
+    df = _frame(spark, a=["a", "b", "c"], b=[1, 2, 3])
+    g = df.group_by("b")
+    sel = g.select(["a"])
+    assert sel.names == ["a", "b"] and sel.groups == ["b"]
+    disc = g.discard(["b"])
+    assert disc.names == ["a", "b"] and disc.groups == ["b"]
+
+
+def test_group_by_unknown_column_raises(spark):
+    df = _frame(spark, a=["a"], b=[1])
+    with pytest.raises(KeyError, match="could not find column name"):
+        df.group_by("something_else")
+
+
+def test_ungroup_non_group_raises(spark):
+    df = _frame(spark, a=["a"], b=[1]).group_by("b")
+    with pytest.raises(KeyError, match="current groups"):
+        df.ungroup("a")
+    assert df.ungroup("b").groups == []
