@@ -797,21 +797,37 @@ class DataFrame:
         def _implicit_list(e) -> bool:
             return isinstance(e, Expr) and not e.references_agg() and _tree_has_column(e)
 
-        ordered_impl = {
-            n: e for n, e in exprs.items() if _implicit_list(e) and _tree_has(e, *ORDERED_EXPR_OPS)
-        }
-        if ordered_impl:
-            # Ordered/window ops can't lower inside collect_list (Spark
-            # rejects a window function in an aggregate): materialize them
-            # as columns first — grouped mutate runs them through windows /
-            # the distributed kernels — then list-collect the materialized
-            # values (the reference returns the list column,
-            # data_frame_test.exs:4352-4368).
-            tmp = {f"__sl{i}__": e for i, e in enumerate(ordered_impl.values())}
-            pre = self.mutate_with(**tmp)
-            remap = dict(zip(ordered_impl, (col(t) for t in tmp)))
-            out = pre.summarise_with(**{n: remap.get(n, e) for n, e in exprs.items()})
-            return out
+        has_ordered = [
+            n for n, e in exprs.items()
+            if isinstance(e, Expr) and _tree_has(e, *ORDERED_EXPR_OPS)
+        ]
+        if has_ordered:
+            # Ordered/window ops can't lower inside an aggregate (Spark
+            # rejects a window function in agg; same for collect_list):
+            # extract every MAXIMAL ordered subtree, materialize as
+            # columns first — grouped mutate runs them through windows /
+            # the distributed kernels — then aggregate the materialized
+            # values. Covers both the implicit list-collect of an ordered
+            # expr (reference data_frame_test.exs:4352-4368) and an
+            # aggregate over a window function, e.g.
+            # max(window_mean(v, 2)) (reference grouped_test.exs:442-464).
+            ordered_sub: dict[str, tuple[str, Expr]] = {}
+
+            def _extract(e):
+                if not isinstance(e, Expr):
+                    return e
+                if e.op in ORDERED_EXPR_OPS:
+                    key = repr(e)
+                    if key not in ordered_sub:
+                        ordered_sub[key] = (f"__so{len(ordered_sub)}__", e)
+                    return col(ordered_sub[key][0])
+                return Expr(e.op, *[_extract(a) for a in e.args])
+
+            new_exprs = {
+                n: (_extract(e) if n in has_ordered else e) for n, e in exprs.items()
+            }
+            pre = self.mutate_with(**{name: sub for name, sub in ordered_sub.values()})
+            return pre.summarise_with(**new_exprs)
 
         needs_order = any(_implicit_list(e) for e in exprs.values())
         # argmin/argmax (and order-exact first/last) return/consume row

@@ -460,8 +460,28 @@ def from_rows(rows: list[dict], spark: SparkSession | None = None) -> DataFrame:
 
 
 def from_columns(columns: dict, spark: SparkSession | None = None) -> DataFrame:
+    """Column dict -> frame. Flat columns ingest through Arrow so the
+    reference's value semantics survive: [1, None] stays int64+null (a
+    pandas round-trip launders it to float64) and float NaN stays a
+    VALUE distinct from null (pandas turns NaN into null). Nested
+    columns and mixed-type columns Arrow rejects fall back to pandas
+    (nested Arrow ingest also hits the segfault noted in from_list)."""
     import pandas as pd
 
+    spark = spark or get_spark()
+    if columns:
+        try:
+            import pyarrow as pa
+
+            arrays = {}
+            for name, vals in columns.items():
+                arr = pa.array(list(vals))
+                if pa.types.is_nested(arr.type):
+                    raise ValueError("nested: pandas path")
+                arrays[name] = arr
+            return _arrow_ingest(spark, pa.table(arrays))
+        except Exception:
+            pass
     return from_pandas(pd.DataFrame(columns), spark=spark)
 
 

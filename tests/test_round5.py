@@ -252,3 +252,36 @@ def test_ungroup_non_group_raises(spark):
     with pytest.raises(KeyError, match="current groups"):
         df.ungroup("a")
     assert df.ungroup("b").groups == []
+
+
+def test_summarise_aggregate_over_window_function(spark):
+    """reference grouped_test.exs:442-464: an aggregation may wrap a
+    window function — max(window_mean(v, 2)) per group."""
+    df = _frame(spark, g=["a", "a", "a", "b", "b"], v=[1.0, 2.0, 3.0, 10.0, 20.0])
+    out = df.group_by("g").summarise(
+        n=f.size(col("v")), m=f.max(f.window_mean(col("v"), 2))
+    ).to_rows()
+    assert sorted((r["g"], r["n"], r["m"]) for r in out) == [("a", 3, 2.5), ("b", 2, 15.0)]
+    # ungrouped form routes through the distributed kernels
+    whole = df.summarise(m=f.max(f.cumulative_sum(col("v")))).to_rows()
+    assert whole == [{"m": 36.0}]
+
+
+def test_from_columns_nan_is_value_nil_is_null(spark):
+    """reference grouped_test.exs:797-833: NaN is a VALUE (counted),
+    nil is null; int+nil columns stay s64."""
+    import math
+
+    df = _frame(spark, b=[1, None, 3], c=[1.0, float("nan"), 3.0], group=[1, 1, 2])
+    assert df.dtypes["b"] == ("s", 64)
+    res = {
+        r["group"]: r
+        for r in df.group_by("group").summarise(
+            b_count=f.count(col("b")), b_nil=f.nil_count(col("b")),
+            c_count=f.count(col("c")), c_nil=f.nil_count(col("c")),
+        ).to_rows()
+    }
+    assert (res[1]["b_count"], res[1]["b_nil"]) == (1, 1)
+    assert (res[1]["c_count"], res[1]["c_nil"]) == (2, 0)  # NaN counted
+    vals = df.to_columns()["c"]
+    assert math.isnan(vals[1])
