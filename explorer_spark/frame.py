@@ -246,6 +246,12 @@ class DataFrame:
     def print(self, n: int = 20):
         self.to_sdf().show(n)
 
+    def to_table_string(self, limit: int | None = 5) -> str:
+        """Rendered table string (reference to_table_string/2; default
+        sample of 5 rows, ``limit=None`` renders every row)."""
+        n = self.n_rows() if limit is None else limit
+        return self.to_sdf()._show_string(n, 20, False)
+
     def explain(self, mode: str = "formatted"):
         self._sdf.explain(mode)
 

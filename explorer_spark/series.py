@@ -302,6 +302,32 @@ class Series:
             # interval-to-long seconds
             total = Expr("duration_total", self._c(), cur[1])
             return self._apply(Expr("cast", total, target))
+        if dt.is_integer(cur):
+            # integer -> temporal (reference series_test.exs:4353-4394):
+            # Spark refuses BIGINT->DATE/TIMESTAMP casts, but the
+            # reference defines them as epoch offsets — date: days since
+            # epoch; naive_datetime/datetime: count of target-precision
+            # units since epoch. (int -> time needs no special case: time
+            # is carried as an ns-since-midnight long already.)
+            if target == "date":
+                from .expr import raw as _raw
+
+                return self._apply(_raw(F.date_from_unix_date(F.col(self.name).cast("int"))))
+            if isinstance(target, tuple) and target[0] in ("naive_datetime", "datetime"):
+                from pyspark.sql import types as T
+
+                from .expr import raw as _raw
+
+                unit = target[1] if len(target) > 1 else "us"
+                to_us = {"ms": 1_000, "us": 1, "ns": None}.get(
+                    {"millisecond": "ms", "microsecond": "us", "nanosecond": "ns"}.get(unit, unit), 1
+                )
+                v = F.col(self.name).cast("long")
+                micros = (v / 1_000).cast("long") if to_us is None else v * F.lit(to_us)
+                ts = F.timestamp_micros(micros)
+                if target[0] == "naive_datetime":
+                    ts = ts.cast(T.TimestampNTZType())  # session tz is UTC
+                return self._apply(_raw(ts))
         return self._apply(Expr("cast", self._c(), dtype))
 
     def filter(self, fn: Callable[[Expr], Expr]) -> "Series":

@@ -285,3 +285,28 @@ def test_from_columns_nan_is_value_nil_is_null(spark):
     assert (res[1]["c_count"], res[1]["c_nil"]) == (2, 0)  # NaN counted
     vals = df.to_columns()["c"]
     assert math.isnan(vals[1])
+
+
+def test_cast_integer_to_temporal(spark):
+    """reference series_test.exs:4353-4394: int->date = days since
+    epoch; int->naive_datetime = target-precision units since epoch;
+    int->time = ns since midnight (identity on the long rendering)."""
+    import datetime
+
+    from explorer_spark.series import Series
+
+    s = Series.from_list([1, 2, 3], spark=spark)
+    assert s.cast("date").to_list() == [
+        datetime.date(1970, 1, 2), datetime.date(1970, 1, 3), datetime.date(1970, 1, 4)
+    ]
+    assert s.cast(("naive_datetime", "us")).to_list() == [
+        datetime.datetime(1970, 1, 1, 0, 0, 0, i) for i in (1, 2, 3)
+    ]
+    big = Series.from_list([1_649_883_642 * 1_000_000], spark=spark)
+    assert big.cast(("naive_datetime", "us")).to_list() == [
+        datetime.datetime(2022, 4, 13, 21, 0, 42)
+    ]
+    ms = Series.from_list([1500], spark=spark).cast(("naive_datetime", "ms"))
+    assert ms.to_list() == [datetime.datetime(1970, 1, 1, 0, 0, 1, 500000)]
+    ns = Series.from_list([1_500_000], spark=spark).cast(("naive_datetime", "ns"))
+    assert ns.to_list() == [datetime.datetime(1970, 1, 1, 0, 0, 0, 1500)]
