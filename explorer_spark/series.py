@@ -20,6 +20,17 @@ from .expr import Expr, LowerCtx, col, lit
 from .frame import ORDER_COL, DataFrame
 
 
+def _us_to_interval(us):
+    """Microsecond count (long Column) -> DayTimeIntervalType. Exact up
+    to 2^53 µs (~285 years); days split keeps make_dt_interval's double
+    seconds small enough to be exact."""
+    days = F.floor(us / F.lit(86_400_000_000)).cast("long")
+    rem = us - days * F.lit(86_400_000_000)
+    return F.make_dt_interval(
+        days.cast("int"), F.lit(0), F.lit(0), rem.cast("double") / F.lit(1_000_000.0)
+    )
+
+
 class Series:
     def __init__(self, frame: DataFrame, name: str = "values"):
         self._frame = frame
@@ -72,6 +83,26 @@ class Series:
                 )
                 for v in values
             ]
+        _dur_target = None
+        if dtype is not None:
+            nd_ = dt.normalize(dtype)
+            if isinstance(nd_, tuple) and nd_[0] == "duration":
+                # durations materialize as real DayTimeIntervals (see
+                # cast): ingest the counts as longs first, accepting
+                # timedelta values as µs counts at the boundary
+                import datetime as _dtm
+
+                unit = nd_[1] if len(nd_) > 1 else "us"
+                per_us = {"ms": 1_000, "us": 1, "ns": 0.001, "s": 1_000_000}.get(unit, 1)
+                values = [
+                    (
+                        int((v.days * 86_400_000_000 + v.seconds * 1_000_000 + v.microseconds) / per_us)
+                        if isinstance(v, _dtm.timedelta)
+                        else v
+                    )
+                    for v in values
+                ]
+                _dur_target, dtype = nd_, ("s", 64)
         if dtype is not None:
             from pyspark.sql import types as T
 
@@ -100,7 +131,10 @@ class Series:
             frame = DataFrame(sdf.withColumn(ORDER_COL, F.monotonically_increasing_id()), has_order=True)
         else:
             frame = from_pandas(pd.DataFrame({name: values}), spark=spark)
-        return Series(frame, name)
+        out = Series(frame, name)
+        if _dur_target is not None:
+            out = out.cast(_dur_target)
+        return out
 
     # -- materialization ----------------------------------------------------
     def to_list(self) -> list:
@@ -302,6 +336,29 @@ class Series:
             # interval-to-long seconds
             total = Expr("duration_total", self._c(), cur[1])
             return self._apply(Expr("cast", total, target))
+        if (
+            isinstance(cur, tuple) and cur[0] == "duration"
+            and isinstance(target, tuple) and target[0] == "duration"
+        ):
+            # precision re-cast is an identity on the interval
+            # representation (exact µs physical time either way); the
+            # reference converts the COUNT, which duration_total exposes
+            return self
+        if dt.is_integer(cur) and isinstance(target, tuple) and target[0] == "duration":
+            # integer -> duration (reference cast: the integer IS the
+            # count in the target precision). Build a real
+            # DayTimeIntervalType so temporal arithmetic, precision
+            # casts, and parquet round-trips all work (the long-count
+            # rendering supports none of them).
+            from .expr import raw as _raw
+
+            unit = target[1] if len(target) > 1 else "us"
+            to_us = {"ms": 1_000, "us": 1, "s": 1_000_000, "ns": None}.get(
+                {"millisecond": "ms", "microsecond": "us", "second": "s", "nanosecond": "ns"}.get(unit, unit), 1
+            )
+            v = F.col(self.name).cast("long")
+            us = (v / 1_000).cast("long") if to_us is None else v * F.lit(to_us)
+            return self._apply(_raw(_us_to_interval(us)))
         if dt.is_integer(cur):
             # integer -> temporal (reference series_test.exs:4353-4394):
             # Spark refuses BIGINT->DATE/TIMESTAMP casts, but the

@@ -310,3 +310,28 @@ def test_cast_integer_to_temporal(spark):
     assert ms.to_list() == [datetime.datetime(1970, 1, 1, 0, 0, 1, 500000)]
     ns = Series.from_list([1_500_000], spark=spark).cast(("naive_datetime", "ns"))
     assert ns.to_list() == [datetime.datetime(1970, 1, 1, 0, 0, 0, 1500)]
+
+
+def test_duration_interval_backed(spark):
+    """Durations materialize as real DayTimeIntervals: temporal
+    arithmetic, precision casts, count extraction, and timedelta
+    ingestion all work (reference duration_test.exs)."""
+    import datetime
+
+    from explorer_spark.series import Series
+
+    d = Series.from_list([1_000_000, 2_500_000, None], dtype=("duration", "us"), spark=spark)
+    assert d.dtype == ("duration", "us")
+    assert d.to_list() == [
+        datetime.timedelta(seconds=1), datetime.timedelta(seconds=2, microseconds=500000), None
+    ]
+    # duration -> integer = count in the duration's precision
+    assert d.cast(("s", 64)).to_list() == [1_000_000, 2_500_000, None]
+    # precision re-cast keeps the physical time
+    assert d.cast(("duration", "ms")).to_list()[0] == datetime.timedelta(seconds=1)
+    # int -> duration cast
+    s = Series.from_list([3_600_000_000], spark=spark).cast(("duration", "us"))
+    assert s.to_list() == [datetime.timedelta(hours=1)]
+    # timedelta values ingest directly
+    td = Series.from_list([datetime.timedelta(days=1, seconds=3)], dtype=("duration", "us"), spark=spark)
+    assert td.to_list() == [datetime.timedelta(days=1, seconds=3)]
