@@ -250,7 +250,9 @@ def re_scan(a, pattern: str):
 
 
 string_length = _mk("string_length")
-lengths = _mk("string_length")
+# reference lengths/1 is the LIST-series op (series.ex:6832); the string
+# form stays available as string_length
+lengths = _mk("list_lengths")
 
 
 def concat(*xs):
@@ -258,7 +260,10 @@ def concat(*xs):
 
 
 def format(xs):
-    return Expr("format", [_wrap(x) for x in xs])
+    # nil literal parts are DROPPED (reference format/1:
+    # format(["a", nil, "b"]) == ["ab"]); nil VALUES inside a series
+    # still null the row, matching polars concat_str
+    return Expr("format", [_wrap(x) for x in xs if x is not None])
 
 
 # temporal ----------------------------------------------------------------

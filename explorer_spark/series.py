@@ -153,6 +153,26 @@ class Series:
     def __len__(self):
         return self.size()
 
+    @staticmethod
+    def format(parts) -> "Series":
+        """Row-wise string concatenation of series and literals
+        (reference Series.format/1): series parts align positionally,
+        plain strings interleave, nil literals are dropped."""
+        parts = [p for p in parts if p is not None]
+        sers = [p for p in parts if isinstance(p, Series)]
+        if not sers:
+            joined = "".join(str(p) for p in parts)
+            return Series.from_list([joined], dtype="string")
+        parts = _broadcast_args(parts)
+        sers = [p for p in parts if isinstance(p, Series)]
+        sdf, names = _series_zip(*sers)
+        it = iter(names)
+        cols = [
+            F.col(next(it)).cast("string") if isinstance(p, Series) else F.lit(str(p))
+            for p in parts
+        ]
+        return _series_result(sdf, F.concat(*cols), "values")
+
     # -- expression application ---------------------------------------------
     def _apply(self, expr: Expr, name: str | None = None) -> "Series":
         out_name = name or self.name
@@ -848,10 +868,14 @@ def _series_select(predicate: "Series", on_true, on_false, name: str = "values")
 Series.select = lambda self, on_true, on_false: _series_select(self, on_true, on_false)
 
 
-def _series_concat(series_list) -> "Series":
-    """Reference Series.concat/1: vertical concatenation with the frame
-    layer's dtype-merge rules (null promotes, ints widen, int+float →
-    float; dtypes.merge via DataFrame.concat_rows)."""
+def _series_concat(series_list, other=None) -> "Series":
+    """Reference Series.concat/1 and concat/2: vertical concatenation
+    with the frame layer's dtype-merge rules (null promotes, ints widen,
+    int+float → float; dtypes.merge via DataFrame.concat_rows). Accepts
+    a list (Series.concat([a, b])), the two-series form
+    (Series.concat(a, b)), or the instance form (a.concat(b))."""
+    if isinstance(series_list, Series):
+        series_list = [series_list] + ([other] if other is not None else [])
     first = series_list[0]
     out = first.to_frame()
     for s in series_list[1:]:
@@ -862,7 +886,7 @@ def _series_concat(series_list) -> "Series":
     return Series(out, first.name)
 
 
-Series.concat = staticmethod(_series_concat)
+Series.concat = _series_concat
 
 
 def _install_scalar_methods():

@@ -335,3 +335,29 @@ def test_duration_interval_backed(spark):
     # timedelta values ingest directly
     td = Series.from_list([datetime.timedelta(days=1, seconds=3)], dtype=("duration", "us"), spark=spark)
     assert td.to_list() == [datetime.timedelta(days=1, seconds=3)]
+
+
+def test_series_format_and_lengths(spark):
+    """reference Series.format/1 (series/literal interleaving, nil
+    literals dropped) and lengths/1 (LIST lengths, series.ex:6832)."""
+    from explorer_spark.series import Series
+
+    a = Series.from_list(["a", "b"], spark=spark)
+    c = Series.from_list(["c", "d"], spark=spark)
+    assert Series.format([a, c]).to_list() == ["ac", "bd"]
+    assert Series.format([a, " / ", c]).to_list() == ["a / c", "b / d"]
+    assert Series.format(["c", a]).to_list() == ["ca", "cb"]
+    assert Series.format(["a", None, "b"]).to_list() == ["ab"]
+
+    lists = Series.from_list([[1], [1, 2, 3], [1, 2]], spark=spark)
+    assert lists.map(lambda x: f.lengths(x)).to_list() == [1, 3, 2]
+
+
+def test_series_concat_call_forms(spark):
+    from explorer_spark.series import Series
+
+    a = Series.from_list([1, 2], spark=spark)
+    b = Series.from_list([3, 4], spark=spark)
+    assert Series.concat([a, b]).to_list() == [1, 2, 3, 4]
+    assert Series.concat(a, b).to_list() == [1, 2, 3, 4]
+    assert a.concat(b).to_list() == [1, 2, 3, 4]
