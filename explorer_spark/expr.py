@@ -310,7 +310,18 @@ def _rank(ctx, a, method="ordinal", descending=False, seed=None):
 
 
 def _quantile(ctx, a, q):
-    return F.percentile(_c(a, ctx), F.lit(float(q)))
+    """Reference quantile/2 = polars 'nearest' strategy (native
+    parse_quantile_interpol_options defaults to Nearest, series.rs:1355):
+    the ELEMENT at sorted position floor(q*(n-1) + 0.5) — never an
+    interpolated value, so integer series yield integers and NaN (which
+    sorts greatest) is returned verbatim for high q. Lowered as a sorted
+    collect: the per-group buffer is the group's values, the same cost
+    class as Spark's own exact F.percentile counts-map."""
+    arr = F.array_sort(_w(ctx, F.collect_list(_c(a, ctx))))
+    idx = F.floor(
+        F.lit(float(q)) * (F.size(arr) - F.lit(1)).cast("double") + F.lit(0.5)
+    ).cast("int")
+    return F.when(F.size(arr) > F.lit(0), F.get(arr, idx))
 
 
 def _variance(ctx, a, ddof=1):

@@ -1284,6 +1284,14 @@ class DataFrame:
         # (position, index) table joined on the row index, row order
         # rewritten from the selection position
         idxed = self._with_row_index("__idx__", total_col="__tot__" if negs else None)
+        # EAGER bounds check (reference raises 'requested row index (i)
+        # out of bounds (-n:n)'); the count is free from the index kernel
+        n_total = _known_count(idxed)
+        bad = [i for i in indices if i >= n_total or i < -n_total]
+        if bad:
+            raise IndexError(
+                f"requested row index ({bad[0]}) out of bounds (-{n_total}:{n_total})"
+            )
         spark = idxed._sdf.sparkSession
         sel = spark.createDataFrame(
             [(p, int(i)) for p, i in enumerate(indices)], "__pos__ long, __sel__ long"
@@ -1831,7 +1839,19 @@ class DataFrame:
                 aggs.append(F.stddev_samp(F.col(c)).alias(f"{c}__std"))
                 aggs.append(F.min(F.col(c)).cast("double").alias(f"{c}__min"))
                 for p in percentiles:
-                    aggs.append(F.percentile(F.col(c), F.lit(p)).alias(f"{c}__p{p}"))
+                    # reference describe percentiles use the quantile
+                    # default = polars NEAREST (element at sorted
+                    # position floor(p*(n-1)+0.5)), not linear
+                    # interpolation — see expr._quantile
+                    arr = F.array_sort(F.collect_list(F.col(c)))
+                    idx = F.floor(
+                        F.lit(float(p)) * (F.size(arr) - F.lit(1)).cast("double") + F.lit(0.5)
+                    ).cast("int")
+                    aggs.append(
+                        F.when(F.size(arr) > F.lit(0), F.get(arr, idx))
+                        .cast("double")
+                        .alias(f"{c}__p{p}")
+                    )
                 aggs.append(F.max(F.col(c)).cast("double").alias(f"{c}__max"))
             elif fmt_minmax[c]:
                 aggs.append(F.min(F.col(c)).alias(f"{c}__min"))

@@ -504,19 +504,32 @@ def q_iso_temporal(spark, sf_dir):
 @query(
     "q_describe_stats",
     """
+    WITH s AS (
+        SELECT o_totalprice AS v,
+               row_number() OVER (ORDER BY o_totalprice) - 1 AS pos,
+               COUNT(*) OVER () AS n
+        FROM orders WHERE o_totalprice IS NOT NULL
+    ),
+    q AS (
+        SELECT MAX(CASE WHEN pos = CAST(FLOOR(0.25 * (n - 1) + 0.5) AS BIGINT) THEN v END) AS p25,
+               MAX(CASE WHEN pos = CAST(FLOOR(0.50 * (n - 1) + 0.5) AS BIGINT) THEN v END) AS p50,
+               MAX(CASE WHEN pos = CAST(FLOOR(0.75 * (n - 1) + 0.5) AS BIGINT) THEN v END) AS p75
+        FROM s
+    )
     SELECT COUNT(o_totalprice) AS cnt,
            ROUND(AVG(o_totalprice), 4) AS mean,
            ROUND(stddev_samp(o_totalprice), 4) AS std,
            ROUND(MIN(o_totalprice), 4) AS min,
-           ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
-           ROUND(quantile_cont(o_totalprice, 0.50), 4) AS p50,
-           ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+           ROUND((SELECT p25 FROM q), 4) AS p25,
+           ROUND((SELECT p50 FROM q), 4) AS p50,
+           ROUND((SELECT p75 FROM q), 4) AS p75,
            ROUND(MAX(o_totalprice), 4) AS max
     FROM orders
     """,
 )
 def q_describe_stats(spark, sf_dir):
-    """describe-shape statistics (exact percentiles, ddof=1 std)."""
+    """describe-shape statistics: NEAREST-element percentiles (the
+    reference quantile default, native series.rs:1355), ddof=1 std."""
     orders = _t(spark, sf_dir, "orders")
     return orders.summarise(
         cnt=f.count(col("o_totalprice")),

@@ -361,3 +361,34 @@ def test_series_concat_call_forms(spark):
     assert Series.concat([a, b]).to_list() == [1, 2, 3, 4]
     assert Series.concat(a, b).to_list() == [1, 2, 3, 4]
     assert a.concat(b).to_list() == [1, 2, 3, 4]
+
+
+def test_slice_index_out_of_bounds_raises(spark):
+    # reference: 'requested row index (2000) out of bounds (-5:5)'
+    df = _frame(spark, a=[1, 2, 3, 4, 5])
+    with pytest.raises(IndexError, match="out of bounds"):
+        df.slice([1, 2000])
+    with pytest.raises(IndexError, match="out of bounds"):
+        df.slice([-6])
+    assert df.slice([-5, 4]).to_columns()["a"] == [1, 5]
+
+
+def test_quantile_nearest_strategy(spark):
+    """reference quantile default = polars NEAREST (series.rs:1355):
+    element at floor(q*(n-1)+0.5); integers stay integers; NaN (sorts
+    greatest) is returned verbatim for high q."""
+    import math
+
+    from explorer_spark.series import Series
+
+    s = Series.from_list([1, 2, None, 3], spark=spark)
+    assert s.quantile(0.2) == 1
+    sf_ = Series.from_list(
+        [-3.1, 1.2, 2.3, None, -2.4, -12.6, float("nan"), 3.9], spark=spark
+    )
+    assert sf_.quantile(0.2) == -3.1
+    assert math.isnan(sf_.quantile(0.92))
+    # describe uses the same strategy (reference data_frame_test.exs:4035)
+    df = _frame(spark, b=[1, 2, 3])
+    rows = df.describe().to_columns()
+    assert rows["b"] == [3.0, 0.0, 2.0, 1.0, 1.0, 2.0, 2.0, 3.0, 3.0]
