@@ -102,6 +102,10 @@ def main() -> None:
                 best = elapsed if best < 0 else min(best, elapsed)
             except Exception as e:  # keep the bench line intact on one failure
                 print(f"BENCH_ERROR {name}: {e}", file=sys.stderr)
+                # ANY failed rep marks the query failed — an
+                # intermittently-crashing query must not publish the
+                # earlier rep's time as green
+                best = -1.0
                 break
             finally:
                 # release this query's frames (py4j refs) OUTSIDE the next

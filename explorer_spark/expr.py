@@ -524,7 +524,7 @@ _AGG_NULL_DEFAULTS = {"all": True, "any": False}
 # ops whose lowerings window-wrap their inner aggregates themselves
 _SELF_WINDOWED = {
     "n_distinct", "first", "last", "argmin", "argmax",
-    "skew", "variance", "standard_deviation",
+    "skew", "variance", "standard_deviation", "quantile",
 }
 
 _LOWER = {

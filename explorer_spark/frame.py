@@ -104,7 +104,18 @@ class DataFrame:
 
     @property
     def dtypes(self) -> dict:
-        return {f.name: dt.from_spark(f.dataType) for f in self._sdf.schema.fields if f.name != ORDER_COL}
+        out = {}
+        for fld in self._sdf.schema.fields:
+            if fld.name == ORDER_COL:
+                continue
+            d = dt.from_spark(fld.dataType)
+            # duration precision rides as column metadata (intervals are
+            # physically µs; Series.cast duration->duration stamps the
+            # logical precision, series.py)
+            if isinstance(d, tuple) and d[0] == "duration" and fld.metadata.get("dur_p"):
+                d = ("duration", fld.metadata["dur_p"])
+            out[fld.name] = d
+        return out
 
     def n_rows(self) -> int:
         return self._sdf.count()
@@ -330,13 +341,15 @@ class DataFrame:
         return self.select(rest[:i] + moving + rest[i:])
 
     def pull(self, name) -> "Series":
-        """One column as a Series (reference pull/2 returns %Series{})."""
+        """One column as a Series (reference pull/2 returns a PLAIN
+        %Series{} — group metadata does not travel: a pulled series
+        aggregates over ALL rows, never per group)."""
         from .series import Series
 
         names = self.names
         if isinstance(name, int):
             name = names[name]
-        return Series(self.select([name]), name)
+        return Series(self.ungroup().select([name]), name)
 
     def fetch(self, key):
         """Access-style fetch (reference fetch/2, Access impl): a column

@@ -69,7 +69,13 @@ def _pil_decode(raw: bytes):
 
     import numpy as np
 
-    img = Image.open(io.BytesIO(raw)).convert("RGB")
+    try:
+        img = Image.open(io.BytesIO(raw)).convert("RGB")
+    except Exception:
+        # undecodable bytes (UnidentifiedImageError etc.) fall through to
+        # decode_image's documented ValueError — the contract is one
+        # exception type regardless of whether Pillow is installed
+        return None
     return np.asarray(img, dtype=np.uint8).copy()
 
 

@@ -113,25 +113,26 @@ def brute_force_topk(
     never shuffles wide rows; only skinny (query_id, neighbor_id, cosine)
     rows reach the per-query top-k window. Larger query sets fall back to
     a broadcast cross join with the Arrow pair dot. NB the size probe is
-    an EAGER ``limit(max+1).collect()`` at call time; the skinny
-    (id, vector) projection is pinned with ``localCheckpoint(eager=False)``
-    first, so on the fallback path the join reads the checkpointed rows
-    instead of re-running the query-side plan (each partition computes at
-    most once across probe + join). Both paths accumulate
-    left-to-right over the dim axis, so cosines match the DuckDB oracle
-    bit-for-bit. Output: query_id, neighbor_id, cosine — deterministic
-    tie-break on neighbor_id.
+    an EAGER ``limit(max+1).collect()`` at call time; it computes only
+    the bounded prefix Spark's incremental collect-limit needs (the
+    common collected path never materializes the full query side). Only
+    the FALLBACK pins the skinny (id, vector) projection with
+    ``localCheckpoint(eager=False)`` before the join, so the query-side
+    plan executes once there (the checkpoint lives until session end —
+    the session-scoped pin every distributed kernel uses). Both paths
+    accumulate left-to-right over the dim axis, so cosines match the
+    DuckDB oracle bit-for-bit. Output: query_id, neighbor_id, cosine —
+    deterministic tie-break on neighbor_id.
     """
-    skinny = queries.select(
-        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
-    ).localCheckpoint(eager=False)
+    skinny = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
     qrows = skinny.limit(max_collect_queries + 1).collect()
     if len(qrows) <= max_collect_queries:
         return _brute_force_topk_collected(corpus, qrows, k, vec_col, id_col)
 
     # Large query side: broadcast cross join + Arrow pair dot. Norms run
-    # once per ROW (not per pair). Reads the checkpoint, not the original
-    # plan — the probe above already paid for those partitions.
+    # once per ROW (not per pair). The checkpoint pins the skinny rows so
+    # the (possibly expensive) upstream plan runs once for the join.
+    skinny = skinny.localCheckpoint(eager=False)
     q = skinny.select(
         F.col("qid").alias("query_id"), F.col("qv").alias("__qv__"), norm(F.col("qv")).alias("__qn__")
     )

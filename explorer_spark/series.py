@@ -167,8 +167,11 @@ class Series:
         sers = [p for p in parts if isinstance(p, Series)]
         sdf, names = _series_zip(*sers)
         it = iter(names)
+        # F.lit (not str()) so a nil VALUE — e.g. a broadcast size-1
+        # series holding nil — nulls the row like concat_str, instead of
+        # stringifying to "None"
         cols = [
-            F.col(next(it)).cast("string") if isinstance(p, Series) else F.lit(str(p))
+            F.col(next(it)).cast("string") if isinstance(p, Series) else F.lit(p).cast("string")
             for p in parts
         ]
         return _series_result(sdf, F.concat(*cols), "values")
@@ -360,10 +363,25 @@ class Series:
             isinstance(cur, tuple) and cur[0] == "duration"
             and isinstance(target, tuple) and target[0] == "duration"
         ):
-            # precision re-cast is an identity on the interval
-            # representation (exact µs physical time either way); the
-            # reference converts the COUNT, which duration_total exposes
-            return self
+            # precision re-cast: truncate the physical time toward zero
+            # to the target unit (the reference converts the COUNT, which
+            # drops sub-unit detail) and stamp the logical precision as
+            # column metadata so dtype introspection and a later
+            # duration->integer cast use the NEW unit
+            from . import expr as _expr
+            from .expr import raw as _raw
+
+            unit = {"millisecond": "ms", "microsecond": "us", "nanosecond": "ns", "second": "s"}.get(
+                target[1] if len(target) > 1 else "us", target[1] if len(target) > 1 else "us"
+            )
+            us = _expr._duration_total(LowerCtx(), self._c(), "us")
+            unit_us = {"ms": 1_000, "s": 1_000_000}.get(unit)
+            if unit_us:
+                # % keeps the dividend sign, so this truncates toward zero
+                us = us - us % F.lit(unit_us)
+            out = self._apply(_raw(_us_to_interval(us)))
+            sdf = out._frame._sdf.withMetadata(out.name, {"dur_p": unit})
+            return Series(out._frame._replace(sdf, has_order=out._frame._has_order), out.name)
         if dt.is_integer(cur) and isinstance(target, tuple) and target[0] == "duration":
             # integer -> duration (reference cast: the integer IS the
             # count in the target precision). Build a real
@@ -372,13 +390,15 @@ class Series:
             # rendering supports none of them).
             from .expr import raw as _raw
 
-            unit = target[1] if len(target) > 1 else "us"
-            to_us = {"ms": 1_000, "us": 1, "s": 1_000_000, "ns": None}.get(
-                {"millisecond": "ms", "microsecond": "us", "second": "s", "nanosecond": "ns"}.get(unit, unit), 1
+            unit = {"millisecond": "ms", "microsecond": "us", "second": "s", "nanosecond": "ns"}.get(
+                target[1] if len(target) > 1 else "us", target[1] if len(target) > 1 else "us"
             )
+            to_us = {"ms": 1_000, "us": 1, "s": 1_000_000, "ns": None}.get(unit, 1)
             v = F.col(self.name).cast("long")
             us = (v / 1_000).cast("long") if to_us is None else v * F.lit(to_us)
-            return self._apply(_raw(_us_to_interval(us)))
+            out = self._apply(_raw(_us_to_interval(us)))
+            sdf = out._frame._sdf.withMetadata(out.name, {"dur_p": unit})
+            return Series(out._frame._replace(sdf, has_order=out._frame._has_order), out.name)
         if dt.is_integer(cur):
             # integer -> temporal (reference series_test.exs:4353-4394):
             # Spark refuses BIGINT->DATE/TIMESTAMP casts, but the

@@ -469,13 +469,17 @@ def from_columns(columns: dict, spark: SparkSession | None = None) -> DataFrame:
     import pandas as pd
 
     spark = spark or get_spark()
+    # materialize one-shot iterables ONCE up front: the Arrow attempt
+    # below may drain a generator and then fall back to pandas, which
+    # would silently see the exhausted iterator
+    columns = {k: (v if isinstance(v, list) else list(v)) for k, v in columns.items()}
     if columns:
         try:
             import pyarrow as pa
 
             arrays = {}
             for name, vals in columns.items():
-                arr = pa.array(list(vals))
+                arr = pa.array(vals)
                 if pa.types.is_nested(arr.type):
                     raise ValueError("nested: pandas path")
                 arrays[name] = arr

@@ -392,3 +392,56 @@ def test_quantile_nearest_strategy(spark):
     df = _frame(spark, b=[1, 2, 3])
     rows = df.describe().to_columns()
     assert rows["b"] == [3.0, 0.0, 2.0, 1.0, 1.0, 2.0, 2.0, 3.0, 3.0]
+
+
+# ---------------------------------------------------------------------------
+# round-5 self-review fixes
+# ---------------------------------------------------------------------------
+
+
+def test_quantile_in_grouped_mutate_and_filter(spark):
+    # quantile is a compound self-windowed aggregate: grouped mutate and
+    # filter must not double-wrap it in .over()
+    df = _frame(spark, g=["a", "a", "b"], v=[1, 2, 10])
+    out = df.group_by("g").mutate(q=f.quantile(col("v"), 0.5)).to_rows()
+    assert {(r["g"], r["q"]) for r in out} == {("a", 2), ("b", 10)}
+    kept = df.group_by("g").filter(col("v") >= f.quantile(col("v"), 0.5)).ungroup().to_rows()
+    assert sorted((r["g"], r["v"]) for r in kept) == [("a", 2), ("b", 10)]
+
+
+def test_pull_from_grouped_frame_is_plain_series(spark):
+    # reference pull/2 returns a PLAIN series: aggregates cover ALL rows
+    df = _frame(spark, g=["a", "a", "b"], v=[1, 2, 10])
+    s = df.group_by("g").pull("v")
+    assert s.sum() == 13
+    assert s.to_frame().names == ["v"]
+
+
+def test_duration_precision_cast_converts_counts(spark):
+    from explorer_spark.series import Series
+
+    d = Series.from_list([1_000_000], dtype=("duration", "us"), spark=spark)
+    dm = d.cast(("duration", "ms"))
+    assert dm.dtype == ("duration", "ms")
+    assert dm.cast(("s", 64)).to_list() == [1000]
+    # sub-unit detail truncates toward zero
+    d2 = Series.from_list([1_500_999], dtype=("duration", "us"), spark=spark)
+    assert d2.cast(("duration", "ms")).cast(("s", 64)).to_list() == [1500]
+    # from_list with a non-us precision stamps the dtype too
+    ms = Series.from_list([1500], dtype=("duration", "ms"), spark=spark)
+    assert ms.dtype == ("duration", "ms")
+    assert ms.cast(("s", 64)).to_list() == [1500]
+
+
+def test_format_nil_value_nulls_row(spark):
+    from explorer_spark.series import Series
+
+    two = Series.from_list(["x", "y"], spark=spark)
+    one_nil = Series.from_list([None], dtype="string", spark=spark)
+    assert Series.format([two, one_nil]).to_list() == [None, None]
+
+
+def test_from_columns_iterator_with_pandas_fallback(spark):
+    # a one-shot iterable must survive the Arrow attempt falling back
+    out = from_columns({"a": iter([1, 2]), "b": [[1], [2]]}, spark=spark)
+    assert out.to_columns() == {"a": [1, 2], "b": [[1], [2]]}
