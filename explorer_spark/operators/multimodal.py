@@ -177,10 +177,61 @@ def extract_features(sdf: SDF, id_col: str = "media_id", payload_col: str = "pay
     return sdf.mapInPandas(op, _FEATURE_SCHEMA)
 
 
+def parse_y4m(raw: bytes):
+    """Parse uncompressed YUV4MPEG2 video bytes — pure python/numpy, no
+    codec library (the video analogue of the PPM/BMP image decode).
+    Returns (fps, width, height, frames) where frames is a list of raw
+    per-frame plane bytes. Supports C420*/C422/C444/Cmono chroma modes.
+    Raises ValueError for anything that is not a Y4M stream."""
+    if not raw.startswith(b"YUV4MPEG2"):
+        raise ValueError(
+            f"undecodable video magic {raw[:9]!r}: YUV4MPEG2 decode only without codec libs"
+        )
+    nl = raw.index(b"\n")
+    width = height = None
+    fps = 25.0
+    chroma = "420"
+    for tok in raw[9:nl].split():
+        tag, val = tok[:1], tok[1:]
+        if tag == b"W":
+            width = int(val)
+        elif tag == b"H":
+            height = int(val)
+        elif tag == b"F":
+            num, den = val.split(b":")
+            fps = int(num) / int(den)
+        elif tag == b"C":
+            chroma = val.decode()
+    if not width or not height:
+        raise ValueError("Y4M header missing W/H")
+    if chroma.startswith("420"):
+        frame_len = width * height * 3 // 2
+    elif chroma.startswith("422"):
+        frame_len = width * height * 2
+    elif chroma.startswith("444"):
+        frame_len = width * height * 3
+    elif chroma.startswith("mono"):
+        frame_len = width * height
+    else:
+        raise ValueError(f"unsupported Y4M chroma mode {chroma!r}")
+    frames, pos = [], nl + 1
+    while pos < len(raw):
+        if not raw.startswith(b"FRAME", pos):
+            raise ValueError(f"corrupt Y4M: expected FRAME marker at byte {pos}")
+        pos = raw.index(b"\n", pos) + 1  # FRAME line may carry params
+        frames.append(raw[pos : pos + frame_len])
+        pos += frame_len
+    return fps, width, height, frames
+
+
 def frame_sample(sdf: SDF, every_ms: int = 1000, id_col: str = "media_id", payload_col: str = "payload") -> SDF:
-    """Frame sampling stub: emits (media_id, frame_idx, frame_payload)
-    rows — one fake frame per ``every_ms`` of (fake) duration. Shows the
-    1->N mapInPandas explode shape a real video sampler uses."""
+    """Sample frames every ``every_ms`` of video time: emits
+    (media_id, frame_idx, frame_payload) rows via the 1->N mapInPandas
+    explode. Y4M (uncompressed YUV4MPEG2) payloads decode for REAL —
+    header-declared fps picks the sampled frame indices and each emitted
+    payload is that frame's raw planes. Other containers (mp4/webm) need
+    ffmpeg, absent here: those payloads fall back to the deterministic
+    64-byte-chunk stub (clearly fake, keeps plumbing tests codec-free)."""
 
     def op(batches):
         import pandas as pd
@@ -189,6 +240,14 @@ def frame_sample(sdf: SDF, every_ms: int = 1000, id_col: str = "media_id", paylo
             rows = {"media_id": [], "frame_idx": [], "frame_payload": []}
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 raw = bytes(payload) if payload is not None else b""
+                if raw.startswith(b"YUV4MPEG2"):
+                    fps, _w, _h, frames = parse_y4m(raw)
+                    step = max(1, int(round(fps * every_ms / 1000.0)))
+                    for i in range(0, len(frames), step):
+                        rows["media_id"].append(mid)
+                        rows["frame_idx"].append(i)
+                        rows["frame_payload"].append(frames[i])
+                    continue
                 n_frames = max(1, min(5, len(raw) // 64))
                 for i in range(n_frames):
                     rows["media_id"].append(mid)

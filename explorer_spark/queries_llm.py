@@ -819,6 +819,39 @@ def q_multimodal_decode(spark, sf_dir):
     )
 
 
+@query(
+    "q_multimodal_video",
+    """
+    SELECT doc_id AS media_id,
+           CAST(FLOOR((5 + doc_id % 30 - 1) / 10) + 1 AS BIGINT) AS n_sampled,
+           CAST(24 AS BIGINT) AS frame_bytes
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def q_multimodal_video(spark, sf_dir):
+    """REAL video decode through the media pipeline: a Y4M (YUV4MPEG2)
+    payload is synthesized per doc JVM-side (4x4 C420 at 10 fps,
+    5 + doc_id%30 frames of a known byte), frame_sample parses the
+    actual container bytes (operators/multimodal.parse_y4m, pure
+    python) and samples every 1000 ms -> every 10th frame; the oracle
+    recomputes the sampled count arithmetically, so a header-parse or
+    frame-stride bug breaks the match."""
+    from .operators.multimodal import frame_sample
+
+    docs = _t(spark, sf_dir, "documents").lazy_sdf().filter(SF.col("doc_id") < 200)
+    payload = SF.expr(
+        "CAST(concat('YUV4MPEG2 W4 H4 F10:1 C420\n', "
+        "repeat(concat('FRAME\n', repeat(char(97 + CAST(doc_id % 26 AS INT)), 24)), "
+        "5 + CAST(doc_id % 30 AS INT))) AS BINARY)"
+    )
+    media = docs.select(SF.col("doc_id").alias("media_id"), payload.alias("payload"))
+    sampled = frame_sample(media, every_ms=1000)
+    return sampled.groupBy("media_id").agg(
+        SF.count(SF.lit(1)).alias("n_sampled"),
+        SF.max(SF.length("frame_payload")).cast("long").alias("frame_bytes"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # event streaming shapes (batch-equivalent, run as streaming in tests)
 # ---------------------------------------------------------------------------

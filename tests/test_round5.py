@@ -445,3 +445,32 @@ def test_from_columns_iterator_with_pandas_fallback(spark):
     # a one-shot iterable must survive the Arrow attempt falling back
     out = from_columns({"a": iter([1, 2]), "b": [[1], [2]]}, spark=spark)
     assert out.to_columns() == {"a": [1, 2], "b": [[1], [2]]}
+
+
+def test_frame_sample_real_y4m_decode(spark):
+    """Y4M (uncompressed YUV4MPEG2) video decodes for REAL: fps-driven
+    sampling, raw plane payloads per sampled frame."""
+    w, h, fps, n_frames = 4, 2, 10, 25
+    frame_len = w * h * 3 // 2  # C420
+    header = b"YUV4MPEG2 W4 H2 F10:1 Ip A1:1 C420jpeg\n"
+    body = b"".join(
+        b"FRAME\n" + bytes([i % 256]) * frame_len for i in range(n_frames)
+    )
+    video = header + body
+
+    from explorer_spark.operators.multimodal import frame_sample, parse_y4m
+
+    got_fps, gw, gh, frames = parse_y4m(video)
+    assert (got_fps, gw, gh, len(frames)) == (10.0, 4, 2, 25)
+    assert frames[3] == bytes([3]) * frame_len
+
+    sdf = spark.createDataFrame([(7, bytearray(video))], "media_id long, payload binary")
+    # 10 fps, sample every 1000 ms -> every 10th frame: indices 0, 10, 20
+    rows = sorted(frame_sample(sdf, every_ms=1000).collect(), key=lambda r: r.frame_idx)
+    assert [r.frame_idx for r in rows] == [0, 10, 20]
+    assert bytes(rows[1].frame_payload) == bytes([10]) * frame_len
+    # corrupt stream raises
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="FRAME marker"):
+        parse_y4m(header + b"JUNK")
