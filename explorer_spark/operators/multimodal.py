@@ -219,8 +219,16 @@ def parse_y4m(raw: bytes):
         if not raw.startswith(b"FRAME", pos):
             raise ValueError(f"corrupt Y4M: expected FRAME marker at byte {pos}")
         pos = raw.index(b"\n", pos) + 1  # FRAME line may carry params
+        if len(raw) - pos < frame_len:
+            raise ValueError(
+                f"truncated Y4M: frame {len(frames)} has {len(raw) - pos} of "
+                f"{frame_len} bytes"
+            )
         frames.append(raw[pos : pos + frame_len])
         pos += frame_len
+    # a header-only stream is VALID and yields zero frames — callers
+    # (frame_sample) emit zero rows for it, unlike the non-Y4M stub's
+    # >=1-row contract
     return fps, width, height, frames
 
 

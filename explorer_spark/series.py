@@ -31,6 +31,23 @@ def _us_to_interval(us):
     )
 
 
+def _dur_unit(target) -> str:
+    """Normalize a duration dtype's precision to the short unit form."""
+    unit = target[1] if isinstance(target, tuple) and len(target) > 1 else "us"
+    return {"millisecond": "ms", "microsecond": "us", "nanosecond": "ns", "second": "s"}.get(unit, unit)
+
+
+def _stamp_dur_precision(s: "Series", unit: str) -> "Series":
+    """Record the logical duration precision as column metadata (read by
+    frame.dtypes). BEST-EFFORT: metadata survives only direct casts —
+    any derived expression (arithmetic, fill, shift) reverts the column
+    to the physical µs precision, and dtype introspection + later
+    integer casts consistently follow THAT (both report/count µs), so
+    degradation is visible, never silently mismatched."""
+    sdf = s._frame._sdf.withMetadata(s.name, {"dur_p": unit})
+    return Series(s._frame._replace(sdf, has_order=s._frame._has_order), s.name)
+
+
 class Series:
     def __init__(self, frame: DataFrame, name: str = "values"):
         self._frame = frame
@@ -92,7 +109,7 @@ class Series:
                 # timedelta values as µs counts at the boundary
                 import datetime as _dtm
 
-                unit = nd_[1] if len(nd_) > 1 else "us"
+                unit = _dur_unit(nd_)
                 per_us = {"ms": 1_000, "us": 1, "ns": 0.001, "s": 1_000_000}.get(unit, 1)
                 values = [
                     (
@@ -371,17 +388,13 @@ class Series:
             from . import expr as _expr
             from .expr import raw as _raw
 
-            unit = {"millisecond": "ms", "microsecond": "us", "nanosecond": "ns", "second": "s"}.get(
-                target[1] if len(target) > 1 else "us", target[1] if len(target) > 1 else "us"
-            )
+            unit = _dur_unit(target)
             us = _expr._duration_total(LowerCtx(), self._c(), "us")
             unit_us = {"ms": 1_000, "s": 1_000_000}.get(unit)
             if unit_us:
                 # % keeps the dividend sign, so this truncates toward zero
                 us = us - us % F.lit(unit_us)
-            out = self._apply(_raw(_us_to_interval(us)))
-            sdf = out._frame._sdf.withMetadata(out.name, {"dur_p": unit})
-            return Series(out._frame._replace(sdf, has_order=out._frame._has_order), out.name)
+            return _stamp_dur_precision(self._apply(_raw(_us_to_interval(us))), unit)
         if dt.is_integer(cur) and isinstance(target, tuple) and target[0] == "duration":
             # integer -> duration (reference cast: the integer IS the
             # count in the target precision). Build a real
@@ -390,15 +403,11 @@ class Series:
             # rendering supports none of them).
             from .expr import raw as _raw
 
-            unit = {"millisecond": "ms", "microsecond": "us", "second": "s", "nanosecond": "ns"}.get(
-                target[1] if len(target) > 1 else "us", target[1] if len(target) > 1 else "us"
-            )
+            unit = _dur_unit(target)
             to_us = {"ms": 1_000, "us": 1, "s": 1_000_000, "ns": None}.get(unit, 1)
             v = F.col(self.name).cast("long")
             us = (v / 1_000).cast("long") if to_us is None else v * F.lit(to_us)
-            out = self._apply(_raw(_us_to_interval(us)))
-            sdf = out._frame._sdf.withMetadata(out.name, {"dur_p": unit})
-            return Series(out._frame._replace(sdf, has_order=out._frame._has_order), out.name)
+            return _stamp_dur_precision(self._apply(_raw(_us_to_interval(us))), unit)
         if dt.is_integer(cur):
             # integer -> temporal (reference series_test.exs:4353-4394):
             # Spark refuses BIGINT->DATE/TIMESTAMP casts, but the

@@ -474,3 +474,27 @@ def test_frame_sample_real_y4m_decode(spark):
 
     with _pytest.raises(ValueError, match="FRAME marker"):
         parse_y4m(header + b"JUNK")
+
+
+def test_parse_y4m_truncation_and_header_only():
+    from explorer_spark.operators.multimodal import parse_y4m
+
+    header = b"YUV4MPEG2 W4 H2 F10:1 C420\n"
+    with pytest.raises(ValueError, match="truncated"):
+        parse_y4m(header + b"FRAME\n" + b"x" * 5)  # frame_len is 12
+    # header-only stream is valid: zero frames
+    fps, w, h, frames = parse_y4m(header)
+    assert (fps, w, h, frames) == (10.0, 4, 2, [])
+
+
+def test_from_list_duration_long_form_unit(spark):
+    import datetime
+
+    from explorer_spark.series import Series
+
+    # long-form precision names scale identically to the short forms
+    td = Series.from_list(
+        [datetime.timedelta(seconds=1, microseconds=500)], dtype=("duration", "millisecond"), spark=spark
+    )
+    assert td.dtype == ("duration", "ms")
+    assert td.cast(("s", 64)).to_list() == [1000]  # ms count, sub-ms truncated
