@@ -68,7 +68,16 @@ def _attach_order(sdf) -> DataFrame:
     return DataFrame(sdf.withColumn(ORDER_COL, F.monotonically_increasing_id()), has_order=True)
 
 
-def read_parquet(path: str, columns=None, spark: SparkSession | None = None, config=None) -> DataFrame:
+def read_parquet(
+    path: str,
+    columns=None,
+    max_rows: int | None = None,
+    spark: SparkSession | None = None,
+    config=None,
+) -> DataFrame:
+    """Parquet scan (reference from_parquet/2 options: ``columns``
+    projection, ``max_rows`` prefix limit; ``rechunk`` is a Polars
+    memory-layout knob with no Spark analogue)."""
     spark = spark or get_spark()
     path = _fss_resolve(path, spark, config)
     nanos_cols = _nanos_timestamp_cols(path) if "://" not in path else []
@@ -91,6 +100,10 @@ def read_parquet(path: str, columns=None, spark: SparkSession | None = None, con
             )
     if columns:
         sdf = sdf.select(*columns)
+    if max_rows is not None:
+        # prefix limit (Catalyst CollectLimit/GlobalLimit — pushed to the
+        # scan, no full read)
+        sdf = sdf.limit(int(max_rows))
     return _attach_order(sdf)
 
 
@@ -340,8 +353,12 @@ def read_ipc_distributed(
     return DataFrame(sdf, has_order=True)
 
 
-def read_ipc(path: str, columns=None, spark: SparkSession | None = None) -> DataFrame:
-    """Arrow IPC file/stream via PyArrow (no native Spark source)."""
+def read_ipc(
+    path: str, columns=None, max_rows: int | None = None, spark: SparkSession | None = None
+) -> DataFrame:
+    """Arrow IPC file/stream via PyArrow (no native Spark source).
+    Options mirror reference from_ipc/2: ``columns`` projection and
+    ``max_rows`` prefix limit."""
     import pyarrow as pa
     import pyarrow.ipc as ipc
 
@@ -354,6 +371,8 @@ def read_ipc(path: str, columns=None, spark: SparkSession | None = None) -> Data
             table = ipc.open_stream(f).read_all()
     if columns:
         table = table.select(columns)
+    if max_rows is not None:
+        table = table.slice(0, int(max_rows))
     return _arrow_ingest(spark, table)
 
 

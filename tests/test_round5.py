@@ -498,3 +498,19 @@ def test_from_list_duration_long_form_unit(spark):
     )
     assert td.dtype == ("duration", "ms")
     assert td.cast(("s", 64)).to_list() == [1000]  # ms count, sub-ms truncated
+
+
+def test_read_parquet_and_ipc_max_rows(spark, tmp_path):
+    from explorer_spark.sources import read_ipc, read_parquet, write_ipc, write_parquet
+
+    df = _frame(spark, a=list(range(20)))
+    p = str(tmp_path / "t.parquet")
+    write_parquet(df, p)
+    got = read_parquet(p, max_rows=5, spark=spark)
+    assert got.n_rows() == 5
+    got2 = read_parquet(p, columns=["a"], max_rows=3, spark=spark)
+    assert got2.names == ["a"] and got2.n_rows() == 3
+
+    ip = str(tmp_path / "t.arrow")
+    write_ipc(df, ip)
+    assert read_ipc(ip, max_rows=7, spark=spark).n_rows() == 7
