@@ -1690,6 +1690,17 @@ class DataFrame:
                 new_names.append(c)
                 taken.add(c)
                 continue
+            if len(vals) > 1:
+                # Spark names multi-agg pivot columns "{key}_{value_col}";
+                # the reference prefixes with the VALUE column instead:
+                # "{value_col}_{key}" (data_frame.ex:5025-5048). Longest
+                # suffix match disambiguates value cols that end with
+                # another's name.
+                v = max(
+                    (v for v in vals if c.endswith(f"_{v}")), key=len, default=None
+                )
+                if v is not None:
+                    c = f"{v}_{c[: -len(v) - 1]}"
             name = f"{names_prefix}{c}"
             if name in taken:
                 j = 1

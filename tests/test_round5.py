@@ -514,3 +514,24 @@ def test_read_parquet_and_ipc_max_rows(spark, tmp_path):
     ip = str(tmp_path / "t.arrow")
     write_ipc(df, ip)
     assert read_ipc(ip, max_rows=7, spark=spark).n_rows() == 7
+
+
+def test_pivot_wider_multi_values_naming(spark):
+    """reference pivot_wider with a values_from LIST prefixes new columns
+    with the VALUE column name: '{value_col}_{name}' (data_frame.ex
+    multi-values doctest)."""
+    df = _frame(
+        spark,
+        product_id=[1, 1, 2, 2],
+        property=["width_cm", "height_cm"] * 2,
+        property_value=[42, 40, 35, 20],
+        another_value=[43, 41, 36, 21],
+    )
+    out = df.pivot_wider("property", ["property_value", "another_value"])
+    assert sorted(out.names) == [
+        "another_value_height_cm", "another_value_width_cm",
+        "product_id", "property_value_height_cm", "property_value_width_cm",
+    ]
+    rows = {r["product_id"]: r for r in out.to_rows()}
+    assert rows[1]["property_value_width_cm"] == 42
+    assert rows[2]["another_value_height_cm"] == 21
