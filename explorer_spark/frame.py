@@ -1710,7 +1710,9 @@ class DataFrame:
             taken.add(name)
             new_names.append(name)
         out = out.toDF(*new_names)
-        return DataFrame(out, groups=[], has_order=False)
+        # groups that are ID columns survive; pivoted/value groups are
+        # discarded (reference pivot_wider grouped doctests)
+        return DataFrame(out, groups=[g for g in self.groups if g in ids], has_order=False)
 
     def pivot_longer(
         self,

@@ -535,3 +535,13 @@ def test_pivot_wider_multi_values_naming(spark):
     rows = {r["product_id"]: r for r in out.to_rows()}
     assert rows[1]["property_value_width_cm"] == 42
     assert rows[2]["another_value_height_cm"] == 21
+
+
+def test_pivot_wider_group_metadata(spark):
+    # reference: groups that are ID columns stay groups; the pivoted
+    # column's group is discarded
+    df = _frame(spark, weekday=["Mon", "Tue"] * 2, team=["A", "B", "A", "B"], hour=[10, 9, 15, 14])
+    out = df.group_by("team").pivot_wider("weekday", "hour")
+    assert out.groups == ["team"]
+    out2 = df.group_by("weekday").pivot_wider("weekday", "hour")
+    assert out2.groups == []
