@@ -24,14 +24,22 @@ def cut_columns(
 ) -> tuple[Column, Column]:
     """Return (break_point, category) columns for explicit breaks."""
     pts = [float(b) for b in breaks]
+
+    def _fmt(x: float) -> str:
+        # Rust f64 Display (what polars renders into the labels) prints
+        # -1.0 as "-1": drop the trailing .0 for integral breaks
+        if x != x or x in (float("inf"), float("-inf")):
+            return str(x)
+        return str(int(x)) if x.is_integer() else str(x)
+
     if labels is None:
         bounds = [float("-inf"), *pts, float("inf")]
         labels = []
         for lo, hi in zip(bounds[:-1], bounds[1:]):
             if left_close:
-                labels.append(f"[{lo}, {hi})")
+                labels.append(f"[{_fmt(lo)}, {_fmt(hi)})")
             else:
-                labels.append(f"({lo}, {hi}]")
+                labels.append(f"({_fmt(lo)}, {_fmt(hi)}]")
     if len(labels) != len(pts) + 1:
         raise ValueError(f"need {len(pts) + 1} labels, got {len(labels)}")
 

@@ -268,8 +268,8 @@ def q_argminmax(spark, sf_dir):
     FROM (
         SELECT CASE WHEN l_quantity <= 10 THEN 10.0 WHEN l_quantity <= 25 THEN 25.0
                     WHEN l_quantity <= 40 THEN 40.0 ELSE CAST('infinity' AS DOUBLE) END AS break_point,
-               CASE WHEN l_quantity <= 10 THEN '(-inf, 10.0]' WHEN l_quantity <= 25 THEN '(10.0, 25.0]'
-                    WHEN l_quantity <= 40 THEN '(25.0, 40.0]' ELSE '(40.0, inf]' END AS category
+               CASE WHEN l_quantity <= 10 THEN '(-inf, 10]' WHEN l_quantity <= 25 THEN '(10, 25]'
+                    WHEN l_quantity <= 40 THEN '(25, 40]' ELSE '(40, inf]' END AS category
         FROM lineitem
     )
     GROUP BY break_point, category

@@ -631,11 +631,38 @@ class Series:
         )
         return [r[0] for r in rows if r[0] is not None]
 
-    def cut(self, breaks: list, labels=None, left_close: bool = False) -> DataFrame:
-        return self._frame.rename({self.name: "values"}).cut("values", breaks, labels, left_close)
+    def cut(
+        self,
+        breaks: list,
+        labels=None,
+        left_close: bool = False,
+        include_breaks: bool = False,
+        break_point_label: str = "break_point",
+        category_label: str = "category",
+    ) -> DataFrame:
+        """Bin into categories (reference cut/3): default output is
+        values + category; ``include_breaks`` adds the break_point
+        column; the label kwargs rename the generated columns."""
+        out = self._frame.rename({self.name: "values"}).cut("values", breaks, labels, left_close)
+        if not include_breaks:
+            out = out.select(["values", "category"])
+        out = out.rename({"break_point": break_point_label} if include_breaks else {})
+        return out.rename({"category": category_label}) if category_label != "category" else out
 
-    def qcut(self, quantiles: list, labels=None, left_close: bool = False) -> DataFrame:
-        return self._frame.rename({self.name: "values"}).qcut("values", quantiles, labels, left_close)
+    def qcut(
+        self,
+        quantiles: list,
+        labels=None,
+        left_close: bool = False,
+        include_breaks: bool = False,
+        break_point_label: str = "break_point",
+        category_label: str = "category",
+    ) -> DataFrame:
+        out = self._frame.rename({self.name: "values"}).qcut("values", quantiles, labels, left_close)
+        if not include_breaks:
+            out = out.select(["values", "category"])
+        out = out.rename({"break_point": break_point_label} if include_breaks else {})
+        return out.rename({"category": category_label}) if category_label != "category" else out
 
     # -- scalar UDF (Arrow-batched, unlike the reference's eager loop) -------
     def transform(self, fn: Callable, dtype=None) -> "Series":

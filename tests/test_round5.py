@@ -545,3 +545,33 @@ def test_pivot_wider_group_metadata(spark):
     assert out.groups == ["team"]
     out2 = df.group_by("weekday").pivot_wider("weekday", "hour")
     assert out2.groups == []
+
+
+def test_series_cut_reference_options(spark):
+    """reference cut/3 (series_test.exs:6169-6208): minimal float labels
+    ('(-inf, -1]'), default output values+category, include_breaks adds
+    break_point, label kwargs rename columns."""
+    from explorer_spark.series import Series
+
+    s = Series.from_list([x / 10 for x in range(-30, 31, 5)], spark=spark)
+    out = s.cut([-1, 1])
+    assert out.names == ["values", "category"]
+    freq = {}
+    for c in out.to_columns()["category"]:
+        freq[c] = freq.get(c, 0) + 1
+    assert freq == {"(-inf, -1]": 5, "(-1, 1]": 4, "(1, inf]": 4}
+
+    s3 = Series.from_list([1, 2, 3], spark=spark)
+    with pytest.raises(ValueError, match="labels"):
+        s3.cut([2], labels=["x"])
+    d = s3.cut([2], include_breaks=True, labels=["x", "y"],
+               break_point_label="bp", category_label="cat")
+    assert d.names == ["values", "bp", "cat"]
+
+    sf_ = Series.from_list([1.0, 2.0, 3.0], spark=spark)
+    d2 = sf_.cut([1.5, 2.5], include_breaks=True)
+    assert d2.to_columns() == {
+        "values": [1.0, 2.0, 3.0],
+        "break_point": [1.5, 2.5, float("inf")],
+        "category": ["(-inf, 1.5]", "(1.5, 2.5]", "(2.5, inf]"],
+    }
