@@ -2026,10 +2026,17 @@ class DataFrame:
 
         return _cut(self, column, breaks, labels, left_close)
 
-    def qcut(self, column: str, quantiles: list, labels=None, left_close: bool = False) -> "DataFrame":
+    def qcut(
+        self,
+        column: str,
+        quantiles: list,
+        labels=None,
+        left_close: bool = False,
+        allow_duplicates: bool = False,
+    ) -> "DataFrame":
         from .operators.cut import qcut as _qcut
 
-        return _qcut(self, column, quantiles, labels, left_close)
+        return _qcut(self, column, quantiles, labels, left_close, allow_duplicates)
 
     # ------------------------------------------------------------------
     # SQL pass-through (reference data_frame.ex:6924-6930)

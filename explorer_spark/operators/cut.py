@@ -68,9 +68,24 @@ def cut(frame, column: str, breaks: list[float], labels=None, left_close: bool =
     return DataFrame(out, has_order=False)
 
 
-def qcut(frame, column: str, quantiles: list[float], labels=None, left_close: bool = False):
-    """Quantile binning: exact percentiles -> cut chain."""
+def qcut(
+    frame,
+    column: str,
+    quantiles: list[float],
+    labels=None,
+    left_close: bool = False,
+    allow_duplicates: bool = False,
+):
+    """Quantile binning: exact LINEAR percentiles (polars qcut breaks)
+    -> cut chain. Duplicate break values raise unless
+    ``allow_duplicates``, which collapses them (reference qcut/3)."""
     sdf = frame.lazy_sdf()
     row = sdf.agg(*[F.percentile(F.col(column), F.lit(float(q))).alias(f"q{i}") for i, q in enumerate(quantiles)]).collect()[0]
     breaks = [row[f"q{i}"] for i in range(len(quantiles))]
+    if len(set(breaks)) != len(breaks):
+        if not allow_duplicates:
+            raise ValueError(
+                "quantile breakpoints are not unique while `allow_duplicates` is false"
+            )
+        breaks = sorted(set(breaks))
     return cut(frame, column, breaks, labels, left_close)

@@ -657,8 +657,11 @@ class Series:
         include_breaks: bool = False,
         break_point_label: str = "break_point",
         category_label: str = "category",
+        allow_duplicates: bool = False,
     ) -> DataFrame:
-        out = self._frame.rename({self.name: "values"}).qcut("values", quantiles, labels, left_close)
+        out = self._frame.rename({self.name: "values"}).qcut(
+            "values", quantiles, labels, left_close, allow_duplicates
+        )
         if not include_breaks:
             out = out.select(["values", "category"])
         out = out.rename({"break_point": break_point_label} if include_breaks else {})

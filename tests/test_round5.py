@@ -575,3 +575,24 @@ def test_series_cut_reference_options(spark):
         "break_point": [1.5, 2.5, float("inf")],
         "category": ["(-inf, 1.5]", "(1.5, 2.5]", "(2.5, inf]"],
     }
+
+
+def test_qcut_reference_semantics(spark):
+    """reference qcut/3 (series_test.exs:6212-6240): linear quantile
+    breaks, duplicate breaks raise unless allow_duplicates collapses
+    them."""
+    from explorer_spark.series import Series
+
+    s = Series.from_list(list(range(-5, 4)), spark=spark)
+    freq = {}
+    for c in s.qcut([0.0, 0.25, 0.75]).to_columns()["category"]:
+        freq[c] = freq.get(c, 0) + 1
+    assert freq == {"(-inf, -5]": 1, "(-5, -3]": 2, "(-3, 1]": 4, "(1, inf]": 2}
+
+    dup = Series.from_list([0.0, 0.0, 0.0, 3.0, 4.0, 5.0], spark=spark)
+    with pytest.raises(ValueError, match="allow_duplicates"):
+        dup.qcut([0.1, 0.25, 0.75])
+    freq2 = {}
+    for c in dup.qcut([0.1, 0.25, 0.75], allow_duplicates=True).to_columns()["category"]:
+        freq2[c] = freq2.get(c, 0) + 1
+    assert freq2 == {"(-inf, 0]": 3, "(0, 3.75]": 1, "(3.75, inf]": 2}
