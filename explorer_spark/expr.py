@@ -443,10 +443,36 @@ def _strftime_to_java(fmt: str) -> str:
         "%b": "MMM",
         "%j": "DDD",
         "%%": "%",
+        # chrono composite/whitespace tokens (series_test.exs:6154-6165)
+        "%D": "MM/dd/yy",
+        "%F": "yyyy-MM-dd",
+        "%X": "HH:mm:ss",
+        "%T": "HH:mm:ss",
+        "%R": "HH:mm",
+        "%t": "\t",
+        "%n": "\n",
+        "%e": "d",
     }
+    # %-X = chrono's no-pad modifier -> single-letter Java field
+    nopad = {"%-d": "d", "%-m": "M", "%-H": "H", "%-I": "h", "%-M": "m", "%-S": "s", "%-j": "D"}
     out, i = [], 0
     while i < len(fmt):
         if fmt[i] == "%" and i + 1 < len(fmt):
+            if fmt[i + 1] == "-" and fmt[i : i + 3] in nopad:
+                out.append(nopad[fmt[i : i + 3]])
+                i += 3
+                continue
+            if fmt[i + 1] == ".":
+                # %.3f / %.6f / %.9f (and bare %.f) — fractional seconds
+                # WITH the leading dot, chrono-style
+                if i + 3 < len(fmt) and fmt[i + 2] in "369" and fmt[i + 3] == "f":
+                    out.append("." + "S" * int(fmt[i + 2]))
+                    i += 4
+                    continue
+                if i + 2 < len(fmt) and fmt[i + 2] == "f":
+                    out.append(".SSSSSS")
+                    i += 3
+                    continue
             tok = fmt[i : i + 2]
             out.append(table.get(tok, tok))
             i += 2

@@ -596,3 +596,24 @@ def test_qcut_reference_semantics(spark):
     for c in dup.qcut([0.1, 0.25, 0.75], allow_duplicates=True).to_columns()["category"]:
         freq2[c] = freq2.get(c, 0) + 1
     assert freq2 == {"(-inf, 0]": 3, "(0, 3.75]": 1, "(3.75, inf]": 2}
+
+
+def test_strftime_chrono_compat_tokens(spark):
+    """reference 'ensure compatibility with chrono's format'
+    (series_test.exs:6154-6165): %D %F %X %% %t %n %-m %-d %.3f
+    round-trip through strptime AND strftime."""
+    import datetime
+
+    from explorer_spark.series import Series
+
+    cases = [
+        (datetime.datetime(2001, 7, 8), "07/08/01", "%D"),
+        (datetime.datetime(2000, 11, 3), "11/03/00 % \t \n", "%D %% %t %n"),
+        (datetime.datetime(1987, 6, 5, 0, 35, 0, 26000), "1987-06-05 00:35:00.026", "%F %X%.3f"),
+        (datetime.datetime(1999, 3, 1), "1999/3/1", "%Y/%-m/%-d"),
+    ]
+    for dt_, s_, fmt in cases:
+        parsed = Series.from_list([s_], spark=spark).map(lambda c, m=fmt: f.strptime(c, m)).to_list()
+        assert parsed == [dt_], (fmt, parsed)
+        rendered = Series.from_list([dt_], spark=spark).map(lambda c, m=fmt: f.strftime(c, m)).to_list()
+        assert rendered == [s_], (fmt, rendered)
