@@ -754,7 +754,12 @@ _LOWER = {
     ),
     "duration_total": _duration_total,
     "json_path_match": lambda ctx, a, path: F.get_json_object(_c(a, ctx), path),
-    "json_decode": lambda ctx, a, dtype: F.from_json(_c(a, ctx), dt.to_spark(dtype)),
+    # FAILFAST: invalid JSON raises at compute time (the reference's
+    # json_decode raises a deserialization error, series_test.exs:6770);
+    # Spark's default PERMISSIVE would silently yield a null struct
+    "json_decode": lambda ctx, a, dtype: F.from_json(
+        _c(a, ctx), dt.to_spark(dtype), {"mode": "FAILFAST"}
+    ),
     # raw escape hatch: wrap an existing Column
     "raw": lambda ctx, column: column,
 }

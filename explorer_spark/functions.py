@@ -330,9 +330,43 @@ def split_into(a, sep: str, fields: list[str]):
     return Expr("split_into", _wrap(a), sep, list(fields))
 
 
-def re_named_captures(a, pattern: str, names: list[str]):
+def _capture_group_names(pattern: str) -> list[str]:
+    """Capture-group names from a regex: named groups keep their name,
+    unnamed ones get their 1-based index as a string (the reference's
+    rendering, series.ex re_named_captures doctest)."""
+    import re as _re
+
+    names, idx, i = [], 0, 0
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch == "\\":
+            i += 2
+            continue
+        if ch == "[":
+            i += 1
+            while i < len(pattern) and pattern[i] != "]":
+                i += 2 if pattern[i] == "\\" else 1
+            i += 1
+            continue
+        if ch == "(":
+            if pattern[i : i + 2] == "(?":
+                m = _re.match(r"\(\?P?<([A-Za-z_][A-Za-z0-9_]*)>", pattern[i:])
+                if m:
+                    idx += 1
+                    names.append(m.group(1))
+                # (?: / lookarounds: not capturing
+            else:
+                idx += 1
+                names.append(str(idx))
+        i += 1
+    return names
+
+
+def re_named_captures(a, pattern: str, names: list[str] | None = None):
     """Regex named-capture groups -> struct (reference expressions.rs:1230).
     ``names`` lists the capture groups in order."""
+    if names is None:
+        names = _capture_group_names(pattern)
     return Expr("re_named_captures", _wrap(a), pattern, list(names))
 
 

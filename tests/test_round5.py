@@ -617,3 +617,32 @@ def test_strftime_chrono_compat_tokens(spark):
         assert parsed == [dt_], (fmt, parsed)
         rendered = Series.from_list([dt_], spark=spark).map(lambda c, m=fmt: f.strftime(c, m)).to_list()
         assert rendered == [s_], (fmt, rendered)
+
+
+def test_re_named_captures_derives_names(spark):
+    """reference re_named_captures/2 takes only the pattern: named
+    groups keep their name, unnamed groups get the 1-based index."""
+    from explorer_spark.series import Series
+
+    s = Series.from_list(["alice@service.com", "bob@example.com"], spark=spark)
+    got = s.map(lambda c: f.re_named_captures(c, r"(?<account>[^@]+)@(?<host>.*)")).to_list()
+    assert got == [
+        {"account": "alice", "host": "service.com"},
+        {"account": "bob", "host": "example.com"},
+    ]
+    s2 = Series.from_list(["abc", "bcd"], spark=spark)
+    assert s2.map(lambda c: f.re_named_captures(c, r"(b|d)")).to_list() == [
+        {"1": "b"}, {"1": "b"}
+    ]
+
+
+def test_json_decode_invalid_raises(spark):
+    # reference json_decode raises on undecodable JSON (FAILFAST)
+    from explorer_spark.series import Series
+
+    bad = Series.from_list(["not json"], spark=spark)
+    with pytest.raises(Exception, match="FAILFAST|Malformed|JSON"):
+        bad.map(lambda c: f.json_decode(c, ("struct", [("a", ("s", 64))]))).to_list()
+    # nil input stays nil, never an error
+    n = Series.from_list([None], dtype="string", spark=spark)
+    assert n.map(lambda c: f.json_decode(c, ("struct", [("a", ("s", 64))]))).to_list() == [None]
