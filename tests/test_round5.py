@@ -636,6 +636,7 @@ def test_re_named_captures_derives_names(spark):
     ]
 
 
+@pytest.mark.filterwarnings("ignore:toPandas attempted Arrow optimization")
 def test_json_decode_invalid_raises(spark):
     # reference json_decode raises on undecodable JSON (FAILFAST)
     from explorer_spark.series import Series
