@@ -561,6 +561,10 @@ _LOWER = {
     "literal": lambda ctx, v: (
         F.lit(v).cast("long") if isinstance(v, int) and not isinstance(v, bool) else F.lit(v)
     ),
+    # a driver-computed scalar carrying its source column's exact Spark
+    # type (the ungrouped-quantile kernel substitutes these so an s64
+    # column's quantile stays s64, not lit()'s IntegerType inference)
+    "typed_literal": lambda ctx, v, t: F.lit(v).cast(t),
     "alias": lambda ctx, a, name: _c(a, ctx).alias(name),
     "cast": lambda ctx, a, dtype: _c(a, ctx).cast(dt.to_spark(dtype)),
     # arithmetic

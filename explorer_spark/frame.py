@@ -632,6 +632,7 @@ class DataFrame:
         # join back (operators/ordered.py rank_columns) instead of a
         # kernel chain per expression
         rank_fused: dict = {}
+        quantile_qs: dict = {}
         def _prescan(e):
             if not isinstance(e, Expr):
                 return
@@ -640,6 +641,8 @@ class DataFrame:
                 descending = bool(e.args[2]) if len(e.args) > 2 else False
                 if method in ("min", "max", "average", "dense"):
                     rank_fused.setdefault((e.args[0].args[0], descending), {}).setdefault(method, None)
+            if e.op == "quantile":
+                quantile_qs.setdefault(repr(e.args[0]), set()).add(float(e.args[1]))
             for a in e.args:
                 _prescan(a)
 
@@ -782,11 +785,35 @@ class DataFrame:
             agg_cache[key] = name
             return name
 
+        # whole-frame NEAREST quantiles: the distributed nth-element
+        # kernel, one call per distinct source expression (all its qs in
+        # a single pass); results re-enter the tree as typed literals so
+        # the fused one-row aggregate batch never sorts a collected column
+        quantile_cache: dict[str, dict] = {}
+
+        def mat_quantile(orig: Expr, ne: Expr):
+            from .operators import ordered as ordk
+
+            akey = repr(orig.args[0])
+            vals = quantile_cache.get(akey)
+            if vals is None:
+                if _refs_pending(ne.args[0]):
+                    flush_aggs()
+                vname = as_col(ne.args[0])
+                qs = sorted(quantile_qs.get(akey) or {float(orig.args[1])})
+                got = ordk.nearest_quantiles(state["sdf"], vname, qs)
+                dtype = state["sdf"].schema[vname].dataType
+                vals = quantile_cache[akey] = {q: (v, dtype) for q, v in zip(qs, got)}
+            v, dtype = vals[float(orig.args[1])]
+            return Expr("typed_literal", v, dtype)
+
         def rewrite(e):
             if not isinstance(e, Expr):
                 return e
             new_args = [rewrite(a) if isinstance(a, Expr) else a for a in e.args]
             ne = Expr(e.op, *new_args)
+            if e.op == "quantile":
+                return mat_quantile(e, ne)
             if e.op in ORDERED_EXPR_OPS:
                 # the kernel's input may reference a queued aggregate
                 # placeholder — materialize the batch first
@@ -804,6 +831,61 @@ class DataFrame:
         return base._replace(state["sdf"], aligned=False), rewritten
 
     mutate = mutate_with
+
+    def _rewrite_ungrouped_quantiles(self, exprs: dict) -> dict:
+        """Whole-frame NEAREST quantile aggregates route through the
+        distributed nth-element kernel (operators/ordered.py
+        nearest_quantiles: distinct-value counts + bounded prefix + one
+        min-filter agg) instead of ``array_sort(collect_list(col))`` —
+        the sorted-collect rendering is bounded by GROUP size and stays
+        for grouped frames only; ungrouped it would put the entire
+        column in one aggregation buffer. Every q over the same source
+        expression shares one kernel; results substitute as typed
+        literals so an s64 column's quantile stays s64."""
+        from .operators import ordered as ordk
+
+        plain = LowerCtx()
+        gather: dict[str, set] = {}
+
+        def scan(e):
+            if not isinstance(e, Expr):
+                return
+            if e.op == "quantile":
+                gather.setdefault(repr(e.args[0]), set()).add(float(e.args[1]))
+            for a in e.args:
+                scan(a)
+
+        for e in exprs.values():
+            scan(e)
+        cache: dict[str, dict] = {}
+
+        def compute(arg, akey: str) -> dict:
+            hit = cache.get(akey)
+            if hit is not None:
+                return hit
+            if isinstance(arg, Expr) and arg.op == "column":
+                sdf, vname = self._sdf, arg.args[0]
+            else:
+                vname = "__qval__"
+                sdf = self._sdf.withColumn(
+                    vname, arg.lower(plain) if isinstance(arg, Expr) else F.lit(arg)
+                )
+            qs = sorted(gather[akey])
+            got = ordk.nearest_quantiles(sdf, vname, qs)
+            dtype = sdf.schema[vname].dataType
+            cache[akey] = {q: (v, dtype) for q, v in zip(qs, got)}
+            return cache[akey]
+
+        def rw(e):
+            if not isinstance(e, Expr):
+                return e
+            if e.op == "quantile":
+                vals = compute(e.args[0], repr(e.args[0]))
+                v, dtype = vals[float(e.args[1])]
+                return Expr("typed_literal", v, dtype)
+            return Expr(e.op, *[rw(a) for a in e.args])
+
+        return {n: rw(e) for n, e in exprs.items()}
 
     def summarise_with(self, **exprs) -> "DataFrame":
         """Per-group aggregation; group cols prepended to output
@@ -847,6 +929,13 @@ class DataFrame:
             }
             pre = self.mutate_with(**{name: sub for name, sub in ordered_sub.values()})
             return pre.summarise_with(**new_exprs)
+
+        if not self.groups and any(
+            isinstance(e, Expr) and _tree_has(e, "quantile") for e in exprs.values()
+        ):
+            # whole-frame quantile: distributed nth-element kernel, never
+            # a whole-column collect_list in one aggregation buffer
+            exprs = self._rewrite_ungrouped_quantiles(exprs)
 
         needs_order = any(_implicit_list(e) for e in exprs.values())
         # argmin/argmax (and order-exact first/last) return/consume row
@@ -1864,25 +1953,24 @@ class DataFrame:
                 aggs.append(F.avg(F.col(c)).alias(f"{c}__mean"))
                 aggs.append(F.stddev_samp(F.col(c)).alias(f"{c}__std"))
                 aggs.append(F.min(F.col(c)).cast("double").alias(f"{c}__min"))
-                for p in percentiles:
-                    # reference describe percentiles use the quantile
-                    # default = polars NEAREST (element at sorted
-                    # position floor(p*(n-1)+0.5)), not linear
-                    # interpolation — see expr._quantile
-                    arr = F.array_sort(F.collect_list(F.col(c)))
-                    idx = F.floor(
-                        F.lit(float(p)) * (F.size(arr) - F.lit(1)).cast("double") + F.lit(0.5)
-                    ).cast("int")
-                    aggs.append(
-                        F.when(F.size(arr) > F.lit(0), F.get(arr, idx))
-                        .cast("double")
-                        .alias(f"{c}__p{p}")
-                    )
                 aggs.append(F.max(F.col(c)).cast("double").alias(f"{c}__max"))
             elif fmt_minmax[c]:
                 aggs.append(F.min(F.col(c)).alias(f"{c}__min"))
                 aggs.append(F.max(F.col(c)).alias(f"{c}__max"))
         stats = sdf.agg(*aggs).collect()[0].asDict()
+        if percentiles:
+            # reference describe percentiles use the quantile default =
+            # polars NEAREST (element at sorted position
+            # floor(p*(n-1)+0.5)), not linear interpolation — rendered by
+            # the distributed nth-element kernel (distinct-value counts +
+            # bounded prefix), never a whole-column collect
+            from .operators.ordered import nearest_quantiles
+
+            for c in self.names:
+                if num[c]:
+                    got = nearest_quantiles(sdf, c, list(percentiles))
+                    for p, v in zip(percentiles, got):
+                        stats[f"{c}__p{p}"] = None if v is None else float(v)
         spark = sdf.sparkSession
 
         def _fmt(v):

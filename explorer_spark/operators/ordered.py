@@ -1177,3 +1177,93 @@ def ewm_gapped(sdf: SDF, idx_col: str, specs: dict, n_hint: int | None = None) -
         for ch in _EWM_CH:
             drop += [f"__B{ch}_{fn}__", f"__U{ch}_{fn}__", f"__C{ch}_{fn}__"]
     return j.drop(*drop)
+
+
+# ---------------------------------------------------------------------------
+# whole-frame NEAREST quantile (distributed nth-element)
+# ---------------------------------------------------------------------------
+
+
+def nearest_quantiles(sdf: SDF, value_col: str, qs: list) -> list:
+    """Whole-frame NEAREST quantiles — the ELEMENT at sorted position
+    ``floor(q*(n-1)+0.5)`` (reference quantile/2 default; native
+    parse_quantile_interpol_options Nearest, series.rs:1355) — computed
+    WITHOUT a whole-column collect:
+
+    1. one map-combined distinct-value count aggregation (memory bounded
+       by distinct values per task, never rows),
+    2. an inclusive row-count prefix over the distinct table — a bounded
+       single-partition window when the table is summary-sized, else the
+       range-partition + driver per-partition-offset pattern of
+       ``rank_columns``,
+    3. ONE min-filter aggregation answers every requested q: the
+       quantile is the smallest value whose prefix reaches the target
+       rank.
+
+    Returns python scalars (one per q, None for an empty/all-null
+    column). NaN groups to a single distinct value and sorts greatest
+    (Spark ordering), so a high q lands on NaN verbatim, exactly like
+    the sorted-array rendering."""
+    import math as _math
+
+    c = F.col(value_col)
+    vals = (
+        sdf.select(c.alias("__v__"))
+        .filter(c.isNotNull())
+        .groupBy("__v__")
+        .agg(F.count(F.lit(1)).alias("__c__"))
+    )
+    key = F.col("__v__").asc()
+    nv = n = 0
+    if True:
+        # distinct table reused by the stats probe AND the prefix pass:
+        # pin it so the upstream plan runs once
+        vals = vals.localCheckpoint(eager=False)
+        stat = vals.agg(
+            F.count(F.lit(1)).alias("__nv__"), F.sum("__c__").alias("__n__")
+        ).collect()[0]
+        nv, n = stat["__nv__"], stat["__n__"]
+    if not n:
+        return [None for _ in qs]
+    if nv <= SMALL_VALS_MAX:
+        # summary-sized distinct table: one bounded single-partition
+        # window (same deliberate choice as rank_columns — the partition
+        # key is a non-foldable constant zero so WindowExec stays keyed)
+        v = vals.withColumn("__sum0__", F.xxhash64(F.col("__c__")).bitwiseAND(F.lit(0)))
+        w = W.partitionBy("__sum0__").orderBy(key).rowsBetween(W.unboundedPreceding, 0)
+        v2 = v.withColumn("__cum__", F.sum("__c__").over(w))
+    else:
+        v = vals.repartitionByRange(key).sortWithinPartitions(key)
+        v = v.withColumn("__vpid__", F.spark_partition_id())
+        v = v.localCheckpoint(eager=False)  # nondeterministic pid: pin
+        stats = v.groupBy("__vpid__").agg(F.sum("__c__").alias("__t__")).collect()
+        stats.sort(key=lambda r: r["__vpid__"])
+        coffs, coff = {}, 0
+        for r in stats:
+            coffs[r["__vpid__"]] = coff
+            coff += r["__t__"]
+        nparts = (max(coffs) + 1) if coffs else 0
+        w = W.partitionBy("__vpid__").orderBy(key).rowsBetween(W.unboundedPreceding, 0)
+        loc = F.sum("__c__").over(w)
+        if nparts <= ARRAY_LOOKUP_MAX:
+            off = _array_lookup(F.col("__vpid__"), _dense(coffs, nparts, 0), T.LongType())
+        else:
+            lookup = _lookup_df(
+                sdf.sparkSession,
+                [(p, coffs[p]) for p in coffs],
+                [
+                    T.StructField("__vpid__", T.IntegerType()),
+                    T.StructField("__coff__", T.LongType()),
+                ],
+            )
+            v = v.join(F.broadcast(lookup), "__vpid__", "left")
+            off = F.col("__coff__")
+        v2 = v.withColumn("__cum__", (off + loc).cast("long"))
+    targets = [min(max(int(_math.floor(q * (n - 1) + 0.5)) + 1, 1), n) for q in qs]
+    row = v2.agg(
+        *[
+            F.min(F.when(F.col("__cum__") >= F.lit(t), F.col("__v__"))).alias(f"__q{i}__")
+            for i, t in enumerate(targets)
+        ]
+    ).collect()[0]
+    return [row[f"__q{i}__"] for i in range(len(qs))]

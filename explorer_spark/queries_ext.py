@@ -544,6 +544,48 @@ def q_describe_stats(spark, sf_dir):
 
 
 @query(
+    "q_ungrouped_quantile",
+    """
+    WITH s AS (
+        SELECT l_extendedprice AS v,
+               row_number() OVER (ORDER BY l_extendedprice) - 1 AS pos,
+               COUNT(*) OVER () AS n
+        FROM lineitem WHERE l_extendedprice IS NOT NULL
+    ),
+    q AS (
+        SELECT MAX(CASE WHEN pos = CAST(FLOOR(0.10 * (n - 1) + 0.5) AS BIGINT) THEN v END) AS p10,
+               MAX(CASE WHEN pos = CAST(FLOOR(0.50 * (n - 1) + 0.5) AS BIGINT) THEN v END) AS p50,
+               MAX(CASE WHEN pos = CAST(FLOOR(0.90 * (n - 1) + 0.5) AS BIGINT) THEN v END) AS p90,
+               MAX(CASE WHEN pos = CAST(FLOOR(0.99 * (n - 1) + 0.5) AS BIGINT) THEN v END) AS p99
+        FROM s
+    )
+    SELECT p10, p50, p90, p99,
+           (SELECT ROUND(MEDIAN(l_quantity), 4) FROM lineitem) AS med_qty
+    FROM q
+    """,
+)
+def q_ungrouped_quantile(spark, sf_dir):
+    """Whole-frame NEAREST quantiles on the largest table (reference
+    quantile/2 default, native series.rs:1355) — routed through the
+    distributed nth-element kernel (operators/ordered.py
+    nearest_quantiles: distinct-value counts + bounded rank prefix + one
+    min-filter aggregation), NEVER ``array_sort(collect_list(col))`` —
+    the sorted-collect rendering is for grouped frames only, where the
+    buffer is one group. All four qs over the same column share ONE
+    kernel pass. Median (linear interpolation, reference median/1) stays
+    a Spark percentile aggregate: its buffer is a distinct-value count
+    map, bounded by cardinality, not rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.summarise(
+        p10=f.quantile(col("l_extendedprice"), 0.10),
+        p50=f.quantile(col("l_extendedprice"), 0.50),
+        p90=f.quantile(col("l_extendedprice"), 0.90),
+        p99=f.quantile(col("l_extendedprice"), 0.99),
+        med_qty=f.round(f.median(col("l_quantity")), 4),
+    ).lazy_sdf()
+
+
+@query(
     "q_at_every",
     """
     SELECT l_orderkey, l_linenumber
