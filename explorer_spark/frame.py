@@ -37,6 +37,12 @@ from .expr import AGG_OPS, Expr, LowerCtx, col, lit
 
 ORDER_COL = "__row_order__"
 
+# sample(n, replace=False) gate: at or below this, rand + TakeOrdered (the
+# one collecting task holds only n rows — the same bound any top-k
+# accepts); above it, the distributed draw-threshold kernel picks the n
+# smallest hash draws with a plain filter (VERDICT r5 #3)
+SAMPLE_TAKEORDERED_MAX = 1 << 17
+
 
 def _resolve_seed(seed) -> int:
     """A concrete int seed (fresh entropy when None) so hash-draw
@@ -1152,8 +1158,7 @@ class DataFrame:
             # take EXACTLY floor(frac*n) rows; over-sampling requires
             # replace=true; shuffle=False keeps the FRAME order of the
             # picked rows (shuffle=True leaves them in pick order)
-            base = self._ordered()
-            total = base._sdf.count()
+            total = self._sdf.count()
             if isinstance(n_or_frac, float):
                 if n_or_frac > 1.0:
                     raise ValueError(
@@ -1168,10 +1173,51 @@ class DataFrame:
                         f"in order to sample more elements than are in the frame ({total}), "
                         "sampling `replace` must be true"
                     )
-            picked = base._sdf.withColumn("__r__", F.rand(seed)).orderBy("__r__").limit(n).drop("__r__")
-            if not shuffle:
-                picked = picked.orderBy(F.col(ORDER_COL).asc())
-            out = picked.drop(ORDER_COL)
+            if n <= SAMPLE_TAKEORDERED_MAX:
+                # small n: rand + TakeOrdered — the single collecting task
+                # holds only n rows (same bound every top-k accepts)
+                base = self._ordered()
+                picked = (
+                    base._sdf.withColumn("__r__", F.rand(seed)).orderBy("__r__").limit(n).drop("__r__")
+                )
+                if not shuffle:
+                    picked = picked.orderBy(F.col(ORDER_COL).asc())
+                out = picked.drop(ORDER_COL)
+            else:
+                # large n (frac-scale): fully distributed (VERDICT r5 #3).
+                # Every row gets a deterministic 60-bit draw
+                # u = hash(seed, pos) and the n smallest u win — the exact
+                # nth-smallest u comes from the probe-count selection
+                # kernel (operators/ordered.py uniform_select: batched
+                # conditional-count scans, zero shuffles, counts-only to
+                # the driver), so the selection is a plain codegen filter:
+                # no TakeOrdered funneling the whole sample through ONE
+                # task and no shuffle anywhere. The index kernel pins its
+                # output, so recomputing u per probe round is hash work
+                # over a pinned base, not a rescan.
+                from .operators.ordered import uniform_select
+
+                seed = _resolve_seed(seed)
+                idxed = self._with_row_index("__pos__")
+                sdf_u = idxed._sdf.withColumn(
+                    "__u__", _hash_draw([F.lit(str(seed)), F.col("__pos__").cast("string")])
+                )
+                t, below, at = uniform_select(sdf_u, "__u__", n, total, 1 << 60)
+                if below + at == n:
+                    picked = sdf_u.filter(F.col("__u__") <= F.lit(t))
+                else:
+                    # md5 collision AT the threshold (≈ n²/2^61 odds):
+                    # keep everything strictly below plus the
+                    # smallest-position ties — the limit scans only the
+                    # collided rows, never the sample
+                    ties = (
+                        sdf_u.filter(F.col("__u__") == F.lit(t))
+                        .orderBy(F.col("__pos__").asc())
+                        .limit(n - below)
+                    )
+                    picked = sdf_u.filter(F.col("__u__") < F.lit(t)).unionByName(ties)
+                picked = picked.orderBy(F.col("__u__" if shuffle else "__pos__").asc())
+                out = picked.drop("__u__", "__pos__", ORDER_COL)
         else:
             # EXACT n-with-replacement (reference sample_n semantics —
             # always exactly n rows, unlike Spark's Poisson .sample which

@@ -1180,14 +1180,12 @@ def ewm_gapped(sdf: SDF, idx_col: str, specs: dict, n_hint: int | None = None) -
 
 
 # ---------------------------------------------------------------------------
-# whole-frame NEAREST quantile (distributed nth-element)
+# whole-frame NEAREST quantile / nth-element (distributed)
 # ---------------------------------------------------------------------------
 
 
-def nearest_quantiles(sdf: SDF, value_col: str, qs: list) -> list:
-    """Whole-frame NEAREST quantiles — the ELEMENT at sorted position
-    ``floor(q*(n-1)+0.5)`` (reference quantile/2 default; native
-    parse_quantile_interpol_options Nearest, series.rs:1355) — computed
+def _cum_value_counts(sdf: SDF, value_col: str):
+    """Distinct-value inclusive row-count prefix over a whole column,
     WITHOUT a whole-column collect:
 
     1. one map-combined distinct-value count aggregation (memory bounded
@@ -1195,17 +1193,13 @@ def nearest_quantiles(sdf: SDF, value_col: str, qs: list) -> list:
     2. an inclusive row-count prefix over the distinct table — a bounded
        single-partition window when the table is summary-sized, else the
        range-partition + driver per-partition-offset pattern of
-       ``rank_columns``,
-    3. ONE min-filter aggregation answers every requested q: the
-       quantile is the smallest value whose prefix reaches the target
-       rank.
+       ``rank_columns``.
 
-    Returns python scalars (one per q, None for an empty/all-null
-    column). NaN groups to a single distinct value and sorts greatest
-    (Spark ordering), so a high q lands on NaN verbatim, exactly like
-    the sorted-array rendering."""
-    import math as _math
-
+    Returns ``(v2, n)``: a frame with ``__v__`` (distinct non-null
+    value), ``__c__`` (its row count) and ``__cum__`` (rows with value
+    <= it), plus the total non-null row count (``(None, 0)`` when
+    empty). NaN groups to one distinct value and sorts greatest (Spark
+    ordering), exactly like a sorted-array rendering."""
     c = F.col(value_col)
     vals = (
         sdf.select(c.alias("__v__"))
@@ -1214,17 +1208,15 @@ def nearest_quantiles(sdf: SDF, value_col: str, qs: list) -> list:
         .agg(F.count(F.lit(1)).alias("__c__"))
     )
     key = F.col("__v__").asc()
-    nv = n = 0
-    if True:
-        # distinct table reused by the stats probe AND the prefix pass:
-        # pin it so the upstream plan runs once
-        vals = vals.localCheckpoint(eager=False)
-        stat = vals.agg(
-            F.count(F.lit(1)).alias("__nv__"), F.sum("__c__").alias("__n__")
-        ).collect()[0]
-        nv, n = stat["__nv__"], stat["__n__"]
+    # distinct table reused by the stats probe AND the prefix pass:
+    # pin it so the upstream plan runs once
+    vals = vals.localCheckpoint(eager=False)
+    stat = vals.agg(
+        F.count(F.lit(1)).alias("__nv__"), F.sum("__c__").alias("__n__")
+    ).collect()[0]
+    nv, n = stat["__nv__"], stat["__n__"]
     if not n:
-        return [None for _ in qs]
+        return None, 0
     if nv <= SMALL_VALS_MAX:
         # summary-sized distinct table: one bounded single-partition
         # window (same deliberate choice as rank_columns — the partition
@@ -1259,6 +1251,22 @@ def nearest_quantiles(sdf: SDF, value_col: str, qs: list) -> list:
             v = v.join(F.broadcast(lookup), "__vpid__", "left")
             off = F.col("__coff__")
         v2 = v.withColumn("__cum__", (off + loc).cast("long"))
+    return v2, n
+
+
+def nearest_quantiles(sdf: SDF, value_col: str, qs: list) -> list:
+    """Whole-frame NEAREST quantiles — the ELEMENT at sorted position
+    ``floor(q*(n-1)+0.5)`` (reference quantile/2 default; native
+    parse_quantile_interpol_options Nearest, series.rs:1355): the
+    ``_cum_value_counts`` prefix + ONE min-filter aggregation answering
+    every requested q (the quantile is the smallest value whose prefix
+    reaches the target rank). Returns python scalars, None per q for an
+    empty/all-null column."""
+    import math as _math
+
+    v2, n = _cum_value_counts(sdf, value_col)
+    if not n:
+        return [None for _ in qs]
     targets = [min(max(int(_math.floor(q * (n - 1) + 0.5)) + 1, 1), n) for q in qs]
     row = v2.agg(
         *[
@@ -1267,3 +1275,58 @@ def nearest_quantiles(sdf: SDF, value_col: str, qs: list) -> list:
         ]
     ).collect()[0]
     return [row[f"__q{i}__"] for i in range(len(qs))]
+
+
+SELECT_BRACKET_MAX = 1 << 17  # final-bracket collect bound (longs, ~1 MB)
+SELECT_PROBE_WAYS = 15  # conditional counts batched per probe round
+
+
+def uniform_select(sdf: SDF, value_col: str, n: int, total: int, domain_hi: int) -> tuple:
+    """Exact nth-smallest of a non-null LONG column ~uniform on
+    ``[0, domain_hi)`` (hash draws) — ZERO shuffles: each round is ONE
+    whole-column conditional-count aggregation (codegen ``sum(when(u <=
+    t_j))`` for a value-grid of thresholds inside the current bracket),
+    so only counts reach the driver; the final bracket (≤
+    ``SELECT_BRACKET_MAX`` rows by construction) is collected and
+    resolved exactly in python — the same bounded-driver-summary gate
+    every kernel here uses.
+
+    Returns ``(value, below, at)``: the value at 1-based rank ``n``,
+    rows strictly smaller, rows equal. Rounds shrink the value span
+    ~16x each — 2 scans at 5M rows, ~6 at 10^12 — and for adversarially
+    non-uniform data the integer value span still shrinks 16x per round,
+    bounding rounds by log16(domain_hi) = 15.
+    """
+    c = F.col(value_col)
+    lo_v, lo_rank = -1, 0  # invariant: count(u <= lo_v) == lo_rank < n
+    hi_v, hi_rank = domain_hi - 1, total  # count(u <= hi_v) == hi_rank >= n
+    while hi_rank - lo_rank > SELECT_BRACKET_MAX:
+        if hi_v - lo_v <= 1:
+            # every bracketed row holds the single value hi_v
+            return hi_v, lo_rank, hi_rank - lo_rank
+        k = min(SELECT_PROBE_WAYS, hi_v - lo_v - 1)
+        ts = sorted({lo_v + (hi_v - lo_v) * j // (k + 1) for j in range(1, k + 1)} - {lo_v})
+        row = sdf.agg(
+            *[
+                F.sum(F.when((c > lo_v) & (c <= F.lit(t)), 1).otherwise(0)).alias(f"__t{i}__")
+                for i, t in enumerate(ts)
+            ]
+        ).collect()[0]
+        ranks = [lo_rank + (row[f"__t{i}__"] or 0) for i in range(len(ts))]
+        nlo_v, nlo_rank, nhi_v, nhi_rank = lo_v, lo_rank, hi_v, hi_rank
+        for t, r in zip(ts, ranks):
+            if r < n:
+                nlo_v, nlo_rank = t, r
+            else:
+                nhi_v, nhi_rank = t, r
+                break
+        lo_v, lo_rank, hi_v, hi_rank = nlo_v, nlo_rank, nhi_v, nhi_rank
+    import bisect
+
+    need = n - lo_rank
+    vals = sorted(
+        r[0] for r in sdf.filter((c > lo_v) & (c <= hi_v)).select(c).collect()
+    )
+    t = vals[need - 1]
+    i0 = bisect.bisect_left(vals, t)
+    return t, lo_rank + i0, bisect.bisect_right(vals, t) - i0

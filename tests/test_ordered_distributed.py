@@ -443,3 +443,27 @@ def test_ewm_gapped_carry_lookup_join_fallback(spark, monkeypatch):
     ew = pdf["x"].ewm(alpha=0.3, adjust=False, ignore_na=False, min_periods=1)
     assert np.allclose(got["m"], ew.mean(), equal_nan=True, rtol=1e-10, atol=1e-12)
     assert np.allclose(got["v"], ew.var(bias=False), equal_nan=True, rtol=1e-10, atol=1e-12)
+
+
+def test_uniform_select_exact_ranks(spark, monkeypatch):
+    """uniform_select returns the exact nth-smallest (value, below, at)
+    under tiny probe/bracket gates (forcing several probe rounds), with
+    heavy ties and a non-uniform value distribution."""
+    import explorer_spark.operators.ordered as ordk
+    from pyspark.sql import functions as F
+
+    monkeypatch.setattr(ordk, "SELECT_BRACKET_MAX", 8)
+    monkeypatch.setattr(ordk, "SELECT_PROBE_WAYS", 3)
+    # skewed values with ties: v = (i*i) % 97 over 500 rows, domain [0, 97)
+    sdf = spark.range(500).select(((F.col("id") * F.col("id")) % 97).alias("u"))
+    vals = sorted(r["u"] for r in sdf.collect())
+    for n in (1, 2, 7, 250, 499, 500):
+        t, below, at = ordk.uniform_select(sdf, "u", n, 500, 97)
+        assert t == vals[n - 1], (n, t, vals[n - 1])
+        assert below == sum(1 for v in vals if v < t)
+        assert at == sum(1 for v in vals if v == t)
+        assert below < n <= below + at
+    # single-value column: bracket can never shrink below one value
+    one = spark.range(300).select(F.lit(42).cast("long").alias("u"))
+    t, below, at = ordk.uniform_select(one, "u", 150, 300, 1 << 60)
+    assert (t, below, at) == (42, 0, 300)

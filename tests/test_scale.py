@@ -366,3 +366,37 @@ def test_describe_percentiles_no_whole_column_collect(spark):
     assert rows["25%"]["l_quantity"] == float(got[0])
     assert rows["50%"]["l_quantity"] == float(got[1])
     assert rows["75%"]["l_quantity"] == float(got[2])
+
+
+def test_sample_no_replace_large_n_has_no_takeordered(spark, monkeypatch):
+    """Above the TakeOrdered gate, exact-n sampling WITHOUT replacement
+    selects via a threshold filter on deterministic per-row draws — the
+    plan contains no TakeOrdered funneling the sample through one task
+    (VERDICT r5 #3). Count stays exact and seeded draws reproduce."""
+    import explorer_spark.frame as fr
+    from explorer_spark.sources import read_parquet
+
+    monkeypatch.setattr(fr, "SAMPLE_TAKEORDERED_MAX", 0)
+    li = read_parquet("/root/testdata/sf0.001/lineitem.parquet", spark=spark)
+    out = li.sample(0.25, seed=42)
+    plan = _plan(out.lazy_sdf())
+    assert "TakeOrdered" not in plan, plan
+    n_total = li.n_rows()
+    got = out.lazy_sdf().count()
+    assert got == int(0.25 * n_total)
+    # seeded determinism: same seed, same rows
+    a = sorted(r["l_orderkey"] * 10 + r["l_linenumber"] for r in out.to_rows())
+    b = sorted(
+        r["l_orderkey"] * 10 + r["l_linenumber"]
+        for r in li.sample(0.25, seed=42).to_rows()
+    )
+    assert a == b
+    # shuffle=False keeps frame order of the picked rows ((l_orderkey,
+    # l_linenumber) is NOT unique in the synthetic data — use a frame
+    # with genuinely unique ids for the order check)
+    import explorer_spark as ex
+
+    df = ex.from_columns({"id": list(range(5000))})
+    ids = [r["id"] for r in df.sample(1200, seed=5).to_rows()]
+    assert len(ids) == 1200 and len(set(ids)) == 1200
+    assert ids == sorted(ids)
