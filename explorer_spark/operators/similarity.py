@@ -413,7 +413,12 @@ def embedding_lsh_pairs(
 
     Scale: one narrow shuffle on (band, bucket), one distinct, two
     broadcast-or-SMJ id joins for verification. 100 TB-safe as long as
-    bucket occupancy is tuned via nbits/bands.
+    bucket occupancy is tuned via nbits/bands. The (id, vector, norm,
+    buckets) projection is computed in ONE Arrow pass (the norm
+    accumulates in the same dim-axis loop as the plane dots) and PINNED,
+    so the banding side and both verification sides read the same
+    materialization instead of re-running the scan + signature three
+    times (VERDICT r5 #4).
     """
     r = nbits // bands
     assert r * bands == nbits, "nbits must divide evenly into bands"
@@ -421,35 +426,39 @@ def embedding_lsh_pairs(
 
     from .bucketing import fan_out_small
 
-    base = fan_out_small(
-        sdf.select(F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("__n__"))
-    )
-
-    # all nbits plane dots in ONE Arrow-vectorized pass. The accumulation
-    # loops over the dim axis sequentially (vectorized across rows and
-    # planes), so each dot is the exact left-to-right double fold the
-    # oracle's left-associative SQL sum computes — bit-identical signs,
+    # all nbits plane dots AND the L2 norm in ONE Arrow-vectorized pass.
+    # The accumulation loops over the dim axis sequentially (vectorized
+    # across rows and planes), so each dot — and the norm's square sum —
+    # is the exact left-to-right double fold the oracle's
+    # left-associative SQL sum computes: bit-identical signs and norms,
     # ~10x faster than nbits interpreted higher-order folds per row.
     import numpy as np
 
     P = np.asarray(planes, dtype="float64")  # nbits x dim
 
-    @F.pandas_udf("array<int>")
-    def _band_buckets(vs: pd.Series) -> pd.Series:
+    @F.pandas_udf("struct<b:array<int>, n:double>")
+    def _sig(vs: pd.Series) -> pd.DataFrame:
         X = np.asarray(vs.tolist(), dtype="float64")  # batch x dim
         acc = np.zeros((len(X), P.shape[0]), dtype="float64")
+        sq = np.zeros(len(X), dtype="float64")
         for k in range(P.shape[1]):
             acc += X[:, k : k + 1] * P[:, k]
+            sq += X[:, k] * X[:, k]
         bits = acc >= 0.0
         buckets = np.zeros((len(X), bands), dtype="int64")
         for b in range(bands):
             for j in range(r):
                 buckets[:, b] += bits[:, b * r + j].astype("int64") << j
-        return pd.Series([row.tolist() for row in buckets])
+        return pd.DataFrame({"b": [row.tolist() for row in buckets], "n": np.sqrt(sq)})
 
-    melted = base.select(
-        F.col(id_col), F.posexplode(_band_buckets(F.col(vec_col))).alias("__band__", "__bkt__")
+    base = fan_out_small(sdf.select(F.col(id_col), F.col(vec_col)))
+    base = base.withColumn("__s__", _sig(F.col(vec_col))).select(
+        F.col(id_col), F.col(vec_col), F.col("__s__.n").alias("__n__"), F.col("__s__.b").alias("__b__")
     )
+    # one materialization feeds banding AND both verify sides
+    base = base.localCheckpoint(eager=False)
+
+    melted = base.select(F.col(id_col), F.posexplode("__b__").alias("__band__", "__bkt__"))
 
     a = melted.alias("a")
     bb = melted.alias("b")
