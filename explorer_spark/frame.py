@@ -120,6 +120,15 @@ class DataFrame:
             # logical precision, series.py)
             if isinstance(d, tuple) and d[0] == "duration" and fld.metadata.get("dur_p"):
                 d = ("duration", fld.metadata["dur_p"])
+            # logical datetime precision (ms/ns over physical µs) and the
+            # time zone of {:datetime, p, tz} ride the same way
+            # (Series._cast_datetime_meta stamps them)
+            if isinstance(d, tuple) and d[0] == "naive_datetime" and fld.metadata.get("dt_p"):
+                d = ("naive_datetime", fld.metadata["dt_p"])
+            if isinstance(d, tuple) and d[0] == "datetime" and (
+                fld.metadata.get("dt_p") or fld.metadata.get("tz")
+            ):
+                d = ("datetime", fld.metadata.get("dt_p", d[1]), fld.metadata.get("tz", d[2]))
             out[fld.name] = d
         return out
 
@@ -169,10 +178,13 @@ class DataFrame:
         return self._sdf.drop(ORDER_COL) if self._has_order else self._sdf
 
     def collect(self) -> "DataFrame":
-        """Materialize (reference: eager collect). Spark: cache + force."""
-        cached = self._sdf.cache()
-        cached.count()
-        return self._replace(cached)
+        """Materialize (reference: eager collect). Spark: an EAGER
+        localCheckpoint, not ``.cache()`` — persisted plans pile up in
+        the CacheManager, which rescans every cached plan on each later
+        analysis (measured ~4x slowdown by the tail of a long session);
+        checkpoints are plain pinned partitions the ContextCleaner frees
+        once unreferenced, the same idiom every kernel here uses."""
+        return self._replace(self._sdf.localCheckpoint(eager=True))
 
     def to_pandas(self):
         return self.to_sdf().toPandas()
@@ -202,7 +214,19 @@ class DataFrame:
         # treats NaN as a VALUE distinct from nil).
         try:
             tbl = self.to_sdf().toArrow()
-            return {c: tbl.column(c).to_pylist() for c in self.names}
+            out = {c: tbl.column(c).to_pylist() for c in self.names}
+            # tz-stamped datetime columns render in THEIR zone (reference
+            # {:datetime, p, tz} round-trip, series/datetime_test.exs:107)
+            for fld in self._sdf.schema.fields:
+                tz = fld.metadata.get("tz") if fld.name != ORDER_COL else None
+                if tz and isinstance(fld.dataType, T.TimestampType):
+                    from zoneinfo import ZoneInfo
+
+                    z = ZoneInfo(tz)
+                    out[fld.name] = [
+                        v.astimezone(z) if v is not None else None for v in out[fld.name]
+                    ]
+            return out
         except Exception:
             pass  # fall through to the masked-pandas path
         # Float columns: NaN is a VALUE distinct from SQL NULL in the

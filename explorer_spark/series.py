@@ -37,15 +37,51 @@ def _dur_unit(target) -> str:
     return {"millisecond": "ms", "microsecond": "us", "nanosecond": "ns", "second": "s"}.get(unit, unit)
 
 
-def _stamp_dur_precision(s: "Series", unit: str) -> "Series":
-    """Record the logical duration precision as column metadata (read by
-    frame.dtypes). BEST-EFFORT: metadata survives only direct casts —
-    any derived expression (arithmetic, fill, shift) reverts the column
-    to the physical µs precision, and dtype introspection + later
-    integer casts consistently follow THAT (both report/count µs), so
-    degradation is visible, never silently mismatched."""
-    sdf = s._frame._sdf.withMetadata(s.name, {"dur_p": unit})
+def _stamp_col_meta(s: "Series", meta: dict) -> "Series":
+    """Record logical dtype parameters as column metadata (read by
+    frame.dtypes): ``dur_p`` = duration precision, ``dt_p`` =
+    naive_datetime/datetime logical precision (physical storage is µs,
+    SURVEY §1.2), ``tz`` = datetime time zone. BEST-EFFORT: metadata
+    survives only direct casts — any derived expression (arithmetic,
+    fill, shift) reverts the column to the physical µs/UTC reading, and
+    dtype introspection + later integer casts consistently follow THAT
+    (both report/count µs), so degradation is visible, never silently
+    mismatched."""
+    sdf = s._frame._sdf.withMetadata(s.name, meta)
     return Series(s._frame._replace(sdf, has_order=s._frame._has_order), s.name)
+
+
+def _stamp_dur_precision(s: "Series", unit: str) -> "Series":
+    return _stamp_col_meta(s, {"dur_p": unit})
+
+
+def _tz_key(tzinfo) -> str:
+    """Zone key of a python tzinfo (ZoneInfo .key preferred), with
+    datetime.timezone.utc normalized to the reference's 'Etc/UTC'."""
+    k = getattr(tzinfo, "key", None) or str(tzinfo)
+    return {"UTC": "Etc/UTC"}.get(k, k)
+
+
+def _check_tz(tz: str) -> None:
+    """Eager zone validation (the reference raises ArgumentError for an
+    unknown zone at cast time, not lazily at execution)."""
+    try:
+        from zoneinfo import ZoneInfo
+
+        ZoneInfo(tz)
+    except Exception:
+        raise ValueError(f"unknown time zone {tz!r}") from None
+
+
+# temporal functions that read WALL-CLOCK fields: a tz-stamped datetime
+# shifts into its zone before these (see Series._wall_c); everything
+# else (arithmetic, comparisons, aggregation) keeps the raw instant
+_TZ_WALL_OPS = frozenset({
+    "year", "month", "day_of_month", "day_of_week", "day_of_year",
+    "week_of_year", "iso_year", "quarter_of_year", "hour", "minute",
+    "second", "is_leap_year", "to_date", "days_of_month", "to_time",
+    "strftime",
+})
 
 
 class Series:
@@ -86,6 +122,20 @@ class Series:
                 dtype = ("f", 64)
             elif flat and all(isinstance(v, _dtm.time) for v in flat):
                 dtype = "time"
+            elif flat and all(
+                isinstance(v, _dtm.datetime) and v.tzinfo is not None for v in flat
+            ):
+                # tz-aware datetimes infer {:datetime, :microsecond, tz}
+                # (reference shared.ex:336); mixing zones raises like the
+                # reference's dtype-mismatch ArgumentError
+                zones = {_tz_key(v.tzinfo) for v in flat}
+                if len(zones) > 1:
+                    raise ValueError(
+                        "datetime values do not share a single time zone: "
+                        f"{sorted(zones)} (the reference infers the dtype "
+                        "from the first value and rejects the rest)"
+                    )
+                dtype = ("datetime", "us", zones.pop())
         if dt.normalize(dtype) == "time" if dtype is not None else False:
             # time-of-day is carried as nanoseconds since midnight in a
             # LongType column (dtypes.py) — accept datetime.time values
@@ -120,6 +170,23 @@ class Series:
                     for v in values
                 ]
                 _dur_target, dtype = nd_, ("s", 64)
+            elif isinstance(nd_, tuple) and nd_[0] in ("naive_datetime", "datetime"):
+                unit = _dur_unit(nd_)
+                tz = nd_[2] if nd_[0] == "datetime" and len(nd_) > 2 else None
+                if unit in ("ms", "ns") or (tz and tz != "Etc/UTC"):
+                    # ingest at physical µs (ints are COUNTS in the target
+                    # unit, datetimes are wall/instant values) and route
+                    # through cast(), which owns truncation, zone
+                    # relabeling and the metadata stamps
+                    _dur_target = nd_
+                    if all(v is None or isinstance(v, int) for v in values):
+                        dtype = ("s", 64)
+                    else:
+                        dtype = (
+                            ("naive_datetime", "us")
+                            if nd_[0] == "naive_datetime"
+                            else ("datetime", "us", "Etc/UTC")
+                        )
         if dtype is not None:
             from pyspark.sql import types as T
 
@@ -135,6 +202,19 @@ class Series:
                     import pyarrow as pa
                     from pyspark.sql.pandas.types import to_arrow_type
 
+                    if isinstance(schema[name].dataType, T.TimestampType):
+                        # pyarrow DROPS a ZoneInfo tzinfo when coercing to
+                        # timestamp[us, tz=UTC] (wall time read as UTC) —
+                        # normalize aware values to UTC python-side so the
+                        # INSTANT survives ingestion
+                        import datetime as _dtm
+
+                        values = [
+                            v.astimezone(_dtm.timezone.utc)
+                            if isinstance(v, _dtm.datetime) and v.tzinfo is not None
+                            else v
+                            for v in values
+                        ]
                     arr = pa.array(values, type=to_arrow_type(schema[name].dataType))
                     sdf = spark.createDataFrame(pa.table({name: arr}))
                     # arrow inference can widen/narrow vs the requested
@@ -204,6 +284,18 @@ class Series:
 
     def _c(self) -> Expr:
         return col(self.name)
+
+    def _wall_c(self) -> Expr:
+        """Column expression for WALL-CLOCK reads: a tz-stamped datetime
+        (``{:datetime, p, tz}``, reference shared.ex:78-79) shifts into
+        its zone first so year/hour/strftime/... report LOCAL fields;
+        instant semantics (arithmetic, comparisons) use ``_c()``."""
+        d = self.dtype
+        if isinstance(d, tuple) and d[0] == "datetime" and len(d) > 2 and d[2] not in ("Etc/UTC", "UTC"):
+            from .expr import raw as _raw
+
+            return _raw(F.from_utc_timestamp(F.col(self.name), d[2]))
+        return self._c()
 
     # -- aggregations (reference series.ex:2400-3102) -----------------------
     def sum(self):
@@ -408,6 +500,11 @@ class Series:
             v = F.col(self.name).cast("long")
             us = (v / 1_000).cast("long") if to_us is None else v * F.lit(to_us)
             return _stamp_dur_precision(self._apply(_raw(_us_to_interval(us))), unit)
+        if isinstance(target, tuple) and target[0] in ("naive_datetime", "datetime"):
+            unit = _dur_unit(target)
+            tz = target[2] if (target[0] == "datetime" and len(target) > 2) else None
+            if unit in ("ms", "ns") or (tz and tz != "Etc/UTC"):
+                return self._cast_datetime_meta(cur, target, unit, tz)
         if dt.is_integer(cur):
             # integer -> temporal (reference series_test.exs:4353-4394):
             # Spark refuses BIGINT->DATE/TIMESTAMP casts, but the
@@ -435,6 +532,52 @@ class Series:
                     ts = ts.cast(T.TimestampNTZType())  # session tz is UTC
                 return self._apply(_raw(ts))
         return self._apply(Expr("cast", self._c(), dtype))
+
+    def _cast_datetime_meta(self, cur, target, unit: str, tz: str | None) -> "Series":
+        """naive_datetime/datetime casts with logical precision (ms/ns)
+        or a time zone (reference ``{:naive_datetime, p}`` /
+        ``{:datetime, p, tz}``, shared.ex:78-79). Physical storage stays
+        µs TimestampNTZ/Timestamp (SURVEY §1.2):
+
+        - ms: sub-ms detail truncates toward zero (the reference stores
+          ms COUNTS — string->ms test series_test.exs:4446 shows .000);
+        - ns: logical only — values stay µs-resolved (documented
+          truncation, same trade the duration column makes);
+        - tz: the INSTANT is unchanged (zone relabeling, polars cast
+          semantics); the zone stamps as column metadata, dtypes reports
+          it, and wall-clock extraction/strftime read through it
+          (``_wall_c``). Re-casting to ``{:datetime, p, "Etc/UTC"}``
+          drops the stamp.
+
+        An integer source is the epoch COUNT in the target unit, exactly
+        like the plain int->datetime cast."""
+        from pyspark.sql import types as T
+
+        from .expr import raw as _raw
+
+        if tz:
+            _check_tz(tz)
+        kind = target[0]
+        if dt.is_integer(cur):
+            to_us = {"ms": 1_000, "us": 1, "s": 1_000_000, "ns": None}.get(unit, 1)
+            v = F.col(self.name).cast("long")
+            micros = (v / 1_000).cast("long") if to_us is None else v * F.lit(to_us)
+            ts = F.timestamp_micros(micros)
+        else:
+            ts = F.col(self.name).cast(T.TimestampType())
+            if unit == "ms":
+                us = F.unix_micros(ts)
+                # % keeps the dividend sign: truncation toward zero
+                ts = F.timestamp_micros(us - us % F.lit(1_000))
+        if kind == "naive_datetime":
+            ts = ts.cast(T.TimestampNTZType())  # session tz is UTC
+        out = self._apply(_raw(ts))
+        meta = {}
+        if unit in ("ms", "ns"):
+            meta["dt_p"] = unit
+        if tz and tz != "Etc/UTC":
+            meta["tz"] = tz
+        return _stamp_col_meta(out, meta) if meta else out
 
     def filter(self, fn: Callable[[Expr], Expr]) -> "Series":
         nf = self._frame.filter_with(fn(self._c()))
@@ -980,7 +1123,8 @@ def _install_scalar_methods():
 
         def make(fn=fn, name=name):
             def method(self, *args, **kwargs):
-                return self._apply(fn(self._c(), *args, **kwargs))
+                c = self._wall_c() if name in _TZ_WALL_OPS else self._c()
+                return self._apply(fn(c, *args, **kwargs))
 
             method.__name__ = name
             method.__doc__ = f"Element-wise {name} (functions.{name} applied to this series)."

@@ -203,3 +203,86 @@ def test_series_cast_duration_to_int_is_unit_count(spark):
     s = Series(dur, "dur")
     assert s.dtype == ("duration", "us")
     assert s.cast(("s", 64)).to_list() == [1_000_250]
+
+
+def test_datetime_tz_roundtrip_and_wall_clock(spark):
+    """{:datetime, :microsecond, tz} (reference shared.ex:78-79,
+    series/datetime_test.exs:107 'America/New_York'): tz-aware values
+    infer the zone, round-trip in THAT zone (same instants), wall-clock
+    extraction and strftime read local fields, and re-casting to
+    Etc/UTC relabels without shifting the instant."""
+    import datetime as dtm
+    from zoneinfo import ZoneInfo
+
+    from explorer_spark.series import Series
+
+    ny = ZoneInfo("America/New_York")
+    vals = [
+        dtm.datetime(2024, 1, 1, 12, 0, 0, tzinfo=ny),   # EST (UTC-5)
+        dtm.datetime(2024, 7, 1, 12, 0, 0, tzinfo=ny),   # EDT (UTC-4)
+        None,
+    ]
+    s = Series.from_list(vals)
+    assert s.dtype == ("datetime", "us", "America/New_York")
+    assert s.to_list() == vals
+    # wall-clock reads are LOCAL (hour 12 on both sides of the DST jump)
+    assert s.hour().to_list() == [12, 12, None]
+    assert s.year().to_list() == [2024, 2024, None]
+    assert s.strftime("%H:%M").to_list() == ["12:00", "12:00", None]
+    # zone relabel: same instants, new zone, stamp cleared
+    u = s.cast(("datetime", "us", "Etc/UTC"))
+    assert u.dtype == ("datetime", "us", "Etc/UTC")
+    assert u.to_list()[:2] == [
+        dtm.datetime(2024, 1, 1, 17, 0, tzinfo=dtm.timezone.utc),
+        dtm.datetime(2024, 7, 1, 16, 0, tzinfo=dtm.timezone.utc),
+    ]
+    # explicit-dtype construction matches inference
+    s2 = Series.from_list(vals, dtype=("datetime", "us", "America/New_York"))
+    assert s2.to_list() == vals
+    # arithmetic keeps instant semantics: aware series minus itself = 0
+    assert (s2 - s2).cast(("s", 64)).to_list() == [0, 0, None]
+
+
+def test_datetime_tz_validation(spark):
+    import datetime as dtm
+    from zoneinfo import ZoneInfo
+
+    import pytest as _pytest
+
+    from explorer_spark.series import Series
+
+    s = Series.from_list([dtm.datetime(2024, 1, 1, tzinfo=dtm.timezone.utc)])
+    with _pytest.raises(ValueError, match="unknown time zone"):
+        s.cast(("datetime", "us", "Mars/Olympus"))
+    with _pytest.raises(ValueError, match="single time zone"):
+        Series.from_list([
+            dtm.datetime(2024, 1, 1, tzinfo=ZoneInfo("America/New_York")),
+            dtm.datetime(2024, 1, 1, tzinfo=dtm.timezone.utc),
+        ])
+
+
+def test_naive_datetime_logical_precision(spark):
+    """{:naive_datetime, ms/ns} logical precision over physical µs
+    (reference series_test.exs:4446 string->ms shows .000 truncation;
+    ns values stay µs-resolved — documented truncation like durations)."""
+    import datetime as dtm
+
+    from explorer_spark.series import Series
+
+    v = dtm.datetime(2023, 8, 29, 17, 39, 43, 123456)
+    ms = Series.from_list([v], dtype=("naive_datetime", "ms"))
+    assert ms.dtype == ("naive_datetime", "ms")
+    assert ms.to_list() == [v.replace(microsecond=123000)]
+    ns = Series.from_list([v], dtype=("naive_datetime", "ns"))
+    assert ns.dtype == ("naive_datetime", "ns")
+    assert ns.to_list() == [v]
+    us = Series.from_list([v], dtype=("naive_datetime", "us"))
+    assert us.dtype == ("naive_datetime", "us")
+    # cast round-trip: us -> ms truncates and stamps; ms -> us clears
+    ms2 = us.cast(("naive_datetime", "ms"))
+    assert ms2.dtype == ("naive_datetime", "ms")
+    assert ms2.to_list() == [v.replace(microsecond=123000)]
+    assert ms2.cast(("naive_datetime", "us")).dtype == ("naive_datetime", "us")
+    # integers are COUNTS in the target unit (reference int->datetime)
+    i = Series.from_list([1_700_000_000_000], dtype=("naive_datetime", "ms"))
+    assert i.to_list() == [dtm.datetime(2023, 11, 14, 22, 13, 20)]
