@@ -621,6 +621,7 @@ _DRIVER_VERIFIED = frozenset({
 # Add every newly registered query here; remove once a round verifies it.
 _AWAITING_FIRST_VERIFICATION = frozenset({
     "q_pull_series", "q_cube_rollup", "q_ungrouped_quantile",
+    "q_events_stream_dedup", "q_events_running_totals", "q_events_enrich",
 })
 
 

@@ -909,6 +909,78 @@ def q_events_sessionize(spark, sf_dir):
     )
 
 
+@query(
+    "q_events_stream_dedup",
+    """
+    SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS users,
+           ROUND(SUM(value), 4) AS total
+    FROM events GROUP BY event_type
+    """,
+)
+def q_events_stream_dedup(spark, sf_dir):
+    """Streaming exact dedup, batch-equivalent face (streaming_dedup:
+    dropDuplicatesWithinWatermark on a stream, stateless dropDuplicates
+    on a batch frame — identical results by contract). The input is
+    every event delivered TWICE (at-least-once replay); a broken dedup
+    doubles every count/sum and the oracle hash catches it."""
+    from .streaming import streaming_dedup
+
+    ev = _t(spark, sf_dir, "events").lazy_sdf()
+    doubled = ev.unionByName(ev)
+    ded = streaming_dedup(doubled, keys=("event_id",))
+    return ded.groupBy("event_type").agg(
+        SF.count(SF.lit(1)).alias("n"),
+        SF.countDistinct("user_id").alias("users"),
+        SF.round(SF.sum("value"), 4).alias("total"),
+    )
+
+
+@query(
+    "q_events_running_totals",
+    """
+    SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def q_events_running_totals(spark, sf_dir):
+    """Stateful running totals (streaming/stateful.running_totals:
+    applyInPandasWithState, update mode), graded through its batch twin
+    running_totals_batch — the FINAL per-user state equals one hash
+    aggregation; stream==batch is asserted in tests/test_scale.py."""
+    from .streaming.stateful import running_totals_batch
+
+    ev = _t(spark, sf_dir, "events").lazy_sdf()
+    return running_totals_batch(ev)
+
+
+@query(
+    "q_events_enrich",
+    """
+    SELECT e.event_type, c.c_mktsegment AS segment, COUNT(*) AS n,
+           ROUND(SUM(e.value), 4) AS total
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def q_events_enrich(spark, sf_dir):
+    """Stream-static dimension enrichment (enrich_stream: stream joins a
+    slowly-changing dim table re-planned per micro-batch, broadcast when
+    small; identical on batch frames), then rollup by type x segment."""
+    from .streaming import enrich_stream
+
+    ev = _t(spark, sf_dir, "events").lazy_sdf()
+    dim = (
+        _t(spark, sf_dir, "customer")
+        .lazy_sdf()
+        .select(SF.col("c_custkey").alias("user_id"), SF.col("c_mktsegment").alias("segment"))
+    )
+    enriched = enrich_stream(ev, dim, on="user_id", how="left")
+    return enriched.groupBy("event_type", "segment").agg(
+        SF.count(SF.lit(1)).alias("n"),
+        SF.round(SF.sum("value"), 4).alias("total"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # corpus assembly: deterministic sampling + context-window packing
 # ---------------------------------------------------------------------------

@@ -53,6 +53,20 @@ def running_totals(events: SDF) -> SDF:
     )
 
 
+def running_totals_batch(events: SDF) -> SDF:
+    """Batch twin of ``running_totals``: the FINAL state per user after
+    the whole stream has been consumed is exactly one hash aggregation
+    (count + sum, rounded like the state function). The streaming and
+    batch forms are asserted equal in tests/test_scale.py; this is the
+    oracle-checkable face of the stateful operator."""
+    import pyspark.sql.functions as F
+
+    return events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
 def run_stateful_once(spark, parquet_path: str, query_name: str = "stateful_out") -> SDF:
     """Drive events through the stateful operator via readStream ->
     memory sink, synchronously (test/verification path)."""

@@ -360,3 +360,34 @@ def test_read_ipc_distributed_order_follows_sorted_files(spark, tmp_path):
     head = got.head(3).to_columns()["x"]
     assert head == [1, 2, 100], head
     assert got.n_rows() == 5002
+
+
+def test_from_query_adbc_shaped_connection(spark):
+    """ADBC dbapi connections (adbc_driver_manager.dbapi.connect) have no
+    connection-level execute: from_query must take the strict-DB-API
+    branch (cursor() -> execute) and then the Arrow branch
+    (fetch_arrow_table) — the reference's ADBC Arrow-stream ingestion
+    shape (polars_backend/data_frame.ex:23-32). The driver package is
+    not installable in this container, so this pins the contract with an
+    ADBC-shaped fake returning a real Arrow table."""
+    import pyarrow as pa
+
+    from explorer_spark.sources import from_query
+
+    class FakeAdbcCursor:
+        def execute(self, operation, parameters=None):
+            assert operation == "SELECT 1"
+            assert parameters in (None, [], ())
+
+        def fetch_arrow_table(self):
+            return pa.table({"a": pa.array([1, 2, None], type=pa.int64()),
+                             "b": pa.array(["x", "y", "z"])})
+
+    class FakeAdbcConnection:
+        # no .execute attribute, exactly like adbc dbapi connections
+        def cursor(self):
+            return FakeAdbcCursor()
+
+    df = from_query(FakeAdbcConnection(), "SELECT 1", spark=spark)
+    assert df.dtypes == {"a": ("s", 64), "b": "string"}
+    assert df.to_columns() == {"a": [1, 2, None], "b": ["x", "y", "z"]}
