@@ -92,7 +92,14 @@ def merge_asof(
     )
     u = u.join(F.broadcast(carry_back), "__pid__", "left").join(F.broadcast(carry_fwd), "__pid__", "left")
 
-    out_schema = T.StructType(list(lsdf.schema.fields) + [rsdf.schema[c] for c in rcols])
+    # right-side outputs MUST be nullable: an asof left join misses when
+    # no right key lies on the required side (a non-nullable source —
+    # e.g. spark.range ids — would make the Arrow reader throw
+    # 'Value at index is null' on the first unmatched row)
+    out_schema = T.StructType(
+        list(lsdf.schema.fields)
+        + [T.StructField(c, rsdf.schema[c].dataType, True) for c in rcols]
+    )
     lnames = [f.name for f in lsdf.schema.fields]
     strat = strategy
     tol = float(tolerance) if tolerance is not None else None
