@@ -1223,6 +1223,13 @@ class DataFrame:
 
                 seed = _resolve_seed(seed)
                 idxed = self._with_row_index("__pos__")
+                # the kernel's stats job knows the exact pinned row count:
+                # derive frac-sizes from THAT materialization, not the
+                # earlier probe count (a nondeterministic upstream could
+                # disagree between the two evaluations)
+                total = _known_count(idxed)
+                if isinstance(n_or_frac, float):
+                    n = int(n_or_frac * total)
                 sdf_u = idxed._sdf.withColumn(
                     "__u__", _hash_draw([F.lit(str(seed)), F.col("__pos__").cast("string")])
                 )
@@ -1834,6 +1841,18 @@ class DataFrame:
         s = base._sdf.withColumn("__pvk__", key)
         gb = s.groupBy(*ids)
         str_values = [("nil" if v is None else str(v)) for v in values] if values else None
+        if str_values is None:
+            # surfaced (not just docstringed): the implicit pivot runs a
+            # whole-table distinct-collect job first — at 100 TB that is
+            # a full extra scan the caller can skip by naming the columns
+            import warnings
+
+            warnings.warn(
+                "pivot_wider without values= runs an extra distinct-collect "
+                "job over the whole frame to discover the pivot columns; "
+                "pass values=[...] at scale",
+                stacklevel=2,
+            )
         piv = gb.pivot("__pvk__", str_values) if str_values else gb.pivot("__pvk__")
         if len(vals) == 1:
             out = piv.agg(aggfn(vals[0]))

@@ -505,6 +505,25 @@ class Series:
             tz = target[2] if (target[0] == "datetime" and len(target) > 2) else None
             if unit in ("ms", "ns") or (tz and tz != "Etc/UTC"):
                 return self._cast_datetime_meta(cur, target, unit, tz)
+        if isinstance(cur, tuple) and cur[0] in ("naive_datetime", "datetime") and dt.is_integer(target):
+            # datetime -> integer is the epoch COUNT in the column's
+            # logical precision (polars cast semantics — the exact
+            # inverse of the int->datetime cast above), NOT Spark's
+            # timestamp->bigint SECONDS
+            from pyspark.sql import types as T
+
+            from .expr import raw as _raw
+
+            unit = _dur_unit(cur)
+            us = F.unix_micros(F.col(self.name).cast(T.TimestampType()))
+            if unit == "ns":
+                v = us * F.lit(1_000)
+            elif unit in ("ms", "s"):
+                d = F.lit(1_000 if unit == "ms" else 1_000_000)
+                v = ((us - us % d) / d).cast("long")  # truncates toward zero
+            else:
+                v = us
+            return self._apply(_raw(v.cast(dt.to_spark(target))))
         if dt.is_integer(cur):
             # integer -> temporal (reference series_test.exs:4353-4394):
             # Spark refuses BIGINT->DATE/TIMESTAMP casts, but the

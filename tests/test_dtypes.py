@@ -286,3 +286,23 @@ def test_naive_datetime_logical_precision(spark):
     # integers are COUNTS in the target unit (reference int->datetime)
     i = Series.from_list([1_700_000_000_000], dtype=("naive_datetime", "ms"))
     assert i.to_list() == [dtm.datetime(2023, 11, 14, 22, 13, 20)]
+
+
+def test_datetime_int_cast_roundtrip(spark):
+    """datetime <-> integer casts are epoch COUNTS in the logical
+    precision (polars cast semantics; the int->datetime direction was
+    already counts) — not Spark's timestamp->bigint seconds."""
+    from explorer_spark.series import Series
+
+    for unit, count in [("us", 1_700_000_000_123_456), ("ms", 1_700_000_000_123), ("ns", 1_700_000_000_123_456_000)]:
+        s = Series.from_list([count], dtype=("naive_datetime", unit))
+        back = s.cast(("s", 64)).to_list()
+        assert back == [count], (unit, back)
+    # tz-aware: the instant's count, zone-independent
+    import datetime as dtm
+
+    aware = Series.from_list(
+        [dtm.datetime(2024, 1, 1, 12, tzinfo=dtm.timezone.utc)],
+        dtype=("datetime", "us", "America/New_York"),
+    )
+    assert aware.cast(("s", 64)).to_list() == [1_704_110_400_000_000]

@@ -359,3 +359,41 @@ def test_scrub_pii_counts_match_python_re(spark, body):
     for name, pat in PII_PATTERNS.items():
         scrubbed = re.sub(pat, f"<{name.upper()}>", scrubbed)
     assert row.scrubbed == scrubbed
+
+
+@given(xs=st.lists(st.one_of(st.floats(allow_infinity=False, allow_nan=False, width=32), st.none()),
+                   min_size=1, max_size=25),
+       q=st.floats(min_value=0.0, max_value=1.0))
+@settings(**_SETTINGS)
+def test_ungrouped_quantile_matches_sorted_nearest(spark, xs, q):
+    """Whole-frame quantile (the distributed nth-element kernel) equals
+    the NEAREST element of the python-sorted values for arbitrary data
+    incl. duplicates and nulls (reference quantile/2 default)."""
+    s = Series.from_list(xs, dtype=("f", 64), name="v", spark=spark)
+    df = s.to_frame()
+    got = df.summarise(p=f.quantile(col("v"), q)).to_columns()["p"][0]
+    vals = sorted(v for v in xs if v is not None)
+    if not vals:
+        assert got is None
+        return
+    exp = vals[int(math.floor(q * (len(vals) - 1) + 0.5))]
+    assert got == pytest.approx(float(exp), rel=1e-6)
+
+
+@given(xs=st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=40),
+       n=st.integers(min_value=1, max_value=40))
+@settings(**_SETTINGS)
+def test_uniform_select_property(spark, xs, n):
+    """uniform_select returns the exact nth-smallest with exact
+    below/at counts for arbitrary (heavily tied, non-uniform) data."""
+    from pyspark.sql import functions as F
+
+    from explorer_spark.operators.ordered import uniform_select
+
+    n = min(n, len(xs))
+    sdf = spark.createDataFrame([(int(v),) for v in xs], "u long")
+    t, below, at = uniform_select(sdf, "u", n, len(xs), 51)
+    vals = sorted(xs)
+    assert t == vals[n - 1]
+    assert below == sum(1 for v in vals if v < t)
+    assert at == sum(1 for v in vals if v == t)
