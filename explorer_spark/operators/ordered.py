@@ -1257,13 +1257,35 @@ def _cum_value_counts(sdf: SDF, value_col: str):
 def nearest_quantiles(sdf: SDF, value_col: str, qs: list) -> list:
     """Whole-frame NEAREST quantiles — the ELEMENT at sorted position
     ``floor(q*(n-1)+0.5)`` (reference quantile/2 default; native
-    parse_quantile_interpol_options Nearest, series.rs:1355): the
-    ``_cum_value_counts`` prefix + ONE min-filter aggregation answering
-    every requested q (the quantile is the smallest value whose prefix
-    reaches the target rank). Returns python scalars, None per q for an
-    empty/all-null column."""
+    parse_quantile_interpol_options Nearest, series.rs:1355).
+
+    Orderable primitive columns (ints, floats, date, timestamps) go
+    through :func:`quantile_select` — multi-rank probe-count selection:
+    NO shuffle at all, just a handful of whole-column conditional-count
+    scans (value grids generated in IEEE-bit space for floats, so the
+    bracket provably shrinks 16x per round) and one bounded bracket
+    collect. Everything else (decimal, string, ...) falls back to the
+    distinct-value rank prefix (``_cum_value_counts`` — one groupBy
+    shuffle bounded by distinct values) + one min-filter aggregation.
+    Returns python scalars, None per q for an empty/all-null column."""
     import math as _math
 
+    dt_ = sdf.schema[value_col].dataType
+    if isinstance(
+        dt_,
+        (
+            T.ByteType,
+            T.ShortType,
+            T.IntegerType,
+            T.LongType,
+            T.FloatType,
+            T.DoubleType,
+            T.DateType,
+            T.TimestampType,
+            T.TimestampNTZType,
+        ),
+    ):
+        return quantile_select(sdf, value_col, qs)
     v2, n = _cum_value_counts(sdf, value_col)
     if not n:
         return [None for _ in qs]
@@ -1275,6 +1297,182 @@ def nearest_quantiles(sdf: SDF, value_col: str, qs: list) -> list:
         ]
     ).collect()[0]
     return [row[f"__q{i}__"] for i in range(len(qs))]
+
+
+def quantile_select(sdf: SDF, value_col: str, qs: list) -> list:
+    """NEAREST quantiles by multi-rank probe-count selection — the
+    zero-shuffle quantile: every round is ONE whole-column aggregation
+    of batched conditional counts (``sum(when(lo < c <= t))`` for a
+    value grid inside each unresolved rank's bracket), the driver sees
+    only counts, and the final brackets (each ≤ ``SELECT_BRACKET_MAX``
+    rows by construction) are collected and resolved exactly in python.
+
+    Grid thresholds for float columns are generated in monotone
+    IEEE-754 bit space (numpy int64 view), so the bracket's BIT span —
+    not its numeric span — shrinks 16x per round: ≤ 16 rounds
+    worst-case for any value distribution; integer/date/timestamp
+    columns grid in their own integer space with the same bound. This
+    beats the distinct-value rank kernel whenever the column is
+    high-cardinality: no groupBy of the distinct values (at 100 TB that
+    groupBy is itself a full shuffle of up to every row), no range
+    repartition, no checkpoint — only scans of the (pinned or pushed)
+    source.
+
+    NaN sorts greatest (Spark/polars ordering): counts use plain
+    comparisons (false for NaN), NaN rows are counted once in the first
+    aggregation, and a target rank above the non-NaN count resolves to
+    NaN directly."""
+    import bisect
+    import math as _math
+
+    import numpy as np
+
+    dt_ = sdf.schema[value_col].dataType
+    is_float = isinstance(dt_, (T.FloatType, T.DoubleType))
+    is_ts = isinstance(dt_, (T.TimestampType, T.TimestampNTZType))
+    c0 = F.col(value_col)
+    # probe comparisons run on a monotone LONG/DOUBLE view of the column
+    if is_float:
+        view = c0.cast("double")
+    elif is_ts:
+        view = F.unix_micros(c0.cast(T.TimestampType()))
+    elif isinstance(dt_, T.DateType):
+        view = F.datediff(c0, F.lit("1970-01-01").cast("date"))
+    else:
+        view = c0.cast("long")
+    # the probe rounds re-scan this projection: pin the ONE skinny
+    # column so an arbitrary upstream plan (joins, UDFs) executes once —
+    # for a bare parquet scan the checkpoint is the same single-column
+    # read it replaces
+    sdf = sdf.select(view.alias("__qv__")).localCheckpoint(eager=False)
+    c = F.col("__qv__")
+
+    def to_bits(v: float) -> int:
+        # monotone IEEE-754 map: doubles ordered as doubles == keys
+        # ordered as python ints. Positives keep their bit pattern;
+        # negatives reflect (bigger magnitude -> smaller key), with
+        # -0.0 landing at key -1, just below +0.0's key 0.
+        b = int(np.float64(v).view(np.int64))
+        return b if b >= 0 else -(1 << 63) - b - 1
+
+    def from_bits(k: int) -> float:
+        b = k if k >= 0 else -(1 << 63) - k - 1
+        return float(np.int64(b).view(np.float64))
+
+    stats = sdf.agg(
+        F.count(c).alias("__n__"),
+        (
+            F.min(F.when(~F.isnan(c), c)) if is_float else F.min(c)
+        ).alias("__mn__"),
+        (
+            F.max(F.when(~F.isnan(c), c)) if is_float else F.max(c)
+        ).alias("__mx__"),
+        (F.sum(F.when(F.isnan(c), 1).otherwise(0)) if is_float else F.lit(0)).alias("__nan__"),
+    ).collect()[0]
+    n, mn, mx, n_nan = stats["__n__"], stats["__mn__"], stats["__mx__"], stats["__nan__"] or 0
+    if not n:
+        return [None for _ in qs]
+    n_valid = n - n_nan
+    targets = [min(max(int(_math.floor(q * (n - 1) + 0.5)) + 1, 1), n) for q in qs]
+
+    # bracket per distinct target rank over the non-NaN values:
+    # (lo exclusive or None, lo_rank, hi inclusive, hi_rank)
+    results: dict[int, object] = {}
+    brackets: dict[int, list] = {}
+    for t in set(targets):
+        if t > n_valid:
+            results[t] = float("nan")  # ranked into the NaN tail
+        elif mn == mx:
+            results[t] = mn
+        else:
+            brackets[t] = [None, 0, mx, n_valid]
+
+    def grid(lo, hi) -> list:
+        # ≤ SELECT_PROBE_WAYS strictly-increasing thresholds in (lo, hi)
+        k = SELECT_PROBE_WAYS
+        if is_float:
+            blo = to_bits(lo if lo is not None else mn) - (1 if lo is None else 0)
+            bhi = to_bits(hi)
+            ts = {blo + (bhi - blo) * j // (k + 1) for j in range(1, k + 1)}
+            return sorted(from_bits(b) for b in ts if blo < b < bhi)
+        ilo = (lo if lo is not None else mn - 1)
+        ts = {ilo + (hi - ilo) * j // (k + 1) for j in range(1, k + 1)}
+        return sorted(v for v in ts if ilo < v < hi)
+
+    while True:
+        live = {t: b for t, b in brackets.items() if t not in results}
+        probes: list = []  # (t, threshold)
+        for t, (lo, lo_r, hi, hi_r) in live.items():
+            if hi_r - lo_r <= SELECT_BRACKET_MAX:
+                continue
+            g = grid(lo, hi)
+            if not g:
+                # value span exhausted: every bracketed row equals hi
+                results[t] = hi
+                continue
+            probes.extend((t, th) for th in g)
+        if not probes:
+            break
+        row = sdf.agg(
+            *[
+                F.sum(
+                    F.when(
+                        (c <= F.lit(th)) if live[t][0] is None else ((c > F.lit(live[t][0])) & (c <= F.lit(th))),
+                        1,
+                    ).otherwise(0)
+                ).alias(f"__p{i}__")
+                for i, (t, th) in enumerate(probes)
+            ]
+        ).collect()[0]
+        counts: dict[int, list] = {}
+        for i, (t, th) in enumerate(probes):
+            counts.setdefault(t, []).append((th, live[t][1] + (row[f"__p{i}__"] or 0)))
+        for t, pairs in counts.items():
+            lo, lo_r, hi, hi_r = live[t]
+            for th, r in sorted(pairs):
+                if r < t:
+                    lo, lo_r = th, r
+                else:
+                    hi, hi_r = th, r
+                    break
+            brackets[t] = [lo, lo_r, hi, hi_r]
+
+    pending = {t: b for t, b in brackets.items() if t not in results}
+    if pending:
+        conds = [
+            (c <= F.lit(hi)) if lo is None else ((c > F.lit(lo)) & (c <= F.lit(hi)))
+            for (lo, _lr, hi, _hr) in pending.values()
+        ]
+        union = conds[0]
+        for cd in conds[1:]:
+            union = union | cd
+        rows = sdf.filter(union).select(c.alias("__v__")).collect()
+        vals = sorted(r["__v__"] for r in rows)
+        for t, (lo, lo_r, hi, hi_r) in pending.items():
+            i0 = 0 if lo is None else bisect.bisect_right(vals, lo)
+            i1 = bisect.bisect_right(vals, hi)
+            sub = vals[i0:i1]
+            results[t] = sub[t - lo_r - 1]
+
+    def back(v):
+        if v is None:
+            return None
+        if is_float and _math.isnan(v):
+            return float("nan")
+        if is_ts:
+            import datetime as _dtm
+
+            tz = _dtm.timezone.utc if isinstance(dt_, T.TimestampType) else None
+            return _dtm.datetime(1970, 1, 1, tzinfo=tz) + _dtm.timedelta(microseconds=int(v))
+        if isinstance(dt_, T.DateType):
+            import datetime as _dtm
+
+            return _dtm.date(1970, 1, 1) + _dtm.timedelta(days=int(v))
+        if is_float:
+            return float(v)
+        return int(v)
+
+    return [back(results[t]) for t in targets]
 
 
 SELECT_BRACKET_MAX = 1 << 17  # final-bracket collect bound (longs, ~1 MB)

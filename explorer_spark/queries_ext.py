@@ -566,15 +566,16 @@ def q_describe_stats(spark, sf_dir):
 )
 def q_ungrouped_quantile(spark, sf_dir):
     """Whole-frame NEAREST quantiles on the largest table (reference
-    quantile/2 default, native series.rs:1355) — routed through the
-    distributed nth-element kernel (operators/ordered.py
-    nearest_quantiles: distinct-value counts + bounded rank prefix + one
-    min-filter aggregation), NEVER ``array_sort(collect_list(col))`` —
-    the sorted-collect rendering is for grouped frames only, where the
-    buffer is one group. All four qs over the same column share ONE
-    kernel pass. Median (linear interpolation, reference median/1) stays
-    a Spark percentile aggregate: its buffer is a distinct-value count
-    map, bounded by cardinality, not rows."""
+    quantile/2 default, native series.rs:1355) — routed through
+    multi-rank probe-count selection (operators/ordered.quantile_select:
+    batched conditional-count scans over IEEE-bit-space value grids,
+    ZERO shuffles, bounded bracket collect), NEVER
+    ``array_sort(collect_list(col))`` — the sorted-collect rendering is
+    for grouped frames only, where the buffer is one group. All four qs
+    over the same column share ONE kernel pass. Median (linear
+    interpolation, reference median/1) stays a Spark percentile
+    aggregate: its buffer is a distinct-value count map, bounded by
+    cardinality, not rows."""
     li = _t(spark, sf_dir, "lineitem")
     return li.summarise(
         p10=f.quantile(col("l_extendedprice"), 0.10),

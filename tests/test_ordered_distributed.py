@@ -580,3 +580,40 @@ def test_scalefit_merge_asof(spark, monkeypatch):
 
     small, big, plan = _run_scaled(build)
     _assert_scales("merge_asof", small, big, plan)
+
+
+def test_quantile_select_types_and_fallback(spark):
+    """nearest_quantiles dispatches: orderable primitives through the
+    zero-shuffle probe-count kernel (quantile_select) — incl. dates and
+    negative/NaN doubles — and non-primitive types (decimal) through the
+    distinct-value rank prefix fallback. Both match the sorted-array
+    NEAREST element."""
+    import datetime as dtm
+    import math
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    import explorer_spark.operators.ordered as ordk
+
+    # dates
+    sdf = spark.range(365).select(F.date_add(F.lit("2020-01-01").cast("date"), F.col("id").cast("int")).alias("d"))
+    got = ordk.nearest_quantiles(sdf, "d", [0.5])
+    assert got == [dtm.date(2020, 1, 1) + dtm.timedelta(days=182)]
+    # doubles with negatives and a NaN tail, forced through several
+    # probe rounds by a tiny bracket bound
+    old = ordk.SELECT_BRACKET_MAX
+    ordk.SELECT_BRACKET_MAX = 8
+    try:
+        vals = [(i * 37 % 101) - 50.0 for i in range(500)] + [float("nan")] * 3
+        d2 = spark.createDataFrame([(v,) for v in vals], "x double")
+        got = ordk.nearest_quantiles(d2, "x", [0.0, 0.25, 0.9, 1.0])
+        s = sorted(v for v in vals if not math.isnan(v)) + [float("nan")] * 3
+        for g, q in zip(got, [0.0, 0.25, 0.9, 1.0]):
+            e = s[int(math.floor(q * (len(s) - 1) + 0.5))]
+            assert (math.isnan(g) and math.isnan(e)) or g == e, (q, g, e)
+    finally:
+        ordk.SELECT_BRACKET_MAX = old
+    # decimal -> distinct-value fallback
+    d3 = spark.createDataFrame([(Decimal(i),) for i in range(100)], "x decimal(10,2)")
+    assert ordk.nearest_quantiles(d3, "x", [0.5]) == [Decimal("50.00")]
