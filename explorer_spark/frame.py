@@ -214,19 +214,7 @@ class DataFrame:
         # treats NaN as a VALUE distinct from nil).
         try:
             tbl = self.to_sdf().toArrow()
-            out = {c: tbl.column(c).to_pylist() for c in self.names}
-            # tz-stamped datetime columns render in THEIR zone (reference
-            # {:datetime, p, tz} round-trip, series/datetime_test.exs:107)
-            for fld in self._sdf.schema.fields:
-                tz = fld.metadata.get("tz") if fld.name != ORDER_COL else None
-                if tz and isinstance(fld.dataType, T.TimestampType):
-                    from zoneinfo import ZoneInfo
-
-                    z = ZoneInfo(tz)
-                    out[fld.name] = [
-                        v.astimezone(z) if v is not None else None for v in out[fld.name]
-                    ]
-            return out
+            return self._attach_zones({c: tbl.column(c).to_pylist() for c in self.names})
         except Exception:
             pass  # fall through to the masked-pandas path
         # Float columns: NaN is a VALUE distinct from SQL NULL in the
@@ -262,6 +250,21 @@ class DataFrame:
                     # restore Python ints so to_list round-trips exactly
                     vals = [None if v is None else int(v) for v in vals]
                 out[c] = vals
+        return self._attach_zones(out)
+
+    def _attach_zones(self, out: dict) -> dict:
+        """tz-stamped datetime columns render in THEIR zone (reference
+        {:datetime, p, tz} round-trip, series/datetime_test.exs:107) —
+        applied on every collect path."""
+        for fld in self._sdf.schema.fields:
+            tz = fld.metadata.get("tz") if fld.name in out else None
+            if tz and isinstance(fld.dataType, T.TimestampType):
+                from zoneinfo import ZoneInfo
+
+                z = ZoneInfo(tz)
+                out[fld.name] = [
+                    v.astimezone(z) if v is not None else None for v in out[fld.name]
+                ]
         return out
 
     def _has_deep_nesting(self) -> bool:

@@ -284,6 +284,88 @@ def pack_context_windows(frame, token_col: str, budget: int, bin_col: str = "bin
     return frame.mutate(**{bin_col: binned})
 
 
+def chunk_documents(
+    sdf: SDF,
+    chunk_tokens: int = 512,
+    overlap: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> SDF:
+    """Sliding-window document chunking for training/RAG assembly: each
+    doc yields ceil((n_tokens - overlap) / stride) whitespace-token
+    windows of ``chunk_tokens`` tokens advancing by ``stride =
+    chunk_tokens - overlap`` (so consecutive chunks share ``overlap``
+    tokens); a doc shorter than one window yields exactly one chunk.
+
+    Pure codegen + ONE posexplode: split -> sequence(0, n_chunks-1) ->
+    slice -> array_join, no UDF, no shuffle — the scan parallelism IS
+    the chunking parallelism, so this holds at any corpus size. Output:
+    (id, chunk_id, chunk_text, n_chunk_tokens)."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    w = words(F.col(text_col))
+    # empty/whitespace docs have no tokens (split yields [''] — count 0)
+    w = F.when(F.length(F.trim(F.col(text_col))) == 0, F.array().cast("array<string>")).otherwise(w)
+    n = F.size(w)
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((n - F.lit(overlap)).cast("double") / F.lit(float(stride))).cast("long")
+    )
+    s = sdf.select(
+        F.col(id_col),
+        w.alias("__w__"),
+        F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("__i__", "chunk_id"),
+    )
+    sl = F.slice(F.col("__w__"), F.col("chunk_id").cast("int") * stride + 1, chunk_tokens)
+    return s.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.array_join(sl, " ").alias("chunk_text"),
+        F.size(sl).cast("long").alias("n_chunk_tokens"),
+    )
+
+
+def tfidf_topk(
+    sdf: SDF,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> SDF:
+    """Top-k TF-IDF terms per document (corpus keyword extraction /
+    topic signals for training-data curation): tf = in-doc term count,
+    idf = ln((N + 1) / (df + 1)) + 1 (smoothed, sklearn's convention),
+    deterministic tie-break (score desc, term asc).
+
+    Scale shape: one explode + (doc, term) hash aggregation for tf, one
+    term-keyed aggregation for df (bounded by vocabulary, broadcast back
+    when small — AQE decides), and a per-doc top-k window partitioned by
+    doc id. No driver state, no UDF: lowercased whitespace terms keep
+    everything in codegen. Output: (id, term, tf, score) — score rounded
+    to 6dp so SQL oracles reproduce it."""
+    from pyspark.sql import Window as W
+
+    toks = words(F.lower(F.col(text_col)))
+    base = sdf.select(F.col(id_col), toks.alias("__t__")).filter(F.size("__t__") > 0)
+    terms = base.select(F.col(id_col), F.explode("__t__").alias("term")).filter(F.col("term") != "")
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = sdf.select(F.col(id_col)).distinct().count()
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df__"))
+    scored = tf.join(df_, "term").withColumn(
+        "score",
+        F.round(
+            F.col("tf").cast("double")
+            * (F.log((F.lit(float(n_docs + 1))) / (F.col("__df__") + F.lit(1)).cast("double")) + F.lit(1.0)),
+            6,
+        ),
+    )
+    w = W.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") <= k)
+        .select(id_col, "term", F.col("tf").cast("long").alias("tf"), "score")
+    )
+
+
 def repetition_stats(text: Column) -> dict[str, Column]:
     """Gopher-style repetition signals (Rae et al. 2021 §A1.1 quality
     filtering; public heuristics): fraction of duplicate lines, fraction

@@ -622,6 +622,7 @@ _DRIVER_VERIFIED = frozenset({
 _AWAITING_FIRST_VERIFICATION = frozenset({
     "q_pull_series", "q_cube_rollup", "q_ungrouped_quantile",
     "q_events_stream_dedup", "q_events_running_totals", "q_events_enrich",
+    "q_text_chunking", "q_text_tfidf",
 })
 
 

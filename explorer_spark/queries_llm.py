@@ -981,6 +981,78 @@ def q_events_enrich(spark, sf_dir):
     )
 
 
+@query(
+    "q_text_tfidf",
+    r"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok WHERE term <> '' GROUP BY 1, 2),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+    s AS (
+        SELECT tf.doc_id, tf.term, tf.tf,
+               ROUND(tf.tf * (LN((nd.n + 1) / (df.df + 1.0)) + 1), 6) AS score
+        FROM tf JOIN df USING (term), nd
+    )
+    SELECT doc_id, term, tf, score FROM s
+    QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) <= 5
+    """,
+)
+def q_text_tfidf(spark, sf_dir):
+    """Top-5 TF-IDF terms per document (operators/text.tfidf_topk):
+    explode -> (doc, term) tf agg -> vocabulary-bounded df agg joined
+    back -> per-doc top-k window. Smoothed idf, deterministic
+    tie-break; scores rounded identically on both sides."""
+    from .operators.text import tfidf_topk
+
+    docs = _t(spark, sf_dir, "documents").lazy_sdf()
+    return tfidf_topk(docs, k=5)
+
+
+@query(
+    "q_text_chunking",
+    r"""
+    WITH tok AS (
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                    ELSE string_split_regex(trim(text), '\s+') END AS w
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, w,
+               GREATEST(1, CAST(CEIL((len(w) - 16) / 48.0) AS BIGINT)) AS n_chunks
+        FROM tok
+    ),
+    e AS (
+        SELECT doc_id, w,
+               unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+        FROM c
+    )
+    SELECT doc_id, chunk_id,
+           md5(COALESCE(array_to_string(list_slice(w, chunk_id * 48 + 1, chunk_id * 48 + 64), ' '), '')) AS chunk_md5,
+           len(list_slice(w, chunk_id * 48 + 1, chunk_id * 48 + 64)) AS n_chunk_tokens
+    FROM e
+    """,
+)
+def q_text_chunking(spark, sf_dir):
+    """Sliding-window chunking (operators/text.chunk_documents):
+    64-token windows, 16-token overlap, one codegen posexplode — the
+    chunk text is md5'd so the oracle hash certifies byte-exact window
+    boundaries, not just counts."""
+    from .operators.text import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents").lazy_sdf()
+    ch = chunk_documents(docs, chunk_tokens=64, overlap=16)
+    return ch.select(
+        "doc_id",
+        "chunk_id",
+        SF.md5(SF.col("chunk_text")).alias("chunk_md5"),
+        "n_chunk_tokens",
+    )
+
+
 # ---------------------------------------------------------------------------
 # corpus assembly: deterministic sampling + context-window packing
 # ---------------------------------------------------------------------------
