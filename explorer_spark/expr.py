@@ -20,6 +20,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from . import dtypes as dt
 
@@ -33,6 +34,11 @@ class LowerCtx:
     groups: list = field(default_factory=list)  # group column names
     order: str | None = None  # hidden row-order column name
     summarise: bool = False  # True inside summarise(): aggs stay plain
+    # the frame being lowered against, when the call site knows it:
+    # dtype-DEPENDENT lowerings (pow's integer result rule) resolve
+    # input types by analyzing a select against it (analysis only,
+    # no job); None degrades to Spark's default typing
+    sdf: object = None
 
 
 def _group_window(ctx: LowerCtx):
@@ -269,6 +275,33 @@ ORDERED_OPS = {
 
 def _binop(fn):
     return lambda ctx, a, b: fn(_c(a, ctx), _c(b, ctx))
+
+
+def _pow(ctx: "LowerCtx", a, b) -> Column:
+    """Reference pow dtype rules (series_test.exs:2611-2700): int ^ int
+    stays INTEGER ({:s, 64} after our unsigned promotion), float width
+    is preserved (f32 ^ int = f32; only an f64 operand widens to f64).
+    Spark's POWER always returns double, so the result casts back when
+    the call site supplied a frame to resolve input types against
+    (LowerCtx.sdf — analysis only, no job); without one, Spark's double
+    stands. A negative exponent with integer inputs truncates here
+    where the reference raises (documented divergence — detecting it
+    eagerly would cost a data scan)."""
+    ca, cb = _c(a, ctx), _c(b, ctx)
+    out = F.pow(ca, cb)
+    if ctx.sdf is None:
+        return out
+    try:
+        sch = ctx.sdf.select(ca.alias("__pa__"), cb.alias("__pb__")).schema
+        ta, tb = sch[0].dataType, sch[1].dataType
+    except Exception:
+        return out
+    integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    if isinstance(ta, integral) and isinstance(tb, integral):
+        return out.cast("long")
+    if isinstance(ta, (T.FloatType,) + integral) and isinstance(tb, (T.FloatType,) + integral):
+        return out.cast("float")  # no f64 operand: stay f32
+    return out
 
 
 def _unop(fn):
@@ -574,7 +607,7 @@ _LOWER = {
     "divide": _binop(lambda a, b: a.cast("double") / b),
     "quotient": _binop(lambda a, b: F.floor(a / b).cast("long")),
     "remainder": _binop(lambda a, b: a % b),
-    "pow": _binop(F.pow),
+    "pow": lambda ctx, a, b: _pow(ctx, a, b),
     "log": lambda ctx, a, base=None: F.log(float(base), _c(a, ctx)) if base else F.log(_c(a, ctx)),
     "log_natural": _unop(F.log),
     "exp": _unop(F.exp),

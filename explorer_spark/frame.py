@@ -165,6 +165,7 @@ class DataFrame:
             groups=list(self.groups),
             order=ORDER_COL if (self._has_order or ordered) else None,
             summarise=summarise,
+            sdf=self._sdf,
         )
 
     def to_sdf(self) -> SDF:

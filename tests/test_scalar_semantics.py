@@ -202,3 +202,27 @@ def test_days_of_month(spark):
         spark=spark,
     )
     assert s.map(f.days_of_month).to_list() == [29, 28, 30]
+
+
+def test_pow_dtype_rules(spark):
+    """Reference pow dtype rules (series_test.exs:2611-2700): int^int
+    stays integer ({:s,64} after unsigned promotion), float width is
+    preserved (f32 with no f64 operand stays f32), any f64 operand
+    widens to f64."""
+    from explorer_spark.expr import col
+    from explorer_spark.series import Series
+
+    import explorer_spark as ex
+
+    a = Series.from_list([1, 2, 3], dtype=("s", 32), name="a")
+    r = a**3
+    assert r.dtype == ("s", 64) and r.to_list() == [1, 8, 27]
+    f32 = Series.from_list([1.0, 2.0, 3.0], dtype=("f", 32), name="f")
+    r2 = f32**2
+    assert r2.dtype == ("f", 32) and r2.to_list() == [1.0, 4.0, 9.0]
+    r3 = a**2.0
+    assert r3.dtype == ("f", 64)
+    d = ex.from_columns({"x": [2, 3], "y": [3, 2]})
+    m = d.mutate(p=col("x") ** col("y"))
+    assert dict(m.dtypes)["p"] == ("s", 64)
+    assert m.to_columns()["p"] == [8, 9]
