@@ -317,18 +317,23 @@ def simhash64_pandas(sdf: SDF, text_col: str = "text", key_col: str = "doc_id") 
         import hashlib
         import re
 
+        def _ascii_strip(t: str) -> str:
+            # the Java \s ASCII whitespace class from both ends — the
+            # python twin of text.wtrim (str.strip() would also strip
+            # unicode whitespace, which Java \s does not match)
+            return t.strip(" \t\n\x0b\x0c\r")
+
         words_per_doc = []
         digests = []
         for t in texts:
-            # EXACT Spark tokenization — split(trim(lower(t)), '\s+'):
-            # Spark trim strips ONLY ASCII spaces (a trailing '\n'
-            # survives and yields a trailing '' token), Java \s is the
-            # ASCII class [ \t\n\x0b\f\r] (never unicode NBSP etc.), and
-            # Spark split keeps leading/trailing empties (limit=-1) — so
-            # empty text is [''], one empty token, exactly like
-            # simhash_bits. A bare str.strip()/.split() diverges on all
-            # three counts.
-            ws = re.split(r"[ \t\n\x0b\f\r]+", (t or "").lower().strip(" "))
+            # EXACT Spark tokenization — split(wtrim(lower(t)), '\s+'):
+            # wtrim strips ALL boundary whitespace (text.wtrim — plain
+            # Spark trim strips only spaces), Java \s is the ASCII class
+            # [ \t\n\x0b\f\r] (never unicode NBSP etc.), and Spark split
+            # keeps interior empties only after wtrim — empty text is
+            # [''], one empty token, exactly like simhash_bits. A bare
+            # str.split() still diverges (unicode whitespace).
+            ws = re.split(r"[ \t\n\x0b\f\r]+", _ascii_strip((t or "").lower()))
             words_per_doc.append(len(ws))
             for w in ws:
                 digests.append(hashlib.md5(w.encode()).digest()[:8])

@@ -29,13 +29,22 @@ LANG_MARKERS: dict[str, list[str]] = {
 }
 
 
+def wtrim(text: Column) -> Column:
+    """Trim ALL boundary whitespace. Spark's (and DuckDB's) plain trim
+    strips only spaces, so a tab/newline-led document would tokenize to
+    phantom empty strings at the boundaries (caught by the
+    chunk_documents hypothesis property) — every tokenizing op routes
+    through this instead."""
+    return F.regexp_replace(text, r"^\s+|\s+$", "")
+
+
 def words(text: Column) -> Column:
     """Whitespace tokenization (the reference point for token counts)."""
-    return F.split(F.trim(text), r"\s+")
+    return F.split(wtrim(text), r"\s+")
 
 
 def token_count(text: Column) -> Column:
-    return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(F.size(words(text)))
+    return F.when(F.length(wtrim(text)) == 0, F.lit(0)).otherwise(F.size(words(text)))
 
 
 def bpe_ish_token_count(text: Column) -> Column:
@@ -306,7 +315,7 @@ def chunk_documents(
     stride = chunk_tokens - overlap
     w = words(F.col(text_col))
     # empty/whitespace docs have no tokens (split yields [''] — count 0)
-    w = F.when(F.length(F.trim(F.col(text_col))) == 0, F.array().cast("array<string>")).otherwise(w)
+    w = F.when(F.length(wtrim(F.col(text_col))) == 0, F.array().cast("array<string>")).otherwise(w)
     n = F.size(w)
     n_chunks = F.greatest(
         F.lit(1), F.ceil((n - F.lit(overlap)).cast("double") / F.lit(float(stride))).cast("long")
@@ -493,7 +502,7 @@ def clean_lines(sdf, text_col: str = "text", id_col: str = "doc_id", min_words: 
         F.col(id_col), F.posexplode(F.split(F.col(text_col), "\n")).alias("__ln__", "__line__")
     )
     keep = lines.filter(
-        (F.size(F.split(F.trim(F.col("__line__")), r"\s+")) >= min_words)
+        (F.size(F.split(wtrim(F.col("__line__")), r"\s+")) >= min_words)
         & F.col("__line__").rlike(r"[.!?]$")
     )
     agg = keep.groupBy(id_col).agg(

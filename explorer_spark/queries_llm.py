@@ -15,11 +15,18 @@ from .sources import load_table
 
 # shared SQL fragments ------------------------------------------------------
 
-_WORDS = r"string_split_regex(trim({t}), '\s+')"
+_WTRIM = r"regexp_replace({t}, '^\s+|\s+$', '', 'g')"
+_WORDS = r"string_split_regex(regexp_replace({t}, '^\s+|\s+$', '', 'g'), '\s+')"
 _SHINGLES3 = (
     "list_distinct(list_transform(range(1, greatest(len({w}) - 1, 1)), "
     "i -> array_to_string(list_slice({w}, i, i + 2), ' ')))"
 )
+
+
+def _wtrim_col(c):
+    from .operators.text import wtrim
+
+    return wtrim(c)
 
 
 def _t(spark, sf_dir, name):
@@ -596,7 +603,7 @@ _SW = "('the','a','an','and','or','of','to','in','is','it')"
     f"""
     WITH t AS (
         SELECT lang,
-               CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_WORDS.format(t="text")}) END AS n_tokens,
+               CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0 ELSE len({_WORDS.format(t="text")}) END AS n_tokens,
                n_chars,
                CASE WHEN len({_WORDS.format(t="lower(text)")}) > 0
                     THEN CAST(len(list_filter({_WORDS.format(t="lower(text)")}, w -> w IN {_SW})) AS DOUBLE)
@@ -637,7 +644,7 @@ def q_text_stats(spark, sf_dir):
         "lang",
         "n_chars",
         SF.col("text").isNull().alias("__isnull__"),
-        (SF.length(SF.trim(SF.coalesce(SF.col("text"), SF.lit("")))) == 0).alias("__empty__"),
+        (SF.length(_wtrim_col(SF.coalesce(SF.col("text"), SF.lit("")))) == 0).alias("__empty__"),
         SF.explode(words(SF.coalesce(SF.col("text"), SF.lit("")))).alias("__w__"),
     )
     per_doc = ws_rows.groupBy("doc_id", "lang", "n_chars", "__isnull__", "__empty__").agg(
@@ -985,8 +992,8 @@ def q_events_enrich(spark, sf_dir):
     "q_text_tfidf",
     r"""
     WITH tok AS (
-        SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
-        FROM documents WHERE length(trim(text)) > 0
+        SELECT doc_id, unnest(string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+')) AS term
+        FROM documents WHERE length(regexp_replace(text, '^\s+|\s+$', '', 'g')) > 0
     ),
     tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok WHERE term <> '' GROUP BY 1, 2),
     df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
@@ -1016,8 +1023,8 @@ def q_text_tfidf(spark, sf_dir):
     r"""
     WITH tok AS (
         SELECT doc_id,
-               CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-                    ELSE string_split_regex(trim(text), '\s+') END AS w
+               CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN CAST([] AS VARCHAR[])
+                    ELSE string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END AS w
         FROM documents
     ),
     c AS (
@@ -1090,8 +1097,8 @@ def q_text_hash_sample(spark, sf_dir):
     r"""
     WITH tok AS (
         SELECT doc_id,
-               CASE WHEN length(trim(text)) = 0 THEN 0
-                    ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+               CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
+                    ELSE len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS n_tokens
         FROM documents
     ),
     c AS (
@@ -1130,10 +1137,10 @@ def q_pack_context_windows(spark, sf_dir):
     "q_text_repetition",
     r"""
     WITH nz AS (
-        SELECT doc_id, lang, text FROM documents WHERE length(trim(text)) > 0
+        SELECT doc_id, lang, text FROM documents WHERE length(regexp_replace(text, '^\s+|\s+$', '', 'g')) > 0
     ),
     w AS (
-        SELECT doc_id, lang, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        SELECT doc_id, lang, unnest(string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+')) AS w
         FROM nz
     ),
     wc AS (SELECT doc_id, lang, w, COUNT(*) AS c FROM w GROUP BY doc_id, lang, w),
@@ -1166,7 +1173,7 @@ def q_text_repetition(spark, sf_dir):
     corpus size)."""
     from .operators.text import words
 
-    docs = _t(spark, sf_dir, "documents").lazy_sdf().filter(SF.length(SF.trim("text")) > 0)
+    docs = _t(spark, sf_dir, "documents").lazy_sdf().filter(SF.length(_wtrim_col(SF.col("text"))) > 0)
     w = docs.select("doc_id", "lang", SF.explode(words(SF.lower(SF.col("text")))).alias("w"))
     wc = w.groupBy("doc_id", "lang", "w").agg(SF.count(SF.lit(1)).alias("c"))
     ds = wc.groupBy("doc_id", "lang").agg(
@@ -1355,7 +1362,7 @@ _C4_SYNTH_SQL = (
     synth AS (SELECT doc_id, {_C4_SYNTH_SQL} AS lines FROM ws_t),
     cleaned AS (
         SELECT doc_id,
-               list_filter(lines, l -> len(string_split_regex(trim(l), '\s+')) >= 3
+               list_filter(lines, l -> len(string_split_regex(regexp_replace(l, '^\s+|\s+$', '', 'g'), '\s+')) >= 3
                                        AND regexp_matches(l, '[.!?]$')) AS keep
         FROM synth
     )

@@ -397,3 +397,35 @@ def test_uniform_select_property(spark, xs, n):
     assert t == vals[n - 1]
     assert below == sum(1 for v in vals if v < t)
     assert at == sum(1 for v in vals if v == t)
+
+
+@given(
+    docs=st.lists(
+        st.text(alphabet=" abco\n\t", min_size=0, max_size=60), min_size=1, max_size=8
+    ),
+    chunk=st.integers(min_value=2, max_value=10),
+    overlap=st.integers(min_value=0, max_value=5),
+)
+@settings(**_SETTINGS)
+def test_chunk_documents_matches_python(spark, docs, chunk, overlap):
+    """chunk_documents equals the python sliding-window reference for
+    arbitrary whitespace shapes: every doc yields
+    max(1, ceil((n - overlap) / stride)) windows of stride
+    chunk - overlap, chunk i covering tokens [i*stride, i*stride+chunk)."""
+    from explorer_spark.operators.text import chunk_documents
+
+    overlap = min(overlap, chunk - 1)
+    stride = chunk - overlap
+    sdf = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["chunk_text"], r["n_chunk_tokens"])
+        for r in chunk_documents(sdf, chunk_tokens=chunk, overlap=overlap).collect()
+    }
+    exp = {}
+    for i, text in enumerate(docs):
+        w = text.split()
+        n_chunks = max(1, -(-(len(w) - overlap) // stride))
+        for ci in range(n_chunks):
+            sl = w[ci * stride : ci * stride + chunk]
+            exp[(i, ci)] = (" ".join(sl), len(sl))
+    assert got == exp
