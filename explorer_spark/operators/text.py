@@ -30,12 +30,15 @@ LANG_MARKERS: dict[str, list[str]] = {
 
 
 def wtrim(text: Column) -> Column:
-    """Trim ALL boundary whitespace. Spark's (and DuckDB's) plain trim
-    strips only spaces, so a tab/newline-led document would tokenize to
-    phantom empty strings at the boundaries (caught by the
-    chunk_documents hypothesis property) — every tokenizing op routes
-    through this instead."""
-    return F.regexp_replace(text, r"^\s+|\s+$", "")
+    """Trim ALL boundary whitespace (the Java \\s ASCII class). Spark's
+    (and DuckDB's) plain trim strips only spaces, so a tab/newline-led
+    document would tokenize to phantom empty strings at the boundaries
+    (caught by the chunk_documents hypothesis property) — every
+    tokenizing op routes through this instead. btrim with a char set,
+    NOT a regex: words() is re-evaluated several times inside fused
+    quality/stat projections (Spark does not CSE the token array), and
+    an anchored regexp_replace there cost 7x on q_text_stats."""
+    return F.btrim(text, F.lit(" \t\n\x0b\x0c\r"))
 
 
 def words(text: Column) -> Column:

@@ -15,8 +15,11 @@ from .sources import load_table
 
 # shared SQL fragments ------------------------------------------------------
 
-_WTRIM = r"regexp_replace({t}, '^\s+|\s+$', '', 'g')"
-_WORDS = r"string_split_regex(regexp_replace({t}, '^\s+|\s+$', '', 'g'), '\s+')"
+# charset trim = text.wtrim's btrim twin (the Java \s ASCII class);
+# cheaper than an anchored regexp_replace on both engines
+_WS_SET = "' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)"
+_WTRIM = "trim({t}, " + _WS_SET + ")"
+_WORDS = r"string_split_regex(trim({t}, " + _WS_SET + r"), '\s+')"
 _SHINGLES3 = (
     "list_distinct(list_transform(range(1, greatest(len({w}) - 1, 1)), "
     "i -> array_to_string(list_slice({w}, i, i + 2), ' ')))"
@@ -603,7 +606,7 @@ _SW = "('the','a','an','and','or','of','to','in','is','it')"
     f"""
     WITH t AS (
         SELECT lang,
-               CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0 ELSE len({_WORDS.format(t="text")}) END AS n_tokens,
+               CASE WHEN length(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))) = 0 THEN 0 ELSE len({_WORDS.format(t="text")}) END AS n_tokens,
                n_chars,
                CASE WHEN len({_WORDS.format(t="lower(text)")}) > 0
                     THEN CAST(len(list_filter({_WORDS.format(t="lower(text)")}, w -> w IN {_SW})) AS DOUBLE)
@@ -992,8 +995,8 @@ def q_events_enrich(spark, sf_dir):
     "q_text_tfidf",
     r"""
     WITH tok AS (
-        SELECT doc_id, unnest(string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+')) AS term
-        FROM documents WHERE length(regexp_replace(text, '^\s+|\s+$', '', 'g')) > 0
+        SELECT doc_id, unnest(string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+')) AS term
+        FROM documents WHERE length(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))) > 0
     ),
     tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok WHERE term <> '' GROUP BY 1, 2),
     df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
@@ -1023,8 +1026,8 @@ def q_text_tfidf(spark, sf_dir):
     r"""
     WITH tok AS (
         SELECT doc_id,
-               CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN CAST([] AS VARCHAR[])
-                    ELSE string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END AS w
+               CASE WHEN length(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))) = 0 THEN CAST([] AS VARCHAR[])
+                    ELSE string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+') END AS w
         FROM documents
     ),
     c AS (
@@ -1097,8 +1100,8 @@ def q_text_hash_sample(spark, sf_dir):
     r"""
     WITH tok AS (
         SELECT doc_id,
-               CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
-                    ELSE len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS n_tokens
+               CASE WHEN length(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+')) END AS n_tokens
         FROM documents
     ),
     c AS (
@@ -1137,10 +1140,10 @@ def q_pack_context_windows(spark, sf_dir):
     "q_text_repetition",
     r"""
     WITH nz AS (
-        SELECT doc_id, lang, text FROM documents WHERE length(regexp_replace(text, '^\s+|\s+$', '', 'g')) > 0
+        SELECT doc_id, lang, text FROM documents WHERE length(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))) > 0
     ),
     w AS (
-        SELECT doc_id, lang, unnest(string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+')) AS w
+        SELECT doc_id, lang, unnest(string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+')) AS w
         FROM nz
     ),
     wc AS (SELECT doc_id, lang, w, COUNT(*) AS c FROM w GROUP BY doc_id, lang, w),
@@ -1362,7 +1365,7 @@ _C4_SYNTH_SQL = (
     synth AS (SELECT doc_id, {_C4_SYNTH_SQL} AS lines FROM ws_t),
     cleaned AS (
         SELECT doc_id,
-               list_filter(lines, l -> len(string_split_regex(regexp_replace(l, '^\s+|\s+$', '', 'g'), '\s+')) >= 3
+               list_filter(lines, l -> len(string_split_regex(trim(l, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+')) >= 3
                                        AND regexp_matches(l, '[.!?]$')) AS keep
         FROM synth
     )
