@@ -308,6 +308,36 @@ def _unop(fn):
     return lambda ctx, a: fn(_c(a, ctx))
 
 
+def _wall(ctx: "LowerCtx", a) -> Column:
+    """Lower ``a`` for a WALL-CLOCK temporal read: when it resolves to a
+    ``{:datetime, p, tz}`` column (non-UTC ``tz`` column metadata,
+    stamped by Series casts / from_list), shift the instant into its
+    zone first so year/hour/strftime/... report LOCAL fields — the
+    reference reads the column's own zone (shared.ex:78-79;
+    series/datetime_test.exs wall-field tests). Instant semantics
+    (arithmetic, comparison, aggregation) keep the plain ``_c``.
+
+    Resolution is analysis-only against ``ctx.sdf`` (the pow-dtype
+    mechanism): no job runs. Computed children lose column metadata in
+    Spark, so they read UTC wall clock — same as an explicit relabel."""
+    c = _c(a, ctx)
+    sdf = ctx.sdf
+    if sdf is None or not any(f.metadata.get("tz") for f in sdf.schema.fields):
+        return c
+    try:
+        fld = sdf.select(c.alias("__wall__")).schema[0]
+    except Exception:
+        return c
+    tz = fld.metadata.get("tz")
+    if tz and tz not in ("Etc/UTC", "UTC") and isinstance(fld.dataType, T.TimestampType):
+        return F.from_utc_timestamp(c, tz)
+    return c
+
+
+def _wunop(fn):
+    return lambda ctx, a: fn(_wall(ctx, a))
+
+
 def _cum(aggfn, count=False):
     def low(ctx, a, reverse=False):
         w = _ordered_window(ctx, descending=bool(reverse)).rowsBetween(W.unboundedPreceding, 0)
@@ -449,12 +479,12 @@ def _fill_backward(ctx, a):
 
 def _day_of_week(ctx, a):
     # Explorer: Monday=1..Sunday=7; Spark dayofweek: Sunday=1..Saturday=7
-    c = F.dayofweek(_c(a, ctx))
+    c = F.dayofweek(_wall(ctx, a))
     return F.when(c == 1, F.lit(7)).otherwise(c - 1)
 
 
 def _week_of_year(ctx, a):
-    return F.weekofyear(_c(a, ctx))
+    return F.weekofyear(_wall(ctx, a))
 
 
 def _strftime_to_java(fmt: str) -> str:
@@ -744,26 +774,30 @@ _LOWER = {
     "string_length": _unop(F.length),
     "concat": lambda ctx, *xs: F.concat(*[_c(x, ctx).cast("string") for x in xs]),
     "format": lambda ctx, xs: F.concat(*[_c(x, ctx).cast("string") for x in xs]),
-    # temporal
-    "year": _unop(F.year),
-    "month": _unop(F.month),
-    "day_of_month": _unop(F.dayofmonth),
+    # temporal — wall-clock field reads go through _wall (tz-stamped
+    # datetime columns shift into their zone first)
+    "year": _wunop(F.year),
+    "month": _wunop(F.month),
+    "day_of_month": _wunop(F.dayofmonth),
     "day_of_week": _day_of_week,
-    "day_of_year": _unop(F.dayofyear),
+    "day_of_year": _wunop(F.dayofyear),
     "week_of_year": _week_of_year,
     # ISO-8601 year = calendar year of the Thursday in the date's ISO week
     # (exact by definition; weekday() is Mon=0, so Thursday = d + (3 - wd))
-    "iso_year": lambda ctx, a: F.year(F.date_add(F.to_date(_c(a, ctx)), 3 - F.weekday(_c(a, ctx)))),
-    "quarter_of_year": _unop(F.quarter),
-    "hour": _unop(F.hour),
-    "minute": _unop(F.minute),
-    "second": _unop(F.second),
-    "is_leap_year": lambda ctx, a: (F.year(_c(a, ctx)) % 4 == 0)
-    & ((F.year(_c(a, ctx)) % 100 != 0) | (F.year(_c(a, ctx)) % 400 == 0)),
-    "to_date": _unop(F.to_date),
+    "iso_year": lambda ctx, a: (
+        lambda c: F.year(F.date_add(F.to_date(c), 3 - F.weekday(c)))
+    )(_wall(ctx, a)),
+    "quarter_of_year": _wunop(F.quarter),
+    "hour": _wunop(F.hour),
+    "minute": _wunop(F.minute),
+    "second": _wunop(F.second),
+    "is_leap_year": lambda ctx, a: (
+        lambda y: (y % 4 == 0) & ((y % 100 != 0) | (y % 400 == 0))
+    )(F.year(_wall(ctx, a))),
+    "to_date": _wunop(F.to_date),
     # number of days in the value's month (reference lazy_series.ex
     # days_of_month; Polars days_in_month)
-    "days_of_month": lambda ctx, a: F.dayofmonth(F.last_day(_c(a, ctx))),
+    "days_of_month": lambda ctx, a: F.dayofmonth(F.last_day(_wall(ctx, a))),
     # nanosecond component of the second (reference series.ex nanosecond/1;
     # µs-precision storage means the last 3 digits are always 0)
     "nanosecond": lambda ctx, a: (
@@ -772,9 +806,9 @@ _LOWER = {
     # time-of-day as ns since midnight — the engine's :time representation
     # (dtypes.py maps time -> long ns, reference shared.ex:12-16)
     "to_time": lambda ctx, a: (
-        F.pmod(F.unix_micros(_c(a, ctx).cast("timestamp_ltz")), F.lit(86_400_000_000)) * 1_000
+        F.pmod(F.unix_micros(_wall(ctx, a).cast("timestamp_ltz")), F.lit(86_400_000_000)) * 1_000
     ).cast("long"),
-    "strftime": lambda ctx, a, fmt: F.date_format(_c(a, ctx), _strftime_to_java(fmt)),
+    "strftime": lambda ctx, a, fmt: F.date_format(_wall(ctx, a), _strftime_to_java(fmt)),
     # try_: unparseable strings yield nil, not an error (reference
     # strptime doctest: ["2023-01-05 12:34:56", "XYZ", nil] -> [ts, nil, nil])
     "strptime": lambda ctx, a, fmt: F.try_to_timestamp(_c(a, ctx), F.lit(_strftime_to_java(fmt))),

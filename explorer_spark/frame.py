@@ -480,7 +480,7 @@ class DataFrame:
             out = mat._sdf
             for i, p in enumerate(rewritten):
                 tmp = f"__pred_{i}__"
-                out = out.withColumn(tmp, p.lower(LowerCtx())).filter(F.col(tmp)).drop(tmp)
+                out = out.withColumn(tmp, p.lower(LowerCtx(sdf=mat._sdf))).filter(F.col(tmp)).drop(tmp)
             keep = self.names + ([ORDER_COL] if mat._has_order else [])
             return mat._replace(out.select(*keep))
         # grouped argmin/argmax in a predicate: within-group positions need
@@ -588,19 +588,44 @@ class DataFrame:
             return out.select(cols)
         return out
 
+    @staticmethod
+    def _mutate_cast_meta(exprs: dict) -> dict:
+        """tz metadata a top-level ``mutate(x=cast(col, {:datetime, p,
+        tz}))`` must stamp so the column introspects as a tz dtype and
+        wall-clock extraction (expr._wall) reads its zone — the
+        expression-level twin of ``Series._cast_datetime_meta``'s tz
+        relabel (the instant is unchanged; only the label rides as
+        metadata). Precision relabels (ms/ns, duration units) stay
+        Series-level: they TRUNCATE values, not just labels."""
+        from .series import _check_tz
+
+        stamps = {}
+        for name, e in exprs.items():
+            if not (isinstance(e, Expr) and e.op == "cast"):
+                continue
+            d = dt.normalize(e.args[1])
+            if isinstance(d, tuple) and d[0] == "datetime" and len(d) > 2 and d[2] not in ("Etc/UTC", "UTC"):
+                _check_tz(d[2])
+                stamps[name] = {"tz": d[2]}
+        return stamps
+
     def _mutate_all(self, exprs: dict) -> "DataFrame":
         needs_order = any(_tree_has(e, *ORDERED_EXPR_OPS) for e in exprs.values())
         has_agg = any(isinstance(e, Expr) and e.references_agg() for e in exprs.values())
+        meta_stamps = self._mutate_cast_meta(exprs)
         if not self.groups and (needs_order or has_agg):
             mat, rewritten = self._materialize_distributed(list(exprs.values()))
             cols = {
-                name: (e.lower(LowerCtx()) if isinstance(e, Expr) else F.lit(e))
+                name: (e.lower(LowerCtx(sdf=mat._sdf)) if isinstance(e, Expr) else F.lit(e))
                 for name, e in zip(exprs.keys(), rewritten)
             }
             out = mat._sdf.withColumns(cols)
             keep = list(dict.fromkeys(self.names + list(exprs.keys())))
             keep += [ORDER_COL] if mat._has_order else []
-            return mat._replace(out.select(*keep))
+            out = out.select(*keep)
+            for n, m in meta_stamps.items():
+                out = out.withMetadata(n, m)
+            return mat._replace(out)
         # argmin/argmax RETURN row positions — in a grouped mutate that is
         # the WITHIN-GROUP position (reference grouped argmin), so a
         # contiguous per-group index must replace the sparse ORDER_COL id
@@ -620,6 +645,8 @@ class DataFrame:
         out = base._sdf.withColumns(cols)
         if needs_pos:
             out = out.drop("__pos_idx__")
+        for n, m in meta_stamps.items():
+            out = out.withMetadata(n, m)
         return base._replace(out, aligned=base._aligned and not (needs_order or has_agg or needs_pos))
 
     # -- distributed rendering of ungrouped ordered/agg expressions --------
@@ -655,7 +682,7 @@ class DataFrame:
         base = self._with_row_index(self._IDX) if needs_idx else self._ordered()
         n_hint = getattr(base, "_row_count_hint", None)
         state = {"sdf": base._sdf, "n": 0}
-        plain = LowerCtx()
+        plain = LowerCtx(sdf=base._sdf)
 
         def tmp() -> str:
             state["n"] += 1
@@ -726,7 +753,7 @@ class DataFrame:
             from .expr import _LOWER
 
             u = ordk.with_boundary_context(state["sdf"], self._IDX, before, after)
-            ctx2 = LowerCtx(groups=[ordk.BUCKET], order=self._IDX)
+            ctx2 = LowerCtx(groups=[ordk.BUCKET], order=self._IDX, sdf=u)
             c = _LOWER[node.op](ctx2, col(value), *params)
             name = tmp()
             state["sdf"] = ordk.strip_boundary_context(u.withColumn(name, c))
@@ -814,7 +841,9 @@ class DataFrame:
                 # before this aggregate can read them
                 flush_aggs()
             name = tmp()
-            aggc = node.lower(LowerCtx(order=self._IDX if needs_idx else None, summarise=True))
+            aggc = node.lower(
+                LowerCtx(order=self._IDX if needs_idx else None, summarise=True, sdf=state["sdf"])
+            )
             pending_aggs[name] = aggc
             agg_cache[key] = name
             return name
@@ -878,7 +907,7 @@ class DataFrame:
         literals so an s64 column's quantile stays s64."""
         from .operators import ordered as ordk
 
-        plain = LowerCtx()
+        plain = LowerCtx(sdf=self._sdf)
         gather: dict[str, set] = {}
 
         def scan(e):

@@ -609,3 +609,57 @@ def q_at_every(spark, sf_dir):
         .at_every(100)
         .lazy_sdf()
     )
+
+
+@query(
+    "q_tz_wall_clock",
+    """
+    SELECT CAST(hour(timezone('America/New_York', timezone('UTC', ts))) AS INT) AS hr,
+           CAST(isodow(timezone('America/New_York', timezone('UTC', ts))) AS INT) AS dow,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS total
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_tz_wall_clock(spark, sf_dir):
+    """{:datetime, us, tz} end to end: a mutate-level cast stamps the
+    zone (frame._mutate_cast_meta), and expression-level wall-clock
+    extraction (expr._wall, reference shared.ex:78-79) reads LOCAL
+    fields — hour/day_of_week here are America/New_York wall clock,
+    spanning the EST->EDT jump in the 2024 event range. The shift is a
+    zero-shuffle projection; the only exchange is the group-by."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.mutate(ts_ny=f.cast(col("ts"), ("datetime", "us", "America/New_York")))
+        .mutate(hr=f.hour(col("ts_ny")), dow=f.day_of_week(col("ts_ny")))
+        .group_by("hr", "dow")
+        .summarise(n=f.size(col("event_id")), total=f.round(f.sum(col("value")), 2))
+        .lazy_sdf()
+    )
+
+
+@query(
+    "q_epoch_ms_counts",
+    """
+    SELECT COUNT(*) AS n,
+           MIN(epoch_ms(ts)) AS mn_ms,
+           MAX(epoch_ms(ts)) AS mx_ms,
+           CAST(COUNT(DISTINCT epoch_ms(ts) // 3600000) AS BIGINT) AS n_hours
+    FROM events
+    """,
+)
+def q_epoch_ms_counts(spark, sf_dir):
+    """{:naive_datetime, ms} precision: cast to ms (sub-ms truncates
+    toward zero, Series._cast_datetime_meta) then to s64 — the integer
+    is the epoch COUNT in the column's logical precision (reference
+    polars cast semantics), not Spark's timestamp->bigint seconds."""
+    ev = _t(spark, sf_dir, "events")
+    ms = ev.pull("ts").cast(("naive_datetime", "ms")).cast(("s", 64))
+    fr = ms._frame.rename({ms.name: "ms"})
+    return fr.summarise(
+        n=f.size(col("ms")),
+        mn_ms=f.min(col("ms")),
+        mx_ms=f.max(col("ms")),
+        n_hours=f.n_distinct(f.quotient(col("ms"), lit(3_600_000))),
+    ).lazy_sdf()

@@ -73,15 +73,12 @@ def _check_tz(tz: str) -> None:
         raise ValueError(f"unknown time zone {tz!r}") from None
 
 
-# temporal functions that read WALL-CLOCK fields: a tz-stamped datetime
-# shifts into its zone before these (see Series._wall_c); everything
-# else (arithmetic, comparisons, aggregation) keeps the raw instant
-_TZ_WALL_OPS = frozenset({
-    "year", "month", "day_of_month", "day_of_week", "day_of_year",
-    "week_of_year", "iso_year", "quarter_of_year", "hour", "minute",
-    "second", "is_leap_year", "to_date", "days_of_month", "to_time",
-    "strftime",
-})
+# Wall-clock temporal reads on tz-stamped datetimes (year/hour/strftime/
+# to_date/...) shift into the column's zone at the EXPRESSION layer
+# (expr._wall reads the `tz` column metadata via LowerCtx.sdf) — the same
+# mechanism serves Series methods and mutate/filter/summarise expressions,
+# so the two levels can never disagree. Arithmetic, comparisons and
+# aggregation keep raw instant semantics.
 
 
 class Series:
@@ -284,18 +281,6 @@ class Series:
 
     def _c(self) -> Expr:
         return col(self.name)
-
-    def _wall_c(self) -> Expr:
-        """Column expression for WALL-CLOCK reads: a tz-stamped datetime
-        (``{:datetime, p, tz}``, reference shared.ex:78-79) shifts into
-        its zone first so year/hour/strftime/... report LOCAL fields;
-        instant semantics (arithmetic, comparisons) use ``_c()``."""
-        d = self.dtype
-        if isinstance(d, tuple) and d[0] == "datetime" and len(d) > 2 and d[2] not in ("Etc/UTC", "UTC"):
-            from .expr import raw as _raw
-
-            return _raw(F.from_utc_timestamp(F.col(self.name), d[2]))
-        return self._c()
 
     # -- aggregations (reference series.ex:2400-3102) -----------------------
     def sum(self):
@@ -565,7 +550,7 @@ class Series:
         - tz: the INSTANT is unchanged (zone relabeling, polars cast
           semantics); the zone stamps as column metadata, dtypes reports
           it, and wall-clock extraction/strftime read through it
-          (``_wall_c``). Re-casting to ``{:datetime, p, "Etc/UTC"}``
+          (``expr._wall``). Re-casting to ``{:datetime, p, "Etc/UTC"}``
           drops the stamp.
 
         An integer source is the epoch COUNT in the target unit, exactly
@@ -1142,8 +1127,10 @@ def _install_scalar_methods():
 
         def make(fn=fn, name=name):
             def method(self, *args, **kwargs):
-                c = self._wall_c() if name in _TZ_WALL_OPS else self._c()
-                return self._apply(fn(c, *args, **kwargs))
+                # tz wall-clock reads are handled at the expression layer
+                # (expr._wall reads the column's tz metadata) so Series-
+                # and mutate-level answers can never diverge
+                return self._apply(fn(self._c(), *args, **kwargs))
 
             method.__name__ = name
             method.__doc__ = f"Element-wise {name} (functions.{name} applied to this series)."

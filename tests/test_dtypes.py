@@ -243,6 +243,47 @@ def test_datetime_tz_roundtrip_and_wall_clock(spark):
     assert (s2 - s2).cast(("s", 64)).to_list() == [0, 0, None]
 
 
+def test_datetime_tz_expression_level_wall_clock(spark):
+    """mutate/filter/summarise temporal extraction on a tz column must
+    match Series-level answers (reference shared.ex:78-79 — the zone is
+    a property of the COLUMN, not of the access path). expr._wall reads
+    the tz metadata via LowerCtx.sdf."""
+    import datetime as dtm
+    from zoneinfo import ZoneInfo
+
+    from explorer_spark import functions as f
+    from explorer_spark.functions import col
+    from explorer_spark.series import Series
+
+    ny = ZoneInfo("America/New_York")
+    vals = [
+        dtm.datetime(2024, 1, 1, 12, 0, 0, tzinfo=ny),  # EST: 17:00 UTC
+        dtm.datetime(2024, 7, 1, 12, 0, 0, tzinfo=ny),  # EDT: 16:00 UTC
+        None,
+    ]
+    s = Series.from_list(vals)
+    df = s._frame
+    m = df.mutate(
+        h=f.hour(col("values")),
+        y=f.year(col("values")),
+        d=f.to_date(col("values")),
+        fm=f.strftime(col("values"), "%H:%M"),
+    ).to_columns()
+    assert m["h"] == s.hour().to_list() == [12, 12, None]
+    assert m["y"] == s.year().to_list() == [2024, 2024, None]
+    assert m["fm"] == s.strftime("%H:%M").to_list() == ["12:00", "12:00", None]
+    assert m["d"] == [dtm.date(2024, 1, 1), dtm.date(2024, 7, 1), None]
+    # filter and summarise read the same wall clock
+    assert df.filter_with(f.hour(col("values")) == 12).n_rows() == 2
+    assert df.summarise(ym=f.max(f.year(col("values")))).to_columns()["ym"] == [2024]
+    # grouped mutate too
+    g = df.mutate(g=f.month(col("values"))).group_by("g").mutate(hh=f.hour(col("values")))
+    assert g.to_columns()["hh"] == [12, 12, None]
+    # a UTC-stamped column is untouched
+    u = Series.from_list([dtm.datetime(2024, 1, 1, 23, 30, tzinfo=dtm.timezone.utc)])
+    assert u._frame.mutate(h=f.hour(col("values"))).to_columns()["h"] == [23]
+
+
 def test_datetime_tz_validation(spark):
     import datetime as dtm
     from zoneinfo import ZoneInfo
