@@ -43,6 +43,12 @@ ORDER_COL = "__row_order__"
 # smallest hash draws with a plain filter (VERDICT r5 #3)
 SAMPLE_TAKEORDERED_MAX = 1 << 17
 
+# dummies() gate: one-hot is small-cardinality by nature (every distinct
+# value becomes a COLUMN); above this the distinct-collect is unbounded
+# driver traffic and the when-chain a codegen blowup — raise explicitly
+# via the max_categories parameter if a wider frame is really intended
+DUMMIES_MAX_CATEGORIES = 4096
+
 
 def _resolve_seed(seed) -> int:
     """A concrete int seed (fresh entropy when None) so hash-draw
@@ -471,6 +477,21 @@ class DataFrame:
     def filter_with(self, *predicates: Expr) -> "DataFrame":
         """Row filter; aggregations in the predicate broadcast per group
         (reference polars_backend/lazy_frame.ex:437-448)."""
+        if (
+            self.groups
+            and self._group_mode == "groups"
+            and any(
+                isinstance(p, Expr) and _tree_has(p, "quantile") for p in predicates
+            )
+        ):
+            # grouped filter quantile: distinct-value kernel (see
+            # _rewrite_grouped_quantiles), joined value used in the WHERE
+            pre, new_preds, tmps = self._rewrite_grouped_quantiles(
+                dict(enumerate(predicates)), agg_wrap=False
+            )
+            if pre is not self:
+                res = pre.filter_with(*new_preds.values())
+                return res._replace(res._sdf.drop(*tmps))
         needs_order = any(_tree_has(p, *ORDERED_EXPR_OPS) for p in predicates)
         has_agg = any(isinstance(p, Expr) and p.references_agg() for p in predicates)
         if not self.groups and (needs_order or has_agg):
@@ -610,6 +631,20 @@ class DataFrame:
         return stamps
 
     def _mutate_all(self, exprs: dict) -> "DataFrame":
+        if (
+            self.groups
+            and self._group_mode == "groups"
+            and any(
+                isinstance(e, Expr) and _tree_has(e, "quantile") for e in exprs.values()
+            )
+        ):
+            # grouped mutate quantile: same distinct-value kernel as the
+            # summarise path — the joined per-group value replaces the
+            # node directly (already broadcast to every group row)
+            pre, new_exprs, tmps = self._rewrite_grouped_quantiles(exprs, agg_wrap=False)
+            if pre is not self:
+                res = pre._mutate_all(new_exprs)
+                return res._replace(res._sdf.drop(*tmps))
         needs_order = any(_tree_has(e, *ORDERED_EXPR_OPS) for e in exprs.values())
         has_agg = any(isinstance(e, Expr) and e.references_agg() for e in exprs.values())
         meta_stamps = self._mutate_cast_meta(exprs)
@@ -950,6 +985,91 @@ class DataFrame:
 
         return {n: rw(e) for n, e in exprs.items()}
 
+    def _rewrite_grouped_quantiles(self, exprs: dict, agg_wrap: bool):
+        """Grouped NEAREST quantiles route through the per-group
+        distinct-value counts kernel (operators/ordered.py
+        grouped_nearest_quantiles) instead of
+        ``array_sort(collect_list)``: the sorted collect buffers the
+        WHOLE group as an in-executor array, which OOMs on one
+        giant/skewed group at scale; the kernel's memory is bounded by
+        per-group distinct values and its sort spills. Results join
+        back on the group keys (null-safe — a null group key is a
+        group) and re-enter the tree as per-group constants:
+        ``max(col)`` in summarise (a real aggregate over a
+        group-constant column), the plain column in mutate/filter
+        (already broadcast by the join). Only plain row-wise source
+        args rewrite; quantile-of-aggregate keeps the sorted collect.
+        Returns ``(pre_frame, new_exprs, tmp_names)`` —
+        ``pre_frame is self`` when nothing rewrote."""
+        from functools import reduce as _reduce
+
+        from .operators import ordered as ordk
+
+        gather: dict[str, set] = {}
+        arg_of: dict[str, object] = {}
+
+        def _rewritable(arg) -> bool:
+            return not (
+                isinstance(arg, Expr)
+                and (arg.references_agg() or _tree_has(arg, *ORDERED_EXPR_OPS))
+            )
+
+        def scan(e):
+            if not isinstance(e, Expr):
+                return
+            if e.op == "quantile" and _rewritable(e.args[0]):
+                key = repr(e.args[0])
+                gather.setdefault(key, set()).add(float(e.args[1]))
+                arg_of[key] = e.args[0]
+            for a in e.args:
+                scan(a)
+
+        for e in exprs.values():
+            scan(e)
+        if not gather:
+            return self, exprs, []
+
+        plain = LowerCtx(sdf=self._sdf)
+        out = self._sdf
+        names_map: dict[tuple, str] = {}
+        tmps: list[str] = []
+        for i, (key, qs) in enumerate(gather.items()):
+            arg = arg_of[key]
+            if isinstance(arg, Expr) and arg.op == "column":
+                vname, src = arg.args[0], self._sdf
+            else:
+                vname = f"__gqv{i}__"
+                src = self._sdf.withColumn(
+                    vname, arg.lower(plain) if isinstance(arg, Expr) else F.lit(arg)
+                )
+            qlist = sorted(qs)
+            outs = [f"__gq{i}_{j}__" for j in range(len(qlist))]
+            qtab = ordk.grouped_nearest_quantiles(src, self.groups, vname, qlist, outs)
+            right = qtab
+            for g in self.groups:
+                right = right.withColumnRenamed(g, f"__jgq_{g}__")
+            cond = _reduce(
+                lambda a, b: a & b,
+                [out[g].eqNullSafe(right[f"__jgq_{g}__"]) for g in self.groups],
+            )
+            out = out.join(right, cond, "left").drop(
+                *[f"__jgq_{g}__" for g in self.groups]
+            )
+            for q, tmp in zip(qlist, outs):
+                names_map[(key, q)] = tmp
+            tmps.extend(outs)
+
+        def rw(e):
+            if not isinstance(e, Expr):
+                return e
+            if e.op == "quantile":
+                hit = names_map.get((repr(e.args[0]), float(e.args[1])))
+                if hit is not None:
+                    return Expr("max", col(hit)) if agg_wrap else col(hit)
+            return Expr(e.op, *[rw(a) for a in e.args])
+
+        return self._replace(out), {n: rw(e) for n, e in exprs.items()}, tmps
+
     def summarise_with(self, **exprs) -> "DataFrame":
         """Per-group aggregation; group cols prepended to output
         (reference data_frame.ex:6128-6290). A non-aggregate expression
@@ -999,6 +1119,21 @@ class DataFrame:
             # whole-frame quantile: distributed nth-element kernel, never
             # a whole-column collect_list in one aggregation buffer
             exprs = self._rewrite_ungrouped_quantiles(exprs)
+
+        if (
+            self.groups
+            and self._group_mode == "groups"
+            and any(
+                isinstance(e, Expr) and _tree_has(e, "quantile") for e in exprs.values()
+            )
+        ):
+            # grouped quantile: per-group distinct-value counts kernel,
+            # never a whole-group collect_list (giant-group OOM at scale);
+            # cube/rollup keep the sorted collect (grouping sets don't
+            # join back on one key set)
+            pre, new_exprs, _tmps = self._rewrite_grouped_quantiles(exprs, agg_wrap=True)
+            if pre is not self:
+                return pre.summarise_with(**new_exprs)
 
         needs_order = any(_implicit_list(e) for e in exprs.values())
         # argmin/argmax (and order-exact first/last) return/consume row
@@ -1982,14 +2117,27 @@ class DataFrame:
                 exprs.append(F.col(c))
         return self._replace(sdf.select(*exprs))
 
-    def dummies(self, selector) -> "DataFrame":
+    def dummies(self, selector, max_categories: int = DUMMIES_MAX_CATEGORIES) -> "DataFrame":
         """One-hot encode (reference data_frame.ex:4095-4134). Collects the
-        distinct values (small by construction) to build the when-chain."""
+        distinct values to build the when-chain — small-cardinality by
+        the operator's nature (each distinct value becomes a COLUMN), so
+        the collect is explicitly gated: a high-cardinality column would
+        otherwise mean an unbounded driver collect plus a codegen blowup
+        of thousands of when-branches. Raise the ``max_categories``
+        escape hatch deliberately if you really want a wider frame."""
         cols = self._resolve(selector)
         sdf = self._sdf
         new_cols = []
         for c in cols:
-            values = sorted(r[0] for r in sdf.select(c).distinct().collect() if r[0] is not None)
+            got = sdf.select(c).distinct().limit(max_categories + 1).collect()
+            values = sorted(r[0] for r in got if r[0] is not None)
+            if len(values) > max_categories:
+                raise ValueError(
+                    f"dummies: column {c!r} has more than {max_categories} distinct "
+                    f"values; one-hot encoding it would create that many columns. "
+                    f"Pass max_categories= to raise the gate, or bucket the column "
+                    f"first (cut/qcut/categorise)."
+                )
             for v in values:
                 new_cols.append(F.when(F.col(c) == v, 1).otherwise(0).alias(f"{c}_{v}"))
         keep = [F.col(c) for c in sdf.columns if c not in cols]

@@ -1528,3 +1528,54 @@ def uniform_select(sdf: SDF, value_col: str, n: int, total: int, domain_hi: int)
     t = vals[need - 1]
     i0 = bisect.bisect_left(vals, t)
     return t, lo_rank + i0, bisect.bisect_right(vals, t) - i0
+
+
+def grouped_nearest_quantiles(
+    sdf: SDF, groups: list, value_col: str, qs: list, out_names: list
+) -> SDF:
+    """Per-group NEAREST quantiles with the executor buffer bounded by
+    per-group DISTINCT values, never the group's rows:
+
+    1. one map-combined ``groupBy(groups + value)`` count collapses
+       duplicates (partial aggregation bounds task memory),
+    2. a per-group value-ordered running count assigns each distinct
+       value its rank interval ``[cum - cnt, cum)`` — WindowExec SORTS
+       (spillable), it does not buffer the group as an array,
+    3. ONE min-filter aggregation per group picks the element whose
+       interval contains ``k = floor(q*(n-1)+0.5)`` for every requested
+       q simultaneously.
+
+    This replaces the ``array_sort(collect_list)`` rendering for grouped
+    quantiles (frame._rewrite_grouped_quantiles): a sorted collect is
+    bounded by group size and OOMs its executor on one giant/skewed
+    group at scale. Nulls are excluded (quantile ignores nils); NaN
+    groups to one distinct value and orders greatest (Spark = polars =
+    reference sort semantics); an all-null group vanishes here and the
+    caller's left join reports nil. Returns one row per group:
+    ``groups + out_names`` (out_names[i] = quantile qs[i] of value_col).
+    """
+    CNT, CUM, N = "__gqc__", "__gqcum__", "__gqn__"
+    v = F.col(value_col)
+    cnt = (
+        sdf.select(*groups, value_col)
+        .filter(v.isNotNull())
+        .groupBy(*groups, value_col)
+        .agg(F.count(F.lit(1)).alias(CNT))
+    )
+    wv = W.partitionBy(*groups).orderBy(v.asc()).rowsBetween(W.unboundedPreceding, 0)
+    wg = W.partitionBy(*groups)
+    sel = cnt.select(
+        *groups,
+        v,
+        F.col(CNT),
+        F.sum(CNT).over(wv).alias(CUM),
+        F.sum(CNT).over(wg).alias(N),
+    )
+    aggs = []
+    for q, out in zip(qs, out_names):
+        k = F.floor(F.lit(float(q)) * (F.col(N) - F.lit(1)).cast("double") + F.lit(0.5)).cast(
+            "long"
+        )
+        hit = F.when((F.col(CUM) - F.col(CNT) <= k) & (k < F.col(CUM)), v)
+        aggs.append(F.min(hit).alias(out))
+    return sel.groupBy(*groups).agg(*aggs)

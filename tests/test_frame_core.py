@@ -200,6 +200,19 @@ def test_dummies(spark):
     assert out["c_b"] == [0, 1, 0]
 
 
+def test_dummies_cardinality_gate(spark):
+    """One-hot on a high-cardinality column must raise (unbounded
+    driver collect + when-chain codegen blowup), with max_categories
+    as the explicit escape hatch."""
+    import pytest as _pytest
+
+    d = ex.from_columns({"c": [str(i) for i in range(40)]}, spark=spark)
+    with _pytest.raises(ValueError, match="more than 10 distinct"):
+        d.dummies(["c"], max_categories=10)
+    out = d.dummies(["c"], max_categories=40)
+    assert len(out.names) == 40
+
+
 def test_describe_frequencies(df):
     desc = df.describe()
     cols = desc.to_columns()

@@ -471,3 +471,42 @@ def test_pair_dot_null_embedding_propagates(spark):
     )
     got = {r.id: r.d for r in sdf.select("id", pair_dot(F.col("a"), F.col("b")).alias("d")).collect()}
     assert got == {1: 11.0, 2: None, 3: None}
+
+
+def test_stopword_regex_matches_per_token_isin(spark):
+    """q_text_stats counts stopword hits with ONE regexp_count
+    (whitespace-lookaround alternation) instead of exploding tokens —
+    the JVM regex must agree exactly with per-token isin(STOPWORDS)
+    over whitespace-adversarial docs (tabs, newlines, punctuation-glued
+    tokens, prefix-overlapping words like 'a'/'an'/'thee')."""
+    import random
+    import re
+
+    from explorer_spark.operators.text import STOPWORDS
+
+    rng = random.Random(11)
+    toks = STOPWORDS + ["xx", "the,", "it,", "an!", "thee", "A", "It"]
+    docs = []
+    for _ in range(300):
+        doc = rng.choice(["", " ", "\t"]).join(
+            rng.choice(toks) for _ in range(rng.randint(0, 10))
+        )
+        docs.append(rng.choice(["", " ", "\n", "\t"]) + doc + rng.choice(["", " ", "\v"]))
+
+    def twin(doc: str) -> int:
+        trimmed = doc.strip(" \t\n\x0b\x0c\r")
+        words = re.split(r"\s+", trimmed) if trimmed else [""]
+        return sum(1 for w in words if w.lower() in STOPWORDS)
+
+    sw_rx = r"(?<=^|\s)(" + "|".join(STOPWORDS) + r")(?=$|\s)"
+    sdf = spark.createDataFrame([(i, d) for i, d in enumerate(docs)], "i long, t string")
+    from explorer_spark.operators.text import wtrim
+
+    got = {
+        r.i: r.c
+        for r in sdf.select(
+            "i", F.regexp_count(F.lower(wtrim(F.col("t"))), F.lit(sw_rx)).alias("c")
+        ).collect()
+    }
+    for i, d in enumerate(docs):
+        assert got[i] == twin(d), (repr(d), got[i], twin(d))

@@ -400,3 +400,48 @@ def test_sample_no_replace_large_n_has_no_takeordered(spark, monkeypatch):
     ids = [r["id"] for r in df.sample(1200, seed=5).to_rows()]
     assert len(ids) == 1200 and len(set(ids)) == 1200
     assert ids == sorted(ids)
+
+
+def test_grouped_quantile_no_whole_group_array(spark):
+    """Grouped quantile must not buffer the group as an in-executor
+    array: one group holding ~all rows is the giant-group edge that
+    OOMs an array_sort(collect_list) rendering at scale. The kernel
+    (operators/ordered.grouped_nearest_quantiles) bounds memory by
+    per-group DISTINCT values — assert the executed plan of every path
+    (summarise / mutate / filter) has no collect_list, and answers
+    match a python sorted-list NEAREST twin."""
+    import math
+
+    from explorer_spark import f
+    from explorer_spark.expr import col
+    from explorer_spark.sources import from_columns
+
+    n = 20_000
+    g = ["big"] * (n - 3) + ["tiny"] * 3
+    v = [(i * 2654435761) % 977 for i in range(n)]  # many duplicates
+    df = from_columns({"g": g, "v": v}, spark=spark)
+
+    def nearest(vals, q):
+        s = sorted(vals)
+        return s[int(math.floor(q * (len(s) - 1) + 0.5))]
+
+    out = df.group_by("g").summarise(
+        p50=f.quantile(col("v"), 0.5), p99=f.quantile(col("v"), 0.99)
+    )
+    plan = out.lazy_sdf()._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in plan
+    got = {r["g"]: (r["p50"], r["p99"]) for r in out.to_rows()}
+    big = v[: n - 3]
+    tiny = v[n - 3 :]
+    assert got["big"] == (nearest(big, 0.5), nearest(big, 0.99))
+    assert got["tiny"] == (nearest(tiny, 0.5), nearest(tiny, 0.99))
+
+    m = df.group_by("g").mutate(med=f.quantile(col("v"), 0.5))
+    plan_m = m.lazy_sdf()._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in plan_m
+
+    flt = df.group_by("g").filter_with(col("v") > f.quantile(col("v"), 0.5))
+    plan_f = flt.lazy_sdf()._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in plan_f
+    want = sum(1 for gg, x in zip(g, v) if x > (nearest(big, 0.5) if gg == "big" else nearest(tiny, 0.5)))
+    assert flt.n_rows() == want
