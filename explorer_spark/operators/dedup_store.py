@@ -1,0 +1,170 @@
+"""Cross-run dedup signature store: persist MinHash signatures + LSH
+band buckets ONCE per corpus, then dedup every NEW shard against the
+corpus by scan + equi-join only — corpus signatures are never
+recomputed and corpus TEXT is never read again. This is the operating
+mode of a 100 TB training-data pipeline where shards arrive
+incrementally: the store grows by appending each accepted shard's
+signatures, and the per-shard cost is proportional to the SHARD, not
+the corpus.
+
+Layout (plain parquet, readable by any engine):
+
+    <path>/meta/        one row: kind, num_hashes, bands, shingle_n
+    <path>/signatures/  key, mh0..mh{k-1}      (estimated-Jaccard verify)
+    <path>/buckets/     key, band, bucket      (the LSH join side,
+                                                partitioned by band)
+
+Join-time plan shape: new-shard signatures compute locally (explode ->
+one md5 per shingle -> k codegen min-aggs, dedup.with_minhash), band
+buckets equi-join the store's ``buckets/`` on (band, bucket) — never a
+cross join — and verification reads only the store's ``signatures/``
+(estimated Jaccard = fraction of equal MinHash components, the
+standard unbiased estimator), so the corpus text stays cold. Buckets
+are partitioned by ``band`` so a band-restricted probe prunes files at
+the scan.
+
+The reference has no cross-run surface (its dedup story is
+single-frame, explorer data_frame distinct/uniq tests); the banding
+design follows operators/dedup.py (same hash family, same band
+construction) so a store written from a frame agrees bit-for-bit with
+the in-memory pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame as SDF
+from pyspark.sql import functions as F
+
+from .dedup import lsh_buckets, with_minhash
+
+META_VERSION = 1
+
+
+def write_signature_store(
+    sdf: SDF,
+    path: str,
+    *,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    mode: str = "overwrite",
+) -> None:
+    """Compute MinHash signatures + LSH band buckets for ``sdf`` and
+    persist them under ``path``. ``mode="append"`` adds a new shard's
+    rows to an existing store (parameters must match — validated
+    against meta); ``"overwrite"`` (re)creates the store.
+
+    The signature computation is the dedup.with_minhash kernel: one
+    shuffle keyed by document, map-side combined. Both tables write
+    through ordinary distributed parquet writers — nothing funnels
+    through the driver."""
+    if num_hashes % bands != 0:
+        raise ValueError(f"num_hashes ({num_hashes}) must divide into bands ({bands})")
+    spark = sdf.sparkSession
+    if mode == "append":
+        meta = read_store_meta(spark, path)
+        got = (meta["num_hashes"], meta["bands"], meta["shingle_n"])
+        want = (num_hashes, bands, shingle_n)
+        if got != want:
+            raise ValueError(
+                f"signature store at {path!r} was written with "
+                f"(num_hashes, bands, shingle_n)={got}; appending with {want} "
+                f"would silently break candidate recall — recreate the store "
+                f"or match its parameters"
+            )
+    sig_cols = [f"mh{i}" for i in range(num_hashes)]
+    sig = with_minhash(
+        sdf, text_col=text_col, num_hashes=num_hashes, shingle_n=shingle_n, key_col=key_col
+    ).select(F.col(key_col).alias("key"), *sig_cols)
+    buckets = lsh_buckets(
+        sig, key_col="key", num_hashes=num_hashes, bands=bands
+    )
+    sig.write.mode(mode).parquet(f"{path}/signatures")
+    buckets.write.mode(mode).partitionBy("band").parquet(f"{path}/buckets")
+    if mode != "append":
+        meta_df = spark.createDataFrame(
+            [("minhash_lsh", num_hashes, bands, shingle_n, META_VERSION)],
+            "kind string, num_hashes int, bands int, shingle_n int, version int",
+        )
+        meta_df.coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def read_store_meta(spark, path: str) -> dict:
+    row = spark.read.parquet(f"{path}/meta").collect()[0]
+    return row.asDict()
+
+
+def dedup_against_store(
+    new_sdf: SDF,
+    path: str,
+    *,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> SDF:
+    """Match a NEW shard against a persisted corpus store. Returns one
+    row per (new_key, corpus_key) near-duplicate candidate that passes
+    the estimated-Jaccard threshold:
+
+        new_key, corpus_key, est_jaccard
+
+    Plan shape (the scale contract, asserted by tests/test_scale.py):
+    the store side is parquet SCAN + one equi-join on (band, bucket)
+    plus one equi-join on key for the verify columns — no signature
+    recomputation, no corpus text read, no cross join. New-shard work
+    is the with_minhash kernel over the SHARD only."""
+    spark = new_sdf.sparkSession
+    meta = read_store_meta(spark, path)
+    k, bands = meta["num_hashes"], meta["bands"]
+    sig_cols = [f"mh{i}" for i in range(k)]
+    new_sig = with_minhash(
+        new_sdf, text_col=text_col, num_hashes=k, shingle_n=meta["shingle_n"], key_col=key_col
+    ).select(F.col(key_col).alias("new_key"), *[F.col(c).alias(f"n_{c}") for c in sig_cols])
+    new_buckets = lsh_buckets(
+        new_sig.select(F.col("new_key"), *[F.col(f"n_{c}").alias(c) for c in sig_cols]),
+        key_col="new_key",
+        num_hashes=k,
+        bands=bands,
+    )
+    store_buckets = spark.read.parquet(f"{path}/buckets").withColumnRenamed("key", "corpus_key")
+    cand = (
+        new_buckets.join(store_buckets, ["band", "bucket"])
+        .select("new_key", "corpus_key")
+        .distinct()
+    )
+    store_sig = spark.read.parquet(f"{path}/signatures").withColumnRenamed("key", "corpus_key")
+    # estimated Jaccard: fraction of equal signature components — the
+    # unbiased MinHash estimator; verification never touches corpus text
+    eq = sum(
+        F.when(F.col(f"n_mh{i}") == F.col(f"mh{i}"), 1).otherwise(0) for i in range(k)
+    )
+    return (
+        cand.join(new_sig, "new_key")
+        .join(store_sig, "corpus_key")
+        .select(
+            "new_key",
+            "corpus_key",
+            (eq.cast("double") / F.lit(float(k))).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= F.lit(float(threshold)))
+    )
+
+
+def filter_new_against_store(
+    new_sdf: SDF,
+    path: str,
+    *,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> SDF:
+    """The pipeline face: drop every new-shard document that near-dups
+    anything already in the corpus (left_anti on the match keys), so the
+    survivors can be appended to the store and the corpus."""
+    matches = dedup_against_store(
+        new_sdf, path, text_col=text_col, key_col=key_col, threshold=threshold
+    )
+    hit = matches.select(F.col("new_key").alias(key_col)).distinct()
+    return new_sdf.join(hit, key_col, "left_anti")

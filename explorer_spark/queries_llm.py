@@ -1409,3 +1409,57 @@ def q_text_line_clean(spark, sf_dir):
     return out.select(
         "doc_id", "n_lines_kept", SF.md5(SF.col("clean_text")).alias("clean_hash")
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup: incremental cross-run signature store
+# ---------------------------------------------------------------------------
+
+_INCR_SIG = f"""
+    WITH sh AS (
+        SELECT doc_id, text, {_SHINGLES3.format(w="ws")} AS sh
+        FROM (SELECT doc_id, text, {_WORDS.format(t="text")} AS ws FROM documents)
+    ),
+    sig AS (
+        SELECT doc_id, {", ".join(f"{_minhash_sql(i)} AS mh{i}" for i in range(8))}
+        FROM sh
+    ),
+    bands AS (
+        {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, md5(mh{2 * b} || '|' || mh{2 * b + 1}) AS bucket FROM sig" for b in range(4))}
+    ),
+    cand AS (
+        SELECT DISTINCT n.doc_id AS new_key, c.doc_id AS corpus_key
+        FROM bands n JOIN bands c
+          ON n.band = c.band AND n.bucket = c.bucket
+        WHERE n.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+    )
+    SELECT new_key, corpus_key,
+           ({" + ".join(f"(CASE WHEN sn.mh{i} = sc.mh{i} THEN 1 ELSE 0 END)" for i in range(8))}) / 8.0 AS est_jaccard
+    FROM cand
+    JOIN sig sn ON sn.doc_id = new_key
+    JOIN sig sc ON sc.doc_id = corpus_key
+    WHERE ({" + ".join(f"(CASE WHEN sn.mh{i} = sc.mh{i} THEN 1 ELSE 0 END)" for i in range(8))}) / 8.0 >= 0.5
+"""
+
+
+@query("q_dedup_incremental", _INCR_SIG)
+def q_dedup_incremental(spark, sf_dir):
+    """Cross-run dedup against a persisted signature store (the 100 TB
+    operating mode — operators/dedup_store.py): the corpus (doc_id %%
+    10 != 0) writes its MinHash signatures + LSH band buckets ONCE to
+    parquet; the new shard (doc_id %% 10 == 0) then dedups against it
+    by scan + (band, bucket) equi-join + estimated-Jaccard verify over
+    stored signatures — corpus text is never re-read and corpus
+    signatures never recompute (plan asserted in tests/test_scale.py).
+    The oracle mirrors the whole pipeline in SQL, so the store
+    round-trip (write -> parquet -> read -> join) is value-verified."""
+    import tempfile
+
+    from .operators.dedup_store import dedup_against_store, write_signature_store
+
+    docs = _t(spark, sf_dir, "documents").lazy_sdf()
+    corpus = docs.filter(SF.col("doc_id") % 10 != 0)
+    new_shard = docs.filter(SF.col("doc_id") % 10 == 0)
+    store = tempfile.mkdtemp(prefix="sigstore_")
+    write_signature_store(corpus, store, num_hashes=8, bands=4, shingle_n=3)
+    return dedup_against_store(new_shard, store, threshold=0.5)

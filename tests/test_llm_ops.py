@@ -510,3 +510,53 @@ def test_stopword_regex_matches_per_token_isin(spark):
     }
     for i, d in enumerate(docs):
         assert got[i] == twin(d), (repr(d), got[i], twin(d))
+
+
+def test_signature_store_roundtrip_append_and_filter(spark, tmp_path):
+    """Cross-run dedup store: write corpus signatures once, match a new
+    shard by scan+join, append survivors, and catch parameter drift."""
+    import pytest as _pytest
+
+    from explorer_spark.operators.dedup_store import (
+        dedup_against_store,
+        filter_new_against_store,
+        read_store_meta,
+        write_signature_store,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "an entirely different document about spark pipelines"),
+            (3, "one more unrelated corpus text body here"),
+        ],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "store")
+    write_signature_store(corpus, store, num_hashes=8, bands=4, shingle_n=3)
+    meta = read_store_meta(spark, store)
+    assert (meta["num_hashes"], meta["bands"], meta["shingle_n"]) == (8, 4, 3)
+
+    new = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+            (101, "completely fresh never seen before content xyz"),
+        ],
+        "doc_id long, text string",
+    )
+    matches = dedup_against_store(new, store, threshold=0.5)
+    got = {(r.new_key, r.corpus_key): r.est_jaccard for r in matches.collect()}
+    assert got == {(100, 1): 1.0}  # identical text -> identical signature
+
+    kept = filter_new_against_store(new, store, threshold=0.5)
+    assert [r.doc_id for r in kept.collect()] == [101]
+
+    # append the survivors; a second identical shard now matches them
+    write_signature_store(kept, store, num_hashes=8, bands=4, shingle_n=3, mode="append")
+    again = dedup_against_store(new, store, threshold=0.5)
+    got2 = {(r.new_key, r.corpus_key) for r in again.collect()}
+    assert got2 == {(100, 1), (101, 101)}
+
+    # parameter drift must raise, not silently break recall
+    with _pytest.raises(ValueError, match="num_hashes"):
+        write_signature_store(kept, store, num_hashes=16, bands=4, shingle_n=3, mode="append")

@@ -445,3 +445,37 @@ def test_grouped_quantile_no_whole_group_array(spark):
     assert "collect_list" not in plan_f
     want = sum(1 for gg, x in zip(g, v) if x > (nearest(big, 0.5) if gg == "big" else nearest(tiny, 0.5)))
     assert flt.n_rows() == want
+
+
+def test_dedup_store_side_is_scan_join_only(spark, tmp_path):
+    """dedup_against_store's scale contract: the persisted corpus side
+    contributes parquet SCANS + equi-joins only — no signature
+    recompute, no corpus-text read, no cross join. The new shard here
+    is an in-memory frame, so every parquet scan in the plan IS the
+    store: assert their ReadSchemas expose only store columns (never
+    'text')."""
+    from explorer_spark.operators.dedup_store import (
+        dedup_against_store,
+        write_signature_store,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"corpus document number {i} with shared words") for i in range(50)],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "store")
+    write_signature_store(corpus, store, num_hashes=8, bands=4, shingle_n=3)
+
+    new = spark.createDataFrame(
+        [(1000, "corpus document number 7 with shared words")],
+        "doc_id long, text string",
+    )
+    out = dedup_against_store(new, store, threshold=0.5)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    scans = [seg.splitlines()[0] for seg in plan.split("ReadSchema: ")[1:]]
+    assert scans, "expected parquet scans for the store side"
+    for rs in scans:
+        assert "text" not in rs, f"store side re-read corpus text: {rs}"
+    # and the match is found through the store
+    assert [(r.new_key, r.corpus_key) for r in out.collect()] == [(1000, 7)]
