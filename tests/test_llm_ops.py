@@ -560,3 +560,70 @@ def test_signature_store_roundtrip_append_and_filter(spark, tmp_path):
     # parameter drift must raise, not silently break recall
     with _pytest.raises(ValueError, match="num_hashes"):
         write_signature_store(kept, store, num_hashes=16, bands=4, shingle_n=3, mode="append")
+
+
+def test_ivf_recall_contract(spark):
+    """IVF recall contract, two halves:
+
+    1. On CLUSTERED data (where an IVF index is the right tool), the
+       default nprobe=2 of 8 cells must reach recall@5 >= 0.9 against
+       brute force — locality in, recall out.
+    2. On the near-uniform testdata embeddings, recall must be
+       MONOTONE in nprobe and exact at nprobe=n_cells (probing every
+       cell degenerates to exhaustive search). Uniform vectors have no
+       locality, so no fixed sub-maximal nprobe can promise 0.9 there —
+       the honest measured curve lives in PLANS.md."""
+    import random
+
+    from pyspark.sql import functions as SF
+
+    from explorer_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk_trained,
+        kmeans_fit,
+    )
+
+    rng = random.Random(3)
+    dim, n_clusters, per = 16, 8, 40
+    centers = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_clusters)]
+    rows = []
+    for i in range(n_clusters * per):
+        c = centers[i % n_clusters]
+        rows.append((i, [x + rng.gauss(0, 0.05) for x in c]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter(SF.col("vec_id") < 24)  # 3 per cluster
+    cents = kmeans_fit([r[1] for r in rows[:160]], k=8, iters=8, seed=42)
+
+    def topk_sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return out
+
+    truth = topk_sets(brute_force_topk(emb, queries, k=5))
+
+    def recall(nprobe):
+        got = topk_sets(
+            ivf_topk_trained(emb, queries, k=5, centroids=cents, nprobe=nprobe)
+        )
+        return sum(len(got.get(q, set()) & truth[q]) for q in truth) / (5 * len(truth))
+
+    assert recall(2) >= 0.9, "clustered data must reach 0.9 recall at default nprobe"
+
+    # uniform testdata: monotone curve, exact at nprobe = n_cells
+    from explorer_spark.queries_llm import _IVF_CENTROIDS
+    from explorer_spark.sources import load_table
+
+    temb = load_table("/root/testdata/sf0.001", "embeddings", spark=spark).lazy_sdf()
+    tq = temb.filter(SF.col("vec_id") < 10)
+    ttruth = topk_sets(brute_force_topk(temb, tq, k=5))
+
+    def trecall(nprobe):
+        got = topk_sets(
+            ivf_topk_trained(temb, tq, k=5, centroids=_IVF_CENTROIDS, nprobe=nprobe)
+        )
+        return sum(len(got.get(q, set()) & ttruth[q]) for q in ttruth) / (5 * len(ttruth))
+
+    r1, r4, r8 = trecall(1), trecall(4), trecall(8)
+    assert r1 <= r4 <= r8, (r1, r4, r8)
+    assert r8 == 1.0
