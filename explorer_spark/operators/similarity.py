@@ -541,3 +541,96 @@ def quantize_int8(sdf: SDF, vec_col: str = "embedding", out_col: str = "q8", sca
         lambda x: F.floor(x.cast("double") / scale + F.lit(0.5)).cast("int"),
     )
     return sdf.withColumn(scale_col, scale).withColumn(out_col, q)
+
+
+# ---------------------------------------------------------------------------
+# persisted IVF index: build once, query many shards
+# ---------------------------------------------------------------------------
+
+
+def write_ivf_index(
+    corpus: SDF,
+    path: str,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Persist a trained IVF index: each corpus vector lands in its
+    first-argmax centroid cell and the (id, vector, norm, cell) table
+    writes as parquet PARTITIONED BY cell — query time scans ONLY the
+    probed cells' files (static partition pruning, asserted by
+    tests/test_scale.py). Centroids persist alongside so a later
+    session queries without retraining. Build cost is one broadcast
+    map over the corpus (the kmeans_fit sample-train / full-assign
+    recipe); nothing funnels through the driver."""
+    spark = corpus.sparkSession
+    dots = _centroid_dots_udf(centroids)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("vec"),
+        norm(F.col(vec_col)).alias("vnorm"),
+        dots(F.col(vec_col)).alias("__d__"),
+    )
+    cell = (F.array_position(F.col("__d__"), F.array_max(F.col("__d__"))) - 1).cast("int")
+    c.select("neighbor_id", "vec", "vnorm", cell.alias("cell")).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(f"{path}/cells")
+    cent = spark.createDataFrame(
+        [(i, [float(x) for x in cvec]) for i, cvec in enumerate(centroids)],
+        "cell int, centroid array<double>",
+    )
+    cent.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_query_index(
+    queries: SDF,
+    path: str,
+    k: int = 5,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> SDF:
+    """Approximate top-k against a PERSISTED IVF index (write_ivf_index):
+    centroids load from the store (bounded: n_cells rows), each query
+    picks its nprobe most-similar cells — (sim desc, cell asc), the
+    ivf_topk_trained tie rule, so results match the in-memory path
+    bit-for-bit — and the probed cell ids (a bounded driver set,
+    <= n_cells) push down as a partition filter so the scan touches only
+    those cells' files. The search itself is the same per-cell equi-join
+    with a broadcast query side."""
+    spark = queries.sparkSession
+    cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    centroids = [list(r["centroid"]) for r in cent_rows]
+    nc = len(centroids)
+    dots = _centroid_dots_udf(centroids)
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.lit(nc - 1)),
+        lambda i: F.struct((-F.get(F.col("__d__"), i)).alias("nd"), i.cast("int").alias("c")),
+    )
+    probes = F.slice(F.array_sort(pairs), 1, nprobe)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv__"),
+        norm(F.col(vec_col)).alias("__qn__"),
+        dots(F.col(vec_col)).alias("__d__"),
+    ).select(
+        "query_id",
+        "__qv__",
+        "__qn__",
+        F.explode(F.transform(probes, lambda s: s["c"])).alias("__qcell__"),
+    )
+    # probed cells to the driver: bounded by n_cells by construction
+    probed = sorted(r["__qcell__"] for r in q.select("__qcell__").distinct().collect())
+    cells = spark.read.parquet(f"{path}/cells").filter(F.col("cell").isin(probed))
+    joined = cells.join(
+        F.broadcast(q),
+        (F.col("cell") == F.col("__qcell__")) & (F.col("neighbor_id") != F.col("query_id")),
+    )
+    sim = F.round(pair_dot(F.col("__qv__"), F.col("vec")) / (F.col("__qn__") * F.col("vnorm")), 6)
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        joined.withColumn("cosine", sim)
+        .withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") <= k)
+        .select("query_id", "neighbor_id", "cosine")
+    )

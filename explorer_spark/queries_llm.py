@@ -1463,3 +1463,23 @@ def q_dedup_incremental(spark, sf_dir):
     store = tempfile.mkdtemp(prefix="sigstore_")
     write_signature_store(corpus, store, num_hashes=8, bands=4, shingle_n=3)
     return dedup_against_store(new_shard, store, threshold=0.5)
+
+
+@query("q_ann_index_persisted", _ivf_oracle_sql(_IVF_CENTROIDS))
+def q_ann_index_persisted(spark, sf_dir):
+    """ANN against a PERSISTED IVF index (similarity.write_ivf_index /
+    ivf_query_index): the corpus partitions into centroid cells ONCE on
+    disk (parquet partitioned by cell), then queries probe nprobe=2
+    cells with static partition pruning — only the probed cells' files
+    are scanned. Same tie rules as the in-memory ivf_topk_trained, so
+    the oracle (and q_ann_ivf_trained) agree bit-for-bit; the driver
+    grades the full write -> parquet -> prune -> join round-trip."""
+    import tempfile
+
+    from .operators.similarity import ivf_query_index, write_ivf_index
+
+    emb = _t(spark, sf_dir, "embeddings").lazy_sdf()
+    idx = tempfile.mkdtemp(prefix="ivfindex_")
+    write_ivf_index(emb, idx, _IVF_CENTROIDS)
+    queries = emb.filter(SF.col("vec_id") < 10)
+    return ivf_query_index(queries, idx, k=5, nprobe=2)

@@ -479,3 +479,31 @@ def test_dedup_store_side_is_scan_join_only(spark, tmp_path):
         assert "text" not in rs, f"store side re-read corpus text: {rs}"
     # and the match is found through the store
     assert [(r.new_key, r.corpus_key) for r in out.collect()] == [(1000, 7)]
+
+
+def test_ivf_index_query_prunes_partitions(spark, tmp_path):
+    """ivf_query_index's scale contract: the persisted index is
+    partitioned by cell and the probed-cell filter must prune at the
+    SCAN (PartitionFilters), so querying 2 of 8 cells never reads the
+    other 6 cells' files."""
+    from pyspark.sql import functions as SF
+
+    from explorer_spark.operators.similarity import (
+        ivf_query_index,
+        ivf_topk_trained,
+        write_ivf_index,
+    )
+    from explorer_spark.queries_llm import _IVF_CENTROIDS
+    from explorer_spark.sources import load_table
+
+    emb = load_table("/root/testdata/sf0.001", "embeddings", spark=spark).lazy_sdf()
+    idx = str(tmp_path / "ivf")
+    write_ivf_index(emb, idx, _IVF_CENTROIDS)
+    queries = emb.filter(SF.col("vec_id") < 3)
+    out = ivf_query_index(queries, idx, k=5, nprobe=2)
+    plan = _plan(out)
+    seg = [s for s in plan.split("PartitionFilters: ")[1:] if "cell" in s.splitlines()[0]]
+    assert seg, f"no cell partition filter reached the index scan:\n{plan[:2000]}"
+    # results identical to the in-memory path (same tie rules)
+    mem = ivf_topk_trained(emb, queries, k=5, centroids=_IVF_CENTROIDS, nprobe=2)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, mem.collect()))
