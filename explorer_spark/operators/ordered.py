@@ -1322,7 +1322,6 @@ def quantile_select(sdf: SDF, value_col: str, qs: list) -> list:
     comparisons (false for NaN), NaN rows are counted once in the first
     aggregation, and a target rank above the non-NaN count resolves to
     NaN directly."""
-    import bisect
     import math as _math
 
     import numpy as np
@@ -1446,13 +1445,13 @@ def quantile_select(sdf: SDF, value_col: str, qs: list) -> list:
         union = conds[0]
         for cd in conds[1:]:
             union = union | cd
-        rows = sdf.filter(union).select(c.alias("__v__")).collect()
-        vals = sorted(r["__v__"] for r in rows)
+        # Arrow transfer + numpy sort: the bracket is bounded (each ≤
+        # SELECT_BRACKET_MAX) but row-based collect of ~10^5 values paid
+        # more than the probe rounds it concluded
+        vals = np.sort(sdf.filter(union).select(c.alias("__v__")).toPandas()["__v__"].to_numpy())
         for t, (lo, lo_r, hi, hi_r) in pending.items():
-            i0 = 0 if lo is None else bisect.bisect_right(vals, lo)
-            i1 = bisect.bisect_right(vals, hi)
-            sub = vals[i0:i1]
-            results[t] = sub[t - lo_r - 1]
+            i0 = 0 if lo is None else int(np.searchsorted(vals, lo, side="right"))
+            results[t] = vals[i0 + (t - lo_r - 1)].item()
 
     def back(v):
         if v is None:
