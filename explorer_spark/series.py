@@ -20,15 +20,7 @@ from .expr import Expr, LowerCtx, col, lit
 from .frame import ORDER_COL, DataFrame
 
 
-def _us_to_interval(us):
-    """Microsecond count (long Column) -> DayTimeIntervalType. Exact up
-    to 2^53 µs (~285 years); days split keeps make_dt_interval's double
-    seconds small enough to be exact."""
-    days = F.floor(us / F.lit(86_400_000_000)).cast("long")
-    rem = us - days * F.lit(86_400_000_000)
-    return F.make_dt_interval(
-        days.cast("int"), F.lit(0), F.lit(0), rem.cast("double") / F.lit(1_000_000.0)
-    )
+from .expr import _us_to_interval  # noqa: E402  (shared with the cast lowering)
 
 
 def _dur_unit(target) -> str:
