@@ -526,3 +526,40 @@ def dedup_representatives(docs: SDF, components: SDF, key_col: str = "doc_id") -
     joined = docs.join(comp, key_col, "left")
     keep = F.col("component").isNull() | (F.col(key_col) == F.col("component"))
     return joined.filter(keep).drop("component")
+
+
+def minhash_signature_cols(
+    text: Column, num_hashes: int = 8, shingle_n: int = 3
+) -> list[Column]:
+    """STATELESS per-row rendering of ``with_minhash``'s exact universal
+    hash family — same base ``md5 -> P32`` hash, same A/B parameters,
+    same space-joined word shingles, same raw-text fallback for docs
+    with fewer than ``shingle_n`` words — so signatures agree
+    bit-for-bit with the bulk kernel (pinned by test_llm_ops).
+
+    The higher-order transform/array_min run interpreted, which loses
+    to ``with_minhash``'s codegen explode+min-agg in bulk; but a
+    Structured Streaming pipeline cannot put a groupBy mid-stream, so
+    this is the STREAM face (and the tiny-batch face) of the same
+    signature function."""
+    from .text import shingle_set
+
+    sh = shingle_set(text, shingle_n)
+    base = F.transform(sh, lambda s: _base_hash32(s))
+    fb = _base_hash32(text)
+
+    def seeded(i: int):
+        # 1-arg lambda: F.transform passes (element, index) to 2-arg
+        # functions, which would shadow the captured seed (the same trap
+        # minhash_signature documents)
+        return lambda h: (F.lit(MINHASH_A[i]) * h + F.lit(MINHASH_B[i])) % MINHASH_P32
+
+    out = []
+    for i in range(num_hashes):
+        hashed = F.transform(base, seeded(i))
+        out.append(
+            F.when(F.size(sh) > 0, F.array_min(hashed)).otherwise(
+                (F.lit(MINHASH_A[i]) * fb + F.lit(MINHASH_B[i])) % MINHASH_P32
+            )
+        )
+    return out

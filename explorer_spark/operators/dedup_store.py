@@ -179,3 +179,76 @@ def filter_new_against_store(
     )
     hit = matches.select(F.col("new_key").alias(key_col)).distinct()
     return new_sdf.join(hit, key_col, "left_anti")
+
+
+def stream_dedup_against_store(
+    stream_sdf: SDF,
+    path: str,
+    *,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> SDF:
+    """Streaming face of ``dedup_against_store``: documents arriving on
+    a stream match the persisted corpus via STATELESS signature
+    expressions (dedup.minhash_signature_cols — bit-identical to the
+    store's bulk kernel) and stream-static equi-joins against the
+    store's buckets and signatures. No mid-stream aggregation, no
+    state: every micro-batch row either matches the corpus or passes.
+
+    Returns the match stream (new_key, corpus_key, est_jaccard ≥
+    threshold) — feed it to a sink, or anti-join it back per batch for
+    the keep-side. Works identically on a batch frame (the Spark
+    batch/stream API symmetry), which is how the test pins it to
+    dedup_against_store's results."""
+    from .dedup import minhash_signature_cols
+
+    spark = stream_sdf.sparkSession
+    meta = read_store_meta(spark, path)
+    k, bands = meta["num_hashes"], meta["bands"]
+    rows_per_band = k // bands
+    sigs = minhash_signature_cols(
+        F.col(text_col), num_hashes=k, shingle_n=meta["shingle_n"]
+    )
+    sig = stream_sdf.select(
+        F.col(key_col).alias("new_key"),
+        *[s.alias(f"n_mh{i}") for i, s in enumerate(sigs)],
+    )
+    entries = []
+    for b in range(bands):
+        parts = [F.col(f"n_mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        entries.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *parts)).alias("bucket"))
+        )
+    banded = sig.select(
+        "new_key",
+        *[F.col(f"n_mh{i}") for i in range(k)],
+        F.explode(F.array(*entries)).alias("e"),
+    ).select(
+        "new_key",
+        *[F.col(f"n_mh{i}") for i in range(k)],
+        F.col("e.band").alias("band"),
+        F.col("e.bucket").alias("bucket"),
+    )
+    store_buckets = spark.read.parquet(f"{path}/buckets").withColumnRenamed("key", "corpus_key")
+    store_sig = spark.read.parquet(f"{path}/signatures").withColumnRenamed("key", "corpus_key")
+    cand = banded.join(store_buckets, ["band", "bucket"]).select(
+        "new_key", "corpus_key", *[F.col(f"n_mh{i}") for i in range(k)]
+    )
+    # a pair found via several bands would duplicate: distinct is an
+    # aggregation (illegal mid-stream), so dedup on (keys, band) is left
+    # to the consumer OR collapse by keeping band 0..n first match —
+    # here we keep duplicates out by joining signatures and filtering,
+    # then dropDuplicatesWithinWatermark/foreachBatch downstream can
+    # collapse; for the batch face .distinct() applies directly.
+    eq = sum(F.when(F.col(f"n_mh{i}") == F.col(f"mh{i}"), 1).otherwise(0) for i in range(k))
+    out = (
+        cand.join(store_sig, "corpus_key")
+        .select(
+            "new_key",
+            "corpus_key",
+            (eq.cast("double") / F.lit(float(k))).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= F.lit(float(threshold)))
+    )
+    return out if stream_sdf.isStreaming else out.distinct()

@@ -347,3 +347,54 @@ def test_datetime_int_cast_roundtrip(spark):
         dtype=("datetime", "us", "America/New_York"),
     )
     assert aware.cast(("s", 64)).to_list() == [1_704_110_400_000_000]
+
+
+def test_expression_level_cast_matches_series_cast(spark):
+    """mutate-level cast must follow Series.cast's temporal rules
+    (reference polars cast semantics, series_test.exs:4353-4446), not
+    Spark's seconds-based casts — expr._cast resolves source types via
+    LowerCtx.sdf:
+    - integer -> date/datetime/duration: epoch / unit COUNTS
+    - datetime -> integer: epoch count in the LOGICAL precision (dt_p)
+    - duration -> integer: count in the dur_p unit
+    - ms targets truncate sub-ms and stamp dt_p/dur_p metadata"""
+    import datetime as dtm
+
+    from explorer_spark import functions as f
+    from explorer_spark.functions import col
+    from explorer_spark.series import Series
+    from explorer_spark.sources import from_columns
+
+    d = from_columns({"i": [0, 1_000_000]}, spark=spark)
+    assert d.mutate(us=f.cast(col("i"), ("naive_datetime", "us"))).to_columns()["us"] == [
+        dtm.datetime(1970, 1, 1),
+        dtm.datetime(1970, 1, 1, 0, 0, 1),
+    ]
+    d2 = from_columns({"i": [0, 1, 365]}, spark=spark)
+    assert d2.mutate(dt=f.cast(col("i"), "date")).to_columns()["dt"] == [
+        dtm.date(1970, 1, 1),
+        dtm.date(1970, 1, 2),
+        dtm.date(1971, 1, 1),
+    ]
+    d3 = from_columns(
+        {"t": [dtm.datetime(1970, 1, 1, 0, 0, 1), dtm.datetime(1970, 1, 1, 0, 0, 2)]},
+        spark=spark,
+    )
+    got = d3.mutate(c=f.cast(col("t"), ("s", 64))).to_columns()["c"]
+    assert got == [1_000_000, 2_000_000]  # µs counts, not Spark's seconds
+    assert got == Series.from_list(
+        [dtm.datetime(1970, 1, 1, 0, 0, 1), dtm.datetime(1970, 1, 1, 0, 0, 2)]
+    ).cast(("s", 64)).to_list()
+    # ms target: truncation + dt_p metadata; follow-up int cast reads ms
+    m4 = from_columns({"t": [dtm.datetime(2024, 1, 1, 0, 0, 0, 123456)]}, spark=spark).mutate(
+        tm=f.cast(col("t"), ("naive_datetime", "ms"))
+    )
+    assert m4.dtypes()["tm"] == ("naive_datetime", "ms")
+    assert m4.to_columns()["tm"] == [dtm.datetime(2024, 1, 1, 0, 0, 0, 123000)]
+    assert m4.mutate(c=f.cast(col("tm"), ("s", 64))).to_columns()["c"] == [1704067200123]
+    # int -> duration and back: counts in the unit, dur_p stamped
+    m5 = from_columns({"i": [1500]}, spark=spark).mutate(du=f.cast(col("i"), ("duration", "ms")))
+    assert m5.dtypes()["du"] == ("duration", "ms")
+    assert m5.mutate(c=f.cast(col("du"), ("s", 64))).to_columns()["c"] == [1500]
+    # predicate position works too
+    assert d3.filter_with(f.cast(col("t"), ("s", 64)) > 1_500_000).n_rows() == 1

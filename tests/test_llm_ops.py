@@ -627,3 +627,69 @@ def test_ivf_recall_contract(spark):
     r1, r4, r8 = trecall(1), trecall(4), trecall(8)
     assert r1 <= r4 <= r8, (r1, r4, r8)
     assert r8 == 1.0
+
+
+def test_stream_dedup_against_store(spark, tmp_path):
+    """The streaming face of the signature store: (1) the stateless
+    per-row signature expressions reproduce with_minhash's universal
+    hash family bit-for-bit; (2) a real Structured Streaming run over a
+    parquet shard matches the batch dedup_against_store results."""
+    from explorer_spark.operators.dedup import minhash_signature_cols, with_minhash
+    from explorer_spark.operators.dedup_store import (
+        dedup_against_store,
+        stream_dedup_against_store,
+        write_signature_store,
+    )
+    from explorer_spark.streaming import run_stream_once
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "pack my box with five dozen liquor jugs today"),
+        (3, "tiny"),  # < shingle_n words: raw-text fallback hash
+        (4, None),
+    ]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    kern = with_minhash(sdf, num_hashes=8, shingle_n=3).select(
+        "doc_id", *[f"mh{i}" for i in range(8)]
+    )
+    expr = sdf.select(
+        "doc_id",
+        *[s.alias(f"mh{i}") for i, s in enumerate(minhash_signature_cols(F.col("text"), 8, 3))],
+    )
+    krows = {r.doc_id: tuple(r)[1:] for r in kern.collect()}
+    erows = {r.doc_id: tuple(r)[1:] for r in expr.collect()}
+    assert krows == erows, "expression signatures diverge from the kernel family"
+
+    corpus = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog"),
+            (11, "some unrelated corpus document body text here"),
+        ],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "store")
+    write_signature_store(corpus, store)
+
+    shard_dir = str(tmp_path / "shard")
+    new = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog"),
+            (101, "never seen before fresh content entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    new.write.parquet(shard_dir)
+
+    batch = {
+        (r.new_key, r.corpus_key, r.est_jaccard)
+        for r in dedup_against_store(spark.read.parquet(shard_dir), store).collect()
+    }
+    streamed = run_stream_once(
+        spark,
+        shard_dir,
+        lambda s: stream_dedup_against_store(s, store),
+        query_name="store_dedup_stream",
+        output_mode="append",
+    )
+    got = {(r.new_key, r.corpus_key, r.est_jaccard) for r in streamed.collect()}
+    assert got == batch == {(100, 10, 1.0)}
