@@ -389,12 +389,12 @@ def test_expression_level_cast_matches_series_cast(spark):
     m4 = from_columns({"t": [dtm.datetime(2024, 1, 1, 0, 0, 0, 123456)]}, spark=spark).mutate(
         tm=f.cast(col("t"), ("naive_datetime", "ms"))
     )
-    assert m4.dtypes()["tm"] == ("naive_datetime", "ms")
+    assert m4.dtypes["tm"] == ("naive_datetime", "ms")
     assert m4.to_columns()["tm"] == [dtm.datetime(2024, 1, 1, 0, 0, 0, 123000)]
     assert m4.mutate(c=f.cast(col("tm"), ("s", 64))).to_columns()["c"] == [1704067200123]
     # int -> duration and back: counts in the unit, dur_p stamped
     m5 = from_columns({"i": [1500]}, spark=spark).mutate(du=f.cast(col("i"), ("duration", "ms")))
-    assert m5.dtypes()["du"] == ("duration", "ms")
+    assert m5.dtypes["du"] == ("duration", "ms")
     assert m5.mutate(c=f.cast(col("du"), ("s", 64))).to_columns()["c"] == [1500]
     # predicate position works too
     assert d3.filter_with(f.cast(col("t"), ("s", 64)) > 1_500_000).n_rows() == 1
