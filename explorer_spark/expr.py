@@ -380,6 +380,17 @@ def _cast(ctx: "LowerCtx", a, dtype) -> Column:
     if isinstance(src_t, T.DayTimeIntervalType) and dt.is_integer(d):
         unit = src_meta.get("dur_p", "us")
         return _duration_total(ctx, a, unit).cast(dt.to_spark(d))
+    if isinstance(src_t, T.DayTimeIntervalType) and isinstance(d, tuple) and d[0] == "duration":
+        # precision re-cast truncates the physical time toward zero to
+        # the target unit (the reference converts the COUNT) — the
+        # Series.cast duration->duration twin; dur_p metadata rides via
+        # frame._mutate_cast_meta
+        unit = unit_of(d)
+        us = _duration_total(ctx, a, "us")
+        unit_us = {"ms": 1_000, "s": 1_000_000}.get(unit)
+        if unit_us:
+            us = us - us % F.lit(unit_us)  # % keeps sign: trunc toward 0
+        return _us_to_interval(us)
     if (
         isinstance(d, tuple)
         and d[0] in ("naive_datetime", "datetime")

@@ -398,3 +398,11 @@ def test_expression_level_cast_matches_series_cast(spark):
     assert m5.mutate(c=f.cast(col("du"), ("s", 64))).to_columns()["c"] == [1500]
     # predicate position works too
     assert d3.filter_with(f.cast(col("t"), ("s", 64)) > 1_500_000).n_rows() == 1
+    # duration -> duration precision recast truncates toward zero
+    d6 = from_columns(
+        {"a": [dtm.datetime(2024, 1, 1, 0, 0, 1, 250)], "b": [dtm.datetime(2024, 1, 1)]},
+        spark=spark,
+    ).mutate(dur=col("a") - col("b")).mutate(ms=f.cast(col("dur"), ("duration", "ms")))
+    assert d6.dtypes["ms"] == ("duration", "ms")
+    assert d6.to_rows()[0]["ms"] == dtm.timedelta(seconds=1)
+    assert d6.mutate(c=f.cast(col("ms"), ("s", 64))).to_columns()["c"] == [1000]
