@@ -708,11 +708,15 @@ _LAST_DRIVER_VERIFIED = {
 }
 
 
-# Cheap scan-shaped queries to run FIRST used to absorb residual session
-# spin-up in the bench; bench.py now runs min-of-3 repeats per query
-# (round 5), which absorbs per-query cold costs directly — so no opener
-# needs to burn driver-verification slots. Left as a hook (empty).
-_LIGHT_OPENERS: tuple = ()
+# Cheap scan-shaped queries to run FIRST to absorb session spin-up in
+# the bench. Re-enabled in round 7: min-of-3 reps absorb PER-QUERY cold
+# costs but not whole-JVM codegen warm-up — with the store queries
+# sorting first (never-verified), their bench minimums ran 2.5-3x their
+# warm-session cost (7.5 s vs 2.9 s measured solo). Three sub-0.15 s
+# verified queries soak that up; they displace three stale
+# re-verification slots from the driver's 50-query window, which the
+# staleness rotation recovers next round.
+_LIGHT_OPENERS: tuple = ("q_rename_relocate", "q_iso_year_edges", "q_drop_nil")
 
 
 def _reorder_unverified_first() -> None:

@@ -1483,3 +1483,36 @@ def q_ann_index_persisted(spark, sf_dir):
     write_ivf_index(emb, idx, _IVF_CENTROIDS)
     queries = emb.filter(SF.col("vec_id") < 10)
     return ivf_query_index(queries, idx, k=5, nprobe=2)
+
+
+@query("q_dedup_incremental_stream", _INCR_SIG)
+def q_dedup_incremental_stream(spark, sf_dir):
+    """STREAMING face of the signature store, driver-graded: the new
+    shard arrives through a real Structured Streaming source
+    (readStream over parquet) and matches the persisted corpus with
+    stateless signature expressions + stream-static joins
+    (operators/dedup_store.stream_dedup_against_store) — no mid-stream
+    aggregation, state-free. The memory-sink result collapses
+    cross-band duplicate pairs batch-side and must equal the batch
+    face's answer, so it shares q_dedup_incremental's oracle SQL."""
+    import tempfile
+
+    from .operators.dedup_store import stream_dedup_against_store, write_signature_store
+    from .streaming import run_stream_once
+
+    docs = _t(spark, sf_dir, "documents").lazy_sdf()
+    corpus = docs.filter(SF.col("doc_id") % 10 != 0)
+    store = tempfile.mkdtemp(prefix="sigstore_s_")
+    write_signature_store(corpus, store, num_hashes=8, bands=4, shingle_n=3)
+    shard_dir = tempfile.mkdtemp(prefix="shard_")
+    docs.filter(SF.col("doc_id") % 10 == 0).select("doc_id", "text").write.mode(
+        "overwrite"
+    ).parquet(shard_dir)
+    got = run_stream_once(
+        spark,
+        shard_dir,
+        lambda s: stream_dedup_against_store(s, store, threshold=0.5),
+        query_name="q_incr_stream_sink",
+        output_mode="append",
+    )
+    return got.distinct()
