@@ -1516,3 +1516,86 @@ def q_dedup_incremental_stream(spark, sf_dir):
         output_mode="append",
     )
     return got.distinct()
+
+
+_SW_COUNT = (
+    "len(list_filter({w}, x -> lower(x) IN "
+    "('the','a','an','and','or','of','to','in','is','it')))"
+)
+
+
+@query(
+    "q_text_quality_logistic",
+    f"""
+    WITH feat AS (
+        SELECT lang,
+               CASE WHEN length({_WTRIM.format(t="text")}) = 0 THEN 0
+                    ELSE len({_WORDS.format(t="text")}) END AS nw,
+               CASE WHEN len({_WORDS.format(t="text")}) > 0
+                    THEN CAST({_SW_COUNT.format(w=_WORDS.format(t="text"))} AS DOUBLE)
+                         / len({_WORDS.format(t="text")}) ELSE 0.0 END AS swr,
+               CASE WHEN len({_WORDS.format(t="text")}) > 0
+                    THEN CAST(length(regexp_replace({_WTRIM.format(t="text")}, '\\s+', '', 'g')) AS DOUBLE)
+                         / len({_WORDS.format(t="text")}) ELSE 0.0 END AS mwl
+        FROM documents WHERE text IS NOT NULL
+    ),
+    scored AS (
+        SELECT lang,
+               1.0 / (1.0 + exp(-(-2.0 + 4.0 * swr + 0.35 * mwl + 0.18 * ln(nw + 1)))) AS score
+        FROM feat
+    )
+    SELECT lang,
+           CAST(floor(score * 5) AS INT) AS bucket,
+           COUNT(*) AS n,
+           ROUND(AVG(score), 6) AS avg_score
+    FROM scored GROUP BY 1, 2
+    """,
+)
+def q_text_quality_logistic(spark, sf_dir):
+    """Deterministic logistic quality classifier — the fastText-style
+    'keep probability' gate of a training-data pipeline, rendered as
+    pure codegen: three one-pass text features (token count, stopword
+    ratio via ONE lookaround regexp_count, mean word length via one
+    regexp_replace — the q_text_stats kernel shapes) feed a fixed-weight
+    sigmoid; documents bucket by score quintile per language. At 100 TB
+    this is a single projection + one small aggregation: no shuffle
+    before the per-(lang, bucket) rollup, no UDF. Weights are literals
+    of the query (a trained model would broadcast its coefficient
+    vector the same way)."""
+    from .operators.text import STOPWORDS, wtrim
+
+    docs = _t(spark, sf_dir, "documents").lazy_sdf().filter(SF.col("text").isNotNull())
+    base = docs.select(
+        "lang", wtrim(SF.col("text")).alias("__t__")
+    )
+    sw_rx = r"(?<=^|\s)(" + "|".join(STOPWORDS) + r")(?=$|\s)"
+    feat = base.select(
+        "lang",
+        SF.when(SF.length("__t__") == 0, 0)
+        .otherwise(SF.size(SF.split(SF.col("__t__"), r"\s+")))
+        .alias("nw"),
+        SF.regexp_count(SF.lower(SF.col("__t__")), SF.lit(sw_rx)).alias("__sw__"),
+        SF.length(SF.regexp_replace(SF.col("__t__"), r"\s+", "")).alias("__wl__"),
+    ).select(
+        "lang",
+        "nw",
+        SF.when(SF.col("nw") > 0, SF.col("__sw__").cast("double") / SF.col("nw"))
+        .otherwise(SF.lit(0.0))
+        .alias("swr"),
+        SF.when(SF.col("nw") > 0, SF.col("__wl__").cast("double") / SF.col("nw"))
+        .otherwise(SF.lit(0.0))
+        .alias("mwl"),
+    )
+    z = (
+        SF.lit(-2.0)
+        + SF.lit(4.0) * SF.col("swr")
+        + SF.lit(0.35) * SF.col("mwl")
+        + SF.lit(0.18) * SF.log(SF.col("nw") + SF.lit(1))
+    )
+    scored = feat.select("lang", (SF.lit(1.0) / (SF.lit(1.0) + SF.exp(-z))).alias("score"))
+    return scored.groupBy(
+        "lang", SF.floor(SF.col("score") * 5).cast("int").alias("bucket")
+    ).agg(
+        SF.count(SF.lit(1)).alias("n"),
+        SF.round(SF.avg("score"), 6).alias("avg_score"),
+    )
