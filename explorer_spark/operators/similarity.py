@@ -554,6 +554,7 @@ def write_ivf_index(
     centroids: list[list[float]],
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    quantize: bool = False,
 ) -> None:
     """Persist a trained IVF index: each corpus vector lands in its
     first-argmax centroid cell and the (id, vector, norm, cell) table
@@ -562,19 +563,42 @@ def write_ivf_index(
     tests/test_scale.py). Centroids persist alongside so a later
     session queries without retraining. Build cost is one broadcast
     map over the corpus (the kmeans_fit sample-train / full-assign
-    recipe); nothing funnels through the driver."""
+    recipe); nothing funnels through the driver.
+
+    ``quantize=True`` stores symmetric int8 codes instead of the float
+    vectors (``quantize_int8``: per-vector scale, half-up rounding —
+    deterministic, so an SQL oracle reproduces every code): the cells
+    table shrinks ~4x (array<tinyint> + one double), the 100 TB lever
+    for embedding stores. Cosine over symmetric per-vector codes needs
+    NO dequantization — the scales cancel, so similarity is the integer
+    dot over integer norms; cell ASSIGNMENT still uses the exact vector
+    (quantization affects storage, not routing)."""
     spark = corpus.sparkSession
     dots = _centroid_dots_udf(centroids)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("vec"),
-        norm(F.col(vec_col)).alias("vnorm"),
         dots(F.col(vec_col)).alias("__d__"),
     )
     cell = (F.array_position(F.col("__d__"), F.array_max(F.col("__d__"))) - 1).cast("int")
-    c.select("neighbor_id", "vec", "vnorm", cell.alias("cell")).write.mode(
-        "overwrite"
-    ).partitionBy("cell").parquet(f"{path}/cells")
+    if quantize:
+        qc = quantize_int8(c, vec_col="vec", out_col="__q__", scale_col="__qs__")
+        q8 = F.transform(F.col("__q__"), lambda x: x.cast("byte"))
+        qnorm = F.sqrt(
+            F.aggregate(
+                F.col("__q__"), F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+            )
+        )
+        qc.select(
+            "neighbor_id", q8.alias("q8"), qnorm.alias("qnorm"), cell.alias("cell")
+        ).write.mode("overwrite").partitionBy("cell").parquet(f"{path}/cells")
+    else:
+        c.select(
+            "neighbor_id",
+            "vec",
+            norm(F.col("vec")).alias("vnorm"),
+            cell.alias("cell"),
+        ).write.mode("overwrite").partitionBy("cell").parquet(f"{path}/cells")
     # single-partition literal table: coalesce(1) on a driver-local
     # relation costs a 4-8 s task on this runtime (measured); a
     # 1-partition range + element_at projection writes in ~0.5 s
@@ -606,7 +630,14 @@ def ivf_query_index(
     bit-for-bit — and the probed cell ids (a bounded driver set,
     <= n_cells) push down as a partition filter so the scan touches only
     those cells' files. The search itself is the same per-cell equi-join
-    with a broadcast query side."""
+    with a broadcast query side.
+
+    A ``quantize=True`` index is detected from the cells schema (``q8``
+    column): queries quantize with the SAME symmetric half-up codes and
+    similarity becomes the integer dot over integer norms — the
+    per-vector scales cancel out of cosine exactly, so there is no
+    dequantization step and the whole path stays deterministic (an SQL
+    oracle reproduces it)."""
     spark = queries.sparkSession
     cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
     centroids = [list(r["centroid"]) for r in cent_rows]
@@ -617,12 +648,31 @@ def ivf_query_index(
         lambda i: F.struct((-F.get(F.col("__d__"), i)).alias("nd"), i.cast("int").alias("c")),
     )
     probes = F.slice(F.array_sort(pairs), 1, nprobe)
+    cells = spark.read.parquet(f"{path}/cells")
+    quantized = "q8" in cells.columns
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv__"),
-        norm(F.col(vec_col)).alias("__qn__"),
         dots(F.col(vec_col)).alias("__d__"),
-    ).select(
+    )
+    if quantized:
+        q = quantize_int8(q, vec_col="__qv__", out_col="__qq__", scale_col="__qqs__")
+        qn = F.sqrt(
+            F.aggregate(
+                F.col("__qq__"),
+                F.lit(0.0),
+                lambda acc, v: acc + v.cast("double") * v.cast("double"),
+            )
+        )
+        q = q.select(
+            "query_id",
+            F.transform(F.col("__qq__"), lambda x: x.cast("double")).alias("__qv__"),
+            qn.alias("__qn__"),
+            "__d__",
+        )
+    else:
+        q = q.select("query_id", "__qv__", norm(F.col("__qv__")).alias("__qn__"), "__d__")
+    q = q.select(
         "query_id",
         "__qv__",
         "__qn__",
@@ -630,7 +680,14 @@ def ivf_query_index(
     )
     # probed cells to the driver: bounded by n_cells by construction
     probed = sorted(r["__qcell__"] for r in q.select("__qcell__").distinct().collect())
-    cells = spark.read.parquet(f"{path}/cells").filter(F.col("cell").isin(probed))
+    cells = cells.filter(F.col("cell").isin(probed))
+    if quantized:
+        cells = cells.select(
+            "neighbor_id",
+            F.transform(F.col("q8"), lambda x: x.cast("double")).alias("vec"),
+            F.col("qnorm").alias("vnorm"),
+            "cell",
+        )
     joined = cells.join(
         F.broadcast(q),
         (F.col("cell") == F.col("__qcell__")) & (F.col("neighbor_id") != F.col("query_id")),

@@ -1599,3 +1599,67 @@ def q_text_quality_logistic(spark, sf_dir):
         SF.count(SF.lit(1)).alias("n"),
         SF.round(SF.avg("score"), 6).alias("avg_score"),
     )
+
+
+def _ivf_q8_oracle_sql(centroids, nprobe=2, topk=5, dim=64):
+    """DuckDB mirror of the QUANTIZED persisted-index path: routing uses
+    the exact vectors (same first-argmax / probe order as
+    _ivf_oracle_sql), similarity uses symmetric int8 codes — integer
+    dot over integer norms (the per-vector scales cancel out of cosine,
+    so no dequantization appears on either engine)."""
+    nc = len(centroids)
+
+    def dot_sql(c, tbl="embedding"):
+        return " + ".join(f"CAST({tbl}[{i + 1}] AS DOUBLE) * {c[i]!r}" for i in range(dim))
+
+    d_exprs = ", ".join(f"({dot_sql(c)}) AS d{j}" for j, c in enumerate(centroids))
+    first_argmax = "CASE " + " ".join(
+        f"WHEN {' AND '.join(f'd{j} >= d{i}' for i in range(nc) if i != j)} THEN {j}"
+        for j in range(nc)
+    ) + " END"
+    probe_structs = ", ".join(f"struct_pack(nd := -d{j}, c := {j})" for j in range(nc))
+    q8 = (
+        "list_transform(CAST(embedding AS DOUBLE[]), x -> floor(x / ("
+        "greatest(list_max(list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y))), 1e-30)"
+        " / 127.0) + 0.5))"
+    )
+    return f"""
+    WITH cd AS (SELECT vec_id, embedding, {q8} AS q8, {d_exprs} FROM embeddings),
+    cc AS (
+        SELECT vec_id, q8, sqrt(list_dot_product(q8, q8)) AS qn, {first_argmax} AS cell
+        FROM cd
+    ),
+    qp AS (
+        SELECT vec_id AS query_id, q8 AS qq, sqrt(list_dot_product(q8, q8)) AS qqn,
+               unnest(list_transform(list_slice(list_sort([{probe_structs}]), 1, {nprobe}), s -> s.c)) AS cell
+        FROM cd WHERE vec_id < 10
+    )
+    SELECT query_id, neighbor_id, cosine FROM (
+        SELECT qp.query_id, cc.vec_id AS neighbor_id,
+               ROUND(list_dot_product(qp.qq, cc.q8) / (qp.qqn * cc.qn), 6) AS cosine
+        FROM qp JOIN cc ON cc.cell = qp.cell AND cc.vec_id <> qp.query_id
+    )
+    QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) <= {topk}
+    """
+
+
+@query("q_ann_index_quantized", _ivf_q8_oracle_sql(_IVF_CENTROIDS))
+def q_ann_index_quantized(spark, sf_dir):
+    """ANN against a persisted INT8-QUANTIZED IVF index
+    (write_ivf_index(quantize=True) / ivf_query_index auto-detect): the
+    cells table stores array<tinyint> codes + one norm instead of float
+    vectors — ~4x smaller on disk, the 100 TB embedding-store lever.
+    Routing stays exact (cell assignment and probe order use the full
+    vectors); similarity is the integer dot over integer norms, which
+    equals cosine of the dequantized vectors EXACTLY (per-vector scales
+    cancel), so the whole path is deterministic and the DuckDB oracle
+    reproduces every code and every tie."""
+    import tempfile
+
+    from .operators.similarity import ivf_query_index, write_ivf_index
+
+    emb = _t(spark, sf_dir, "embeddings").lazy_sdf()
+    idx = tempfile.mkdtemp(prefix="ivfq8_")
+    write_ivf_index(emb, idx, _IVF_CENTROIDS, quantize=True)
+    queries = emb.filter(SF.col("vec_id") < 10)
+    return ivf_query_index(queries, idx, k=5, nprobe=2)

@@ -693,3 +693,63 @@ def test_stream_dedup_against_store(spark, tmp_path):
     )
     got = {(r.new_key, r.corpus_key, r.est_jaccard) for r in streamed.collect()}
     assert got == batch == {(100, 10, 1.0)}
+
+
+def test_quantized_ivf_index_compression_and_recall(spark, tmp_path):
+    """quantize=True index: (1) the cells table is materially smaller
+    on disk (int8 codes vs float64 vectors); (2) on clustered data the
+    quantized search still reaches recall@5 >= 0.9 vs exact brute force
+    at the default nprobe (int8 is ~0.4% relative error — far below
+    cluster separation)."""
+    import os
+    import random
+
+    from pyspark.sql import functions as SF
+
+    from explorer_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_query_index,
+        kmeans_fit,
+        write_ivf_index,
+    )
+
+    rng = random.Random(5)
+    # dim/row count sized so the vector PAYLOAD dominates parquet
+    # per-file overhead (320 tiny rows showed only -22%: footers and
+    # dictionaries swamp the codes at toy scale)
+    dim, n_clusters, per = 64, 8, 375
+    centers = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_clusters)]
+    # within-cluster spread 0.3 keeps clusters separated (center gap
+    # ~sqrt(2*dim)) while neighbor cosine gaps stay well above the int8
+    # error (~1e-3): with 0.05 noise the top-5 ordering inside a cluster
+    # sits BELOW quantization resolution and recall-vs-exact-truth
+    # measures code-level tie shuffling, not the index
+    rows = [
+        (i, [x + rng.gauss(0, 0.3) for x in centers[i % n_clusters]])
+        for i in range(n_clusters * per)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = kmeans_fit([r[1] for r in rows[:160]], k=8, iters=8, seed=42)
+
+    def du(p):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(p)
+            for f in fs
+        )
+
+    full = str(tmp_path / "full")
+    q8 = str(tmp_path / "q8")
+    write_ivf_index(emb, full, cents)
+    write_ivf_index(emb, q8, cents, quantize=True)
+    assert du(f"{q8}/cells") < 0.55 * du(f"{full}/cells"), (du(f"{q8}/cells"), du(f"{full}/cells"))
+
+    queries = emb.filter(SF.col("vec_id") < 24)
+    truth = {}
+    for r in brute_force_topk(emb, queries, k=5).collect():
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+    got = {}
+    for r in ivf_query_index(queries, q8, k=5, nprobe=2).collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recall = sum(len(got.get(qid, set()) & truth[qid]) for qid in truth) / (5 * len(truth))
+    assert recall >= 0.9, recall
