@@ -555,6 +555,7 @@ def write_ivf_index(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     quantize: bool = False,
+    mode: str = "overwrite",
 ) -> None:
     """Persist a trained IVF index: each corpus vector lands in its
     first-argmax centroid cell and the (id, vector, norm, cell) table
@@ -572,8 +573,25 @@ def write_ivf_index(
     for embedding stores. Cosine over symmetric per-vector codes needs
     NO dequantization — the scales cancel, so similarity is the integer
     dot over integer norms; cell ASSIGNMENT still uses the exact vector
-    (quantization affects storage, not routing)."""
+    (quantization affects storage, not routing).
+
+    ``mode="append"`` adds a new shard's vectors to an existing index —
+    centroids must be THE STORED ONES (validated; assigning new vectors
+    with different centroids silently corrupts cell routing)."""
     spark = corpus.sparkSession
+    if mode == "append":
+        stored = [
+            list(r["centroid"])
+            for r in spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+        ]
+        want = [[round(float(x), 12) for x in c] for c in centroids]
+        got = [[round(float(x), 12) for x in c] for c in stored]
+        if got != want:
+            raise ValueError(
+                f"ivf index at {path!r} was built with different centroids; "
+                f"appending with new ones would corrupt cell routing — query "
+                f"the stored centroids (read {path}/centroids) or rebuild"
+            )
     dots = _centroid_dots_udf(centroids)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -591,14 +609,14 @@ def write_ivf_index(
         )
         qc.select(
             "neighbor_id", q8.alias("q8"), qnorm.alias("qnorm"), cell.alias("cell")
-        ).write.mode("overwrite").partitionBy("cell").parquet(f"{path}/cells")
+        ).write.mode(mode).partitionBy("cell").parquet(f"{path}/cells")
     else:
         c.select(
             "neighbor_id",
             "vec",
             norm(F.col("vec")).alias("vnorm"),
             cell.alias("cell"),
-        ).write.mode("overwrite").partitionBy("cell").parquet(f"{path}/cells")
+        ).write.mode(mode).partitionBy("cell").parquet(f"{path}/cells")
     # single-partition literal table: coalesce(1) on a driver-local
     # relation costs a 4-8 s task on this runtime (measured); a
     # 1-partition range + element_at projection writes in ~0.5 s
@@ -612,7 +630,8 @@ def write_ivf_index(
         F.col("id").cast("int").alias("cell"),
         F.element_at(carr, F.col("id").cast("int") + 1).alias("centroid"),
     )
-    cent.write.mode("overwrite").parquet(f"{path}/centroids")
+    if mode != "append":
+        cent.write.mode("overwrite").parquet(f"{path}/centroids")
 
 
 def ivf_query_index(

@@ -753,3 +753,36 @@ def test_quantized_ivf_index_compression_and_recall(spark, tmp_path):
         got.setdefault(r.query_id, set()).add(r.neighbor_id)
     recall = sum(len(got.get(qid, set()) & truth[qid]) for qid in truth) / (5 * len(truth))
     assert recall >= 0.9, recall
+
+
+def test_ivf_index_append_mode(spark, tmp_path):
+    """Appending a new shard to a persisted IVF index: same centroids
+    required (drift raises — different routing corrupts the index);
+    appended vectors are immediately searchable."""
+    import pytest as _pytest
+    from pyspark.sql import functions as SF
+
+    from explorer_spark.operators.similarity import (
+        ivf_query_index,
+        kmeans_fit,
+        write_ivf_index,
+    )
+
+    # distinct directions (a modular pattern repeats every 13 ids and
+    # the duplicate vectors then beat the appended one on id tie-break)
+    rows = [(i, [i / 64.0 + float(j) for j in range(8)]) for i in range(64)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = kmeans_fit([r[1] for r in rows], k=4, iters=4, seed=1)
+    idx = str(tmp_path / "ivf")
+    write_ivf_index(emb, idx, cents)
+
+    shard = spark.createDataFrame(
+        [(1000, rows[5][1])], "vec_id long, embedding array<double>"
+    )
+    write_ivf_index(shard, idx, cents, mode="append")
+    q = emb.filter(SF.col("vec_id") == 5)
+    got = {r.neighbor_id for r in ivf_query_index(q, idx, k=3, nprobe=4).collect()}
+    assert 1000 in got  # identical appended vector is the top hit
+
+    with _pytest.raises(ValueError, match="different centroids"):
+        write_ivf_index(shard, idx, [[0.0] * 8 for _ in range(4)], mode="append")
