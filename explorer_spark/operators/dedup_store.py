@@ -252,3 +252,35 @@ def stream_dedup_against_store(
         .filter(F.col("est_jaccard") >= F.lit(float(threshold)))
     )
     return out if stream_sdf.isStreaming else out.distinct()
+
+
+def compact_signature_store(path: str, spark, target_partitions: int | None = None) -> None:
+    """Rewrite the store's data tables to healthy file counts — the
+    maintenance step after many shard appends (each append adds its own
+    small files; a 100 TB store appended hourly accumulates thousands,
+    and small files tax every scan's planning and open() costs).
+
+    Reads and rewrites signatures/ and buckets/ through a staging
+    directory, then swaps atomically-enough for a single-writer store
+    (write staging -> swap dirs); bucket partitioning (by band) is
+    preserved. ``target_partitions`` defaults to max(spark default
+    parallelism, current_rows / ~1M) — roughly 1M rows per output file."""
+    import math
+    import shutil
+    import uuid
+
+    sig = spark.read.parquet(f"{path}/signatures")
+    n = sig.count()
+    if target_partitions is None:
+        target_partitions = max(
+            1, min(spark.sparkContext.defaultParallelism, math.ceil(n / 1_000_000))
+        )
+    stage = f"{path}/.compact-{uuid.uuid4().hex[:8]}"
+    sig.repartition(target_partitions).write.parquet(f"{stage}/signatures")
+    buckets = spark.read.parquet(f"{path}/buckets")
+    buckets.repartition(target_partitions).write.partitionBy("band").parquet(f"{stage}/buckets")
+    # local/posix swap; object stores would rename via their committer
+    for tbl in ("signatures", "buckets"):
+        shutil.rmtree(f"{path}/{tbl}")
+        shutil.move(f"{stage}/{tbl}", f"{path}/{tbl}")
+    shutil.rmtree(stage, ignore_errors=True)

@@ -786,3 +786,39 @@ def test_ivf_index_append_mode(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="different centroids"):
         write_ivf_index(shard, idx, [[0.0] * 8 for _ in range(4)], mode="append")
+
+
+def test_signature_store_compaction(spark, tmp_path):
+    """After several appends the store accumulates small files;
+    compaction rewrites to bounded file counts and changes NO results."""
+    import glob
+
+    from explorer_spark.operators.dedup_store import (
+        compact_signature_store,
+        dedup_against_store,
+        write_signature_store,
+    )
+
+    store = str(tmp_path / "store")
+    base = spark.createDataFrame(
+        [(i, f"corpus document {i} body words") for i in range(20)],
+        "doc_id long, text string",
+    )
+    write_signature_store(base, store)
+    for s in range(4):
+        shard = spark.createDataFrame(
+            [(100 + s, f"appended shard doc {s} content words")],
+            "doc_id long, text string",
+        )
+        write_signature_store(shard, store, mode="append")
+
+    new = spark.createDataFrame(
+        [(999, "corpus document 7 body words")], "doc_id long, text string"
+    )
+    before = sorted(map(tuple, dedup_against_store(new, store).collect()))
+    files_before = len(glob.glob(f"{store}/signatures/*.parquet"))
+    compact_signature_store(store, spark, target_partitions=1)
+    files_after = len(glob.glob(f"{store}/signatures/*.parquet"))
+    assert files_after < files_before, (files_before, files_after)
+    after = sorted(map(tuple, dedup_against_store(new, store).collect()))
+    assert after == before and before and before[0][:2] == (999, 7)
