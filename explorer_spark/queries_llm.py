@@ -1663,3 +1663,79 @@ def q_ann_index_quantized(spark, sf_dir):
     write_ivf_index(emb, idx, _IVF_CENTROIDS, quantize=True)
     queries = emb.filter(SF.col("vec_id") < 10)
     return ivf_query_index(queries, idx, k=5, nprobe=2)
+
+
+_GRAMS5 = (
+    # range is END-EXCLUSIVE: a doc with L words has L-4 five-grams, so
+    # the bound is L-3 (the 3-gram macro above uses L-1 the same way)
+    "list_transform(range(1, greatest(len({w}) - 3, 1)), "
+    "i -> array_to_string(list_slice({w}, i, i + 4), ' '))"
+)
+
+
+@query(
+    "q_text_dup_spans",
+    f"""
+    WITH w AS (
+        SELECT doc_id, lang, {_WORDS.format(t="text")} AS ws
+        FROM documents WHERE text IS NOT NULL
+    ),
+    g AS (
+        SELECT doc_id, lang, greatest(len(ws) - 4, 0) AS total_spans,
+               unnest({_GRAMS5.format(w="ws")}) AS gram
+        FROM w
+    ),
+    hot AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+    per_doc AS (
+        SELECT doc_id, lang, total_spans, COUNT(*) AS hits
+        FROM g JOIN hot USING (gram)
+        GROUP BY doc_id, lang, total_spans
+    )
+    SELECT lang,
+           COUNT(*) AS n_dup_docs,
+           CAST(SUM(hits) AS BIGINT) AS hot_hits,
+           ROUND(AVG(CAST(hits AS DOUBLE) / total_spans), 6) AS avg_dup_frac
+    FROM per_doc GROUP BY lang
+    """,
+)
+def q_text_dup_spans(spark, sf_dir):
+    """Repeated-SPAN detection — the exact-substring duplication signal
+    of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better"), rendered span-level instead of suffix-array-level:
+    every 5-word span of every doc (map-only gram kernel,
+    shingle_rows_arrow — grams feed a JOIN, so no window shuffle), a
+    corpus-wide span count keeps spans seen >= 2 times ("hot"), and each
+    doc reports how much of it is made of hot spans. Plan shape at
+    100 TB: one map-side-combined groupBy over the gram stream + one
+    gram-keyed equi-join — the same mechanics as the decontamination
+    pipeline; no driver state, no quadratic stage."""
+    from .operators.text import shingle_rows_arrow, words
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .lazy_sdf()
+        .filter(SF.col("text").isNotNull())
+        .select(
+            "doc_id",
+            "lang",
+            SF.greatest(SF.size(words(SF.col("text"))) - SF.lit(4), SF.lit(0)).alias(
+                "total_spans"
+            ),
+            "text",
+        )
+    )
+    grams = shingle_rows_arrow(docs, "doc_id", "text", 5)
+    hot = grams.groupBy("shingle").count().filter(SF.col("count") >= 2).select("shingle")
+    per_doc = (
+        grams.join(hot, "shingle")
+        .groupBy("doc_id")
+        .agg(SF.count(SF.lit(1)).alias("hits"))
+        .join(docs.select("doc_id", "lang", "total_spans"), "doc_id")
+    )
+    return per_doc.groupBy("lang").agg(
+        SF.count(SF.lit(1)).alias("n_dup_docs"),
+        SF.sum("hits").alias("hot_hits"),
+        SF.round(SF.avg(SF.col("hits").cast("double") / SF.col("total_spans")), 6).alias(
+            "avg_dup_frac"
+        ),
+    )
