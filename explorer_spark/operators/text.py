@@ -97,9 +97,10 @@ def shingle_rows_arrow(sdf, key_col: str, text_col: str, n: int):
     anyway (the jaccard pipeline) — there the window's exchange doubles
     as the aggregate's.
 
-    Tokenization mirrors ``words()`` exactly: Spark trim strips only
-    ASCII spaces, Java \s is the ASCII class, split keeps
-    leading/trailing empty tokens."""
+    Tokenization mirrors ``words()`` exactly: boundary trim strips the
+    FULL ASCII \s class (wtrim's btrim charset — the round-6 whitespace
+    fix; a space-only strip makes phantom empty tokens on tab/newline-
+    led docs), \s+ split, empties kept."""
     import re as _re
 
     from pyspark.sql import types as T
@@ -115,7 +116,7 @@ def shingle_rows_arrow(sdf, key_col: str, text_col: str, n: int):
         for pdf in batches:
             keys, grams = [], []
             for k, t in zip(pdf[key_col], pdf[text_col]):
-                ws = _re.split(r"[ \t\n\x0b\f\r]+", (t or "").strip(" "))
+                ws = _re.split(r"[ \t\n\x0b\f\r]+", (t or "").strip(" \t\n\x0b\x0c\r"))
                 for j in range(len(ws) - n + 1):
                     keys.append(k)
                     grams.append(" ".join(ws[j : j + n]))
