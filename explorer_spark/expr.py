@@ -443,28 +443,38 @@ def _cum(aggfn, count=False):
     return low
 
 
-def _rank(ctx, a, method="ordinal", descending=False, seed=None):
+def _rank(ctx, a, method="average", descending=False, seed=None):
+    """Reference rank/2 (series.ex:2063-2072): default method :average,
+    and NILS STAY NIL without consuming ranks (series_test.exs 'rank of
+    a float series with a nan': 7 non-null values rank 1..7, the nil
+    row yields nil). Rendered with nulls-LAST ordering (non-null rows
+    take ranks 1..n_valid regardless) plus a null mask; NaN orders
+    greatest among non-null (Spark = polars)."""
     c = _c(a, ctx)
-    key = c.desc() if descending else c.asc()
+    key = c.desc_nulls_last() if descending else c.asc_nulls_last()
     base = W.partitionBy(*ctx.groups) if ctx.groups else W.partitionBy()
+
+    def masked(e):
+        return F.when(c.isNotNull(), e)
+
     if method == "random":
         # ties broken by a seeded shuffle (reference rank :random + seed)
-        return F.row_number().over(base.orderBy(key, F.rand(seed))).cast("long")
+        return masked(F.row_number().over(base.orderBy(key, F.rand(seed))).cast("long"))
     w = base.orderBy(key, F.col(ctx.order).asc()) if ctx.order is not None else base.orderBy(key)
     wv = base.orderBy(key)
     if method == "ordinal":
-        return F.row_number().over(w).cast("long")
+        return masked(F.row_number().over(w).cast("long"))
     if method == "min":
-        return F.rank().over(wv).cast("long")
+        return masked(F.rank().over(wv).cast("long"))
     if method == "dense":
-        return F.dense_rank().over(wv).cast("long")
+        return masked(F.dense_rank().over(wv).cast("long"))
     if method in ("max", "average"):
         min_rank = F.rank().over(wv)
         tie_w = W.partitionBy(*ctx.groups, c) if ctx.groups else W.partitionBy(c)
         ties = F.count(F.lit(1)).over(tie_w)
         if method == "max":
-            return (min_rank + ties - 1).cast("long")
-        return (min_rank.cast("double") + (min_rank + ties - 1).cast("double")) / 2.0
+            return masked((min_rank + ties - 1).cast("long"))
+        return masked((min_rank.cast("double") + (min_rank + ties - 1).cast("double")) / 2.0)
     raise NotImplementedError(f"rank method {method!r}")
 
 

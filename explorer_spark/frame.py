@@ -750,7 +750,7 @@ class DataFrame:
             if not isinstance(e, Expr):
                 return
             if e.op == "rank" and isinstance(e.args[0], Expr) and e.args[0].op == "column":
-                method = e.args[1] if len(e.args) > 1 else "ordinal"
+                method = e.args[1] if len(e.args) > 1 else "average"
                 descending = bool(e.args[2]) if len(e.args) > 2 else False
                 if method in ("min", "max", "average", "dense"):
                     rank_fused.setdefault((e.args[0].args[0], descending), {}).setdefault(method, None)
@@ -831,7 +831,7 @@ class DataFrame:
                     state["sdf"], self._IDX, value, name, backward=op.endswith("backward"), n_hint=n_hint
                 )
             elif op == "rank":
-                method = rest[0] if len(rest) > 0 else "ordinal"
+                method = rest[0] if len(rest) > 0 else "average"
                 descending = bool(rest[1]) if len(rest) > 1 else False
                 seed = rest[2] if len(rest) > 2 else None
                 fused = rank_fused.get((value, descending), {}).get(method)

@@ -151,7 +151,7 @@ def row_index():
     return Expr("row_index")
 
 
-def rank(a, method: str = "ordinal", descending: bool = False, seed: int | None = None):
+def rank(a, method: str = "average", descending: bool = False, seed: int | None = None):
     return Expr("rank", _wrap(a), method, descending, seed)
 
 

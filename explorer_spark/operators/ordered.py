@@ -428,17 +428,24 @@ def rank_columns(
     Ties need no colocation."""
     out = sdf
     c = F.col(value_col)
-    key = c.desc() if descending else c.asc()
+    # nulls order LAST so non-null rows take ranks 1..n_valid, then the
+    # mask nils them out — reference rank/2 keeps nils as nil without
+    # consuming ranks (series_test.exs rank-with-nan grid)
+    key = c.desc_nulls_last() if descending else c.asc_nulls_last()
     val_specs: dict[str, str] = {}
     for out_col, method in methods.items():
         if method == "random":
             s = out.withColumn("__rnd__", F.rand(seed))
             s = with_global_index(s, [key, F.col("__rnd__").asc()], name="__rk__")
-            out = s.withColumn(out_col, (F.col("__rk__") + 1).cast("long")).drop("__rk__", "__rnd__")
+            out = s.withColumn(
+                out_col, F.when(c.isNotNull(), (F.col("__rk__") + 1).cast("long"))
+            ).drop("__rk__", "__rnd__")
         elif method == "ordinal":
             tie = [F.col(order_col).asc()] if order_col is not None else []
             s = with_global_index(out, [key] + tie, name="__rk__")
-            out = s.withColumn(out_col, (F.col("__rk__") + 1).cast("long")).drop("__rk__")
+            out = s.withColumn(
+                out_col, F.when(c.isNotNull(), (F.col("__rk__") + 1).cast("long"))
+            ).drop("__rk__")
         elif method in ("min", "max", "average", "dense"):
             val_specs[out_col] = method
         else:
@@ -446,7 +453,14 @@ def rank_columns(
     if not val_specs:
         return out
 
-    vals = sdf.select(value_col).groupBy(value_col).agg(F.count(F.lit(1)).alias("__c__"))
+    # nulls excluded from the value table: the left join below then
+    # reports nil rank for null rows, and non-null prefixes are unshifted
+    vals = (
+        sdf.select(value_col)
+        .filter(c.isNotNull())
+        .groupBy(value_col)
+        .agg(F.count(F.lit(1)).alias("__c__"))
+    )
     # exact row count when the caller already knows it (mutate's row-index
     # stats job); else a limit-probe (a full count() would execute
     # arbitrary upstream plans completely just to pick a path)
@@ -562,8 +576,9 @@ def rank_columns_multi(
 
     ``value_cols``: src_col -> out_col (out may replace src — the spearman
     path ranks in place). All sources must share ONE Spark type (the melt
-    array is uniform; callers cast first if they accept the loss). Nulls
-    rank as a value (eqNullSafe join), matching :func:`rank_columns`.
+    array is uniform; callers cast first if they accept the loss). Null
+    values rank as NIL without consuming ranks (reference rank/2 — the
+    left join back reports nil), matching :func:`rank_columns`.
     Used by frame._pairwise spearman and fused rank mutates: N rank
     kernels collapse to 1.
     """
@@ -574,7 +589,11 @@ def rank_columns_multi(
     assert len(dts) == 1, f"rank_columns_multi requires one shared dtype, got {dts}"
     key = F.col("__v__").desc() if descending else F.col("__v__").asc()
     melted = sdf.select(F.posexplode(F.array(*[F.col(c) for c in cols])).alias("__cid__", "__v__"))
-    vals = melted.groupBy("__cid__", "__v__").agg(F.count(F.lit(1)).alias("__c__"))
+    vals = (
+        melted.filter(F.col("__v__").isNotNull())
+        .groupBy("__cid__", "__v__")
+        .agg(F.count(F.lit(1)).alias("__c__"))
+    )
     # caller-known exact count, else limit-probe (see rank_columns)
     nv = n_hint if n_hint is not None else sdf.limit(SMALL_VALS_MAX + 1).count()
     if nv <= SMALL_VALS_MAX:

@@ -663,8 +663,10 @@ class Series:
     def shift(self, offset: int, default=None) -> "Series":
         return self._apply(Expr("shift", self._c(), offset, default))
 
-    def rank(self, method: str = "ordinal", descending: bool = False) -> "Series":
-        return self._apply(Expr("rank", self._c(), method, descending))
+    def rank(self, method: str = "average", descending: bool = False, seed: int | None = None) -> "Series":
+        """Reference rank/2 defaults (series.ex:2063-2072): method
+        :average; nils stay nil without consuming ranks."""
+        return self._apply(Expr("rank", self._c(), method, descending, seed))
 
     def fill_missing(self, strategy_or_value) -> "Series":
         """Reference-exact fill (series.ex:5594-5628 and the

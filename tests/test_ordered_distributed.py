@@ -305,10 +305,10 @@ def test_rank_columns_multi_matches_pandas(spark):
         .toPandas()
     )
     want = pdf.copy()
-    # nulls rank as a value (first) in the kernel, same as rank_columns;
-    # pandas excludes NaN — shift its ranks by the null count to compare
-    n_null = int(pdf["a"].isna().sum())
-    want["ra"] = pdf["a"].rank(method="average") + n_null
+    # nulls stay NIL without consuming ranks (reference rank/2; the
+    # kernel's value table excludes them) — pandas rank() excludes NaN
+    # the same way, so the differentials align with no offset
+    want["ra"] = pdf["a"].rank(method="average")
     want["rb"] = pdf["b"].rank(method="average")
     want = want.sort_values(["a", "b"], na_position="first").reset_index(drop=True)
     m = want["a"].notna().to_numpy()
@@ -349,8 +349,7 @@ def test_rank_columns_multi_big_kernel(spark, monkeypatch):
         .toPandas()
     )
     want = pdf.copy()
-    n_null = int(pdf["a"].isna().sum())
-    want["ra"] = pdf["a"].rank(method="average") + n_null
+    want["ra"] = pdf["a"].rank(method="average")
     want["rb"] = pdf["b"].rank(method="average")
     want = want.sort_values(["a", "b"], na_position="first").reset_index(drop=True)
     m = want["a"].notna().to_numpy()

@@ -226,3 +226,38 @@ def test_pow_dtype_rules(spark):
     m = d.mutate(p=col("x") ** col("y"))
     assert dict(m.dtypes)["p"] == ("s", 64)
     assert m.to_columns()["p"] == [8, 9]
+
+
+def test_rank_reference_grid(spark):
+    """Reference rank/2 parity (series.ex:2063-2072 + series_test.exs
+    rank grids): default method is :average (floats), nils stay NIL
+    without consuming ranks, NaN ranks greatest among non-null values,
+    ordinal breaks ties in row order."""
+    from explorer_spark.series import Series
+
+    nan = float("nan")
+    s = Series.from_list([3.5, 3.0, 3.2, 3.1, 3.6, 3.9, 3.4, 3.4, 2.9, 3.1], spark=spark)
+    assert s.rank("ordinal").to_list() == [8, 2, 5, 3, 9, 10, 6, 7, 1, 4]
+    assert s.rank("min").to_list() == [8, 2, 5, 3, 9, 10, 6, 6, 1, 3]
+    assert s.rank("max").to_list() == [8, 2, 5, 4, 9, 10, 7, 7, 1, 4]
+    assert s.rank("dense").to_list() == [6, 2, 4, 3, 7, 8, 5, 5, 1, 3]
+    assert s.rank().to_list() == [8.0, 2.0, 5.0, 3.5, 9.0, 10.0, 6.5, 6.5, 1.0, 3.5]
+
+    s2 = Series.from_list([-3.1, 1.2, 2.3, None, -2.4, -12.6, nan, 3.9], spark=spark)
+    assert s2.rank().to_list() == [2.0, 4.0, 5.0, None, 3.0, 1.0, 7.0, 6.0]
+    for m in ("ordinal", "min", "max", "dense"):
+        got = s2.rank(m).to_list()
+        assert got[3] is None, (m, got)
+        assert got[6] == max(v for v in got if v is not None), (m, got)
+    rr = s2.rank("random", seed=3).to_list()
+    assert rr[3] is None and sorted(v for v in rr if v is not None) == [1, 2, 3, 4, 5, 6, 7]
+
+    # grouped mutate shares the semantics (window path)
+    import explorer_spark as ex
+    from explorer_spark import functions as f
+    from explorer_spark.expr import col
+
+    d = ex.from_columns({"g": ["a", "a", "a", "b"], "x": [2.0, None, 1.0, 5.0]}, spark=spark)
+    assert d.group_by("g").mutate(r=f.rank(col("x"))).ungroup().to_columns()["r"] == [
+        2.0, None, 1.0, 1.0,
+    ]
