@@ -147,7 +147,10 @@ def shift(a, offset: int, default=None):
     return Expr("shift", _wrap(a), offset, default)
 
 
-def row_index():
+def row_index(_series=None):
+    """0-based row index (reference row_index/1 takes a series argument
+    purely to anchor the row count — accepted and ignored here; the
+    frame's hidden order column is the position source either way)."""
     return Expr("row_index")
 
 
