@@ -404,6 +404,18 @@ def _cast(ctx: "LowerCtx", a, dtype) -> Column:
     return c.cast(dt.to_spark(d))
 
 
+def _log(ctx, a, base=None):
+    """Natural log, or log to a positive base — validated EAGERLY
+    (reference Series.log/2 raises ArgumentError 'base must be a
+    positive number' for base <= 0; Spark's log would silently yield
+    nulls)."""
+    if base is None:
+        return F.log(_c(a, ctx))
+    if not float(base) > 0:
+        raise ValueError("base must be a positive number")
+    return F.log(float(base), _c(a, ctx))
+
+
 def _wall(ctx: "LowerCtx", a) -> Column:
     """Lower ``a`` for a WALL-CLOCK temporal read: when it resolves to a
     ``{:datetime, p, tz}`` column (non-UTC ``tz`` column metadata,
@@ -744,7 +756,7 @@ _LOWER = {
     "quotient": _binop(lambda a, b: F.floor(a / b).cast("long")),
     "remainder": _binop(lambda a, b: a % b),
     "pow": lambda ctx, a, b: _pow(ctx, a, b),
-    "log": lambda ctx, a, base=None: F.log(float(base), _c(a, ctx)) if base else F.log(_c(a, ctx)),
+    "log": _log,
     "log_natural": _unop(F.log),
     "exp": _unop(F.exp),
     "abs": _unop(F.abs),
