@@ -401,7 +401,61 @@ def _cast(ctx: "LowerCtx", a, dtype) -> Column:
         us = F.unix_micros(c.cast(T.TimestampType()))
         ts = F.timestamp_micros(us - us % F.lit(1_000))
         return ts.cast(T.TimestampNTZType()) if d[0] == "naive_datetime" else ts
+    if (
+        isinstance(d, tuple)
+        and d[0] == "list"
+        and isinstance(src_t, T.ArrayType)
+        and _elem_needs_rule(src_t.elementType, dt.normalize(d[1]))
+    ):
+        # {:list, inner} casts apply the SAME temporal count rules per
+        # element (reference list_test.exs 'list of integer series to
+        # list of naive datetime'); Spark's array cast refuses these
+        inner = dt.normalize(d[1])
+        return F.transform(c, lambda x: _elem_cast(x, src_t.elementType, inner))
     return c.cast(dt.to_spark(d))
+
+
+def _elem_needs_rule(src_et, d) -> bool:
+    integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    if isinstance(src_et, integral) and (
+        d == "date" or (isinstance(d, tuple) and d[0] in ("naive_datetime", "datetime", "duration"))
+    ):
+        return True
+    if isinstance(src_et, (T.TimestampType, T.TimestampNTZType)) and dt.is_integer(d):
+        return True
+    if isinstance(src_et, T.ArrayType) and isinstance(d, tuple) and d[0] == "list":
+        return _elem_needs_rule(src_et.elementType, dt.normalize(d[1]))
+    return False
+
+
+def _elem_cast(x: Column, src_et, d) -> Column:
+    """Per-element temporal cast rules for list casts — the scalar rules
+    of ``_cast`` without metadata (elements carry none: counts read µs,
+    the physical default)."""
+    integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
+    def count_to_us(v, unit):
+        to_us = {"ms": 1_000, "us": 1, "s": 1_000_000, "ns": None}.get(unit, 1)
+        return (v / 1_000).cast("long") if to_us is None else v * F.lit(to_us)
+
+    def unit_of(tup):
+        u = tup[1] if len(tup) > 1 else "us"
+        return _UNIT_SHORT.get(u, u)
+
+    if isinstance(src_et, integral):
+        if d == "date":
+            return F.date_from_unix_date(x.cast("int"))
+        if isinstance(d, tuple) and d[0] in ("naive_datetime", "datetime"):
+            ts = F.timestamp_micros(count_to_us(x.cast("long"), unit_of(d)))
+            return ts.cast(T.TimestampNTZType()) if d[0] == "naive_datetime" else ts
+        if isinstance(d, tuple) and d[0] == "duration":
+            return _us_to_interval(count_to_us(x.cast("long"), unit_of(d)))
+    if isinstance(src_et, (T.TimestampType, T.TimestampNTZType)) and dt.is_integer(d):
+        return F.unix_micros(x.cast(T.TimestampType())).cast(dt.to_spark(d))
+    if isinstance(src_et, T.ArrayType) and isinstance(d, tuple) and d[0] == "list":
+        inner = dt.normalize(d[1])
+        return F.transform(x, lambda y: _elem_cast(y, src_et.elementType, inner))
+    return x.cast(dt.to_spark(d))
 
 
 def _log(ctx, a, base=None):

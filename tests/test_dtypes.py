@@ -406,3 +406,31 @@ def test_expression_level_cast_matches_series_cast(spark):
     assert d6.dtypes["ms"] == ("duration", "ms")
     assert d6.to_rows()[0]["ms"] == dtm.timedelta(seconds=1)
     assert d6.mutate(c=f.cast(col("ms"), ("s", 64))).to_columns()["c"] == [1000]
+
+
+def test_list_cast_temporal_count_rules(spark):
+    """{:list, inner} casts apply the temporal COUNT rules per element
+    (reference list_test.exs 'list of integer series to list of naive
+    datetime'): Spark's array cast refuses int->timestamp, so the
+    lowering transforms element-wise with the scalar rules."""
+    import datetime as dtm
+
+    from explorer_spark.series import Series
+
+    s = Series.from_list([[1, 2, 3], [1_649_883_642_000_000]]).cast(
+        ("list", ("naive_datetime", "us"))
+    )
+    assert s.dtype == ("list", ("naive_datetime", "us"))
+    assert s.to_list() == [
+        [
+            dtm.datetime(1970, 1, 1, 0, 0, 0, 1),
+            dtm.datetime(1970, 1, 1, 0, 0, 0, 2),
+            dtm.datetime(1970, 1, 1, 0, 0, 0, 3),
+        ],
+        [dtm.datetime(2022, 4, 13, 21, 0, 42)],
+    ]
+    # plain numeric list casts stay on Spark's native array cast
+    assert Series.from_list([[1]]).cast(("list", ("f", 64))).to_list() == [[1.0]]
+    assert Series.from_list([[[1]]]).cast(("list", ("list", "date"))).to_list() == [
+        [[dtm.date(1970, 1, 2)]]
+    ]
