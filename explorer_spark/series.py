@@ -142,6 +142,17 @@ class Series:
         _dur_target = None
         if dtype is not None:
             nd_ = dt.normalize(dtype)
+            if isinstance(nd_, tuple) and nd_[0] == "decimal":
+                # floats/ints land as Decimals at the boundary (reference
+                # from_list with {:decimal, p, s} accepts numbers,
+                # series_test.exs 'with floats as decimals'); str() keeps
+                # the shortest repr, Arrow applies the dtype's scale
+                from decimal import Decimal as _Dec
+
+                values = [
+                    _Dec(str(v)) if isinstance(v, float) else (_Dec(v) if isinstance(v, int) and not isinstance(v, bool) else v)
+                    for v in values
+                ]
             if isinstance(nd_, tuple) and nd_[0] == "duration":
                 # durations materialize as real DayTimeIntervals (see
                 # cast): ingest the counts as longs first, accepting
@@ -1025,6 +1036,19 @@ def _install_series_binops():
                 return _series_binop(op, self, other, self.name)
             return fn
         setattr(Series, dunder, make())
+    # reflected forms: scalar OP series (reference puts the scalar on
+    # either side — Series.pow(2, s), series_test.exs pow-on-the-left
+    # grid; _series_binop already lifts a scalar left operand)
+    reflected = {
+        "__radd__": "add", "__rsub__": "subtract", "__rmul__": "multiply",
+        "__rtruediv__": "divide", "__rpow__": "pow", "__rmod__": "remainder",
+    }
+    for dunder, op in reflected.items():
+        def make_r(op=op):
+            def fn(self, other):
+                return _series_binop(op, other, self, self.name)
+            return fn
+        setattr(Series, dunder, make_r())
     # __eq__ returns an element-wise Series (like the rest of the operator
     # surface), so identity hashing must be explicit, and truth-testing a
     # Series is ambiguous (mirrors pandas/numpy)

@@ -261,3 +261,33 @@ def test_rank_reference_grid(spark):
     assert d.group_by("g").mutate(r=f.rank(col("x"))).ungroup().to_columns()["r"] == [
         2.0, None, 1.0, 1.0,
     ]
+
+
+def test_reflected_operators_and_decimal_ingest(spark):
+    """Round-7 reference-sampling finds: scalar-on-the-left arithmetic
+    (Series.pow(2, s) etc. — series_test.exs pow grids) and numeric
+    ingestion into {:decimal, p, s} (floats/ints land as scaled
+    Decimals, series_test.exs 'with floats as decimals')."""
+    import math
+    from decimal import Decimal
+
+    from explorer_spark.series import Series
+
+    nan, inf = float("nan"), float("inf")
+    s1 = Series.from_list([1.0, -2.5, nan, inf, -inf], spark=spark)
+    r = (2 ** s1).to_list()
+    assert r[0] == 2.0 and abs(r[1] - 0.1767766952966369) < 1e-15
+    assert math.isnan(r[2]) and r[3] == inf and r[4] == 0.0
+    r2 = ((-2) ** Series.from_list([1.0, 2.5], spark=spark)).to_list()
+    assert r2[0] == -2.0 and math.isnan(r2[1])
+    assert (10 - Series.from_list([1, 2], spark=spark)).to_list() == [9, 8]
+    assert (1 / Series.from_list([2.0, 4.0], spark=spark)).to_list() == [0.5, 0.25]
+    assert (7 % Series.from_list([3, 4], spark=spark)).to_list() == [1, 3]
+
+    s = Series.from_list([0.0, 0.42, None, 5.12467], dtype=("decimal", 38, 5), spark=spark)
+    assert s.to_list() == [Decimal("0.00000"), Decimal("0.42000"), None, Decimal("5.12467")]
+    assert s.dtype == ("decimal", 38, 5)
+    assert Series.from_list([1, 2], dtype=("decimal", 38, 2), spark=spark).to_list() == [
+        Decimal("1.00"),
+        Decimal("2.00"),
+    ]
