@@ -765,6 +765,28 @@ class Series:
         return self._frame.rename({self.name: "values"}).frequencies("values")
 
     # -- categorical emulation (reference series.ex:1327-1438) ---------------
+    def replace(self, *args) -> "Series":
+        """Both reference arities (series.ex):
+
+        * ``replace(list)`` — replace/2 CONVERSION: swap the series'
+          contents for the list, KEEPING the dtype; a :category series
+          takes integer CODES decoded through its existing categories
+          (series.ex:781-798).
+        * ``replace(substring, replacement)`` — replace/3 literal
+          string replacement (series.ex:5811)."""
+        if len(args) == 1 and isinstance(args[0], list):
+            values = args[0]
+            d = self.dtype
+            if d == "category" or (
+                d == "string" and self._frame.dtypes.get(self.name) == "category"
+            ):
+                codes = Series.from_list(values, dtype=("s", 64), name=self.name)
+                return codes.categorise(self.categories())
+            return Series.from_list(values, dtype=d, name=self.name)
+        if len(args) == 2:
+            return self._apply(Expr("replace", self._c(), args[0], args[1]))
+        raise TypeError("replace takes a list (contents conversion) or (substring, replacement)")
+
     def categorise(self, categories: list[str]) -> "Series":
         """Map integer codes -> category strings (dictionary decode)."""
         mapping = F.array(*[F.lit(c) for c in categories])

@@ -486,3 +486,16 @@ def test_slice_by_index_series(spark):
         s.slice(Series.from_list([0, 2, -1], name="i", dtype=("s", 64), spark=spark))
     with pytest.raises(ValueError, match="out-of-bounds"):
         s.slice(Series.from_list([0, 2, 20], name="i", dtype=("s", 64), spark=spark))
+
+
+def test_replace_both_arities(spark):
+    """Series.replace: replace/2 swaps contents keeping the dtype
+    (series.ex:781; category series take integer codes decoded through
+    the existing categories), replace/3 is literal string replace."""
+    from explorer_spark.series import Series
+
+    s = Series.from_list([1, 2, 3], spark=spark)
+    r = s.replace([7, 8])
+    assert r.to_list() == [7, 8] and r.dtype == ("s", 64)
+    t = Series.from_list(["a-b", "c-d"], spark=spark)
+    assert t.replace("-", "_").to_list() == ["a_b", "c_d"]
