@@ -319,6 +319,16 @@ def _us_to_interval(us: Column) -> Column:
     )
 
 
+def _div_trunc_exact(v: Column, divisor: int) -> Column:
+    """Exact integral division truncating toward zero. Long/int in Spark
+    is DOUBLE division, which rounds past 2^53 — ns epoch counts exceed
+    that ~104 days from epoch — so subtract the sign-preserving remainder
+    and divide on a decimal view, exact for the full i64 range (same
+    pattern as ``_duration_total``)."""
+    d = F.lit(divisor)
+    return ((v - v % d).cast("decimal(38,0)") / d).cast("long")
+
+
 _UNIT_SHORT = {"millisecond": "ms", "microsecond": "us", "nanosecond": "ns"}
 
 
@@ -356,7 +366,7 @@ def _cast(ctx: "LowerCtx", a, dtype) -> Column:
 
     def count_to_us(v: Column, unit: str) -> Column:
         to_us = {"ms": 1_000, "us": 1, "s": 1_000_000, "ns": None}.get(unit, 1)
-        return (v / 1_000).cast("long") if to_us is None else v * F.lit(to_us)
+        return _div_trunc_exact(v, 1_000) if to_us is None else v * F.lit(to_us)
 
     if isinstance(src_t, integral):
         if d == "date":
@@ -436,7 +446,7 @@ def _elem_cast(x: Column, src_et, d) -> Column:
 
     def count_to_us(v, unit):
         to_us = {"ms": 1_000, "us": 1, "s": 1_000_000, "ns": None}.get(unit, 1)
-        return (v / 1_000).cast("long") if to_us is None else v * F.lit(to_us)
+        return _div_trunc_exact(v, 1_000) if to_us is None else v * F.lit(to_us)
 
     def unit_of(tup):
         u = tup[1] if len(tup) > 1 else "us"

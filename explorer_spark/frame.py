@@ -135,6 +135,12 @@ class DataFrame:
                 fld.metadata.get("dt_p") or fld.metadata.get("tz")
             ):
                 d = ("datetime", fld.metadata.get("dt_p", d[1]), fld.metadata.get("tz", d[2]))
+            # category is physically a string column; cast/from_list/
+            # categorise stamp the marker (Series._stamp_col_meta) so
+            # dtype introspection and replace/2's code-decode branch see
+            # the logical dtype
+            if d == "string" and fld.metadata.get("cat"):
+                d = "category"
             out[fld.name] = d
         return out
 
@@ -2146,8 +2152,18 @@ class DataFrame:
         sdf = self._sdf
         new_cols = []
         for c in cols:
-            got = sdf.select(c).distinct().limit(max_categories + 1).collect()
-            values = sorted(r[0] for r in got if r[0] is not None)
+            # Exclude nulls BEFORE the limit: a null row otherwise eats one
+            # of the max_categories+1 probe slots, so a column with
+            # max_categories+1 real values plus nulls would pass the gate
+            # and silently encode an arbitrary subset.
+            got = (
+                sdf.select(c)
+                .where(F.col(c).isNotNull())
+                .distinct()
+                .limit(max_categories + 1)
+                .collect()
+            )
+            values = sorted(r[0] for r in got)
             if len(values) > max_categories:
                 raise ValueError(
                     f"dummies: column {c!r} has more than {max_categories} distinct "

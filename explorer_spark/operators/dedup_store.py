@@ -261,14 +261,28 @@ def compact_signature_store(path: str, spark, target_partitions: int | None = No
     and small files tax every scan's planning and open() costs).
 
     Reads and rewrites signatures/ and buckets/ through a staging
-    directory, then swaps atomically-enough for a single-writer store
-    (write staging -> swap dirs); bucket partitioning (by band) is
-    preserved. ``target_partitions`` defaults to max(spark default
-    parallelism, current_rows / ~1M) — roughly 1M rows per output file."""
+    directory, then swaps via rename-aside (old table moved out of the
+    way, staging moved in, old copy dropped LAST) so a crash at any
+    point leaves either the old or the new table live and the aside
+    copy recoverable — never a deleted store. The swap is posix-only:
+    non-local schemes (s3a://, hdfs://) are rejected up front; compact
+    an object-store table by writing a new prefix and flipping the
+    reader's path. Bucket partitioning (by band) is preserved.
+    ``target_partitions`` defaults to max(spark default parallelism,
+    current_rows / ~1M) — roughly 1M rows per output file."""
     import math
+    import os
     import shutil
     import uuid
+    from urllib.parse import urlparse
 
+    scheme = urlparse(str(path)).scheme
+    if scheme not in ("", "file"):
+        raise ValueError(
+            f"compact_signature_store swaps directories on the local "
+            f"filesystem; store path {path!r} has scheme {scheme!r}. "
+            "Rewrite to a fresh prefix and repoint readers instead."
+        )
     sig = spark.read.parquet(f"{path}/signatures")
     n = sig.count()
     if target_partitions is None:
@@ -279,8 +293,16 @@ def compact_signature_store(path: str, spark, target_partitions: int | None = No
     sig.repartition(target_partitions).write.parquet(f"{stage}/signatures")
     buckets = spark.read.parquet(f"{path}/buckets")
     buckets.repartition(target_partitions).write.partitionBy("band").parquet(f"{stage}/buckets")
-    # local/posix swap; object stores would rename via their committer
+    # rename-aside swap: never a window where the table is deleted and
+    # its replacement absent — restore the aside copy if the move fails
     for tbl in ("signatures", "buckets"):
-        shutil.rmtree(f"{path}/{tbl}")
-        shutil.move(f"{stage}/{tbl}", f"{path}/{tbl}")
+        live, fresh = f"{path}/{tbl}", f"{stage}/{tbl}"
+        aside = f"{path}/.pre-compact-{tbl}-{uuid.uuid4().hex[:8]}"
+        os.rename(live, aside)
+        try:
+            shutil.move(fresh, live)
+        except BaseException:
+            os.rename(aside, live)
+            raise
+        shutil.rmtree(aside)
     shutil.rmtree(stage, ignore_errors=True)

@@ -592,49 +592,54 @@ from . import queries_ops  # noqa: E402,F401  isort: skip
 # but driver-verified rows are stronger evidence — so export order is
 # STALEST-VERIFICATION-FIRST: queries never sampled by any driver round
 # lead, then ascending round of most recent CORRECTNESS_r{N} appearance.
-# The map below is generated from the CORRECTNESS_r01..r06 key sets
-# (union = all 108 pre-round-7 names). Maintain per round: bump sampled
+# The map below is generated from the CORRECTNESS_r01..r07 key sets
+# (union = all 116 pre-round-8 names). Maintain per round: bump sampled
 # names to the new round number, add new queries WITHOUT an entry (absent
 # = never verified = front of the window).
 _LAST_DRIVER_VERIFIED = {
-    "q1_groupby_agg": 5,
-    "q3_join_topk": 5,
-    "q6_filter_agg": 5,
+    "q1_groupby_agg": 7,
+    "q3_join_topk": 7,
+    "q6_filter_agg": 7,
     "q_ann_bruteforce_topk": 6,
+    "q_ann_index_persisted": 7,
+    "q_ann_index_quantized": 7,
     "q_ann_ivf_topk": 6,
     "q_ann_ivf_trained": 6,
     "q_argminmax": 5,
-    "q_at_every": 5,
-    "q_categorise": 5,
-    "q_concat_columns": 5,
+    "q_at_every": 7,
+    "q_categorise": 7,
+    "q_concat_columns": 7,
     "q_concat_rows": 6,
     "q_conditional_buckets": 6,
     "q_corr_matrix": 5,
     "q_cov_matrix": 5,
     "q_cube_rollup": 6,
-    "q_cummax_running": 4,
+    "q_cummax_running": 7,
     "q_cut_breaks": 5,
     "q_dedup_clusters": 6,
     "q_dedup_embedding_cosine": 6,
     "q_dedup_embedding_lsh": 6,
     "q_dedup_exact": 6,
     "q_dedup_hamming": 6,
+    "q_dedup_incremental": 7,
+    "q_dedup_incremental_stream": 7,
     "q_dedup_minhash_lsh": 6,
     "q_dedup_ngram_jaccard": 6,
     "q_dedup_simhash": 6,
-    "q_describe_stats": 5,
-    "q_distinct_first": 5,
-    "q_distinct_sorted": 5,
-    "q_drop_nil": 5,
+    "q_describe_stats": 7,
+    "q_distinct_first": 7,
+    "q_distinct_sorted": 7,
+    "q_drop_nil": 7,
     "q_dummies_onehot": 6,
-    "q_duration_arith": 4,
+    "q_duration_arith": 7,
     "q_duration_us": 5,
-    "q_embed_quantize_int8": 5,
+    "q_embed_quantize_int8": 7,
+    "q_epoch_ms_counts": 7,
     "q_events_enrich": 6,
     "q_events_running_totals": 6,
-    "q_events_session_window": 5,
+    "q_events_session_window": 7,
     "q_events_sessionize": 6,
-    "q_events_sliding": 5,
+    "q_events_sliding": 7,
     "q_events_stream_dedup": 6,
     "q_events_tumbling": 6,
     "q_ewm_global": 5,
@@ -642,67 +647,70 @@ _LAST_DRIVER_VERIFIED = {
     "q_explode_list": 6,
     "q_fill_forward": 6,
     "q_fill_stats": 5,
-    "q_frequencies": 5,
-    "q_grouped_head_tail": 5,
-    "q_grouped_sample": 5,
-    "q_grouped_sample_replace": 4,
-    "q_grouped_slice": 5,
-    "q_iso_temporal": 5,
-    "q_iso_year_edges": 5,
+    "q_frequencies": 7,
+    "q_grouped_head_tail": 7,
+    "q_grouped_sample": 7,
+    "q_grouped_sample_replace": 7,
+    "q_grouped_slice": 7,
+    "q_iso_temporal": 7,
+    "q_iso_year_edges": 7,
     "q_join_asof_backward": 6,
     "q_join_asof_forward": 5,
     "q_join_asof_nearest": 5,
     "q_join_asof_tolerance": 5,
-    "q_join_left_nulls": 5,
-    "q_join_multi_dim": 5,
+    "q_join_left_nulls": 7,
+    "q_join_multi_dim": 7,
     "q_join_outer": 6,
     "q_json_extract": 6,
-    "q_mask": 4,
-    "q_mode_agg": 4,
+    "q_mask": 7,
+    "q_mode_agg": 7,
     "q_multimodal_decode": 6,
     "q_multimodal_features": 6,
-    "q_multimodal_video": 5,
-    "q_mutate_keep_none": 5,
-    "q_pack_context_windows": 5,
+    "q_multimodal_video": 7,
+    "q_mutate_keep_none": 7,
+    "q_pack_context_windows": 7,
     "q_peaks": 6,
     "q_pivot_first": 5,
     "q_pivot_longer": 6,
     "q_pivot_wider": 6,
     "q_pull_series": 6,
-    "q_put": 4,
+    "q_put": 7,
     "q_qcut_buckets": 6,
     "q_rank_ties": 5,
     "q_regex_ops": 6,
-    "q_rename_relocate": 5,
+    "q_rename_relocate": 7,
     "q_rolling_window": 6,
-    "q_sample_replace": 4,
-    "q_sample_seeded": 5,
-    "q_series_transform": 5,
+    "q_sample_replace": 7,
+    "q_sample_seeded": 7,
+    "q_series_transform": 7,
     "q_slice_offset": 6,
-    "q_spearman_corr": 5,
-    "q_sql_passthrough": 4,
-    "q_stats_agg": 5,
+    "q_spearman_corr": 7,
+    "q_sql_passthrough": 7,
+    "q_stats_agg": 7,
     "q_strftime_buckets": 6,
     "q_string_ops": 6,
     "q_temporal_parts": 6,
     "q_text_chunking": 6,
     "q_text_decontaminate": 6,
+    "q_text_dup_spans": 7,
     "q_text_fingerprint": 6,
-    "q_text_hash_sample": 5,
+    "q_text_hash_sample": 7,
     "q_text_langid": 6,
     "q_text_line_clean": 6,
     "q_text_pii_scrub": 6,
-    "q_text_repetition": 5,
+    "q_text_quality_logistic": 7,
+    "q_text_repetition": 7,
     "q_text_stats": 6,
     "q_text_tfidf": 6,
     "q_text_unigram_logprob": 6,
     "q_time_parts": 5,
     "q_transpose": 5,
+    "q_tz_wall_clock": 7,
     "q_ungrouped_quantile": 6,
     "q_unnest_struct": 5,
-    "q_window_cumsum": 5,
-    "q_window_lag": 5,
-    "q_window_rank": 5,
+    "q_window_cumsum": 7,
+    "q_window_lag": 7,
+    "q_window_rank": 7,
     "q_window_rolling_full": 6,
     "q_window_weighted": 6,
 }

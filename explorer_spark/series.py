@@ -20,7 +20,7 @@ from .expr import Expr, LowerCtx, col, lit
 from .frame import ORDER_COL, DataFrame
 
 
-from .expr import _us_to_interval  # noqa: E402  (shared with the cast lowering)
+from .expr import _div_trunc_exact, _us_to_interval  # noqa: E402  (shared with the cast lowering)
 
 
 def _dur_unit(target) -> str:
@@ -231,6 +231,8 @@ class Series:
         out = Series(frame, name)
         if _dur_target is not None:
             out = out.cast(_dur_target)
+        if dtype is not None and dt.normalize(dtype) == "category":
+            out = _stamp_col_meta(out, {"cat": True})
         return out
 
     # -- materialization ----------------------------------------------------
@@ -450,6 +452,11 @@ class Series:
     def cast(self, dtype) -> "Series":
         cur = self.dtype
         target = dt.normalize(dtype)
+        if target == "category":
+            # physically a string column; the marker metadata makes
+            # dtype report :category and enables replace/2's code decode
+            out = self._apply(Expr("cast", self._c(), "string"))
+            return _stamp_col_meta(out, {"cat": True})
         if isinstance(cur, tuple) and cur[0] == "duration" and dt.is_integer(target):
             # duration -> integer yields the count in the duration's
             # precision unit (reference shared.ex:12-22), not Spark's
@@ -486,7 +493,7 @@ class Series:
             unit = _dur_unit(target)
             to_us = {"ms": 1_000, "us": 1, "s": 1_000_000, "ns": None}.get(unit, 1)
             v = F.col(self.name).cast("long")
-            us = (v / 1_000).cast("long") if to_us is None else v * F.lit(to_us)
+            us = _div_trunc_exact(v, 1_000) if to_us is None else v * F.lit(to_us)
             return _stamp_dur_precision(self._apply(_raw(_us_to_interval(us))), unit)
         if isinstance(target, tuple) and target[0] in ("naive_datetime", "datetime"):
             unit = _dur_unit(target)
@@ -533,7 +540,7 @@ class Series:
                     {"millisecond": "ms", "microsecond": "us", "nanosecond": "ns"}.get(unit, unit), 1
                 )
                 v = F.col(self.name).cast("long")
-                micros = (v / 1_000).cast("long") if to_us is None else v * F.lit(to_us)
+                micros = _div_trunc_exact(v, 1_000) if to_us is None else v * F.lit(to_us)
                 ts = F.timestamp_micros(micros)
                 if target[0] == "naive_datetime":
                     ts = ts.cast(T.TimestampNTZType())  # session tz is UTC
@@ -568,7 +575,7 @@ class Series:
         if dt.is_integer(cur):
             to_us = {"ms": 1_000, "us": 1, "s": 1_000_000, "ns": None}.get(unit, 1)
             v = F.col(self.name).cast("long")
-            micros = (v / 1_000).cast("long") if to_us is None else v * F.lit(to_us)
+            micros = _div_trunc_exact(v, 1_000) if to_us is None else v * F.lit(to_us)
             ts = F.timestamp_micros(micros)
         else:
             ts = F.col(self.name).cast(T.TimestampType())
@@ -777,9 +784,10 @@ class Series:
         if len(args) == 1 and isinstance(args[0], list):
             values = args[0]
             d = self.dtype
-            if d == "category" or (
-                d == "string" and self._frame.dtypes.get(self.name) == "category"
-            ):
+            if d == "category":
+                # integer CODES decode through the EXISTING categories
+                # (series.ex:781-798); category-ness rides as the "cat"
+                # column-metadata marker, so dtype genuinely reports it
                 codes = Series.from_list(values, dtype=("s", 64), name=self.name)
                 return codes.categorise(self.categories())
             return Series.from_list(values, dtype=d, name=self.name)
@@ -788,10 +796,11 @@ class Series:
         raise TypeError("replace takes a list (contents conversion) or (substring, replacement)")
 
     def categorise(self, categories: list[str]) -> "Series":
-        """Map integer codes -> category strings (dictionary decode)."""
+        """Map integer codes -> category strings (dictionary decode).
+        The result is a :category series (reference series.ex:1327+)."""
         mapping = F.array(*[F.lit(c) for c in categories])
         decoded = F.when(F.col(self.name).isNotNull(), mapping[F.col(self.name).cast("int")])
-        return self._apply(Expr("raw", decoded))
+        return _stamp_col_meta(self._apply(Expr("raw", decoded)), {"cat": True})
 
     def categories(self) -> list[str]:
         """Distinct values in first-appearance order (dictionary levels)."""
