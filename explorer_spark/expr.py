@@ -359,6 +359,11 @@ def _cast(ctx: "LowerCtx", a, dtype) -> Column:
             src_t, src_meta = fld.dataType, dict(fld.metadata or {})
         except Exception:
             pass
+    if isinstance(a, Expr):
+        # computed children carry no Spark metadata — the Expr-tree
+        # inference supplies tz/dt_p/dur_p so e.g. a shifted tz column
+        # still casts to the epoch count of its LOGICAL precision
+        src_meta = {**_node_meta(a, ctx), **src_meta}
 
     def unit_of(tup, default="us"):
         u = tup[1] if len(tup) > 1 else default
@@ -480,28 +485,107 @@ def _log(ctx, a, base=None):
     return F.log(float(base), _c(a, ctx))
 
 
-def _wall(ctx: "LowerCtx", a) -> Column:
-    """Lower ``a`` for a WALL-CLOCK temporal read: when it resolves to a
-    ``{:datetime, p, tz}`` column (non-UTC ``tz`` column metadata,
-    stamped by Series casts / from_list), shift the instant into its
-    zone first so year/hour/strftime/... report LOCAL fields — the
-    reference reads the column's own zone (shared.ex:78-79;
-    series/datetime_test.exs wall-field tests). Instant semantics
-    (arithmetic, comparison, aggregation) keep the plain ``_c``.
+# ops whose result VALUE is (one of) its temporal children — metadata
+# (tz / logical precision) rides through them; everything else drops to
+# the physical µs/UTC reading. Spark itself drops column metadata
+# through every function, so this is the repo's OWN dtype carriage, the
+# way the reference's LazySeries carries a dtype per node
+# (lazy_series.ex:216-236).
+_META_TRANSPARENT = frozenset(
+    {
+        "alias",
+        "add",
+        "subtract",
+        "coalesce",
+        "select",  # conditional select(cond, on_true, on_false)
+        "fill_missing_with_value",
+        "fill_missing_forward",
+        "fill_missing_backward",
+        "min",
+        "max",
+        "first",
+        "last",
+        "mode",
+        "shift",
+        "clip",
+        "cumulative_min",
+        "cumulative_max",
+    }
+)
 
-    Resolution is analysis-only against ``ctx.sdf`` (the pow-dtype
-    mechanism): no job runs. Computed children lose column metadata in
-    Spark, so they read UTC wall clock — same as an explicit relabel."""
+
+def _node_meta(x, ctx: "LowerCtx") -> dict:
+    """Temporal metadata (``tz`` / ``dt_p`` / ``dur_p``) of an
+    expression's RESULT, inferred structurally over the Expr tree.
+    Column nodes read the frame's stamped metadata; cast nodes SET it;
+    value-preserving ops propagate it when their temporal children
+    agree (datetime ± duration keeps the datetime side's zone — the
+    reference passes the dtype's zone through arithmetic,
+    shared.ex:78-79). ``tz`` is only ever APPLIED where the lowered
+    Spark type is a TimestampType (``_wall`` / ``_cast`` check), so
+    inferring through datetime−datetime (a duration) is harmless."""
+    if not isinstance(x, Expr):
+        return {}
+    op = x.op
+    if op == "column":
+        sdf = ctx.sdf
+        if sdf is None:
+            return {}
+        try:
+            md = dict(sdf.schema[x.args[0]].metadata or {})
+        except Exception:
+            return {}
+        return {k: md[k] for k in ("tz", "dt_p", "dur_p") if k in md}
+    if op == "cast":
+        d = dt.normalize(x.args[1])
+        meta = {}
+        if isinstance(d, tuple) and d[0] in ("naive_datetime", "datetime"):
+            unit = _UNIT_SHORT.get(d[1], d[1]) if len(d) > 1 else "us"
+            if unit in ("ms", "ns"):
+                meta["dt_p"] = unit
+            if d[0] == "datetime" and len(d) > 2 and d[2] not in ("Etc/UTC", "UTC"):
+                meta["tz"] = d[2]
+        if isinstance(d, tuple) and d[0] == "duration":
+            unit = _UNIT_SHORT.get(d[1], d[1]) if len(d) > 1 else "us"
+            if unit != "us":
+                meta["dur_p"] = unit
+        return meta
+    if op in _META_TRANSPARENT:
+        metas = [_node_meta(a, ctx) for a in x.args if isinstance(a, Expr)]
+        dt_metas = [
+            {k: m[k] for k in ("tz", "dt_p") if k in m} for m in metas
+        ]
+        dt_metas = [m for m in dt_metas if m]
+        if dt_metas and all(m == dt_metas[0] for m in dt_metas):
+            return dict(dt_metas[0])
+        dur_metas = [{"dur_p": m["dur_p"]} for m in metas if "dur_p" in m]
+        if not dt_metas and dur_metas and all(m == dur_metas[0] for m in dur_metas):
+            return dict(dur_metas[0])
+    return {}
+
+
+def _wall(ctx: "LowerCtx", a) -> Column:
+    """Lower ``a`` for a WALL-CLOCK temporal read: when it carries a
+    non-UTC ``tz`` (a stamped ``{:datetime, p, tz}`` column OR a
+    computed child of one — ``_node_meta`` walks the Expr tree), shift
+    the instant into its zone first so year/hour/strftime/... report
+    LOCAL fields — the reference reads the column's own zone
+    (shared.ex:78-79; series/datetime_test.exs wall-field tests).
+    Instant semantics (arithmetic, comparison, aggregation) keep the
+    plain ``_c``.
+
+    Type confirmation is analysis-only against ``ctx.sdf`` (the
+    pow-dtype mechanism): no job runs, and it happens only when a zone
+    was actually inferred."""
     c = _c(a, ctx)
-    sdf = ctx.sdf
-    if sdf is None or not any(f.metadata.get("tz") for f in sdf.schema.fields):
+    tz = _node_meta(a, ctx).get("tz")
+    if not tz or tz in ("Etc/UTC", "UTC") or ctx.sdf is None:
         return c
     try:
-        fld = sdf.select(c.alias("__wall__")).schema[0]
+        fld = ctx.sdf.select(c.alias("__wall__")).schema[0]
     except Exception:
         return c
-    tz = fld.metadata.get("tz")
-    if tz and tz not in ("Etc/UTC", "UTC") and isinstance(fld.dataType, T.TimestampType):
+    if isinstance(fld.dataType, T.TimestampType):
         return F.from_utc_timestamp(c, tz)
     return c
 

@@ -653,6 +653,26 @@ class DataFrame:
                 stamps[name] = meta
         return stamps
 
+    def _mutate_meta_stamps(self, exprs: dict) -> dict:
+        """Stamps for mutate outputs: top-level casts (eagerly
+        validated, ``_mutate_cast_meta``) plus the Expr-tree metadata
+        inference (``expr._node_meta``) for COMPUTED temporal children —
+        ``mutate(t2 = col(ts) + dur)`` keeps the zone/precision of
+        ``ts``, so a chained ``col("t2").hour()`` (or a datetime->int
+        cast) still reads the logical dtype, exactly as the reference's
+        LazySeries carries dtype per node (lazy_series.ex:216-236)."""
+        from .expr import _node_meta
+
+        stamps = self._mutate_cast_meta(exprs)
+        ctx = LowerCtx(sdf=self._sdf)
+        for name, e in exprs.items():
+            if name in stamps or not isinstance(e, Expr):
+                continue
+            m = _node_meta(e, ctx)
+            if m:
+                stamps[name] = m
+        return stamps
+
     def _mutate_all(self, exprs: dict) -> "DataFrame":
         if (
             self.groups
@@ -670,7 +690,7 @@ class DataFrame:
                 return res._replace(res._sdf.drop(*tmps))
         needs_order = any(_tree_has(e, *ORDERED_EXPR_OPS) for e in exprs.values())
         has_agg = any(isinstance(e, Expr) and e.references_agg() for e in exprs.values())
-        meta_stamps = self._mutate_cast_meta(exprs)
+        meta_stamps = self._mutate_meta_stamps(exprs)
         if not self.groups and (needs_order or has_agg):
             mat, rewritten = self._materialize_distributed(list(exprs.values()))
             cols = {

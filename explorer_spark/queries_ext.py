@@ -640,6 +640,40 @@ def q_tz_wall_clock(spark, sf_dir):
 
 
 @query(
+    "q_tz_derived_wall",
+    """
+    SELECT CAST(hour(timezone('America/New_York', timezone('UTC', ts + INTERVAL 90 MINUTE))) AS INT) AS hr,
+           CAST(isodow(timezone('America/New_York', timezone('UTC', ts + INTERVAL 90 MINUTE))) AS INT) AS dow,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS total
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_tz_derived_wall(spark, sf_dir):
+    """Zone carriage through COMPUTED expression children (round-8
+    closure of the last tz gap): the wall-clock read is over
+    ``ts_ny + 90min`` — a derived child, which Spark strips column
+    metadata from — so the zone must ride the repo's OWN Expr-tree
+    dtype inference (expr._node_meta), the way the reference's
+    LazySeries carries dtype per node (lazy_series.ex:216-236;
+    wall-field semantics shared.ex:78-79). The oracle derives the same
+    timestamp and reads it AT TIME ZONE in DuckDB. Plan shape matches
+    q_tz_wall_clock: zero-shuffle projection + one group-by exchange."""
+    import datetime as _dtm
+
+    ev = _t(spark, sf_dir, "events")
+    shifted = col("ts_ny") + _dtm.timedelta(minutes=90)
+    return (
+        ev.mutate(ts_ny=f.cast(col("ts"), ("datetime", "us", "America/New_York")))
+        .mutate(hr=f.hour(shifted), dow=f.day_of_week(shifted))
+        .group_by("hr", "dow")
+        .summarise(n=f.size(col("event_id")), total=f.round(f.sum(col("value")), 2))
+        .lazy_sdf()
+    )
+
+
+@query(
     "q_epoch_ms_counts",
     """
     SELECT COUNT(*) AS n,

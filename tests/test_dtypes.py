@@ -284,6 +284,52 @@ def test_datetime_tz_expression_level_wall_clock(spark):
     assert u._frame.mutate(h=f.hour(col("values"))).to_columns()["h"] == [23]
 
 
+def test_datetime_tz_computed_children_keep_zone(spark):
+    """Round-8 closure of the last tz gap: a COMPUTED child —
+    ``(col(ts) + duration).hour()`` — keeps the column's zone even
+    though Spark strips column metadata through functions, because the
+    Expr tree carries tz/dt_p/dur_p itself (expr._node_meta, the
+    reference's per-node dtype, lazy_series.ex:216-236). Wall-field
+    reference semantics: shared.ex:78-79, series/datetime_test.exs."""
+    import datetime as dtm
+    from zoneinfo import ZoneInfo
+
+    from explorer_spark import functions as f
+    from explorer_spark.functions import col
+    from explorer_spark.series import Series
+
+    ny = ZoneInfo("America/New_York")
+    vals = [
+        dtm.datetime(2023, 6, 1, 23, 30, tzinfo=ny),  # +2h -> June 2, 01:30 local
+        dtm.datetime(2023, 1, 15, 1, 10, tzinfo=ny),  # +2h -> Jan 15, 03:10 local
+        None,
+    ]
+    s = Series.from_list(vals, name="ts")
+    df = s._frame
+    two_h = dtm.timedelta(hours=2)
+    # direct computed child
+    m = df.mutate(h=f.hour(col("ts") + two_h), d=f.day_of_month(col("ts") + two_h))
+    assert m.to_columns()["h"] == [1, 3, None]
+    assert m.to_columns()["d"] == [2, 15, None]
+    # chained mutate: the intermediate column is stamped, so a LATER
+    # frame still reads the zone
+    g = df.mutate(t2=col("ts") + two_h)
+    assert g.dtypes["t2"] == ("datetime", "us", "America/New_York")
+    assert g.mutate(h=f.hour(col("t2"))).to_columns()["h"] == [1, 3, None]
+    # meta rides through fill/coalesce/conditional select, and a
+    # datetime - datetime (duration) result does NOT wall-shift
+    cond = f.select(f.is_nil(col("ts")), col("ts"), col("ts") + two_h)
+    assert df.mutate(h=f.hour(cond)).to_columns()["h"] == [1, 3, None]
+    # Series-level and expression-level agree (the old divergence)
+    assert (s + two_h).hour().to_list() == [1, 3, None]
+    # a derived child of a ms-precision column casts to ms counts
+    msd = Series.from_list(
+        [dtm.datetime(2024, 1, 1, 0, 0, 1), None], name="ts"
+    ).cast(("naive_datetime", "ms"))
+    fr = msd._frame.mutate(c=f.cast(col("ts") + two_h, ("s", 64)))
+    assert fr.to_columns()["c"] == [(1704067200 + 1 + 7200) * 1000, None]
+
+
 def test_datetime_tz_validation(spark):
     import datetime as dtm
     from zoneinfo import ZoneInfo
