@@ -609,11 +609,21 @@ class Series:
         nf = self._frame.sort_by(key, descending=(direction == "desc"), nils_last=nils_last)
         return Series(nf, self.name)
 
-    def argsort(self, descending: bool = False) -> list[int]:
-        f = self._frame._with_row_index("__idx__")
-        key = F.col(self.name).desc_nulls_last() if descending else F.col(self.name).asc_nulls_last()
-        rows = f._sdf.orderBy(key, F.col("__idx__")).select("__idx__").collect()
-        return [r["__idx__"] for r in rows]
+    def argsort(self, descending: bool = False) -> "Series":
+        """Indices that would sort the series, as a SERIES (reference
+        series.ex:4779-4830 returns a u32 index series; s_argsort
+        series.rs:150-186) — computed fully DISTRIBUTED: the contiguous
+        0-based row index attaches via the per-partition-offset kernel
+        (operators/ordered.with_global_index), a range-partitioned sort
+        puts it in key order (ties keep original order — stable, like
+        the old collect-based rendering), and the result stays a lazy
+        frame. No whole-column driver collect (r7 verdict #3);
+        ``to_list()`` is the explicit materialization step. Indices are
+        s64 (physical twin of the reference's u32)."""
+        f = self._frame.select([self.name])._with_row_index("__argsort_idx__")
+        nf = f.sort_by(self.name, descending=descending, nils_last=True, stable=True)
+        out = nf._replace(nf._sdf.select("__argsort_idx__", ORDER_COL))
+        return Series(out.rename({"__argsort_idx__": self.name}), self.name)
 
     def reverse(self) -> "Series":
         base = self._frame._ordered()

@@ -507,3 +507,31 @@ def test_ivf_index_query_prunes_partitions(spark, tmp_path):
     # results identical to the in-memory path (same tie rules)
     mem = ivf_topk_trained(emb, queries, k=5, centroids=_IVF_CENTROIDS, nprobe=2)
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, mem.collect()))
+
+
+def test_argsort_is_distributed(spark):
+    """Series.argsort returns a lazy SERIES computed distributed (r7
+    verdict #3): the plan is index-kernel + range-partitioned sort —
+    no whole-column driver collect happens to BUILD it (building the
+    series runs only the index kernel's small stats jobs), and the
+    sort has no single-partition global window (row_number over an
+    unpartitioned window would show as 'Window' with no partition
+    spec over one Exchange SinglePartition feeding the whole column)."""
+    from explorer_spark.sources import read_parquet
+
+    li = read_parquet("/root/testdata/sf0.001/lineitem.parquet", spark=spark)
+    s = li.pull("l_extendedprice")
+    out = s.argsort()
+    # lazy: no action ran to produce the object beyond the index
+    # kernel's bounded stats job; the result is a Series
+    from explorer_spark.series import Series
+
+    assert isinstance(out, Series)
+    plan = _plan(out._frame.lazy_sdf())
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # correctness against the driver-side definition on a sample
+    head = out.head(20).to_list()
+    vals = [r["l_extendedprice"] for r in li.lazy_sdf().select("l_extendedprice").collect()]
+    expected = sorted(range(len(vals)), key=lambda i: (vals[i] is None, vals[i], i))[:20]
+    assert head == expected

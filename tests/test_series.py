@@ -43,7 +43,14 @@ def test_sort_reverse_distinct(s):
 
 
 def test_argsort(s):
-    assert s.argsort() == [1, 4, 0, 3, 5, 2]
+    out = s.argsort()
+    # distributed: returns a SERIES of indices (reference u32 series,
+    # series.ex:4808), not a driver-collected list
+    from explorer_spark.series import Series
+
+    assert isinstance(out, Series)
+    assert out.to_list() == [1, 4, 0, 3, 5, 2]
+    assert s.argsort(descending=True).to_list() == [5, 3, 0, 1, 4, 2]
 
 
 def test_map_filter(s):
