@@ -734,8 +734,25 @@ def _geo_scan(x, c):
     return out
 
 
-def ewm_global(sdf: SDF, idx_col: str, specs: dict, n_hint: int | None = None) -> SDF:
+def ewm_global(
+    sdf: SDF,
+    idx_col: str,
+    specs: dict,
+    n_hint: int | None = None,
+    group_cols: list[str] | None = None,
+) -> SDF:
     """Distributed ungrouped EWM over global index order.
+
+    ``group_cols``: per-GROUP variant (the giant-group path of grouped
+    ewm, rolling.ewm_columns): ``idx_col`` must then be a contiguous
+    0-based index WITHIN each group (each group occupying its own 0..n_g
+    range), local scans key on (group, bucket), and the driver carry
+    combine resets its running state at each group boundary. The caller
+    guarantees the subset routed here holds only groups LARGER than the
+    giant-group gate, so the (group, bucket) carry rows stay bounded by
+    n/bucket_width + n/gate. The ignore_nils=False + adjust=False corner
+    (the gapped kernel) is not group-aware — callers keep that corner on
+    the per-group pandas path.
 
     specs: out_name -> (kind, src_col, alpha, adjust[, ignore_nils]),
     kind in {mean, variance, standard_deviation}.  ``ignore_nils=True``
@@ -759,6 +776,7 @@ def ewm_global(sdf: SDF, idx_col: str, specs: dict, n_hint: int | None = None) -
     """
     import pandas as pd
 
+    gcols = list(group_cols or [])
     specs = {o: (t + (True,) if len(t) == 4 else t) for o, t in specs.items()}
 
     # ignore_nils=False + adjust=False renormalizes per observation —
@@ -768,6 +786,11 @@ def ewm_global(sdf: SDF, idx_col: str, specs: dict, n_hint: int | None = None) -
     gapped = {
         o: (k, src, a) for o, (k, src, a, adj, ign) in specs.items() if not ign and not adj
     }
+    if gapped and gcols:
+        raise ValueError(
+            "grouped ewm_global does not support the ignore_nils=False + "
+            "adjust=False corner; callers route it to the pandas path"
+        )
     specs = {o: t for o, t in specs.items() if o not in gapped}
     if gapped:
         sdf = ewm_gapped(sdf, idx_col, gapped, n_hint=n_hint)
@@ -844,38 +867,53 @@ def ewm_global(sdf: SDF, idx_col: str, specs: dict, n_hint: int | None = None) -
                 pdf[cname(kind, src, a, ign)] = _geo_scan(w, c)
         return pdf
 
-    local = s.groupBy(BUCKET).applyInPandas(local_pass, local_schema).localCheckpoint(eager=False)
+    keycols = gcols + [BUCKET]
+    local = s.groupBy(*keycols).applyInPandas(local_pass, local_schema).localCheckpoint(eager=False)
 
     # bucket end states -> incoming carries, combined on the driver
-    # (ceil(n/B) rows, bounded — same bound as the zipWithIndex stats job)
+    # (ceil(n/B) rows, bounded — same bound as the zipWithIndex stats
+    # job; grouped: + one row per group boundary, bounded by n/gate)
     end_aggs = [F.max(F.col(idx_col)).alias("__last__")] + [
         F.max_by(F.col(cname(k, s_, a, i)), F.col(idx_col)).alias(cname(k, s_, a, i))
         for (k, s_, a, i, _p) in all_chans
     ] + [F.max(F.col(kname(src))).alias(kname(src)) for src in k_srcs]
-    ends = local.groupBy(BUCKET).agg(*end_aggs)
+    ends = local.groupBy(*keycols).agg(*end_aggs)
     ends = ends.withColumn("__len__", F.col("__last__") % F.lit(bw) + 1).drop("__last__")
     end_rows = ends.collect()
-    end_rows.sort(key=lambda r: r[BUCKET])
+
+    def _gkey(r):
+        # null group keys are real groups; sort them deterministically
+        return tuple((r[g] is None, r[g]) for g in gcols)
+
+    end_rows.sort(key=lambda r: (_gkey(r), r[BUCKET]))
     carry_by_chan: dict = {cname(k, s_, a, i): {} for (k, s_, a, i, _p) in all_chans}
     voff_by_src: dict = {src: {} for src in k_srcs}  # valid-rank offsets
     running = {cname(k, s_, a, i): 0.0 for (k, s_, a, i, _p) in all_chans}
     vrun = {src: 0 for src in k_srcs}
+    prev_g: object = None
     for r in end_rows:
+        cur_g = tuple(r[g] for g in gcols)
+        if gcols and cur_g != prev_g:
+            # carry state never crosses a group boundary
+            running = {nm: 0.0 for nm in running}
+            vrun = {src: 0 for src in k_srcs}
+            prev_g = cur_g
+        rkey = cur_g + (r[BUCKET],) if gcols else r[BUCKET]
         for (kind, src, a, ign, power) in all_chans:
             c = (1.0 - a) ** power
             nm = cname(kind, src, a, ign)
             steps = int(r[kname(src)]) if ign else int(r["__len__"])
-            carry_by_chan[nm][r[BUCKET]] = running[nm]
+            carry_by_chan[nm][rkey] = running[nm]
             running[nm] = r[nm] + (c ** steps) * running[nm]
         for src in k_srcs:
-            voff_by_src[src][r[BUCKET]] = vrun[src]
+            voff_by_src[src][rkey] = vrun[src]
             vrun[src] += int(r[kname(src)])
     nb = (max(end_rows, key=lambda r: r[BUCKET])[BUCKET] + 1) if end_rows else 0
     extra = {("__carry_" + nm): (vals, T.DoubleType(), 0.0) for nm, vals in carry_by_chan.items()}
     extra.update(
         {f"__voff_{src}__": (vals, T.LongType(), 0) for src, vals in voff_by_src.items()}
     )
-    if nb <= ARRAY_LOOKUP_MAX:
+    if not gcols and nb <= ARRAY_LOOKUP_MAX:
         j = local.withColumns(
             {
                 nm: _array_lookup(F.col(BUCKET), _dense(vals, nb, dflt), dt)
@@ -884,14 +922,29 @@ def ewm_global(sdf: SDF, idx_col: str, specs: dict, n_hint: int | None = None) -
         )
     else:
         names = sorted(extra)
-        carry_fields = [T.StructField(BUCKET, T.LongType())] + [
-            T.StructField(nm, extra[nm][1]) for nm in names
-        ]
-        carry_rows = [
-            tuple([b] + [extra[nm][0].get(b, extra[nm][2]) for nm in names])
-            for b in sorted({r[BUCKET] for r in end_rows})
-        ]
-        j = local.join(F.broadcast(_lookup_df(sdf.sparkSession, carry_rows, carry_fields)), BUCKET, "left")
+        schema_by_name = {f.name: f.dataType for f in sdf.schema.fields}
+        gtmp = [f"__cg{i}__" for i in range(len(gcols))]
+        carry_fields = (
+            [T.StructField(t, schema_by_name[g]) for t, g in zip(gtmp, gcols)]
+            + [T.StructField("__cb__", T.LongType())]
+            + [T.StructField(nm, extra[nm][1]) for nm in names]
+        )
+        seen_keys = sorted(
+            {(_gkey(r), r[BUCKET]) for r in end_rows},
+        )
+        carry_rows = []
+        for gk, b in seen_keys:
+            gvals = tuple(v for (_isnull, v) in gk)
+            k = gvals + (b,) if gcols else b
+            carry_rows.append(
+                tuple(gvals) + (b,) + tuple(extra[nm][0].get(k, extra[nm][2]) for nm in names)
+            )
+        lut = F.broadcast(_lookup_df(sdf.sparkSession, carry_rows, carry_fields))
+        cond = F.col(BUCKET) == F.col("__cb__")
+        for t, g in zip(gtmp, gcols):
+            # eqNullSafe: a null group key is a real group
+            cond = cond & F.col(g).eqNullSafe(F.col(t))
+        j = local.join(lut, cond, "left").drop("__cb__", *gtmp)
     abs_pos = (F.col(idx_col) % F.lit(bw) + 1).cast("double")  # i+1
 
     def total(kind, src, a, ign, power):
@@ -900,19 +953,31 @@ def ewm_global(sdf: SDF, idx_col: str, specs: dict, n_hint: int | None = None) -
         pos = F.col(kname(src)).cast("double") if ign else abs_pos
         return F.col(cname(kind, src, a, ign)) + F.pow(F.lit(c), pos) * carry
 
-    # first-valid scalars, needed once per adjust=False source
+    # first-valid scalars, needed once per adjust=False source — per
+    # GROUP when grouped (each group restarts its recursion)
     fv_cols = []
     for out_name, (kind, src, a, adjust, ign) in specs.items():
         if adjust:
             continue
         x0, j0 = f"__x0_{out_name}__", f"__j0_{out_name}__"
-        first = sdf.where(
+        valid_rows = sdf.where(
             F.col(src).isNotNull() & ~F.isnan(F.col(src).cast("double"))
-        ).agg(
+        )
+        aggs = [
             F.min_by(F.col(src), F.col(idx_col)).alias(x0),
             F.min(F.col(idx_col)).alias(j0),
-        )
-        j = j.crossJoin(F.broadcast(first))
+        ]
+        if gcols:
+            gtmp2 = [f"__fg{i}_{out_name}__" for i in range(len(gcols))]
+            first = valid_rows.groupBy(
+                *[F.col(g).alias(t) for t, g in zip(gtmp2, gcols)]
+            ).agg(*aggs)
+            cond = F.lit(True)
+            for t, g in zip(gtmp2, gcols):
+                cond = cond & F.col(g).eqNullSafe(F.col(t))
+            j = j.join(F.broadcast(first), cond, "left").drop(*gtmp2)
+        else:
+            j = j.crossJoin(F.broadcast(valid_rows.agg(*aggs)))
         fv_cols += [x0, j0]
 
     out_cols = {}

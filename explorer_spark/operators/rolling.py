@@ -282,6 +282,36 @@ def ewm_columns(frame, specs: dict[str, tuple], order_cols=None):
                 pdf[out_name] = r
             return pdf
 
+        # giant-group gate (r7 verdict #4): the bucket path is exact and
+        # fast at normal cardinality, but a single skewed group lands
+        # WHOLE in one executor's pandas frame at 100x. Probe the max
+        # group size (one map-side-combined count agg); when any group
+        # exceeds the gate, those groups route through the distributed
+        # affine prefix-composition kernel (ewm_global's grouped face:
+        # per-group contiguous index -> bucketed local scans -> bounded
+        # per-group carry combine) while normal-size groups keep the
+        # pandas path. The ignore_nils=False + adjust=False corner is
+        # pandas-only (the gapped kernel is not group-aware), same
+        # whole-group bound as before — documented scale edge.
+        import os
+
+        gate = int(os.environ.get("SPARK_GRAFT_EWM_GROUP_GATE", 1 << 21))
+        has_gapped = any((not t[3]) and (not t[4]) for t in specs.values())
+        mx = None
+        if not has_gapped:
+            # limit-probe first: a frame with <= gate rows can't hold a
+            # giant group, and the limit short-circuits without the
+            # group-count shuffle (the common case pays ~one scan task)
+            if sdf.limit(gate + 1).count() > gate:
+                mx_row = (
+                    sdf.groupBy(*groups)
+                    .agg(F.count(F.lit(1)).alias("__c__"))
+                    .agg(F.max("__c__").alias("__m__"))
+                    .first()
+                )
+                mx = mx_row["__m__"] if mx_row else None
+        if mx is not None and mx > gate:
+            return _ewm_grouped_giant(sdf, groups, specs, out_schema, apply_bucket, nb, gate)
         bucketed = sdf.withColumn("__ewmb__", F.pmod(F.xxhash64(*groups), F.lit(nb)))
         out = bucketed.groupBy("__ewmb__").applyInPandas(apply_bucket, out_schema)
         return DataFrame(out, groups=groups, has_order=True)
@@ -296,3 +326,46 @@ def ewm_columns(frame, specs: dict[str, tuple], order_cols=None):
         idxed._sdf, "__eidx__", specs, n_hint=getattr(idxed, "_row_count_hint", None)
     ).drop("__eidx__")
     return DataFrame(out, groups=[], has_order=True)
+
+
+def _ewm_grouped_giant(sdf, groups, specs, out_schema, apply_bucket, nb, gate):
+    """Grouped ewm when at least one group exceeds the giant-group gate:
+    normal-size groups keep the exact pandas bucket path; giant groups
+    route through the distributed affine prefix-composition kernel
+    (ewm_global with group_cols) so no single task ever holds a whole
+    group. Per-group contiguous indexes come from one range-partitioned
+    sort over (groups, order) + the per-partition-offset kernel — each
+    giant group occupies a contiguous index range, so the (group,
+    bucket) carry rows stay bounded by n/bucket_width + n/gate."""
+    from ..frame import ORDER_COL, DataFrame
+    from .ordered import ewm_global, with_global_index
+
+    sizes = sdf.groupBy(*groups).agg(F.count(F.lit(1)).alias("__gsz__"))
+    gtmp = [f"__gk{i}__" for i in range(len(groups))]
+    giant_keys = sizes.filter(F.col("__gsz__") > gate).select(
+        *[F.col(g).alias(t) for g, t in zip(groups, gtmp)]
+    )
+    cond = F.lit(True)
+    for g, t in zip(groups, gtmp):
+        cond = cond & F.col(g).eqNullSafe(F.col(t))  # null keys are real groups
+    normal_sdf = sdf.join(F.broadcast(giant_keys), cond, "left_anti")
+    giant_sdf = sdf.join(F.broadcast(giant_keys), cond, "left_semi")
+
+    bucketed = normal_sdf.withColumn("__ewmb__", F.pmod(F.xxhash64(*groups), F.lit(nb)))
+    out_n = bucketed.groupBy("__ewmb__").applyInPandas(apply_bucket, out_schema)
+
+    keys = [F.col(g).asc_nulls_last() for g in groups] + [F.col(ORDER_COL).asc()]
+    idxed = with_global_index(giant_sdf, keys, name="__gix__")
+    starts = idxed.groupBy(*[F.col(g).alias(t) for g, t in zip(groups, gtmp)]).agg(
+        F.min("__gix__").alias("__gstart__")
+    )
+    lidxed = (
+        idxed.join(F.broadcast(starts), cond, "left")
+        .withColumn("__lidx__", F.col("__gix__") - F.col("__gstart__"))
+        .drop("__gstart__", *gtmp)
+    )
+    out_g = ewm_global(lidxed, "__lidx__", specs, group_cols=list(groups)).drop(
+        "__gix__", "__lidx__"
+    )
+    out = out_n.unionByName(out_g.select(*[f.name for f in out_schema.fields]))
+    return DataFrame(out, groups=list(groups), has_order=True)
