@@ -88,7 +88,7 @@ def shingle_rows(sdf, key_col: str, text_col: str, n: int):
     return out.select(F.col(key_col), F.concat_ws(" ", *parts).alias("shingle"))
 
 
-def shingle_rows_arrow(sdf, key_col: str, text_col: str, n: int):
+def shingle_rows_arrow(sdf, key_col: str, text_col: str, n: int, pos_col: str | None = None):
     r"""(key, shingle) rows via mapInPandas — MAP-ONLY, unlike
     :func:`shingle_rows`, whose window (partitionBy key + leads) forces a
     full shuffle of every exploded word. Use this form when the grams
@@ -106,21 +106,28 @@ def shingle_rows_arrow(sdf, key_col: str, text_col: str, n: int):
     from pyspark.sql import types as T
 
     key_field = sdf.schema[key_col]
-    schema = T.StructType(
-        [T.StructField(key_col, key_field.dataType), T.StructField("shingle", T.StringType())]
-    )
+    fields = [T.StructField(key_col, key_field.dataType), T.StructField("shingle", T.StringType())]
+    if pos_col:
+        # 1-based gram start position (word index) — the span-merge
+        # pipeline needs it; matches DuckDB's 1-based list_slice/range
+        fields.append(T.StructField(pos_col, T.LongType()))
+    schema = T.StructType(fields)
 
     def op(batches):
         import pandas as pd
 
         for pdf in batches:
-            keys, grams = [], []
+            keys, grams, poss = [], [], []
             for k, t in zip(pdf[key_col], pdf[text_col]):
                 ws = _re.split(r"[ \t\n\x0b\f\r]+", (t or "").strip(" \t\n\x0b\x0c\r"))
                 for j in range(len(ws) - n + 1):
                     keys.append(k)
                     grams.append(" ".join(ws[j : j + n]))
-            yield pd.DataFrame({key_col: keys, "shingle": grams})
+                    poss.append(j + 1)
+            out = {key_col: keys, "shingle": grams}
+            if pos_col:
+                out[pos_col] = pd.Series(poss, dtype="int64")
+            yield pd.DataFrame(out)
 
     return sdf.select(key_col, text_col).mapInPandas(op, schema)
 

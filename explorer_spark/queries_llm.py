@@ -918,6 +918,67 @@ def q_events_tumbling(spark, sf_dir):
 
 
 @query(
+    "q_events_late_data",
+    """
+    WITH h AS (SELECT date_trunc('hour', max(ts)) AS h0 FROM events)
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS w_start, event_type,
+           COUNT(*) AS n, ROUND(SUM(value), 4) AS total
+    FROM events, h
+    WHERE time_bucket(INTERVAL 1 HOUR, ts) >= h0 - INTERVAL 2 HOUR
+    GROUP BY 1, 2
+    """,
+)
+def q_events_late_data(spark, sf_dir):
+    """Watermark DROP/KEEP boundary, driver-graded (r7 verdict #7): a
+    real multi-micro-batch stream (maxFilesPerTrigger=1, file source
+    processes oldest first) where batch 1 is a single future anchor row
+    that pins the watermark at H - 1h30m (H = trunc-hour of the real max
+    ts; anchor = H + 4h30m, delay 6h — the :30 offset makes every
+    hour-aligned window end compare UNAMBIGUOUSLY against the
+    watermark), batch 2 is the whole events table arriving "late", and
+    batch 3 is a far-future flush row that finalizes the surviving
+    windows. Two empirics pinned by this build (and the experiment grid
+    in NOTES_r10): (1) Spark keeps a late row iff its WINDOW END >
+    watermark — whole windows drop atomically; (2) the watermark LAGS
+    one batch: the filter for batch N uses event-time stats through
+    batch N-2, so a gap batch (a second anchor-time row) sits between
+    the anchor and the late shard to make the anchor's watermark
+    effective before the late rows arrive. Exactly the windows starting
+    >= H - 2h survive; the DuckDB oracle states that boundary
+    declaratively over the batch table. State stays bounded by the
+    watermark horizon; nothing in the pipeline holds stream history."""
+    import datetime as _dtm
+    import time as _time
+
+    from .streaming import run_stream_once, tumbling_counts
+
+    ev = _t(spark, sf_dir, "events").lazy_sdf().select("event_type", "ts", "value")
+    h0 = ev.agg(SF.date_trunc("hour", SF.max("ts")).alias("h")).first()["h"]
+    d, fresh = _cached_store_dir("late_events", sf_dir)
+    if fresh:
+        sch = ev.schema
+        anchor = [("__anchor__", h0 + _dtm.timedelta(hours=4, minutes=30), 0.0)]
+        flush = [("__flush__", h0 + _dtm.timedelta(hours=100), 0.0)]
+        for i, batch in enumerate((anchor, anchor, None, flush)):
+            if batch is None:
+                ev.write.mode("overwrite").parquet(f"{d}/b{i}")
+            else:
+                spark.createDataFrame(batch, sch).coalesce(1).write.mode("overwrite").parquet(
+                    f"{d}/b{i}"
+                )
+            _time.sleep(1.1)  # file-source ordering is by mtime
+    got = run_stream_once(
+        spark,
+        d + "/*",
+        lambda s: tumbling_counts(s, "1 hour", watermark="6 hours").drop("w_end"),
+        query_name="q_late_data_sink",
+        output_mode="append",
+        options={"maxFilesPerTrigger": 1},
+    )
+    return got.filter(SF.col("w_start") <= SF.lit(h0))
+
+
+@query(
     "q_events_sessionize",
     """
     WITH g AS (
@@ -1756,5 +1817,108 @@ def q_text_dup_spans(spark, sf_dir):
         SF.sum("hits").alias("hot_hits"),
         SF.round(SF.avg(SF.col("hits").cast("double") / SF.col("total_spans")), 6).alias(
             "avg_dup_frac"
+        ),
+    )
+
+
+@query(
+    "q_text_dup_substrings",
+    f"""
+    WITH w AS (
+        SELECT doc_id, lang, {_WORDS.format(t="text")} AS ws
+        FROM documents WHERE text IS NOT NULL
+    ),
+    g AS (
+        SELECT doc_id, lang, len(ws) AS nw, CAST(i AS BIGINT) AS pos,
+               array_to_string(list_slice(ws, i, i + 4), ' ') AS gram
+        FROM w, UNNEST(range(1, greatest(len(ws) - 3, 1))) AS t(i)
+    ),
+    hot AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+    hp AS (SELECT doc_id, lang, nw, pos FROM g JOIN hot USING (gram)),
+    brks AS (
+        SELECT doc_id, lang, nw, pos,
+               CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 5
+                    THEN 0 ELSE 1 END AS brk
+        FROM hp
+    ),
+    runs AS (
+        SELECT *, SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS UNBOUNDED PRECEDING) AS rid
+        FROM brks
+    ),
+    spans AS (
+        SELECT doc_id, lang, nw, rid, MIN(pos) AS s, MAX(pos) + 4 AS e
+        FROM runs GROUP BY doc_id, lang, nw, rid
+    ),
+    per_doc AS (
+        SELECT doc_id, lang, nw,
+               COUNT(*) AS n_sub,
+               SUM(e - s + 1) AS covered,
+               MAX(e - s + 1) AS longest
+        FROM spans GROUP BY doc_id, lang, nw
+    )
+    SELECT lang,
+           COUNT(*) AS n_dup_docs,
+           CAST(SUM(n_sub) AS BIGINT) AS n_substrings,
+           CAST(MAX(longest) AS BIGINT) AS max_sub_words,
+           ROUND(AVG(CAST(covered AS DOUBLE) / nw), 6) AS avg_cover_frac
+    FROM per_doc GROUP BY lang
+    """,
+)
+def q_text_dup_substrings(spark, sf_dir):
+    """VARIABLE-LENGTH repeated substrings (r7 verdict #6) — the real
+    Lee et al. 2022 signal: q_text_dup_spans counts fixed 5-word hot
+    spans; here ADJACENT/OVERLAPPING hot spans coalesce into MAXIMAL
+    repeated substrings via gaps-and-islands over gram start positions
+    (two hot spans chain iff the next start is <= prev + 5, i.e. their
+    word coverage is contiguous). Per doc: number of merged substrings,
+    words covered, longest substring; rolled up by lang. Plan shape at
+    100 TB: the same map-only gram kernel (now emitting positions) +
+    map-side-combined hot count + gram-keyed equi-join as dup_spans,
+    plus ONE per-doc window (lag/cumsum — bounded by doc length, never
+    a global partition) and two hash aggs. No driver state."""
+    from .operators.text import shingle_rows_arrow, words
+    from pyspark.sql import Window as W
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .lazy_sdf()
+        .filter(SF.col("text").isNotNull())
+        .select(
+            "doc_id",
+            "lang",
+            SF.size(words(SF.col("text"))).alias("nw"),
+            "text",
+        )
+    )
+    grams = shingle_rows_arrow(docs, "doc_id", "text", 5, pos_col="pos")
+    hot = grams.groupBy("shingle").count().filter(SF.col("count") >= 2).select("shingle")
+    hp = grams.join(hot, "shingle").select("doc_id", "pos")
+    wd = W.partitionBy("doc_id").orderBy("pos")
+    brks = hp.withColumn(
+        "brk",
+        SF.when(SF.col("pos") - SF.lag("pos").over(wd) <= 5, SF.lit(0)).otherwise(SF.lit(1)),
+    )
+    runs = brks.withColumn(
+        "rid", SF.sum("brk").over(wd.rowsBetween(W.unboundedPreceding, 0))
+    )
+    spans = runs.groupBy("doc_id", "rid").agg(
+        SF.min("pos").alias("s"), (SF.max("pos") + SF.lit(4)).alias("e")
+    )
+    per_doc = (
+        spans.groupBy("doc_id")
+        .agg(
+            SF.count(SF.lit(1)).alias("n_sub"),
+            SF.sum(SF.col("e") - SF.col("s") + 1).alias("covered"),
+            SF.max(SF.col("e") - SF.col("s") + 1).alias("longest"),
+        )
+        .join(docs.select("doc_id", "lang", "nw"), "doc_id")
+    )
+    return per_doc.groupBy("lang").agg(
+        SF.count(SF.lit(1)).alias("n_dup_docs"),
+        SF.sum("n_sub").alias("n_substrings"),
+        SF.max("longest").alias("max_sub_words"),
+        SF.round(SF.avg(SF.col("covered").cast("double") / SF.col("nw")), 6).alias(
+            "avg_cover_frac"
         ),
     )

@@ -70,15 +70,26 @@ def sessionize_batch(events: SDF, gap_minutes: int = 30, ts_col: str = "ts", use
 
 
 def run_stream_once(
-    spark, parquet_path: str, transform, query_name: str = "stream_out", schema=None, output_mode: str | None = None
+    spark,
+    parquet_path: str,
+    transform,
+    query_name: str = "stream_out",
+    schema=None,
+    output_mode: str | None = None,
+    options: dict | None = None,
 ) -> SDF:
     """Drive a parquet dir through readStream -> transform -> memory sink,
     synchronously (for tests / local verification). ``output_mode``
     defaults to complete for aggregations; pass "append" for stateful
-    row-level operators (dedup etc.)."""
+    row-level operators (dedup etc.). ``options`` go to the file source
+    (e.g. ``maxFilesPerTrigger=1`` for deterministic micro-batch splits
+    in watermark tests — the file source processes oldest-mtime first)."""
     if schema is None:
         schema = spark.read.parquet(parquet_path).schema
-    src = spark.readStream.schema(schema).parquet(parquet_path)
+    reader = spark.readStream.schema(schema)
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    src = reader.parquet(parquet_path)
     out = transform(src)
     q = (
         out.writeStream.outputMode(output_mode or ("complete" if out.isStreaming else "append"))
