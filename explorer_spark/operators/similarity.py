@@ -634,6 +634,94 @@ def write_ivf_index(
         cent.write.mode("overwrite").parquet(f"{path}/centroids")
 
 
+def rebalance_ivf_index(
+    path: str,
+    spark,
+    k: int | None = None,
+    iters: int = 8,
+    seed: int = 42,
+    sample_n: int = 4096,
+) -> list[list[float]]:
+    """Re-cluster + rewrite a persisted IVF index — the recovery half of
+    append-mode's centroid validation (r7 verdict #8): after many
+    appends the stored distribution drifts from the original training
+    sample (skewed cells kill probe pruning), and append with NEW
+    centroids is rejected because it would corrupt routing. Rebalance
+    re-trains on the CURRENT contents and rewrites every cell partition:
+
+    - fit: spherical k-means over a bounded, deterministic sample of the
+      stored vectors (hash-ordered take — TakeOrderedAndProject, no full
+      shuffle; same sample-train/full-assign recipe as the build);
+    - assign: one broadcast map over the cells table, rewritten to a
+      staging dir partitioned by the NEW cell, then swapped in via
+      rename-aside (old table recoverable at every instant — the
+      compact_signature_store pattern);
+    - a quantized index re-routes on the int8 codes directly: symmetric
+      per-vector scales are positive, so argmax_c <q8, c> equals
+      argmax_c <v, c> up to rounding — routing stays faithful without
+      the (unstored) float vectors.
+
+    Returns the new centroids. Local-filesystem stores only (the swap is
+    posix rename; object stores rewrite to a fresh prefix instead)."""
+    import uuid
+    from urllib.parse import urlparse
+
+    import os
+    import shutil
+
+    scheme = urlparse(str(path)).scheme
+    if scheme not in ("", "file"):
+        raise ValueError(
+            f"rebalance_ivf_index swaps directories on the local filesystem; "
+            f"index path {path!r} has scheme {scheme!r}. Rewrite to a fresh "
+            "prefix and repoint readers instead."
+        )
+    old_cents = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    k = k or len(old_cents)
+    cells = spark.read.parquet(f"{path}/cells")
+    quantized = "q8" in cells.columns
+    vec_expr = (
+        F.transform(F.col("q8"), lambda x: x.cast("double")) if quantized else F.col("vec")
+    )
+    # deterministic bounded sample: order by a hash of the id (plus the
+    # id as tie-break) and take sample_n — kmeans_fit normalizes rows,
+    # so quantized codes need no rescaling
+    sample_rows = (
+        cells.select(vec_expr.alias("__v__"), F.col("neighbor_id"))
+        .orderBy(F.pmod(F.xxhash64("neighbor_id"), F.lit(9973)), F.col("neighbor_id"))
+        .limit(sample_n)
+        .collect()
+    )
+    new_cents = kmeans_fit([list(r["__v__"]) for r in sample_rows], k=k, iters=iters, seed=seed)
+    dots = _centroid_dots_udf(new_cents)
+    new_cell = (F.array_position(F.col("__d__"), F.array_max(F.col("__d__"))) - 1).cast("int")
+    keep = [c for c in cells.columns if c != "cell"]
+    stage = f"{path}/.rebalance-{uuid.uuid4().hex[:8]}"
+    (
+        cells.withColumn("__d__", dots(vec_expr))
+        .select(*keep, new_cell.alias("cell"))
+        .write.partitionBy("cell")
+        .parquet(f"{stage}/cells")
+    )
+    carr = F.array(*[F.array(*[F.lit(float(x)) for x in cvec]) for cvec in new_cents])
+    spark.range(0, len(new_cents), 1, 1).select(
+        F.col("id").cast("int").alias("cell"),
+        F.element_at(carr, F.col("id").cast("int") + 1).alias("centroid"),
+    ).write.parquet(f"{stage}/centroids")
+    for tbl in ("cells", "centroids"):
+        live, fresh = f"{path}/{tbl}", f"{stage}/{tbl}"
+        aside = f"{path}/.pre-rebalance-{tbl}-{uuid.uuid4().hex[:8]}"
+        os.rename(live, aside)
+        try:
+            shutil.move(fresh, live)
+        except BaseException:
+            os.rename(aside, live)
+            raise
+        shutil.rmtree(aside)
+    shutil.rmtree(stage, ignore_errors=True)
+    return new_cents
+
+
 def ivf_query_index(
     queries: SDF,
     path: str,

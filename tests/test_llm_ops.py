@@ -788,6 +788,74 @@ def test_ivf_index_append_mode(spark, tmp_path):
         write_ivf_index(shard, idx, [[0.0] * 8 for _ in range(4)], mode="append")
 
 
+def test_ivf_index_rebalance(spark, tmp_path):
+    """Rebalance (r7 verdict #8): after appends skew the stored
+    distribution, re-cluster on the CURRENT contents and rewrite the
+    cell partitions. Contents are preserved exactly; recall at the
+    default nprobe on the rebalanced index stays >= 0.9 against brute
+    force (the same recall contract the build has); a quantized index
+    rebalances on its int8 codes."""
+    import random
+
+    from pyspark.sql import functions as SF
+
+    from explorer_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_query_index,
+        kmeans_fit,
+        rebalance_ivf_index,
+        write_ivf_index,
+    )
+
+    # the recall-contract generator (clustered data, spread 0.3): train
+    # deliberately on only the first 4 clusters, then append the other
+    # 4 as a shard — the stored distribution now badly mismatches the
+    # training sample, the drift rebalance exists to recover from
+    rng = random.Random(5)
+    dim, n_clusters, per = 64, 8, 375
+    centers = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_clusters)]
+    rows = [
+        (i, [x + rng.gauss(0, 0.3) for x in centers[i % n_clusters]])
+        for i in range(n_clusters * per)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    base = emb.filter(SF.col("vec_id") % 8 < 4)
+    shard = emb.filter(SF.col("vec_id") % 8 >= 4)
+    cents = kmeans_fit([r[1] for r in rows if r[0] % 8 < 4][:160], k=8, iters=8, seed=42)
+    idx = str(tmp_path / "ivf")
+    write_ivf_index(base, idx, cents)
+    write_ivf_index(shard, idx, cents, mode="append")
+    n_before = spark.read.parquet(f"{idx}/cells").count()
+
+    new_cents = rebalance_ivf_index(idx, spark)
+    assert len(new_cents) == 8
+    cells = spark.read.parquet(f"{idx}/cells")
+    assert cells.count() == n_before  # nothing lost, nothing duplicated
+    stored_ids = {r.neighbor_id for r in cells.select("neighbor_id").collect()}
+    all_ids = {r[0] for r in rows}
+    assert stored_ids == all_ids
+
+    queries = emb.filter(SF.col("vec_id") < 24)
+    truth = {}
+    for r in brute_force_topk(emb, queries, k=5).collect():
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+    got = {}
+    for r in ivf_query_index(queries, idx, k=5, nprobe=2).collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recall = sum(len(got.get(qid, set()) & truth[qid]) for qid in truth) / (5 * len(truth))
+    assert recall >= 0.9, recall
+
+    # quantized index rebalances on its int8 codes
+    q8 = str(tmp_path / "q8")
+    write_ivf_index(emb, q8, cents, quantize=True)
+    rebalance_ivf_index(q8, spark)
+    qcells = spark.read.parquet(f"{q8}/cells")
+    assert qcells.count() == len(all_ids)
+    assert "q8" in qcells.columns  # storage format preserved
+    out = ivf_query_index(queries, q8, k=5, nprobe=2)
+    assert out.count() > 0
+
+
 def test_signature_store_compaction(spark, tmp_path):
     """After several appends the store accumulates small files;
     compaction rewrites to bounded file counts and changes NO results."""
