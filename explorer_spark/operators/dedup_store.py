@@ -56,10 +56,12 @@ def write_signature_store(
     rows to an existing store (parameters must match — validated
     against meta); ``"overwrite"`` (re)creates the store.
 
-    The signature computation is the dedup.with_minhash kernel: one
-    shuffle keyed by document, map-side combined. Both tables write
-    through ordinary distributed parquet writers — nothing funnels
-    through the driver."""
+    The signature computation is bit-identical to dedup.with_minhash
+    (same hash family, shingles, and empty-shingle fallback) but
+    store-shaped: map-only Arrow grams + one map-side-combined min-agg
+    exchange of (key, 8 longs) — the corpus TEXT never enters a
+    shuffle. Both tables write through ordinary distributed parquet
+    writers — nothing funnels through the driver."""
     if num_hashes % bands != 0:
         raise ValueError(f"num_hashes ({num_hashes}) must divide into bands ({bands})")
     spark = sdf.sparkSession
@@ -75,11 +77,45 @@ def write_signature_store(
                 f"or match its parameters"
             )
     sig_cols = [f"mh{i}" for i in range(num_hashes)]
-    sig = with_minhash(
-        sdf, text_col=text_col, num_hashes=num_hashes, shingle_n=shingle_n, key_col=key_col
-    ).select(F.col(key_col).alias("key"), *sig_cols)
+    # Store-shaped signature kernel (bit-identical to dedup.with_minhash
+    # — same hash family, same shingles, same empty-shingle fallback —
+    # but never joins the TEXT column): with_minhash's join-back drags
+    # the full text through an exchange to decorate the original frame,
+    # which the store never needs (measured 26 s of a 30 s build at a
+    # 64x corpus). Here grams come from the MAP-ONLY Arrow kernel, the
+    # groupBy exchanges only map-side-combined partial mins, and the
+    # fallback hash projects in the same corpus scan — so the only
+    # shuffled bytes are (key, 8 longs).
+    from .dedup import MINHASH_A, MINHASH_B, MINHASH_P32, _base_hash32
+    from .text import shingle_rows_arrow
+
+    mins = [
+        F.min(
+            (F.lit(MINHASH_A[i]) * F.col("__h__") + F.lit(MINHASH_B[i])) % MINHASH_P32
+        ).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    sig_agg = (
+        shingle_rows_arrow(sdf.select(key_col, text_col), key_col, text_col, shingle_n)
+        .withColumn("__h__", _base_hash32(F.col("shingle")))
+        .groupBy(key_col)
+        .agg(*mins)
+        .withColumnRenamed(key_col, "key")
+    )
+    fbh = _base_hash32(F.col(text_col))
+    narrow = sdf.select(
+        F.col(key_col).alias("key"),
+        *[
+            ((F.lit(MINHASH_A[i]) * fbh + F.lit(MINHASH_B[i])) % MINHASH_P32).alias(f"__fb{i}__")
+            for i in range(num_hashes)
+        ],
+    )
+    sig = narrow.join(sig_agg, "key", "left").select(
+        "key",
+        *[F.coalesce(F.col(f"mh{i}"), F.col(f"__fb{i}__")).alias(f"mh{i}") for i in range(num_hashes)],
+    )
     # two consumers (signatures write + bucket derivation): pin so the
-    # shingle explode + min-agg kernel executes once, not twice
+    # signature kernel executes once, not twice
     sig = sig.localCheckpoint(eager=False)
     buckets = lsh_buckets(
         sig, key_col="key", num_hashes=num_hashes, bands=bands
