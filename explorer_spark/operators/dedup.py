@@ -127,6 +127,55 @@ def with_minhash(
     )
 
 
+def minhash_signatures(
+    sdf: SDF,
+    text_col: str = "text",
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+    prefix: str = "mh",
+    key_col: str = "doc_id",
+) -> SDF:
+    """NARROW signature kernel: (key, mh0..mh{k-1}) only — bit-identical
+    to ``with_minhash`` (same hash family, shingles, empty-shingle
+    fallback) but shaped for pipelines whose next stage needs only the
+    signature (LSH banding, the signature store). ``with_minhash``
+    decorates the ORIGINAL frame, which drags the full text column
+    through a sort-merge exchange (measured 26 s of a 30 s store build
+    at a 64x corpus); here grams come from the map-only Arrow kernel,
+    the groupBy exchanges only map-side-combined partial mins, and the
+    fallback hash projects in the same corpus scan — the only shuffled
+    bytes are (key, k longs)."""
+    from .text import shingle_rows_arrow
+
+    mins = [
+        F.min((F.lit(MINHASH_A[i]) * F.col("__h__") + F.lit(MINHASH_B[i])) % MINHASH_P32).alias(
+            f"{prefix}{i}"
+        )
+        for i in range(num_hashes)
+    ]
+    sig_agg = (
+        shingle_rows_arrow(sdf.select(key_col, text_col), key_col, text_col, shingle_n)
+        .withColumn("__h__", _base_hash32(F.col("shingle")))
+        .groupBy(key_col)
+        .agg(*mins)
+    )
+    fbh = _base_hash32(F.col(text_col))
+    narrow = sdf.select(
+        F.col(key_col),
+        *[
+            ((F.lit(MINHASH_A[i]) * fbh + F.lit(MINHASH_B[i])) % MINHASH_P32).alias(f"__fb{i}__")
+            for i in range(num_hashes)
+        ],
+    )
+    return narrow.join(sig_agg, key_col, "left").select(
+        key_col,
+        *[
+            F.coalesce(F.col(f"{prefix}{i}"), F.col(f"__fb{i}__")).alias(f"{prefix}{i}")
+            for i in range(num_hashes)
+        ],
+    )
+
+
 def lsh_buckets(
     sdf: SDF,
     key_col: str = "doc_id",

@@ -76,44 +76,13 @@ def write_signature_store(
                 f"would silently break candidate recall — recreate the store "
                 f"or match its parameters"
             )
-    sig_cols = [f"mh{i}" for i in range(num_hashes)]
-    # Store-shaped signature kernel (bit-identical to dedup.with_minhash
-    # — same hash family, same shingles, same empty-shingle fallback —
-    # but never joins the TEXT column): with_minhash's join-back drags
-    # the full text through an exchange to decorate the original frame,
-    # which the store never needs (measured 26 s of a 30 s build at a
-    # 64x corpus). Here grams come from the MAP-ONLY Arrow kernel, the
-    # groupBy exchanges only map-side-combined partial mins, and the
-    # fallback hash projects in the same corpus scan — so the only
-    # shuffled bytes are (key, 8 longs).
-    from .dedup import MINHASH_A, MINHASH_B, MINHASH_P32, _base_hash32
-    from .text import shingle_rows_arrow
+    # narrow kernel (dedup.minhash_signatures): the corpus TEXT never
+    # enters a shuffle — the only exchanged bytes are (key, k longs)
+    from .dedup import minhash_signatures
 
-    mins = [
-        F.min(
-            (F.lit(MINHASH_A[i]) * F.col("__h__") + F.lit(MINHASH_B[i])) % MINHASH_P32
-        ).alias(f"mh{i}")
-        for i in range(num_hashes)
-    ]
-    sig_agg = (
-        shingle_rows_arrow(sdf.select(key_col, text_col), key_col, text_col, shingle_n)
-        .withColumn("__h__", _base_hash32(F.col("shingle")))
-        .groupBy(key_col)
-        .agg(*mins)
-        .withColumnRenamed(key_col, "key")
-    )
-    fbh = _base_hash32(F.col(text_col))
-    narrow = sdf.select(
-        F.col(key_col).alias("key"),
-        *[
-            ((F.lit(MINHASH_A[i]) * fbh + F.lit(MINHASH_B[i])) % MINHASH_P32).alias(f"__fb{i}__")
-            for i in range(num_hashes)
-        ],
-    )
-    sig = narrow.join(sig_agg, "key", "left").select(
-        "key",
-        *[F.coalesce(F.col(f"mh{i}"), F.col(f"__fb{i}__")).alias(f"mh{i}") for i in range(num_hashes)],
-    )
+    sig = minhash_signatures(
+        sdf, text_col=text_col, num_hashes=num_hashes, shingle_n=shingle_n, key_col=key_col
+    ).withColumnRenamed(key_col, "key")
     # two consumers (signatures write + bucket derivation): pin so the
     # signature kernel executes once, not twice
     sig = sig.localCheckpoint(eager=False)

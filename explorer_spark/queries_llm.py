@@ -141,10 +141,11 @@ _MINHASH_ORACLE = f"""
 def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash(k=8, 3-gram) -> 4 LSH bands -> bucket stats: the
     shingle->minhash->band->bucket-join pipeline, all built-ins."""
-    from .operators.dedup import lsh_buckets, with_minhash
+    from .operators.dedup import lsh_buckets, minhash_signatures
 
     docs = _t(spark, sf_dir, "documents").lazy_sdf()
-    sig = with_minhash(docs, num_hashes=8, shingle_n=3)
+    # narrow kernel: the text column never enters a shuffle
+    sig = minhash_signatures(docs, num_hashes=8, shingle_n=3)
     buckets = lsh_buckets(sig, num_hashes=8, bands=4)
     per_bucket = buckets.groupBy("band", "bucket").agg(SF.count(SF.lit(1)).alias("c"))
     return per_bucket.groupBy("band").agg(
@@ -190,11 +191,11 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     exact 3-gram Jaccard verification -> top-10. The pair join touches
     only LSH candidates, never the quadratic block — the shape that
     survives a 100x corpus."""
-    from .operators.dedup import lsh_buckets, lsh_candidate_pairs, with_minhash
+    from .operators.dedup import lsh_buckets, lsh_candidate_pairs, minhash_signatures
     from .operators.text import shingle_rows
 
     docs = _t(spark, sf_dir, "documents").lazy_sdf()
-    sig = with_minhash(docs, num_hashes=8, shingle_n=3)
+    sig = minhash_signatures(docs, num_hashes=8, shingle_n=3)
     cand = lsh_candidate_pairs(lsh_buckets(sig, num_hashes=8, bands=4))
     # shingle SETS built from codegen shingle rows (collect_set) — the
     # expression form runs interpreted and costs ~6x in bulk
@@ -260,11 +261,11 @@ def q_dedup_clusters(spark, sf_dir):
     min-label propagation, operators/dedup.neardup_components) ->
     per-cluster sizes. The oracle resolves the same clusters with a
     recursive-CTE transitive closure."""
-    from .operators.dedup import lsh_buckets, lsh_candidate_pairs, neardup_components, with_minhash
+    from .operators.dedup import lsh_buckets, lsh_candidate_pairs, minhash_signatures, neardup_components
     from .operators.text import shingle_rows
 
     docs = _t(spark, sf_dir, "documents").lazy_sdf()
-    sig = with_minhash(docs, num_hashes=8, shingle_n=3)
+    sig = minhash_signatures(docs, num_hashes=8, shingle_n=3)
     cand = lsh_candidate_pairs(lsh_buckets(sig, num_hashes=8, bands=4))
     sh = (
         shingle_rows(docs, "doc_id", "text", 3)
@@ -961,7 +962,11 @@ def q_events_late_data(spark, sf_dir):
         flush = [("__flush__", h0 + _dtm.timedelta(hours=100), 0.0)]
         for i, batch in enumerate((anchor, anchor, None, flush)):
             if batch is None:
-                ev.write.mode("overwrite").parquet(f"{d}/b{i}")
+                # one file: with maxFilesPerTrigger=1 every part file is
+                # its own micro-batch (fixed ~0.3-0.5 s overhead each);
+                # the drop semantics only need the late rows to arrive
+                # AFTER the gap batch, not split up
+                ev.coalesce(1).write.mode("overwrite").parquet(f"{d}/b{i}")
             else:
                 spark.createDataFrame(batch, sch).coalesce(1).write.mode("overwrite").parquet(
                     f"{d}/b{i}"
