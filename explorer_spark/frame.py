@@ -1218,6 +1218,13 @@ class DataFrame:
             out = grouped.agg(*aggs)
         else:
             out = base._sdf.agg(*aggs)
+        # min/max/first/last over a tz/precision-stamped column keep the
+        # dtype (the reference keeps the series dtype through value-
+        # preserving aggregates) — same Expr-tree inference as mutate
+        for n, m in base._mutate_meta_stamps(
+            {n: e for n, e in exprs.items() if isinstance(e, Expr)}
+        ).items():
+            out = out.withMetadata(n, m)
         return DataFrame(out, groups=[], has_order=False)
 
     summarise = summarise_with

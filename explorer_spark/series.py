@@ -609,7 +609,7 @@ class Series:
         nf = self._frame.sort_by(key, descending=(direction == "desc"), nils_last=nils_last)
         return Series(nf, self.name)
 
-    def argsort(self, descending: bool = False) -> "Series":
+    def argsort(self, descending: bool = False, nils_last: bool = True) -> "Series":
         """Indices that would sort the series, as a SERIES (reference
         series.ex:4779-4830 returns a u32 index series; s_argsort
         series.rs:150-186) — computed fully DISTRIBUTED: the contiguous
@@ -619,9 +619,10 @@ class Series:
         the old collect-based rendering), and the result stays a lazy
         frame. No whole-column driver collect (r7 verdict #3);
         ``to_list()`` is the explicit materialization step. Indices are
-        s64 (physical twin of the reference's u32)."""
+        s64 (physical twin of the reference's u32). ``nils_last``
+        mirrors the reference's ``nils: :last | :first`` sort option."""
         f = self._frame.select([self.name])._with_row_index("__argsort_idx__")
-        nf = f.sort_by(self.name, descending=descending, nils_last=True, stable=True)
+        nf = f.sort_by(self.name, descending=descending, nils_last=nils_last, stable=True)
         out = nf._replace(nf._sdf.select("__argsort_idx__", ORDER_COL))
         return Series(out.rename({"__argsort_idx__": self.name}), self.name)
 
