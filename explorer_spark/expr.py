@@ -427,6 +427,16 @@ def _cast(ctx: "LowerCtx", a, dtype) -> Column:
         # list of naive datetime'); Spark's array cast refuses these
         inner = dt.normalize(d[1])
         return F.transform(c, lambda x: _elem_cast(x, src_t.elementType, inner))
+    if (
+        isinstance(d, tuple)
+        and d[0] == "struct"
+        and isinstance(src_t, T.StructType)
+        and _elem_needs_rule(src_t, d)
+    ):
+        # {:struct, fields} casts apply the count rules per FIELD
+        # (struct_test.exs 'structs with integers to structs with naive
+        # datetimes'); Spark refuses struct<bigint> -> struct<timestamp>
+        return _elem_cast(c, src_t, d)
     return c.cast(dt.to_spark(d))
 
 
@@ -440,6 +450,15 @@ def _elem_needs_rule(src_et, d) -> bool:
         return True
     if isinstance(src_et, T.ArrayType) and isinstance(d, tuple) and d[0] == "list":
         return _elem_needs_rule(src_et.elementType, dt.normalize(d[1]))
+    if isinstance(src_et, T.StructType) and isinstance(d, tuple) and d[0] == "struct":
+        # field-wise: Spark refuses struct<bigint> -> struct<timestamp>
+        # but the reference casts each field with the count rules
+        # (struct_test.exs 'structs with integers to ... naive datetimes')
+        by_name = {f.name: f.dataType for f in src_et.fields}
+        return any(
+            name in by_name and _elem_needs_rule(by_name[name], dt.normalize(fd))
+            for name, fd in d[1]
+        )
     return False
 
 
@@ -470,6 +489,20 @@ def _elem_cast(x: Column, src_et, d) -> Column:
     if isinstance(src_et, T.ArrayType) and isinstance(d, tuple) and d[0] == "list":
         inner = dt.normalize(d[1])
         return F.transform(x, lambda y: _elem_cast(y, src_et.elementType, inner))
+    if isinstance(src_et, T.StructType) and isinstance(d, tuple) and d[0] == "struct":
+        # rebuild field-wise; the when-guard keeps a NULL outer struct
+        # null (F.struct of a null struct's fields would fabricate a
+        # struct of nulls)
+        by_name = {f.name: f.dataType for f in src_et.fields}
+        parts = []
+        for name, fd in d[1]:
+            fd_n = dt.normalize(fd)
+            child = x.getField(name)
+            if name in by_name and _elem_needs_rule(by_name[name], fd_n):
+                parts.append(_elem_cast(child, by_name[name], fd_n).alias(name))
+            else:
+                parts.append(child.cast(dt.to_spark(fd_n)).alias(name))
+        return F.when(x.isNotNull(), F.struct(*parts))
     return x.cast(dt.to_spark(d))
 
 

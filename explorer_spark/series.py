@@ -47,6 +47,75 @@ def _stamp_dur_precision(s: "Series", unit: str) -> "Series":
     return _stamp_col_meta(s, {"dur_p": unit})
 
 
+def _validate_struct_values(values: list) -> None:
+    """Reference from_list semantics for struct values (struct_test.exs
+    'errors when structs have mismatched types'): the dtype is inferred
+    from the FIRST value — later dicts with a different field set, or
+    fields mixing scalar kinds (int + string), raise instead of silently
+    coercing (Spark's sampling inference would otherwise produce a
+    map<string,string> or a union-of-fields struct). Numeric int/float
+    mixing stays legal (promotes to f64, like the reference)."""
+    import datetime as _dtm
+    from decimal import Decimal as _D
+
+    dicts = [v for v in values if isinstance(v, dict)]
+    if not dicts:
+        elems = [x for v in values if isinstance(v, list) for x in v]
+        if any(isinstance(x, dict) for x in elems):
+            _validate_struct_values(elems)
+        return
+    fields = list(dicts[0].keys())
+    fset = set(fields)
+    for v in dicts[1:]:
+        if set(v.keys()) != fset:
+            raise ValueError(
+                f"the value {v!r} does not match the inferred struct dtype with "
+                f"fields {fields!r} (the reference infers the dtype from the "
+                "first value and rejects the rest)"
+            )
+
+    def kind(x):
+        if isinstance(x, bool):
+            return "bool"
+        if isinstance(x, (int, float, _D)):
+            return "num"
+        if isinstance(x, str):
+            return "str"
+        if isinstance(x, (bytes, bytearray)):
+            return "bin"
+        if isinstance(x, _dtm.datetime):
+            return "dt"
+        if isinstance(x, _dtm.date):
+            return "date"
+        if isinstance(x, _dtm.time):
+            return "time"
+        if isinstance(x, _dtm.timedelta):
+            return "dur"
+        if isinstance(x, dict):
+            return "struct"
+        if isinstance(x, list):
+            return "list"
+        return "other"
+
+    for f in fields:
+        col = [v[f] for v in dicts if v.get(f) is not None]
+        if not col:
+            continue
+        k0 = kind(col[0])
+        for x in col[1:]:
+            if kind(x) != k0:
+                raise ValueError(
+                    f"the value {x!r} does not match the inferred dtype of "
+                    f"struct field {f!r} (first value implies {k0})"
+                )
+        if k0 == "struct":
+            _validate_struct_values(col)
+        elif k0 == "list":
+            inner = [x for lst in col for x in lst]
+            if any(isinstance(x, dict) for x in inner):
+                _validate_struct_values(inner)
+
+
 def _tz_key(tzinfo) -> str:
     """Zone key of a python tzinfo (ZoneInfo .key preferred), with
     datetime.timezone.utc normalized to the reference's 'Etc/UTC'."""
@@ -92,6 +161,11 @@ class Series:
             # (series.ex 'Trying to create an empty series ... will, by
             # default, result in a series of :null type')
             dtype = "null"
+        if dtype is None and any(
+            isinstance(v, dict) or (isinstance(v, list) and any(isinstance(x, dict) for x in v))
+            for v in values
+        ):
+            _validate_struct_values(values)
         if dtype is None and values:
             # numeric inference must NOT go through pandas: a pandas
             # column of [1, None] silently becomes float64 (reference

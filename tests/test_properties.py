@@ -202,14 +202,16 @@ def test_all_nil_column(spark, n):
 )
 @settings(**_SETTINGS)
 def test_struct_column_roundtrip(spark, rows):
-    vals = [None if r is None else {"a": r[0], "b": r[1]} for r in rows]
+    # a nil struct row lists as a struct of nil fields (reference
+    # series/struct_test.exs 'allow nils'; frame._fill_null_structs)
+    vals = [
+        {"a": None, "b": None} if r is None else {"a": r[0], "b": r[1]} for r in rows
+    ]
     d = ("struct", [("a", ("s", 64)), ("b", "string")])
     s = Series.from_list([None if r is None else tuple(r) for r in rows], dtype=d, name="v", spark=spark)
     got = s.to_list()
 
     def as_dict(r):
-        if r is None:
-            return None
         if isinstance(r, dict):
             return {"a": r.get("a"), "b": r.get("b")}
         return {"a": r["a"], "b": r["b"]}

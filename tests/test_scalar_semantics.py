@@ -291,3 +291,60 @@ def test_reflected_operators_and_decimal_ingest(spark):
         Decimal("1.00"),
         Decimal("2.00"),
     ]
+
+
+def test_struct_reference_semantics(spark):
+    """Round-8 sweep of reference series/struct_test.exs:
+
+    - a NULL struct value lists as a struct of null fields ('allow
+      nils') — every collect path (frame._fill_null_structs);
+    - struct casts apply the temporal COUNT rules per field ('structs
+      with integers to structs with naive datetimes') — Spark refuses
+      struct<bigint> -> struct<timestamp>, expr._elem_cast rebuilds
+      field-wise (null outer structs stay null);
+    - from_list rejects dicts whose field set or field kinds diverge
+      from the first value ('errors when structs have mismatched
+      types') — Spark's sampling inference would otherwise coerce to
+      map<string,string> or union the fields silently."""
+    import datetime as dtm
+
+    import pytest as _pytest
+
+    from explorer_spark.series import Series
+
+    s = Series.from_list([None, {"a": 1, "b": 2}, None], spark=spark)
+    assert s.dtype == ("struct", [("a", ("s", 64)), ("b", ("s", 64))])
+    assert s.to_list() == [
+        {"a": None, "b": None},
+        {"a": 1, "b": 2},
+        {"a": None, "b": None},
+    ]
+
+    c = Series.from_list(
+        [{"a": 1}, {"a": 1_649_883_642_000_000}, None], spark=spark
+    ).cast(("struct", [("a", ("naive_datetime", "us"))]))
+    assert c.dtype == ("struct", [("a", ("naive_datetime", "us"))])
+    assert c.to_list() == [
+        {"a": dtm.datetime(1970, 1, 1, 0, 0, 0, 1)},
+        {"a": dtm.datetime(2022, 4, 13, 21, 0, 42)},
+        {"a": None},
+    ]
+    # nested struct cast (int -> float) and field reorder
+    n = Series.from_list([{"a": {"b": 1}}], spark=spark).cast(
+        ("struct", [("a", ("struct", [("b", ("f", 64))]))])
+    )
+    assert n.to_list() == [{"a": {"b": 1.0}}]
+    r = Series.from_list(
+        [{"a": "a", "b": "b"}], dtype=("struct", [("a", "string"), ("b", "string")]), spark=spark
+    ).cast(("struct", [("b", "string"), ("a", "string")]))
+    assert r.dtype == ("struct", [("b", "string"), ("a", "string")])
+
+    with _pytest.raises(ValueError, match="does not match"):
+        Series.from_list([{"a": 1}, {"a": "a"}], spark=spark)
+    with _pytest.raises(ValueError, match="does not match"):
+        Series.from_list([{"a": 1}, {"b": 1}], spark=spark)
+    with _pytest.raises(ValueError, match="does not match"):
+        Series.from_list([[{"a": 1}], [{"a": "a"}]], spark=spark)
+    # int/float mixing promotes (not an error)
+    m = Series.from_list([{"a": 1, "b": 2.4}, {"a": 1.5, "b": 2}], spark=spark)
+    assert m.to_list() == [{"a": 1.0, "b": 2.4}, {"a": 1.5, "b": 2.0}]
