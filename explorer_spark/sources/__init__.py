@@ -130,12 +130,16 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
     return out
 
 
+_NO_QUOTE = "\u0000"  # Spark: a NUL quote char effectively disables quoting
+
+
 def read_csv(
     path: str,
     delimiter: str = ",",
     header: bool = True,
     nil_values: list[str] | None = None,
     skip_rows: int = 0,
+    skip_rows_after_header: int = 0,
     max_rows: int | None = None,
     columns=None,
     dtypes: dict | None = None,
@@ -143,14 +147,22 @@ def read_csv(
     parse_dates: bool = False,
     encoding: str = "utf-8",
     quote_char: str = '"',
+    quote_delimiter=...,
     eol_delimiter: str | None = None,
     spark: SparkSession | None = None,
     config=None,
 ) -> DataFrame:
     """CSV scan with the reference's option surface
-    (reference data_frame.ex:607-868)."""
+    (reference data_frame.ex:607-868). ``quote_delimiter`` is the
+    reference's name for the quote char; ``None`` disables quoting
+    entirely (quotes read as literal text, csv_test.exs 'no quote
+    char'). Date/datetime INFERENCE is opt-in via ``parse_dates``
+    (csv_test.exs 'do not parse datetime (default)'); explicit
+    ``dtypes`` always parse."""
     spark = spark or get_spark()
     path = _fss_resolve(path, spark, config)
+    if quote_delimiter is not ...:
+        quote_char = _NO_QUOTE if quote_delimiter is None else quote_delimiter
     reader = (
         spark.read.option("header", header)
         .option("sep", delimiter)
@@ -175,9 +187,19 @@ def read_csv(
         reader = reader.schema(T.StructType(fields))
     elif infer_schema_length:
         reader = reader.option("inferSchema", "true").option("samplingRatio", 1.0)
+        if not parse_dates:
+            # the reference infers date/datetime only with parse_dates
+            # (strings otherwise); Spark's CSV inference would parse
+            # them by default — turn both off with preferDate=false and
+            # never-matching timestamp patterns
+            reader = (
+                reader.option("preferDate", "false")
+                .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss'__never__'")
+                .option("timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss'__never__'")
+            )
     if parse_dates:
         reader = reader.option("inferSchema", "true").option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss")
-    if skip_rows:
+    if skip_rows or skip_rows_after_header:
         # reference skip_rows drops the first N physical lines BEFORE the
         # header (data_frame.ex:607-868). Spark's CSV reader has no such
         # option; zipWithIndex preserves file line order, and the reader
@@ -189,10 +211,17 @@ def read_csv(
                 "skip_rows currently supports only UTF-8 input with \n line "
                 "endings (Spark's textFile constraint)"
             )
+        # skip_rows drops the first N physical lines; with a header the
+        # NEXT line is the header, then skip_rows_after_header more data
+        # lines drop (reference test 'skip_rows with skip_rows_after_
+        # header'). Without a header both windows merge.
+        lo = skip_rows + (1 if header else 0)
+        hi = lo + skip_rows_after_header
+        keep = lambda i: i >= skip_rows and not (lo <= i < hi)  # noqa: E731
         lines = (
             spark.sparkContext.textFile(path)
             .zipWithIndex()
-            .filter(lambda t: t[1] >= skip_rows)
+            .filter(lambda t: keep(t[1]))
             .map(lambda t: t[0])
         )
         sdf = reader.csv(lines)
@@ -210,7 +239,9 @@ def read_csv(
             }
         )
     if columns:
-        sdf = sdf.select(*columns)
+        # integer entries are POSITIONS (reference 'columns - integer')
+        names = sdf.columns
+        sdf = sdf.select(*[names[c] if isinstance(c, int) else c for c in columns])
     df = _attach_order(sdf)
     if max_rows is not None:
         df = df.head(max_rows)

@@ -433,3 +433,55 @@ def test_from_query_jdbc_e2e_duckdb(spark):
     )
     assert sorted((r["r_regionkey"], r["r_name"]) for r in df2.to_rows()) == want
     assert df2.lazy_sdf().rdd.getNumPartitions() == 3
+
+
+def test_csv_reference_option_corners(spark, tmp_path):
+    """Round-8 sweep of reference data_frame/csv_test.exs options:
+    quote_delimiter (custom char + nil = quoting disabled),
+    skip_rows_after_header (alone and combined with skip_rows),
+    temporal inference OPT-IN via parse_dates (strings by default),
+    and integer entries in ``columns`` selecting by position."""
+    import datetime as dtm
+
+    import explorer_spark as ex
+
+    def w(s, n):
+        p = tmp_path / n
+        p.write_text(s)
+        return str(p)
+
+    p = w("city,lat\n'Elgin, Scotland, the UK',57.6\n", "q.csv")
+    assert ex.read_csv(p, quote_delimiter="'", spark=spark).to_columns()["city"] == [
+        "Elgin, Scotland, the UK"
+    ]
+    p = w('c;n\nElgin, UK;"Little Ireland"\nStoke, UK;nil\n', "nq.csv")
+    cols = ex.read_csv(
+        p, quote_delimiter=None, delimiter=";", nil_values=["nil"], spark=spark
+    ).to_columns()
+    assert cols["n"] == ['"Little Ireland"', None]
+
+    p = w("a,b\nc,d\ne,f\ng,h\n", "sk.csv")
+    assert ex.read_csv(p, skip_rows_after_header=1, spark=spark).to_columns() == {
+        "a": ["e", "g"],
+        "b": ["f", "h"],
+    }
+    assert ex.read_csv(p, skip_rows=1, skip_rows_after_header=1, spark=spark).to_columns() == {
+        "c": ["g"],
+        "d": ["h"],
+    }
+
+    p = w("column\n2022-12-01\n", "d.csv")
+    assert ex.read_csv(p, spark=spark).dtypes["column"] == "string"
+    assert ex.read_csv(p, parse_dates=True, spark=spark).dtypes["column"] == "date"
+    assert ex.read_csv(p, dtypes={"column": "date"}, spark=spark).to_columns()["column"] == [
+        dtm.date(2022, 12, 1)
+    ]
+    p = w("column\n2022-10-01T11:34:10.123456\n", "ts.csv")
+    assert ex.read_csv(p, spark=spark).dtypes["column"] == "string"
+    assert ex.read_csv(p, parse_dates=True, spark=spark).dtypes["column"] == (
+        "naive_datetime",
+        "us",
+    )
+
+    p = w("a,b,c\n1,2,3\n", "cols.csv")
+    assert ex.read_csv(p, columns=[0, 2], spark=spark).names == ["a", "c"]
