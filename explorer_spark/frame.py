@@ -717,6 +717,15 @@ class DataFrame:
             if pre is not self:
                 res = pre._mutate_all(new_exprs)
                 return res._replace(res._sdf.drop(*tmps))
+        if self._group_mode == "groups" and any(
+            isinstance(e, Expr) and _tree_has(e, "mode") for e in exprs.values()
+        ):
+            # mutate mode broadcasts the tied-mode LIST per group (per
+            # frame for an ungrouped mutate) — reference list semantics
+            pre, new_exprs, tmps = self._rewrite_modes(exprs, agg_wrap=False)
+            if pre is not self:
+                res = pre._mutate_all(new_exprs)
+                return res._replace(res._sdf.drop(*tmps))
         needs_order = any(_tree_has(e, *ORDERED_EXPR_OPS) for e in exprs.values())
         has_agg = any(isinstance(e, Expr) and e.references_agg() for e in exprs.values())
         meta_stamps = self._mutate_meta_stamps(exprs)
@@ -1057,6 +1066,102 @@ class DataFrame:
 
         return {n: rw(e) for n, e in exprs.items()}
 
+    def _rewrite_modes(self, exprs: dict, agg_wrap: bool):
+        """mode() returns ALL tied modes as a SORTED LIST (reference
+        series.ex:2640-2680 — multi-value on ties; summarise dtype is
+        {:list, inner}, grouped_test.exs 'using mode'). Spark's F.mode
+        is single-valued, so mode nodes rewrite through a per-(group,
+        value) count kernel: map-side-combined value counts, a max-count
+        join (broadcast for the ungrouped case), tied values collected
+        sorted — executor memory bounded by the tied-mode count, never
+        the whole group. The list re-enters the tree as a per-group
+        constant (max-of-array in summarise — Spark arrays are
+        orderable; the joined column in mutate/filter). cube/rollup
+        summarise keeps Spark's scalar F.mode (grouping sets don't join
+        back on one key set — same caveat as grouped quantiles)."""
+        from functools import reduce as _reduce
+
+        gather: dict[str, object] = {}
+
+        def _rewritable(arg) -> bool:
+            return not (
+                isinstance(arg, Expr)
+                and (arg.references_agg() or _tree_has(arg, *ORDERED_EXPR_OPS))
+            )
+
+        def scan(e):
+            if not isinstance(e, Expr):
+                return
+            if e.op == "mode" and _rewritable(e.args[0]):
+                gather.setdefault(repr(e.args[0]), e.args[0])
+            for a in e.args:
+                scan(a)
+
+        for e in exprs.values():
+            scan(e)
+        if not gather:
+            return self, exprs, []
+
+        plain = LowerCtx(sdf=self._sdf)
+        out = self._sdf
+        names_map: dict[str, str] = {}
+        tmps: list[str] = []
+        for i, (key, arg) in enumerate(gather.items()):
+            if isinstance(arg, Expr) and arg.op == "column":
+                vname, src = arg.args[0], self._sdf
+            else:
+                vname = f"__gmv{i}__"
+                src = self._sdf.withColumn(
+                    vname, arg.lower(plain) if isinstance(arg, Expr) else F.lit(arg)
+                )
+            tmp = f"__gm{i}__"
+            cnt = (
+                src.filter(F.col(vname).isNotNull())
+                .groupBy(*self.groups, vname)
+                .agg(F.count(F.lit(1)).alias("__c__"))
+            )
+            if self.groups:
+                mx = cnt.groupBy(
+                    *[F.col(g).alias(f"__jgm_{g}__") for g in self.groups]
+                ).agg(F.max("__c__").alias("__mx__"))
+                mcond = _reduce(
+                    lambda a, b: a & b,
+                    [cnt[g].eqNullSafe(mx[f"__jgm_{g}__"]) for g in self.groups],
+                )
+                tied = cnt.join(mx, mcond).filter(F.col("__c__") == F.col("__mx__"))
+                modes = tied.groupBy(*self.groups).agg(
+                    F.sort_array(F.collect_list(vname)).alias(tmp)
+                )
+                right = modes
+                for g in self.groups:
+                    right = right.withColumnRenamed(g, f"__jm_{g}__")
+                cond = _reduce(
+                    lambda a, b: a & b,
+                    [out[g].eqNullSafe(right[f"__jm_{g}__"]) for g in self.groups],
+                )
+                out = out.join(right, cond, "left").drop(
+                    *[f"__jm_{g}__" for g in self.groups]
+                )
+            else:
+                mx = cnt.agg(F.max("__c__").alias("__mx__"))
+                modes = cnt.join(F.broadcast(mx), F.col("__c__") == F.col("__mx__")).agg(
+                    F.sort_array(F.collect_list(vname)).alias(tmp)
+                )
+                out = out.crossJoin(F.broadcast(modes))
+            names_map[key] = tmp
+            tmps.append(tmp)
+
+        def rw(e):
+            if not isinstance(e, Expr):
+                return e
+            if e.op == "mode":
+                hit = names_map.get(repr(e.args[0]))
+                if hit is not None:
+                    return Expr("max", col(hit)) if agg_wrap else col(hit)
+            return Expr(e.op, *[rw(a) for a in e.args])
+
+        return self._replace(out), {n: rw(e) for n, e in exprs.items()}, tmps
+
     def _rewrite_grouped_quantiles(self, exprs: dict, agg_wrap: bool):
         """Grouped NEAREST quantiles route through the per-group
         distinct-value counts kernel (operators/ordered.py
@@ -1207,6 +1312,15 @@ class DataFrame:
             if pre is not self:
                 return pre.summarise_with(**new_exprs)
 
+        if self._group_mode == "groups" and any(
+            isinstance(e, Expr) and _tree_has(e, "mode") for e in exprs.values()
+        ):
+            # mode -> sorted LIST of tied modes (reference); cube/rollup
+            # keep Spark's scalar F.mode (see _rewrite_modes)
+            pre, new_exprs, _tmps = self._rewrite_modes(exprs, agg_wrap=True)
+            if pre is not self:
+                return pre.summarise_with(**new_exprs)
+
         needs_order = any(_implicit_list(e) for e in exprs.values())
         # argmin/argmax (and order-exact first/last) return/consume row
         # POSITIONS: the hidden order column is a sparse monotonic id, so
@@ -1267,6 +1381,13 @@ class DataFrame:
         treats the frame as plainly grouped."""
         if mode not in ("groups", "cube", "rollup"):
             raise ValueError(f"mode must be 'groups', 'cube' or 'rollup', got {mode!r}")
+        if self.groups and getattr(self, "_group_stable", True) != stable:
+            # reference grouped_test.exs 'groups with different stable
+            # flag raise error'
+            raise ValueError(
+                "`stable` flag can't be changed after the first `group_by`; "
+                "ungroup first to regroup with a different flag"
+            )
         cols = []
         for s in selectors:
             got = self._resolve(s)
@@ -1278,6 +1399,7 @@ class DataFrame:
             cols.extend(got)
         out = self._replace(self._sdf, groups=list(dict.fromkeys(self.groups + cols)))
         out._group_mode = mode
+        out._group_stable = stable
         return out
 
     def cube(self, *selectors) -> "DataFrame":
@@ -1409,6 +1531,27 @@ class DataFrame:
         if self.groups and replace:
             return self._sample_replace_grouped(n_or_frac, seed, shuffle)
         if self.groups:
+            # without replacement a request larger than ANY group raises
+            # (reference grouped_test.exs 'sample more than the size from
+            # each group without replacement' — polars' population error);
+            # one map-side-combined count probe
+            if isinstance(n_or_frac, float) and n_or_frac > 1.0:
+                raise ValueError(
+                    "cannot take a larger sample than the total population "
+                    "of a group unless `replace` is true"
+                )
+            if not isinstance(n_or_frac, float):
+                mn_row = (
+                    self._sdf.groupBy(*self.groups)
+                    .agg(F.count(F.lit(1)).alias("__c__"))
+                    .agg(F.min("__c__").alias("__m__"))
+                    .first()
+                )
+                if mn_row and mn_row["__m__"] is not None and n_or_frac > mn_row["__m__"]:
+                    raise ValueError(
+                        "cannot take a larger sample than the total population "
+                        f"of a group ({mn_row['__m__']}) unless `replace` is true"
+                    )
             base = self._ordered()
             w = W.partitionBy(*self.groups).orderBy(F.rand(seed))
             sdf = base._sdf.withColumn("__rn__", F.row_number().over(w))

@@ -335,16 +335,26 @@ def q_duration_arith(spark, sf_dir):
     """,
 )
 def q_mode_agg(spark, sf_dir):
-    """mode() aggregate (clear-winner distributions -> deterministic)."""
+    """mode() aggregate. The engine's mode returns ALL tied modes as a
+    sorted list (reference semantics, round-8 parity fix); these
+    distributions have clear winners, so element 1 mirrors DuckDB's
+    scalar mode()."""
+    from pyspark.sql import functions as SF
+
     li = _t(spark, sf_dir, "lineitem")
-    return (
+    out = (
         li.mutate(bucket=col("l_suppkey") % lit(7))
         .group_by("l_returnflag")
         .summarise(
-            mode_line=f.cast(f.mode(col("l_linenumber")), ("s", 32)),
-            mode_bucket=f.cast(f.mode(col("bucket")), ("s", 64)),
+            mode_line=f.mode(col("l_linenumber")),
+            mode_bucket=f.mode(col("bucket")),
         )
         .lazy_sdf()
+    )
+    return out.select(
+        "l_returnflag",
+        SF.element_at("mode_line", 1).cast("int").alias("mode_line"),
+        SF.element_at("mode_bucket", 1).cast("long").alias("mode_bucket"),
     )
 
 

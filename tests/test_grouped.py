@@ -96,3 +96,54 @@ def test_grouped_summarise_stable_first_appearance_order(spark):
 def test_grouped_distinct(df):
     out = df.group_by("g").distinct(["g"]).sort_by("g").to_columns()
     assert out["g"] == ["a", "b", "c"]
+
+
+def test_grouped_mode_returns_tied_list(spark):
+    """mode() returns ALL tied modes as a sorted LIST (reference
+    series.ex:2640-2680; grouped_test.exs 'using mode' asserts the
+    {:list, inner} summarise dtype). Implemented via the per-(group,
+    value) count kernel (frame._rewrite_modes) — never F.mode's
+    arbitrary single pick, never a whole-group buffer."""
+    from explorer_spark import functions as f
+    from explorer_spark.functions import col
+    from explorer_spark.sources import from_columns
+
+    df = from_columns(
+        {"g": ["a", "a", "b", "b", "b"], "v": [0.2, 0.2, 1.3, 1.3, 2.0]}, spark=spark
+    ).group_by("g")
+    out = df.summarise(m=f.mode(col("v")))
+    assert out.dtypes["m"] == ("list", ("f", 64))
+    assert out.to_columns()["m"] == [[0.2], [1.3]]
+    # ungrouped tie -> multi-element list; nulls don't count
+    un = from_columns({"v": [1.0, 2.0, 2.0, 3.0, 3.0]}, spark=spark)
+    assert un.summarise(m=f.mode(col("v"))).to_columns()["m"] == [[2.0, 3.0]]
+    nl = from_columns({"v": [1, 2, 2, None]}, spark=spark)
+    assert nl.summarise(m=f.mode(col("v"))).to_columns()["m"] == [[2]]
+    # mutate broadcasts the list per group
+    assert df.mutate(m=f.mode(col("v"))).to_columns()["m"] == [
+        [0.2], [0.2], [1.3], [1.3], [1.3]
+    ]
+
+
+def test_grouped_sample_population_and_stable_flag(spark):
+    """Reference grouped_test.exs: oversampling a group without
+    replacement raises (polars' population error); changing the stable
+    flag after the first group_by raises."""
+    import pytest as _pytest
+
+    from explorer_spark.sources import from_columns
+
+    df = from_columns(
+        {"g": ["a"] * 5 + ["b"] * 5, "v": list(range(10))}, spark=spark
+    ).group_by("g")
+    with _pytest.raises(ValueError, match="larger sample"):
+        df.sample(8, seed=100)
+    with _pytest.raises(ValueError, match="larger sample"):
+        df.sample(1.2, seed=100)
+    assert df.sample(8, seed=100, replace=True).n_rows() == 16
+    assert df.sample(1.2, seed=100, replace=True).n_rows() == 12
+
+    base = from_columns({"a": [1], "b": [2]}, spark=spark)
+    with _pytest.raises(ValueError, match="stable"):
+        base.group_by("a", stable=True).group_by("b", stable=False)
+    base.group_by("a", stable=True).group_by("b", stable=True)  # same flag ok

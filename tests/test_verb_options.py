@@ -22,11 +22,19 @@ def grouped(spark):
 
 
 def test_grouped_sample_n_per_group(grouped):
-    out = grouped.group_by("g").sample(3, seed=5).to_pandas()
+    out = grouped.group_by("g").sample(2, seed=5).to_pandas()
     counts = out.groupby("g").size().to_dict()
-    assert counts == {"a": 3, "b": 3, "c": 2}
+    assert counts == {"a": 2, "b": 2, "c": 2}
     # sampled rows belong to their group
     assert all(r.x // 2 in {0, 1, 2} if r.g == "a" else True for r in out.itertuples())
+    # n larger than ANY group raises without replacement (reference
+    # grouped_test.exs 'sample more than the size ... without
+    # replacement' — polars' population error; round-8 parity fix: the
+    # old clamp-to-group-size behavior was a divergence)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="larger sample"):
+        grouped.group_by("g").sample(3, seed=5)
 
 
 def test_grouped_sample_deterministic(grouped):
