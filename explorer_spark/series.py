@@ -948,6 +948,27 @@ class Series:
         base = self._frame._sdf.withColumn(self.name, udf(F.col(self.name)))
         return Series(DataFrame(base, has_order=self._frame._has_order), self.name)
 
+    def all_equal(self, other: "Series") -> bool:
+        """Whole-series equality (reference series.ex:4690-4717):
+        mismatched dtypes are False without running a job; same dtypes
+        compare positionally with null == null (polars series_equal
+        null_equal semantics). Distributed: row-index equi-join + a
+        limit-1 mismatch probe — no collect."""
+        if dt.normalize(self.dtype) != dt.normalize(other.dtype):
+            return False
+        a = (
+            self._frame.select([self.name])
+            ._with_row_index("__i__")
+            ._sdf.select(F.col("__i__"), F.col(self.name).alias("__a__"))
+        )
+        b = (
+            other._frame.select([other.name])
+            ._with_row_index("__i__")
+            ._sdf.select(F.col("__i__"), F.col(other.name).alias("__b__"))
+        )
+        j = a.join(b, "__i__", "full")
+        return j.filter(~F.col("__a__").eqNullSafe(F.col("__b__"))).limit(1).count() == 0
+
     def index_of(self, value) -> int | None:
         f = self._frame._with_row_index("__idx__")
         rows = f._sdf.filter(F.col(self.name) == F.lit(value)).orderBy("__idx__").limit(1).collect()

@@ -506,3 +506,15 @@ def test_replace_both_arities(spark):
     assert r.to_list() == [7, 8] and r.dtype == ("s", 64)
     t = Series.from_list(["a-b", "c-d"], spark=spark)
     assert t.replace("-", "_").to_list() == ["a_b", "c_d"]
+
+
+def test_all_equal(spark):
+    """Whole-series equality (reference series.ex:4690-4717): dtype
+    mismatch is False, null == null, size mismatch is False."""
+    a = Series.from_list(["a", "b"], spark=spark)
+    assert a.all_equal(Series.from_list(["a", "b"], spark=spark)) is True
+    assert a.all_equal(Series.from_list(["a", "c"], spark=spark)) is False
+    assert a.all_equal(Series.from_list([1, 2], spark=spark)) is False
+    assert a.all_equal(Series.from_list(["a", "b", "c"], spark=spark)) is False
+    n = Series.from_list([1, None], spark=spark)
+    assert n.all_equal(Series.from_list([1, None], spark=spark)) is True
