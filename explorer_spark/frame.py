@@ -220,16 +220,14 @@ class DataFrame:
             # practice
             rows = self.to_rows()
             names = self.names
-            return self._fill_null_structs({c: [r[c] for r in rows] for c in names})
+            return {c: [r[c] for r in rows] for c in names}
         # Flat frames: collect through Arrow, not pandas. Arrow keeps
         # nullable int64 EXACT (pandas widens to float64 — 2^53+1 silently
         # rounds) and distinguishes NULL from NaN natively (the reference
         # treats NaN as a VALUE distinct from nil).
         try:
             tbl = self.to_sdf().toArrow()
-            return self._fill_null_structs(
-                self._attach_zones({c: tbl.column(c).to_pylist() for c in self.names})
-            )
+            return self._attach_zones({c: tbl.column(c).to_pylist() for c in self.names})
         except Exception:
             pass  # fall through to the masked-pandas path
         # Float columns: NaN is a VALUE distinct from SQL NULL in the
@@ -265,34 +263,7 @@ class DataFrame:
                     # restore Python ints so to_list round-trips exactly
                     vals = [None if v is None else int(v) for v in vals]
                 out[c] = vals
-        return self._fill_null_structs(self._attach_zones(out))
-
-    def _fill_null_structs(self, out: dict) -> dict:
-        """A NULL struct value reads back as a struct of null fields —
-        the reference/polars read semantics (series/struct_test.exs
-        'allow nils': from_list([nil, %{a:1,b:2}, nil]) lists as
-        all-nil maps). Applied recursively through nested structs and
-        arrays on every collect path."""
-
-        def fill(v, t):
-            if isinstance(t, T.StructType):
-                src = v if isinstance(v, dict) else {}
-                return {f.name: fill(src.get(f.name), f.dataType) for f in t.fields}
-            if isinstance(t, T.ArrayType) and isinstance(v, list):
-                return [fill(x, t.elementType) for x in v]
-            return v
-
-        def has_struct(t) -> bool:
-            if isinstance(t, T.StructType):
-                return True
-            if isinstance(t, T.ArrayType):
-                return has_struct(t.elementType)
-            return False
-
-        for fld in self._sdf.schema.fields:
-            if fld.name in out and has_struct(fld.dataType):
-                out[fld.name] = [fill(v, fld.dataType) for v in out[fld.name]]
-        return out
+        return self._attach_zones(out)
 
     def _attach_zones(self, out: dict) -> dict:
         """tz-stamped datetime columns render in THEIR zone (reference

@@ -166,6 +166,26 @@ class Series:
             for v in values
         ):
             _validate_struct_values(values)
+        # a nil STRUCT row INGESTS as a struct of nil fields (reference
+        # struct_test.exs 'allow nils' — polars struct ingestion); this
+        # is a write-side conversion only: function-PRODUCED null
+        # structs (re_named_captures on nil input,
+        # data_frame_test.exs:2201-2236) stay nil on read
+        struct_fields = None
+        if dtype is not None:
+            nd0 = dt.normalize(dtype)
+            if isinstance(nd0, tuple) and nd0[0] == "struct":
+                struct_fields = [n for n, _ in nd0[1]]
+        elif any(isinstance(v, dict) for v in values):
+            struct_fields = list(next(v for v in values if isinstance(v, dict)).keys())
+        if struct_fields is not None and any(v is None for v in values):
+            tuple_rows = any(isinstance(v, tuple) for v in values)
+            blank = (
+                tuple((None,) * len(struct_fields))
+                if tuple_rows
+                else dict.fromkeys(struct_fields)
+            )
+            values = [blank if v is None else v for v in values]
         if dtype is None and values:
             # numeric inference must NOT go through pandas: a pandas
             # column of [1, None] silently becomes float64 (reference

@@ -644,10 +644,10 @@ def test_json_decode_invalid_raises(spark):
     bad = Series.from_list(["not json"], spark=spark)
     with pytest.raises(Exception, match="FAILFAST|Malformed|JSON"):
         bad.map(lambda c: f.json_decode(c, ("struct", [("a", ("s", 64))]))).to_list()
-    # nil input stays a null STRUCT, never an error — which lists as a
-    # struct of nil fields like every null struct (reference
-    # series/struct_test.exs 'allow nils'; round-8 parity fix)
+    # nil input stays nil, never an error (function-PRODUCED null
+    # structs read as nil — only from_list INGESTION converts nil rows
+    # to structs of nil fields, the polars split the reference shows:
+    # struct_test.exs 'allow nils' vs re_named_captures on nil,
+    # data_frame_test.exs:2201-2236)
     n = Series.from_list([None], dtype="string", spark=spark)
-    assert n.map(lambda c: f.json_decode(c, ("struct", [("a", ("s", 64))]))).to_list() == [
-        {"a": None}
-    ]
+    assert n.map(lambda c: f.json_decode(c, ("struct", [("a", ("s", 64))]))).to_list() == [None]

@@ -296,8 +296,9 @@ def test_reflected_operators_and_decimal_ingest(spark):
 def test_struct_reference_semantics(spark):
     """Round-8 sweep of reference series/struct_test.exs:
 
-    - a NULL struct value lists as a struct of null fields ('allow
-      nils') — every collect path (frame._fill_null_structs);
+    - a nil struct ROW ingests as a struct of null fields ('allow
+      nils') — from_list write-side conversion; function-produced null
+      structs still read as nil (re_named_captures on nil);
     - struct casts apply the temporal COUNT rules per field ('structs
       with integers to structs with naive datetimes') — Spark refuses
       struct<bigint> -> struct<timestamp>, expr._elem_cast rebuilds
