@@ -2190,6 +2190,17 @@ class DataFrame:
         ids = self._resolve(id_columns) if id_columns is not None else [
             c for c in self.names if c != names_from and c not in vals
         ]
+        # float columns are DISCARDED from the id selection, and an
+        # empty selection raises (reference data_frame_test.exs:3606-
+        # 3656 — floats make unreliable identity keys)
+        dts = self.dtypes
+        ids = [c for c in ids if not (isinstance(dts.get(c), tuple) and dts[c][0] == "f")]
+        if not ids:
+            raise ValueError(
+                "id_columns must select at least one existing column, but "
+                f"{id_columns!r} selects none. Note that float columns are "
+                "discarded from the selection."
+            )
         base = self._ordered()
         if agg == "first":
             aggfn = lambda v: F.min_by(F.col(v), F.col(ORDER_COL))  # noqa: E731

@@ -557,3 +557,39 @@ def test_concat_columns_suffix_and_list(spark):
     assert out.names == ["x", "y", "x_1", "a"]
     cols = out.sort_by("x").to_columns()
     assert cols["x"] == [1, 2, 3] and cols["x_1"] == [4, 5, 6] and cols["a"] == ["d", "e", "f"]
+
+
+def test_pivot_wider_reference_option_corners(spark):
+    """Round-8 sweep of reference pivot_wider tests: names_prefix,
+    multi-column values_from expanding names, float id columns
+    DISCARDED from the id selection (empty selection raises)."""
+    import pytest as _pytest
+
+    from explorer_spark.sources import from_columns
+
+    d = from_columns(
+        {"id": [1, 1], "variable": ["1", "2"], "value": [1.0, 2.0]}, spark=spark
+    ).pivot_wider("variable", "value", id_columns=["id"], names_prefix="column_")
+    assert d.names == ["id", "column_1", "column_2"]
+    assert d.to_columns() == {"id": [1], "column_1": [1.0], "column_2": [2.0]}
+
+    m = from_columns(
+        {"id": [1, 1], "variable": ["a", "b"], "value": [1, 2], "another_value": [6, 9]},
+        spark=spark,
+    ).pivot_wider("variable", ["value", "another_value"])
+    assert m.to_columns() == {
+        "id": [1],
+        "value_a": [1],
+        "value_b": [2],
+        "another_value_a": [6],
+        "another_value_b": [9],
+    }
+
+    f = from_columns(
+        {"float_id": [1.5, 1.6], "variable": ["a", "b"], "value": [1, 2]}, spark=spark
+    )
+    with _pytest.raises(ValueError, match="float columns are discarded"):
+        f.pivot_wider("variable", "value")
+    g = from_columns({"id": [1, 1], "variable": ["a", "b"], "value": [1, 2]}, spark=spark)
+    with _pytest.raises(ValueError, match="selects none"):
+        g.pivot_wider("variable", "value", id_columns=[])
