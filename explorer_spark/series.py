@@ -186,6 +186,21 @@ class Series:
                 else dict.fromkeys(struct_fields)
             )
             values = [blank if v is None else v for v in values]
+        if values:
+            # eager decimal-precision bound (reference 'decimal precision
+            # boundary': polars raises at from_list for >38 digits; Spark
+            # would otherwise fail LAZILY at materialization)
+            from decimal import Decimal as _DecB
+
+            for v in values:
+                if isinstance(v, _DecB) and v.is_finite():
+                    tup = v.as_tuple()
+                    e = tup.exponent
+                    prec = len(tup.digits) + e if e > 0 else max(len(tup.digits), -e)
+                    if prec > 38:
+                        raise ValueError(
+                            f"decimal precision 38 can't fit values with {prec} digits"
+                        )
         if dtype is None and values:
             # numeric inference must NOT go through pandas: a pandas
             # column of [1, None] silently becomes float64 (reference

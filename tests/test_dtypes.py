@@ -480,3 +480,19 @@ def test_list_cast_temporal_count_rules(spark):
     assert Series.from_list([[[1]]]).cast(("list", ("list", "date"))).to_list() == [
         [[dtm.date(1970, 1, 2)]]
     ]
+
+
+def test_decimal_precision_boundary(spark):
+    """Reference 'decimal precision boundary': 38 digits fit, 39 raise
+    EAGERLY at from_list (Spark would otherwise fail lazily at
+    materialization)."""
+    from decimal import Decimal
+
+    import pytest as _pytest
+
+    from explorer_spark.series import Series
+
+    big = Decimal(10**38 - 1)
+    assert Series.from_list([big], spark=spark).to_list() == [big]
+    with _pytest.raises(ValueError, match="38 can't fit values with 39 digits"):
+        Series.from_list([Decimal(10**38)], spark=spark)
