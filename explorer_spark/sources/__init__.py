@@ -99,7 +99,10 @@ def read_parquet(
                 F.expr(f"timestampadd(MICROSECOND, `{name}` div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"),
             )
     if columns:
-        sdf = sdf.select(*columns)
+        # integer entries select by POSITION (reference parquet_test.exs
+        # 'columns - integer 0 indexed')
+        names = sdf.columns
+        sdf = sdf.select(*[names[c] if isinstance(c, int) else c for c in columns])
     if max_rows is not None:
         # prefix limit (Catalyst CollectLimit/GlobalLimit — pushed to the
         # scan, no full read)

@@ -485,3 +485,14 @@ def test_csv_reference_option_corners(spark, tmp_path):
 
     p = w("a,b,c\n1,2,3\n", "cols.csv")
     assert ex.read_csv(p, columns=[0, 2], spark=spark).names == ["a", "c"]
+
+
+def test_parquet_columns_by_position(spark, tmp_path):
+    """Integer entries in read_parquet's columns select by position
+    (reference parquet_test.exs 'columns - integer 0 indexed')."""
+    import explorer_spark as ex
+
+    p = str(tmp_path / "t.parquet")
+    ex.write_parquet(ex.from_columns({"a": [1], "b": [2], "c": [3]}, spark=spark), p)
+    assert ex.read_parquet(p, columns=[0, 2], spark=spark).names == ["a", "c"]
+    assert ex.read_parquet(p, columns=["b"], spark=spark).names == ["b"]
