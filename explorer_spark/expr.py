@@ -1114,7 +1114,11 @@ _LOWER = {
     # lists
     "list_join": lambda ctx, a, sep: F.array_join(_c(a, ctx), sep),
     "list_lengths": _unop(F.size),
-    "list_member": lambda ctx, a, v: F.array_contains(_c(a, ctx), v),
+    # value may be a scalar (the reference surface) or an expression
+    # (engine extension — e.g. filter(member(mode(v), v)))
+    "list_member": lambda ctx, a, v: F.array_contains(
+        _c(a, ctx), _c(v, ctx) if isinstance(v, Expr) else v
+    ),
     # structs / json
     "field": lambda ctx, a, name: _c(a, ctx).getField(name),
     # struct literal from alternating (name, child) args — mutate's map

@@ -498,6 +498,17 @@ class DataFrame:
             if pre is not self:
                 res = pre.filter_with(*new_preds.values())
                 return res._replace(res._sdf.drop(*tmps))
+        if self._group_mode == "groups" and any(
+            isinstance(p, Expr) and _tree_has(p, "mode") for p in predicates
+        ):
+            # mode in a predicate broadcasts the tied-mode LIST (same
+            # list semantics as mutate — see _rewrite_modes)
+            pre, new_preds, tmps = self._rewrite_modes(
+                dict(enumerate(predicates)), agg_wrap=False
+            )
+            if pre is not self:
+                res = pre.filter_with(*new_preds.values())
+                return res._replace(res._sdf.drop(*tmps))
         needs_order = any(_tree_has(p, *ORDERED_EXPR_OPS) for p in predicates)
         has_agg = any(isinstance(p, Expr) and p.references_agg() for p in predicates)
         if not self.groups and (needs_order or has_agg):
