@@ -532,3 +532,83 @@ def clean_lines(sdf, text_col: str = "text", id_col: str = "doc_id", min_words: 
         F.coalesce(F.col("n_lines_kept"), F.lit(0)).alias("n_lines_kept"),
         F.coalesce(F.col(out_col), F.lit("")).alias(out_col),
     )
+
+
+def remove_repeated_spans(
+    sdf: SDF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_n: int = 5,
+    min_count: int = 2,
+    out_col: str = "clean_text",
+) -> SDF:
+    """REMOVE corpus-repeated substrings from documents — the actionable
+    half of the Lee et al. 2022 dedup signal (q_text_dup_substrings
+    DETECTS them): every word ``gram_n``-gram seen >= ``min_count``
+    times corpus-wide marks its span hot; adjacent/overlapping hot
+    spans merge into maximal substrings (gaps-and-islands over start
+    positions); the covered word positions are CUT and the remaining
+    words rejoin with single spaces (canonical whitespace — the same
+    normalization the gram kernel reads through).
+
+    Output: (id, out_col, n_words, words_removed) — one row per input
+    doc, docs with no hot spans pass through canonicalized.
+
+    Plan shape at 100 TB: the map-only Arrow gram kernel + a map-side-
+    combined hot count + one gram-keyed equi-join (as the detector),
+    one per-doc window bounded by doc length for the island merge,
+    covered positions EXPLODED from spans (output bounded by total
+    words — never a range join's cartesian block), an anti-join on
+    (id, pos), and a per-doc ordered rebuild. No driver state."""
+    from pyspark.sql import Window as W
+
+    grams = shingle_rows_arrow(
+        sdf.select(id_col, text_col), id_col, text_col, gram_n, pos_col="__pos__"
+    )
+    hot = (
+        grams.groupBy("shingle")
+        .count()
+        .filter(F.col("count") >= min_count)
+        .select("shingle")
+    )
+    hp = grams.join(hot, "shingle").select(id_col, "__pos__")
+    wd = W.partitionBy(id_col).orderBy("__pos__")
+    runs = (
+        hp.withColumn(
+            "__brk__",
+            F.when(
+                F.col("__pos__") - F.lag("__pos__").over(wd) <= gram_n, F.lit(0)
+            ).otherwise(F.lit(1)),
+        )
+        .withColumn("__rid__", F.sum("__brk__").over(wd.rowsBetween(W.unboundedPreceding, 0)))
+    )
+    spans = runs.groupBy(id_col, "__rid__").agg(
+        F.min("__pos__").alias("__s__"),
+        (F.max("__pos__") + F.lit(gram_n - 1)).alias("__e__"),
+    )
+    covered = spans.select(
+        id_col, F.explode(F.sequence(F.col("__s__"), F.col("__e__"))).alias("__pos__")
+    ).distinct()
+    wpos = sdf.select(
+        F.col(id_col), F.posexplode(words(F.col(text_col))).alias("__pos0__", "__w__")
+    ).withColumn("__pos__", F.col("__pos0__") + 1)
+    kept = wpos.join(covered, [id_col, "__pos__"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos__", "__w__"))),
+                lambda s: s["__w__"],
+            ),
+            " ",
+        ).alias(out_col),
+        F.count(F.lit(1)).alias("__kept__"),
+    )
+    totals = sdf.select(
+        F.col(id_col), F.size(words(F.col(text_col))).alias("n_words")
+    )
+    return totals.join(rebuilt, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col(out_col), F.lit("")).alias(out_col),
+        "n_words",
+        (F.col("n_words") - F.coalesce(F.col("__kept__"), F.lit(0))).alias("words_removed"),
+    )

@@ -1604,6 +1604,93 @@ def q_dedup_incremental_stream(spark, sf_dir):
     return got.distinct()
 
 
+
+@query(
+    "q_text_remove_dup_substrings",
+    f"""
+    WITH w AS (
+        SELECT doc_id, lang, {_WORDS.format(t="text")} AS ws
+        FROM documents WHERE text IS NOT NULL
+    ),
+    g AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos,
+               array_to_string(list_slice(ws, i, i + 4), ' ') AS gram
+        FROM w, UNNEST(range(1, greatest(len(ws) - 3, 1))) AS t(i)
+    ),
+    hot AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+    hp AS (SELECT doc_id, pos FROM g JOIN hot USING (gram)),
+    brks AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 5
+                    THEN 0 ELSE 1 END AS brk
+        FROM hp
+    ),
+    runs AS (
+        SELECT *, SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS UNBOUNDED PRECEDING) AS rid
+        FROM brks
+    ),
+    spans AS (SELECT doc_id, rid, MIN(pos) AS s, MAX(pos) + 4 AS e
+              FROM runs GROUP BY doc_id, rid),
+    covered AS (SELECT DISTINCT doc_id, CAST(p AS BIGINT) AS pos
+                FROM spans, UNNEST(range(s, e + 1)) AS t(p)),
+    wp AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos, ws[i] AS wrd
+        FROM w, UNNEST(range(1, len(ws) + 1)) AS t(i)
+    ),
+    kept AS (
+        SELECT wp.doc_id, wp.pos, wp.wrd
+        FROM wp LEFT JOIN covered c ON c.doc_id = wp.doc_id AND c.pos = wp.pos
+        WHERE c.pos IS NULL
+    ),
+    rebuilt AS (
+        SELECT doc_id, COUNT(*) AS kept,
+               md5(string_agg(wrd, ' ' ORDER BY pos)) AS h
+        FROM kept GROUP BY doc_id
+    ),
+    per_doc AS (
+        SELECT w.doc_id, w.lang,
+               len(w.ws) - COALESCE(r.kept, 0) AS wr,
+               COALESCE(r.h, md5('')) AS h
+        FROM w LEFT JOIN rebuilt r ON r.doc_id = w.doc_id
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN wr > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_changed,
+           CAST(SUM(wr) AS BIGINT) AS words_removed,
+           CAST(COUNT(DISTINCT h) AS BIGINT) AS n_clean_texts
+    FROM per_doc GROUP BY lang
+    """,
+)
+def q_text_remove_dup_substrings(spark, sf_dir):
+    """The ACTIONABLE half of the repeated-substring signal: cut every
+    maximal corpus-repeated substring out of each document
+    (operators/text.remove_repeated_spans — Lee et al. 2022's removal
+    step, span-merge level) and grade the rewritten corpus per lang:
+    docs changed, words removed, distinct clean texts (md5 — the oracle
+    rebuilds every document word-for-word in SQL, so the REWRITTEN TEXT
+    itself is value-verified, not just counts). Plan shape: the
+    detection pipeline + covered positions exploded from spans
+    (bounded by total words, no range join), an anti-join on
+    (doc, pos), and one per-doc ordered rebuild."""
+    from .operators.text import remove_repeated_spans
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .lazy_sdf()
+        .filter(SF.col("text").isNotNull())
+        .select("doc_id", "lang", "text")
+    )
+    out = remove_repeated_spans(docs, gram_n=5, min_count=2)
+    joined = out.join(docs.select("doc_id", "lang"), "doc_id")
+    return joined.groupBy("lang").agg(
+        SF.count(SF.lit(1)).alias("n_docs"),
+        SF.sum((SF.col("words_removed") > 0).cast("long")).alias("docs_changed"),
+        SF.sum("words_removed").alias("words_removed"),
+        SF.countDistinct(SF.md5(SF.col("clean_text"))).alias("n_clean_texts"),
+    )
+
+
 _SW_COUNT = (
     "len(list_filter({w}, x -> lower(x) IN "
     "('the','a','an','and','or','of','to','in','is','it')))"

@@ -890,3 +890,33 @@ def test_signature_store_compaction(spark, tmp_path):
     assert files_after < files_before, (files_before, files_after)
     after = sorted(map(tuple, dedup_against_store(new, store).collect()))
     assert after == before and before and before[0][:2] == (999, 7)
+
+
+def test_remove_repeated_spans_unit(spark):
+    """remove_repeated_spans cuts exactly the merged hot spans: two docs
+    sharing a 7-word run lose those 7 words; unique text survives
+    canonicalized (single spaces)."""
+    from pyspark.sql import functions as SF
+
+    from explorer_spark.operators.text import remove_repeated_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta"
+    rows = [
+        (1, f"one two three {shared} four five"),
+        (2, f"{shared} six seven eight nine ten"),
+        (3, "completely unique words here nothing repeats at all"),
+    ]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in remove_repeated_spans(sdf, gram_n=5, min_count=2).collect()}
+    assert out[1].clean_text == "one two three four five"
+    assert out[1].words_removed == 7
+    assert out[2].clean_text == "six seven eight nine ten"
+    assert out[2].words_removed == 7
+    assert out[3].clean_text == rows[2][1]
+    assert out[3].words_removed == 0
+    # a doc that is ENTIRELY a repeat empties out
+    sdf2 = spark.createDataFrame(
+        [(1, shared), (2, shared)], "doc_id long, text string"
+    )
+    out2 = {r.doc_id: r for r in remove_repeated_spans(sdf2, gram_n=5, min_count=2).collect()}
+    assert out2[1].clean_text == "" and out2[1].words_removed == 7
