@@ -612,3 +612,40 @@ def minhash_signature_cols(
             )
         )
     return out
+
+
+def dedup_keep_best(
+    docs: SDF,
+    pairs: SDF,
+    quality_col: str,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> SDF:
+    """Resolve near-dup PAIRS into the survivors a pipeline actually
+    ships: connected components over the pair graph, then per cluster
+    keep the HIGHEST-``quality_col`` document (ties -> lowest id — a
+    total order, deterministic across partitionings); docs in no
+    cluster all survive. Returns the surviving rows of ``docs``.
+
+    Plan shape: the component kernel's bounded join rounds + one
+    max_by aggregate per cluster + two anti-joins — never a whole
+    cluster in one task beyond the aggregate's combiner."""
+    comps = neardup_components(pairs, id_a=id_a, id_b=id_b)
+    member = comps.join(
+        docs.select(F.col(id_col).alias("vertex"), F.col(quality_col).alias("__q__")),
+        "vertex",
+    )
+    # max of struct(quality, -id): quality DESC then id ASC, one agg
+    keepers = member.groupBy("component").agg(
+        F.max_by(
+            F.col("vertex"), F.struct(F.col("__q__"), (-F.col("vertex")).alias("__negid__"))
+        ).alias("keep_id")
+    )
+    dropped = (
+        comps.join(
+            keepers.select(F.col("keep_id").alias("vertex")), "vertex", "left_anti"
+        )
+        .select(F.col("vertex").alias(id_col))
+    )
+    return docs.join(dropped, id_col, "left_anti")

@@ -291,6 +291,96 @@ def q_dedup_clusters(spark, sf_dir):
 
 
 @query(
+    "q_dedup_keep_best",
+    f"""
+    WITH RECURSIVE sh AS (
+        SELECT doc_id, text, {_SHINGLES3.format(w="ws")} AS sh
+        FROM (SELECT doc_id, text, {_WORDS.format(t="text")} AS ws FROM documents)
+    ),
+    sig AS (
+        SELECT doc_id, {", ".join(f"{_minhash_sql(i)} AS mh{i}" for i in range(8))}
+        FROM sh
+    ),
+    bands AS (
+        {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, md5(mh{2 * b} || '|' || mh{2 * b + 1}) AS bucket FROM sig" for b in range(4))}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    p AS (
+        SELECT id_a, id_b FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+        WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.8
+    ),
+    e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+    reach(src, dst) AS (
+        SELECT src, dst FROM e
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src
+    ),
+    lbl AS (SELECT src AS v, LEAST(src, MIN(dst)) AS comp FROM reach GROUP BY src),
+    ranked AS (
+        SELECT l.comp, d.doc_id,
+               row_number() OVER (PARTITION BY l.comp
+                                  ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn
+        FROM lbl l JOIN documents d ON d.doc_id = l.v
+    ),
+    dropped AS (SELECT doc_id FROM ranked WHERE rn > 1)
+    SELECT lang,
+           COUNT(*) AS n_kept,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+    GROUP BY lang
+    """,
+)
+def q_dedup_keep_best(spark, sf_dir):
+    """Near-dup REMOVAL keeping the best representative — what a
+    pipeline actually ships (q_dedup_clusters only reports cluster
+    sizes): MinHash/LSH candidates -> exact-Jaccard verify (>= 0.8) ->
+    connected components -> per cluster keep the LONGEST document
+    (n_chars DESC, doc_id ASC tie-break — a deterministic total order)
+    via one max_by(struct) aggregate -> two anti-joins
+    (operators/dedup.dedup_keep_best). Survivor identity is
+    value-verified (per-lang id sums) against a recursive-CTE closure
+    in DuckDB."""
+    from .operators.dedup import (
+        dedup_keep_best,
+        lsh_buckets,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from .operators.text import shingle_rows
+
+    docs = _t(spark, sf_dir, "documents").lazy_sdf()
+    sig = minhash_signatures(docs, num_hashes=8, shingle_n=3)
+    cand = lsh_candidate_pairs(lsh_buckets(sig, num_hashes=8, bands=4))
+    sh = (
+        shingle_rows(docs, "doc_id", "text", 3)
+        .groupBy("doc_id")
+        .agg(SF.collect_set("shingle").alias("sh"))
+    )
+    sa = sh.select(SF.col("doc_id").alias("id_a"), SF.col("sh").alias("__sha__"))
+    sb = sh.select(SF.col("doc_id").alias("id_b"), SF.col("sh").alias("__shb__"))
+    inter = SF.size(SF.array_intersect(SF.col("__sha__"), SF.col("__shb__")))
+    union = SF.size(SF.array_union(SF.col("__sha__"), SF.col("__shb__")))
+    pairs = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(inter.cast("double") / union >= 0.8)
+        .select("id_a", "id_b")
+    )
+    kept = dedup_keep_best(docs, pairs, quality_col="n_chars")
+    return kept.groupBy("lang").agg(
+        SF.count(SF.lit(1)).alias("n_kept"),
+        SF.sum("doc_id").alias("id_sum"),
+    )
+
+
+
+@query(
     "q_text_unigram_logprob",
     f"""
     WITH toks AS (
