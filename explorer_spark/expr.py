@@ -277,6 +277,29 @@ def _binop(fn):
     return lambda ctx, a, b: fn(_c(a, ctx), _c(b, ctx))
 
 
+def _add_sub(ctx: "LowerCtx", a, b, sub: bool) -> Column:
+    """add/subtract with the reference's DATE arithmetic rule: date ±
+    duration stays :date — the sub-day part truncates (duration_test.exs
+    :172-239; Spark's date + interval promotes to timestamp). Type
+    confirmation is analysis-only against ctx.sdf; without a frame the
+    plain operator stands (the documented degradation every dtype-aware
+    lowering shares). date - date already yields an interval natively."""
+    ca, cb = _c(a, ctx), _c(b, ctx)
+    out = (ca - cb) if sub else (ca + cb)
+    if ctx.sdf is None:
+        return out
+    try:
+        fa, fb = ctx.sdf.select(ca.alias("__l__"), cb.alias("__r__")).schema
+        ta, tb = fa.dataType, fb.dataType
+    except Exception:
+        return out
+    pair = (
+        (isinstance(ta, T.DateType) and isinstance(tb, T.DayTimeIntervalType))
+        or (isinstance(tb, T.DateType) and isinstance(ta, T.DayTimeIntervalType))
+    )
+    return out.cast("date") if pair else out
+
+
 def _pow(ctx: "LowerCtx", a, b) -> Column:
     """Reference pow dtype rules (series_test.exs:2611-2700): int ^ int
     stays INTEGER ({:s, 64} after our unsigned promotion), float width
@@ -930,8 +953,8 @@ _LOWER = {
     "alias": lambda ctx, a, name: _c(a, ctx).alias(name),
     "cast": _cast,
     # arithmetic
-    "add": _binop(lambda a, b: a + b),
-    "subtract": _binop(lambda a, b: a - b),
+    "add": lambda ctx, a, b: _add_sub(ctx, a, b, sub=False),
+    "subtract": lambda ctx, a, b: _add_sub(ctx, a, b, sub=True),
     "multiply": _binop(lambda a, b: a * b),
     "divide": _binop(lambda a, b: a.cast("double") / b),
     "quotient": _binop(lambda a, b: F.floor(a / b).cast("long")),

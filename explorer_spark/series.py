@@ -1163,7 +1163,9 @@ def _series_binop(op: str, a, b, name: str) -> "Series":
     a, b = _broadcast_args([a, b])
     if isinstance(a, Series) and isinstance(b, Series):
         sdf, (ca, cb) = _series_zip(a, b)
-        return _series_result(sdf, Expr(op, col(ca), col(cb)).lower(LowerCtx()), name)
+        # pass the zipped frame: dtype-aware lowerings (pow's integer
+        # rule, date ± duration staying :date) analyze against it
+        return _series_result(sdf, Expr(op, col(ca), col(cb)).lower(LowerCtx(sdf=sdf)), name)
     if isinstance(a, Series):
         return a._apply(Expr(op, a._c(), lit(b)), name=name)
     if isinstance(b, Series):

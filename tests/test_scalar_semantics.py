@@ -349,3 +349,34 @@ def test_struct_reference_semantics(spark):
     # int/float mixing promotes (not an error)
     m = Series.from_list([{"a": 1, "b": 2.4}, {"a": 1.5, "b": 2}], spark=spark)
     assert m.to_list() == [{"a": 1.0, "b": 2.4}, {"a": 1.5, "b": 2.0}]
+
+
+def test_date_plus_duration_stays_date(spark):
+    """date ± duration stays :date with sub-day truncation (reference
+    duration_test.exs:172-239 — Spark's native date + interval would
+    promote to timestamp); date - date stays duration."""
+    import datetime as dtm
+
+    from explorer_spark.functions import col
+    from explorer_spark.series import Series
+
+    d = Series.from_list([dtm.date(2024, 8, 20)], name="d", spark=spark)
+    hour = Series.from_list(
+        [dtm.timedelta(hours=1)], name="x", dtype=("duration", "us"), spark=spark
+    )
+    day = Series.from_list(
+        [dtm.timedelta(hours=24)], name="x", dtype=("duration", "us"), spark=spark
+    )
+    assert (d + hour).dtype == "date" and (d + hour).to_list() == [dtm.date(2024, 8, 20)]
+    assert (d + day).to_list() == [dtm.date(2024, 8, 21)]
+    assert (hour + d).dtype == "date"
+    assert (d - hour).to_list() == [dtm.date(2024, 8, 19)]
+    assert (d + dtm.timedelta(hours=25)).to_list() == [dtm.date(2024, 8, 21)]
+    # expression level too
+    fr = d.to_frame().rename({d.name: "d"})
+    out = fr.mutate(e=col("d") + dtm.timedelta(hours=1))
+    assert out.dtypes["e"] == "date"
+    # date - date stays a duration
+    a = Series.from_list([dtm.date(2024, 1, 3)], name="a", spark=spark)
+    b = Series.from_list([dtm.date(2024, 1, 1)], name="b", spark=spark)
+    assert (a - b).dtype == ("duration", "us")
