@@ -1081,7 +1081,10 @@ _LOWER = {
     "split": lambda ctx, a, sep: F.split(_c(a, ctx), _rx_quote(sep), -1),
     "replace": lambda ctx, a, pat, repl: F.replace(_c(a, ctx), F.lit(pat), F.lit(repl)),
     "re_replace": lambda ctx, a, pat, repl: F.regexp_replace(_c(a, ctx), pat, repl),
-    "count_matches": lambda ctx, a, pat: F.size(F.split(_c(a, ctx), _rx_quote(pat), -1)) - 1,
+    # null-guard: size(split(NULL)) is -1, which would read as -2 matches
+    "count_matches": lambda ctx, a, pat: F.when(
+        _c(a, ctx).isNotNull(), F.size(F.split(_c(a, ctx), _rx_quote(pat), -1)) - 1
+    ),
     "re_count_matches": lambda ctx, a, pat: F.regexp_count(_c(a, ctx), F.lit(pat)),
     "re_scan": lambda ctx, a, pat: F.regexp_extract_all(_c(a, ctx), F.lit(pat), 0),
     "split_into": lambda ctx, a, sep, fields: F.struct(

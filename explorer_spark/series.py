@@ -161,6 +161,10 @@ class Series:
             # (series.ex 'Trying to create an empty series ... will, by
             # default, result in a series of :null type')
             dtype = "null"
+        if dtype is not None and dt.normalize(dtype) == "null" and values:
+            # an explicit :null dtype DISCARDS the values — every row is
+            # nil (series_test.exs 'with non nils and dtype :null')
+            values = [None] * len(values)
         if dtype is None and any(
             isinstance(v, dict) or (isinstance(v, list) and any(isinstance(x, dict) for x in v))
             for v in values
@@ -252,14 +256,23 @@ class Series:
         if dtype is not None:
             nd_ = dt.normalize(dtype)
             if isinstance(nd_, tuple) and nd_[0] == "decimal":
-                # floats/ints land as Decimals at the boundary (reference
-                # from_list with {:decimal, p, s} accepts numbers,
-                # series_test.exs 'with floats as decimals'); str() keeps
-                # the shortest repr, Arrow applies the dtype's scale
+                # floats land at FACE VALUE (str keeps the shortest repr,
+                # Arrow applies the dtype's scale — series_test.exs 'with
+                # floats as decimals'); INTEGERS are the UNSCALED
+                # coefficient: value = int * 10^-scale (series_test.exs
+                # 'with integers as decimals passing scale': 4237 with
+                # {:decimal, 38, 2} is Decimal("42.37"))
                 from decimal import Decimal as _Dec
 
+                _sc = nd_[2] if len(nd_) > 2 else 0
                 values = [
-                    _Dec(str(v)) if isinstance(v, float) else (_Dec(v) if isinstance(v, int) and not isinstance(v, bool) else v)
+                    _Dec(str(v))
+                    if isinstance(v, float)
+                    else (
+                        _Dec(v).scaleb(-_sc)
+                        if isinstance(v, int) and not isinstance(v, bool)
+                        else v
+                    )
                     for v in values
                 ]
             if isinstance(nd_, tuple) and nd_[0] == "duration":

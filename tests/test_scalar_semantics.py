@@ -287,10 +287,21 @@ def test_reflected_operators_and_decimal_ingest(spark):
     s = Series.from_list([0.0, 0.42, None, 5.12467], dtype=("decimal", 38, 5), spark=spark)
     assert s.to_list() == [Decimal("0.00000"), Decimal("0.42000"), None, Decimal("5.12467")]
     assert s.dtype == ("decimal", 38, 5)
-    assert Series.from_list([1, 2], dtype=("decimal", 38, 2), spark=spark).to_list() == [
-        Decimal("1.00"),
-        Decimal("2.00"),
+    # INTEGERS are UNSCALED coefficients: int * 10^-scale (round-8 fix,
+    # series_test.exs 'with integers as decimals passing scale')
+    assert Series.from_list([0, 4237, None, 550], dtype=("decimal", 38, 2), spark=spark).to_list() == [
+        Decimal("0.00"),
+        Decimal("42.37"),
+        None,
+        Decimal("5.50"),
     ]
+    # lower-scale floats truncate to the dtype's scale
+    lo = Series.from_list([0.42, 5.12467], dtype=("decimal", 38, 2), spark=spark)
+    assert lo.to_list() == [Decimal("0.42"), Decimal("5.12")]
+    # explicit :null dtype discards values (series_test.exs 'with non
+    # nils and dtype :null')
+    n = Series.from_list([1, 2, 3], dtype="null", spark=spark)
+    assert n.to_list() == [None, None, None] and n.dtype == "null"
 
 
 def test_struct_reference_semantics(spark):
@@ -380,3 +391,15 @@ def test_date_plus_duration_stays_date(spark):
     a = Series.from_list([dtm.date(2024, 1, 3)], name="a", spark=spark)
     b = Series.from_list([dtm.date(2024, 1, 1)], name="b", spark=spark)
     assert (a - b).dtype == ("duration", "us")
+
+
+def test_count_matches_null_guard(spark):
+    """count_matches on a nil input is nil, not -2 (size(split(NULL)) is
+    -1 in Spark — round-8 sweep find); the literal/regex split matches
+    the reference (count_matches is literal, re_count_matches regex)."""
+    from explorer_spark import functions as fn
+    from explorer_spark.series import Series
+
+    c = Series.from_list(["abc", "bcd", "def", None], spark=spark)
+    assert c.map(lambda x: fn.count_matches(x, "(b|d)")).to_list() == [0, 0, 0, None]
+    assert c.map(lambda x: fn.re_count_matches(x, "(b|d)")).to_list() == [1, 2, 1, None]
