@@ -116,6 +116,31 @@ def _validate_struct_values(values: list) -> None:
                 _validate_struct_values(inner)
 
 
+def _value_kind_checks():
+    """Scalar/dtype compatibility per the reference's
+    cast_to_comparable_series (shared by fill_missing and index_of)."""
+    import datetime as _dt
+
+    return {
+        "boolean": lambda v: isinstance(v, bool),
+        "s": lambda v: isinstance(v, int) and not isinstance(v, bool),
+        "u": lambda v: isinstance(v, int) and not isinstance(v, bool),
+        "f": lambda v: isinstance(v, (int, float)) and not isinstance(v, bool),
+        "string": lambda v: isinstance(v, (str, bytes)),
+        "binary": lambda v: isinstance(v, (bytes, str)),
+        "date": lambda v: isinstance(v, _dt.date) and not isinstance(v, _dt.datetime),
+        "datetime": lambda v: isinstance(v, _dt.datetime),
+        "naive_datetime": lambda v: isinstance(v, _dt.datetime),
+        "time": lambda v: isinstance(v, _dt.time),
+        "duration": lambda v: isinstance(v, (_dt.timedelta, int)),
+        "decimal": lambda v: isinstance(v, (int, float)) and not isinstance(v, bool),
+        "category": lambda v: isinstance(v, str),
+    }
+
+
+_VALUE_KIND_CHECKS = _value_kind_checks()
+
+
 def _tz_key(tzinfo) -> str:
     """Zone key of a python tzinfo (ZoneInfo .key preferred), with
     datetime.timezone.utc normalized to the reference's 'Etc/UTC'."""
@@ -875,21 +900,7 @@ class Series:
         if isinstance(sv, str) and sv in ("forward", "backward", "min", "max"):
             return self._apply(fns.fill_missing(self._c(), sv))
         # literal fill: dtype compatibility per reference cast_to_comparable_series
-        ok = {
-            "boolean": lambda v: isinstance(v, bool),
-            "s": lambda v: isinstance(v, int) and not isinstance(v, bool),
-            "u": lambda v: isinstance(v, int) and not isinstance(v, bool),
-            "f": lambda v: isinstance(v, (int, float)) and not isinstance(v, bool),
-            "string": lambda v: isinstance(v, (str, bytes)),
-            "binary": lambda v: isinstance(v, (bytes, str)),
-            "date": lambda v: isinstance(v, _dt.date) and not isinstance(v, _dt.datetime),
-            "datetime": lambda v: isinstance(v, _dt.datetime),
-            "naive_datetime": lambda v: isinstance(v, _dt.datetime),
-            "time": lambda v: isinstance(v, _dt.time),
-            "duration": lambda v: isinstance(v, (_dt.timedelta, int)),
-            "decimal": lambda v: isinstance(v, (int, float)) and not isinstance(v, bool),
-            "category": lambda v: isinstance(v, str),
-        }.get(base)
+        ok = _VALUE_KIND_CHECKS.get(base)
         if ok is not None and sv is not None and not ok(sv):
             raise ValueError(
                 f"cannot invoke Series.fill_missing/2 with mismatched dtypes: {dtype} and {sv!r}"
@@ -1018,6 +1029,16 @@ class Series:
         return j.filter(~F.col("__a__").eqNullSafe(F.col("__b__"))).limit(1).count() == 0
 
     def index_of(self, value) -> int | None:
+        d = self.dtype
+        base = d[0] if isinstance(d, tuple) else d
+        ok = _VALUE_KIND_CHECKS.get(base)
+        if ok is not None and value is not None and not ok(value):
+            # reference raises on a non-comparable value instead of
+            # silently returning nil (series_test.exs 'raises on type
+            # mismatch')
+            raise ValueError(
+                f"unable to get index of value: {value!r} in series of type: {d}"
+            )
         f = self._frame._with_row_index("__idx__")
         rows = f._sdf.filter(F.col(self.name) == F.lit(value)).orderBy("__idx__").limit(1).collect()
         return rows[0]["__idx__"] if rows else None

@@ -518,3 +518,15 @@ def test_all_equal(spark):
     assert a.all_equal(Series.from_list(["a", "b", "c"], spark=spark)) is False
     n = Series.from_list([1, None], spark=spark)
     assert n.all_equal(Series.from_list([1, None], spark=spark)) is True
+
+
+def test_index_of_type_mismatch_raises(spark):
+    """index_of with a non-comparable value raises (reference
+    series_test.exs 'raises on type mismatch'), never a silent nil."""
+    s = Series.from_list([0], spark=spark)
+    with pytest.raises(ValueError, match="unable to get index of value"):
+        s.index_of("a")
+    import datetime as dtm
+
+    with pytest.raises(ValueError, match="unable to get index"):
+        s.index_of(dtm.datetime(2021, 1, 3))
