@@ -650,6 +650,21 @@ def _wunop(fn):
     return lambda ctx, a: fn(_wall(ctx, a))
 
 
+def _sum_lower(ctx: "LowerCtx", a) -> Column:
+    """sum with the reference's BOOLEAN rule: sum(booleans) counts the
+    trues as an integer (series_test.exs 'sum of boolean values'; Spark
+    rejects sum over booleans). Type check is analysis-only."""
+    c = _c(a, ctx)
+    if ctx.sdf is not None:
+        try:
+            t = ctx.sdf.select(c.alias("__s__")).schema[0].dataType
+            if isinstance(t, T.BooleanType):
+                c = c.cast("long")
+        except Exception:
+            pass
+    return F.sum(c)
+
+
 def _cum(aggfn, count=False):
     def low(ctx, a, reverse=False):
         w = _ordered_window(ctx, descending=bool(reverse)).rowsBetween(W.unboundedPreceding, 0)
@@ -1007,7 +1022,7 @@ _LOWER = {
     "fill_missing_forward": _fill_forward,
     "fill_missing_backward": _fill_backward,
     # aggregations (wrapped .over(groups) automatically outside summarise)
-    "sum": _unop(F.sum),
+    "sum": lambda ctx, a: _sum_lower(ctx, a),
     "min": _unop(F.min),
     "max": _unop(F.max),
     "mean": _unop(F.avg),

@@ -237,6 +237,7 @@ class Series:
             # NaN distinct from nil, series_test.exs 'mixing integers and
             # nan'). Routing through the typed Arrow path preserves both.
             import datetime as _dtm
+            from decimal import Decimal as _DecI
 
             flat = [v for v in values if v is not None]
             if flat and all(isinstance(v, int) and not isinstance(v, bool) for v in flat):
@@ -247,6 +248,25 @@ class Series:
                 and any(isinstance(v, float) for v in flat)
             ):
                 dtype = ("f", 64)
+            elif (
+                flat
+                and any(isinstance(v, _DecI) for v in flat)
+                and all(
+                    isinstance(v, (_DecI, float, int)) and not isinstance(v, bool)
+                    for v in flat
+                )
+            ):
+                # decimals infer {:decimal, 38, max scale}; mixed floats
+                # take FACE value, mixed ints are UNSCALED coefficients —
+                # both handled by the explicit-dtype branch below
+                # (series_test.exs 'with decimals without dtype given' /
+                # '... mixing with floats' / '... mixing with integers')
+                scales = [
+                    max(-v.as_tuple().exponent, 0)
+                    for v in flat
+                    if isinstance(v, _DecI) and isinstance(v.as_tuple().exponent, int)
+                ]
+                dtype = ("decimal", 38, max(scales, default=0))
             elif flat and all(isinstance(v, _dtm.time) for v in flat):
                 dtype = "time"
             elif flat and all(
@@ -412,14 +432,33 @@ class Series:
         parts = _broadcast_args(parts)
         sers = [p for p in parts if isinstance(p, Series)]
         sdf, names = _series_zip(*sers)
+        from pyspark.sql import types as T
+
+        types = {f.name: f.dataType for f in sdf.schema.fields}
+
+        def render(c, t):
+            # polars-style float rendering: inf/-inf, not Java's Infinity
+            if isinstance(t, (T.FloatType, T.DoubleType)):
+                c = (
+                    F.when(F.isnan(c), F.lit("NaN"))
+                    .when(c == F.lit(float("inf")), F.lit("inf"))
+                    .when(c == F.lit(float("-inf")), F.lit("-inf"))
+                    .otherwise(c.cast("string"))
+                )
+            else:
+                c = c.cast("string")
+            # a nil VALUE renders as the empty string, keeping the row
+            # (reference format 'with series that have nil value')
+            return F.coalesce(c, F.lit(""))
+
         it = iter(names)
-        # F.lit (not str()) so a nil VALUE — e.g. a broadcast size-1
-        # series holding nil — nulls the row like concat_str, instead of
-        # stringifying to "None"
-        cols = [
-            F.col(next(it)).cast("string") if isinstance(p, Series) else F.lit(p).cast("string")
-            for p in parts
-        ]
+        cols = []
+        for p in parts:
+            if isinstance(p, Series):
+                n = next(it)
+                cols.append(render(F.col(n), types[n]))
+            else:
+                cols.append(F.coalesce(F.lit(p).cast("string"), F.lit("")))
         return _series_result(sdf, F.concat(*cols), "values")
 
     # -- expression application ---------------------------------------------
@@ -939,11 +978,23 @@ class Series:
             return self._apply(Expr("replace", self._c(), args[0], args[1]))
         raise TypeError("replace takes a list (contents conversion) or (substring, replacement)")
 
-    def categorise(self, categories: list[str]) -> "Series":
-        """Map integer codes -> category strings (dictionary decode).
-        The result is a :category series (reference series.ex:1327+)."""
-        mapping = F.array(*[F.lit(c) for c in categories])
-        decoded = F.when(F.col(self.name).isNotNull(), mapping[F.col(self.name).cast("int")])
+    def categorise(self, categories) -> "Series":
+        """Map integer codes -> category strings (dictionary decode);
+        out-of-bounds codes become nil. A STRING series validates each
+        value against the categories instead (kept when present, nil
+        otherwise — series_test.exs 'takes string series and categorise
+        with categorical series'). ``categories`` may be a list or a
+        string/category Series. The result is a :category series
+        (reference series.ex:1327+)."""
+        cats = list(categories.to_list() if isinstance(categories, Series) else categories)
+        d = dt.normalize(self.dtype)
+        if d in ("string", "category"):
+            decoded = F.when(F.col(self.name).isin(cats), F.col(self.name))
+        else:
+            mapping = F.array(*[F.lit(c) for c in cats])
+            decoded = F.when(
+                F.col(self.name).isNotNull(), mapping[F.col(self.name).cast("int")]
+            )
         return _stamp_col_meta(self._apply(Expr("raw", decoded)), {"cat": True})
 
     def categories(self) -> list[str]:

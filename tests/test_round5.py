@@ -433,12 +433,15 @@ def test_duration_precision_cast_converts_counts(spark):
     assert ms.cast(("s", 64)).to_list() == [1500]
 
 
-def test_format_nil_value_nulls_row(spark):
+def test_format_nil_value_renders_empty(spark):
+    # round-8 correction: a nil VALUE renders as the empty string, the
+    # row survives (reference series_test.exs 'with series that have nil
+    # value': "c / g -  / o"); the old null-the-row pin was an assumption
     from explorer_spark.series import Series
 
     two = Series.from_list(["x", "y"], spark=spark)
     one_nil = Series.from_list([None], dtype="string", spark=spark)
-    assert Series.format([two, one_nil]).to_list() == [None, None]
+    assert Series.format([two, one_nil]).to_list() == ["x", "y"]
 
 
 def test_from_columns_iterator_with_pandas_fallback(spark):

@@ -403,3 +403,37 @@ def test_count_matches_null_guard(spark):
     c = Series.from_list(["abc", "bcd", "def", None], spark=spark)
     assert c.map(lambda x: fn.count_matches(x, "(b|d)")).to_list() == [0, 0, 0, None]
     assert c.map(lambda x: fn.re_count_matches(x, "(b|d)")).to_list() == [1, 2, 1, None]
+
+
+def test_round8_late_sweep_finds(spark):
+    """Round-8 late sweep (series_test.exs samples): decimal inference
+    is {:decimal, 38, max scale} with mixed floats at face value and
+    mixed ints as coefficients; sum counts booleans; format renders
+    inf/-inf and nil-as-empty-string; categorise validates string
+    inputs against the categories."""
+    import math
+    from decimal import Decimal
+
+    from explorer_spark.series import Series
+
+    s = Series.from_list([Decimal("0"), Decimal("0.42"), None, Decimal("5.12467")], spark=spark)
+    assert s.dtype == ("decimal", 38, 5)
+    assert s.to_list() == [Decimal("0.00000"), Decimal("0.42000"), None, Decimal("5.12467")]
+    mixed_f = Series.from_list([Decimal("0.42"), Decimal("5.12467"), 42.59], spark=spark)
+    assert mixed_f.to_list()[-1] == Decimal("42.59000")
+    mixed_i = Series.from_list([Decimal("0.42"), Decimal("5.12467"), 42], spark=spark)
+    assert mixed_i.to_list()[-1] == Decimal("0.00042")
+
+    assert Series.from_list([True, False, True], spark=spark).sum() == 2
+
+    s1 = Series.from_list(["a", "b"], spark=spark)
+    s3 = Series.from_list([1.5, float("inf")], spark=spark)
+    s4 = Series.from_list(["i", None], spark=spark)
+    assert Series.format([s1, "/", s3, "-", s4]).to_list() == ["a/1.5-i", "b/inf-"]
+
+    cats = Series.from_list(["a", "b", "c"], dtype="category", spark=spark)
+    sv = Series.from_list(["c", "b", "a", "x", "c"], spark=spark)
+    got = sv.categorise(cats)
+    assert got.to_list() == ["c", "b", "a", None, "c"] and got.dtype == "category"
+    idx = Series.from_list([0, 2, 1, None, 9], spark=spark)
+    assert idx.categorise(["a", "b", "c"]).to_list() == ["a", "c", "b", None, None]
