@@ -1156,20 +1156,41 @@ class Series:
         """Raw little-endian buffer of the values (reference
         Series.to_binary — nulls are not representable, same as
         the reference's contract)."""
-        return self.to_numpy().tobytes()
+        return b"".join(self.to_iovec())
 
     def to_iovec(self) -> list[bytes]:
         """List of per-chunk binaries (reference Series.to_iovec,
         series.ex — one binary per underlying chunk; to_binary is their
         concatenation). Chunks here are Arrow record batches of the
-        collected result; a single-batch series yields one element."""
+        collected result; a single-batch series yields one element.
+        Object-dtype chunks (the decimal-backed u64 emulation) coerce
+        through the iotype — numpy ``tobytes`` on an object array would
+        dump POINTERS, not values."""
+        import numpy as np
         import pyarrow as pa
 
         tbl = pa.Table.from_pandas(self.to_frame().to_pandas())
         col_ = tbl.column(0)
         out = []
         for chunk in col_.chunks:
-            out.append(chunk.to_numpy(zero_copy_only=False).tobytes())
+            arr = chunk.to_numpy(zero_copy_only=False)
+            if arr.dtype == object:
+                kind, bits = self.iotype()
+                if kind in ("s", "u") and bits == 128:
+                    # decimals (including the u64-as-decimal emulation)
+                    # are i128 iovecs; numpy has no int128 — pack manually
+                    out.append(
+                        b"".join(
+                            int(v).to_bytes(16, "little", signed=True) for v in arr
+                        )
+                    )
+                    continue
+                np_t = {"s": f"int{bits}", "u": f"uint{bits}", "f": f"float{bits}"}.get(kind)
+                if np_t is None:
+                    raise ValueError(f"to_iovec not supported for dtype {self.dtype}")
+                cast = float if kind == "f" else int
+                arr = np.array([cast(v) for v in arr], dtype=np_t)
+            out.append(arr.tobytes())
         return out
 
     @staticmethod

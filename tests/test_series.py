@@ -530,3 +530,14 @@ def test_index_of_type_mismatch_raises(spark):
 
     with pytest.raises(ValueError, match="unable to get index"):
         s.index_of(dtm.datetime(2021, 1, 3))
+
+
+def test_iovec_object_backed_columns(spark):
+    """to_iovec on decimal-backed columns (incl. the u64 emulation)
+    packs VALUES as i128, never numpy object-pointer bytes (round-8
+    sweep find: tobytes() on an object array dumps pointers)."""
+    s = Series.from_list([1_249_123, 0, 1], dtype=("u", 64), spark=spark)
+    want = b"".join(int(v).to_bytes(16, "little", signed=True) for v in [1_249_123, 0, 1])
+    assert b"".join(s.to_iovec()) == want
+    big = Series.from_list([2**63 + 5], dtype=("u", 64), spark=spark)
+    assert b"".join(big.to_iovec()) == (2**63 + 5).to_bytes(16, "little", signed=True)
