@@ -1112,8 +1112,15 @@ _LOWER = {
         *[F.regexp_extract(_c(a, ctx), pat, i + 1).alias(n) for i, n in enumerate(names)]
     ),
     "string_length": _unop(F.length),
-    "concat": lambda ctx, *xs: F.concat(*[_c(x, ctx).cast("string") for x in xs]),
-    "format": lambda ctx, xs: F.concat(*[_c(x, ctx).cast("string") for x in xs]),
+    # the reference's string concat IS format (the <> operator lowers to
+    # it): nil parts render as the empty string, the row survives
+    # (series_test.exs 'with series that have nil value')
+    "concat": lambda ctx, *xs: F.concat(
+        *[F.coalesce(_c(x, ctx).cast("string"), F.lit("")) for x in xs]
+    ),
+    "format": lambda ctx, xs: F.concat(
+        *[F.coalesce(_c(x, ctx).cast("string"), F.lit("")) for x in xs]
+    ),
     # temporal — wall-clock field reads go through _wall (tz-stamped
     # datetime columns shift into their zone first)
     "year": _wunop(F.year),
