@@ -927,7 +927,21 @@ def _duration_total(ctx, a, precision: str = "us"):
     return ((total_us - total_us % div).cast("decimal(38,0)") / F.lit(div)).cast("long")
 
 
-def _trim_side(c: Column, chars: str, leading: bool) -> Column:
+def _json_decode(ctx: "LowerCtx", a, dtype) -> Column:
+    """json_decode to any dtype (reference data_frame_test.exs:4810
+    'decodes primitives, lists, structs'): Spark's from_json accepts
+    only container schemas, so PRIMITIVE targets parse through a
+    one-field object wrap — handles quoted strings, null, and invalid
+    JSON (FAILFAST) uniformly with the container path."""
+    c = _c(a, ctx)
+    st = dt.to_spark(dtype)
+    if isinstance(st, (T.StructType, T.ArrayType, T.MapType)):
+        return F.from_json(c, st, {"mode": "FAILFAST"})
+    wrapped = F.when(
+        c.isNotNull(), F.concat(F.lit('{"v":'), c, F.lit("}"))
+    )
+    schema = T.StructType([T.StructField("v", st)])
+    return F.from_json(wrapped, schema, {"mode": "FAILFAST"}).getField("v")
     # escape every character-class metachar: '-' (range), '^' (negation),
     # '[' and ']' and '\\' — otherwise strip("a-c") means the RANGE a..c
     esc = "".join("\\" + ch if ch in "\\]^-[" else ch for ch in chars)
@@ -1179,9 +1193,7 @@ _LOWER = {
     # FAILFAST: invalid JSON raises at compute time (the reference's
     # json_decode raises a deserialization error, series_test.exs:6770);
     # Spark's default PERMISSIVE would silently yield a null struct
-    "json_decode": lambda ctx, a, dtype: F.from_json(
-        _c(a, ctx), dt.to_spark(dtype), {"mode": "FAILFAST"}
-    ),
+    "json_decode": _json_decode,
     # raw escape hatch: wrap an existing Column
     "raw": lambda ctx, column: column,
 }

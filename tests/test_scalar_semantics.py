@@ -437,3 +437,23 @@ def test_round8_late_sweep_finds(spark):
     assert got.to_list() == ["c", "b", "a", None, "c"] and got.dtype == "category"
     idx = Series.from_list([0, 2, 1, None, 9], spark=spark)
     assert idx.categorise(["a", "b", "c"]).to_list() == ["a", "c", "b", None, None]
+
+
+def test_json_decode_primitive_targets(spark):
+    """json_decode to PRIMITIVE dtypes (reference data_frame_test.exs
+    'decodes primitives, lists, structs'): Spark's from_json only takes
+    container schemas, so primitives parse through a one-field object
+    wrap — quoted strings dequote, invalid JSON still raises, nil stays
+    nil."""
+    from explorer_spark.sources import from_rows
+
+    df = from_rows([{"fl": "1.0", "l": "[1]", "s": '"a"'}], spark=spark)
+    out = df.mutate(
+        fl=f.json_decode(col("fl"), ("f", 64)),
+        l=f.json_decode(col("l"), ("list", ("s", 64))),
+        s=f.json_decode(col("s"), "string"),
+    )
+    assert out.dtypes["fl"] == ("f", 64)
+    assert out.dtypes["l"] == ("list", ("s", 64))
+    assert out.dtypes["s"] == "string"
+    assert out.to_columns() == {"fl": [1.0], "l": [[1]], "s": ["a"]}
