@@ -589,3 +589,46 @@ def test_grouped_ewm_giant_group_bounded(spark, monkeypatch):
     )
     plan = _plan(gdf.lazy_sdf())
     assert "__bkt__" in plan or "__ewm_bucket__" in plan or "FlatMapGroupsInPandas" in plan, plan
+
+
+def test_remove_repeated_spans_plan_shape(spark):
+    """The substring-removal pipeline is shuffle/window/join only: no
+    CartesianProduct / BroadcastNestedLoopJoin (covered positions come
+    from an EXPLODE over spans, bounded by total words — never a range
+    join), and the per-doc windows partition by doc."""
+    from explorer_spark.operators.text import remove_repeated_spans
+    from explorer_spark.sources import read_parquet
+
+    docs = read_parquet("/root/testdata/sf0.001/documents.parquet").lazy_sdf().select(
+        "doc_id", "text"
+    )
+    out = remove_repeated_spans(docs, gram_n=5, min_count=2)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert out.count() > 0
+
+
+def test_dedup_keep_best_deterministic(spark):
+    """keep-best survivor selection is a deterministic total order
+    (quality DESC, id ASC): two runs over differently-partitioned input
+    pick identical survivors."""
+    from pyspark.sql import functions as SF
+
+    from explorer_spark.operators.dedup import dedup_keep_best
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}", (i * 37) % 11) for i in range(40)],
+        "doc_id long, text string, q long",
+    )
+    pairs = spark.createDataFrame(
+        [(i, i + 20) for i in range(20)], "id_a long, id_b long"
+    )
+    a = sorted(r.doc_id for r in dedup_keep_best(docs, pairs, "q").collect())
+    b = sorted(
+        r.doc_id
+        for r in dedup_keep_best(docs.repartition(7), pairs.repartition(3), "q").collect()
+    )
+    assert a == b
+    # exactly one survivor per pair-cluster + all singletons
+    assert len(a) == 20
