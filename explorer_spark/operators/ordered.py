@@ -751,8 +751,8 @@ def ewm_global(
     guarantees the subset routed here holds only groups LARGER than the
     giant-group gate, so the (group, bucket) carry rows stay bounded by
     n/bucket_width + n/gate. The ignore_nils=False + adjust=False corner
-    (the gapped kernel) is not group-aware — callers keep that corner on
-    the per-group pandas path.
+    routes through ewm_gapped's grouped face (same keying and reset
+    discipline).
 
     specs: out_name -> (kind, src_col, alpha, adjust[, ignore_nils]),
     kind in {mean, variance, standard_deviation}.  ``ignore_nils=True``
@@ -786,14 +786,9 @@ def ewm_global(
     gapped = {
         o: (k, src, a) for o, (k, src, a, adj, ign) in specs.items() if not ign and not adj
     }
-    if gapped and gcols:
-        raise ValueError(
-            "grouped ewm_global does not support the ignore_nils=False + "
-            "adjust=False corner; callers route it to the pandas path"
-        )
     specs = {o: t for o, t in specs.items() if o not in gapped}
     if gapped:
-        sdf = ewm_gapped(sdf, idx_col, gapped, n_hint=n_hint)
+        sdf = ewm_gapped(sdf, idx_col, gapped, n_hint=n_hint, group_cols=gcols or None)
         if not specs:
             return sdf
 
@@ -1053,18 +1048,42 @@ def ewm_global(
 _EWM_CH = ("sw", "swx", "swx2", "sw2")
 
 
-def ewm_gapped(sdf: SDF, idx_col: str, specs: dict, n_hint: int | None = None) -> SDF:
+def ewm_gapped(
+    sdf: SDF,
+    idx_col: str,
+    specs: dict,
+    n_hint: int | None = None,
+    group_cols: list[str] | None = None,
+) -> SDF:
     """Distributed pandas-exact EWM for adjust=False, ignore_na=False
     (with or without nulls). specs: out_name -> (kind, src_col, alpha),
-    kind in {mean, variance, standard_deviation}."""
+    kind in {mean, variance, standard_deviation}.
+
+    ``group_cols``: per-GROUP variant (the giant-group path, mirroring
+    ewm_global's grouped face): ``idx_col`` must be a contiguous 0-based
+    index WITHIN each group; the prev-valid pre-pass, the local scans,
+    and the driver carry combine all key on (group, bucket) and reset at
+    group boundaries. Callers route only gate-exceeding groups here, so
+    the driver-side (group, bucket) state stays bounded."""
     import pandas as pd
 
+    gcols = list(group_cols or [])
     s = sdf.withColumn(BUCKET, F.floor(F.col(idx_col) / F.lit(bucket_size_for(n_hint))))
     fams = sorted({(src, alpha) for (_k, src, alpha) in specs.values()})
     srcs = sorted({src for (src, _a) in fams})
+    keycols = gcols + [BUCKET]
 
-    # pre-pass: per-bucket last valid idx per src -> prev-valid carry idx
-    pre = s.groupBy(BUCKET).agg(
+    def _gkey(r):
+        return tuple((r[g] is None, r[g]) for g in gcols)
+
+    def _ckey(r):
+        # composite carry key: group values + bucket (bucket alone when
+        # ungrouped, preserving the dense-array fast path)
+        return (tuple(r[g] for g in gcols) + (r[BUCKET],)) if gcols else r[BUCKET]
+
+    # pre-pass: per-(group,)bucket last valid idx per src -> prev-valid
+    # carry idx, reset at group boundaries
+    pre = s.groupBy(*keycols).agg(
         *[
             F.max(
                 F.when(F.col(src).isNotNull() & ~F.isnan(F.col(src).cast("double")), F.col(idx_col))
@@ -1072,13 +1091,18 @@ def ewm_gapped(sdf: SDF, idx_col: str, specs: dict, n_hint: int | None = None) -
             for src in srcs
         ]
     ).collect()
-    pre.sort(key=lambda r: r[BUCKET])
-    nb = (pre[-1][BUCKET] + 1) if pre else 0
-    prev_valid: dict = {src: {} for src in srcs}  # bucket -> idx of last valid BEFORE it (or -1)
+    pre.sort(key=lambda r: (_gkey(r), r[BUCKET]))
+    nb = (max(r[BUCKET] for r in pre) + 1) if pre else 0
+    prev_valid: dict = {src: {} for src in srcs}  # carry-key -> idx of last valid BEFORE it (or -1)
     run_lv: dict = {src: -1 for src in srcs}
+    prev_g: object = None
     for r in pre:
+        cur_g = tuple(r[g] for g in gcols)
+        if gcols and cur_g != prev_g:
+            run_lv = {src: -1 for src in srcs}
+            prev_g = cur_g
         for src in srcs:
-            prev_valid[src][r[BUCKET]] = run_lv[src]
+            prev_valid[src][_ckey(r)] = run_lv[src]
             if r[f"__lv_{src}__"] is not None:
                 run_lv[src] = int(r[f"__lv_{src}__"])
 
@@ -1096,13 +1120,23 @@ def ewm_gapped(sdf: SDF, idx_col: str, specs: dict, n_hint: int | None = None) -
                 T.StructField(f"__U{ch}_{fn}__", T.DoubleType()),
             ]
     schema = T.StructType(out_fields)
-    pv = {src: [prev_valid[src].get(b, -1) for b in range(nb)] for src in srcs}
+    if gcols:
+        pv = {src: dict(prev_valid[src]) for src in srcs}
+    else:
+        pv = {src: [prev_valid[src].get(b, -1) for b in range(nb)] for src in srcs}
 
     def local(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
         pdf = pdf.sort_values(idx_col).reset_index(drop=True)
         b = int(pdf[BUCKET].iloc[0])
+        if gcols:
+            # composite carry key; normalize pandas NaN null keys to None
+            # so they hash like the driver-side Row values
+            gvals = tuple(
+                None if pd.isna(pdf[g].iloc[0]) else pdf[g].iloc[0] for g in gcols
+            )
+            ck = gvals + (b,)
         idxs_all = pdf[idx_col].to_numpy(dtype="int64")
         n = len(pdf)
         for (src, alpha) in fams:
@@ -1115,7 +1149,10 @@ def ewm_gapped(sdf: SDF, idx_col: str, specs: dict, n_hint: int | None = None) -
             A_rows = np.ones(n)
             B_rows = {ch: np.zeros(n) for ch in _EWM_CH}
             U_rows = {ch: np.full(n, np.nan) for ch in _EWM_CH}
-            lv = pv[src][b] if b < len(pv[src]) else -1
+            if gcols:
+                lv = pv[src].get(ck, -1)
+            else:
+                lv = pv[src][b] if b < len(pv[src]) else -1
             # carried run: state affine in the incoming channels
             if lv >= 0:
                 A = 1.0
@@ -1173,7 +1210,7 @@ def ewm_gapped(sdf: SDF, idx_col: str, specs: dict, n_hint: int | None = None) -
                 pdf[f"__U{ch}_{fn}__"] = U_rows[ch]
         return pdf
 
-    local_df = s.groupBy(BUCKET).applyInPandas(local, schema).localCheckpoint(eager=False)
+    local_df = s.groupBy(*keycols).applyInPandas(local, schema).localCheckpoint(eager=False)
 
     end_cols = []
     for (src, alpha) in fams:
@@ -1182,15 +1219,21 @@ def ewm_gapped(sdf: SDF, idx_col: str, specs: dict, n_hint: int | None = None) -
             end_cols.append(
                 F.max_by(F.col(f"__{ch}_{fn}__"), F.col(idx_col)).alias(f"__{ch}_{fn}__")
             )
-    ends = local_df.groupBy(BUCKET).agg(*end_cols).collect()
-    ends.sort(key=lambda r: r[BUCKET])
+    ends = local_df.groupBy(*keycols).agg(*end_cols).collect()
+    ends.sort(key=lambda r: (_gkey(r), r[BUCKET]))
     carries: dict = {fam: {ch: {} for ch in _EWM_CH} for fam in fams}
     state: dict = {fam: None for fam in fams}
+    prev_g2: object = None
     for r in ends:
+        cur_g = tuple(r[g] for g in gcols)
+        if gcols and cur_g != prev_g2:
+            # carried EWM state never crosses a group boundary
+            state = {fam: None for fam in fams}
+            prev_g2 = cur_g
         for fam in fams:
             fn = fname(*fam)
             for ch in _EWM_CH:
-                carries[fam][ch][r[BUCKET]] = None if state[fam] is None else state[fam][ch]
+                carries[fam][ch][_ckey(r)] = None if state[fam] is None else state[fam][ch]
             if state[fam] is None:
                 u = r[f"__Usw_{fn}__"]
                 if u is not None and u == u:  # bucket contains the first valid
@@ -1203,7 +1246,40 @@ def ewm_gapped(sdf: SDF, idx_col: str, specs: dict, n_hint: int | None = None) -
                     new[ch] = mult * state[fam][ch] + float(r[f"__B{ch}_{fn}__"])
                 state[fam] = new
     j = local_df
-    if nb <= ARRAY_LOOKUP_MAX:
+    if gcols:
+        # composite (group, bucket) carry keys: one broadcast-joined
+        # literal table with null-safe group matching (a null group key
+        # is a real group)
+        from functools import reduce as _reduce
+
+        names = [(fam, ch) for fam in fams for ch in _EWM_CH]
+        schema_by_name = {f.name: f.dataType for f in sdf.schema.fields}
+        gtmp = [f"__gg{i}__" for i in range(len(gcols))]
+        carry_fields = (
+            [T.StructField(t, schema_by_name[g]) for t, g in zip(gtmp, gcols)]
+            + [T.StructField("__gb__", T.LongType())]
+            + [T.StructField(f"__C{ch}_{fname(*fam)}__", T.DoubleType()) for fam, ch in names]
+        )
+        all_keys = sorted(
+            {k for fam in fams for d in carries[fam].values() for k in d},
+            key=lambda k: tuple((v is None, v) for v in k[:-1]) + (k[-1],),
+        )
+        carry_rows = [
+            tuple(list(k[:-1]) + [k[-1]] + [carries[fam][ch].get(k) for fam, ch in names])
+            for k in all_keys
+        ]
+        cond = F.col(BUCKET) == F.col("__gb__")
+        for t, g in zip(gtmp, gcols):
+            cond = cond & F.col(g).eqNullSafe(F.col(t))
+        j = j.join(
+            F.broadcast(_lookup_df(sdf.sparkSession, carry_rows, carry_fields)),
+            cond,
+            "left",
+        ).drop("__gb__", *gtmp)
+
+        def carry_col(fam, ch):
+            return F.col(f"__C{ch}_{fname(*fam)}__")
+    elif nb <= ARRAY_LOOKUP_MAX:
         def carry_col(fam, ch):
             return _array_lookup(
                 F.col(BUCKET), _dense(carries[fam][ch], nb), T.DoubleType()

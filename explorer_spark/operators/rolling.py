@@ -289,27 +289,24 @@ def ewm_columns(frame, specs: dict[str, tuple], order_cols=None):
         # exceeds the gate, those groups route through the distributed
         # affine prefix-composition kernel (ewm_global's grouped face:
         # per-group contiguous index -> bucketed local scans -> bounded
-        # per-group carry combine) while normal-size groups keep the
-        # pandas path. The ignore_nils=False + adjust=False corner is
-        # pandas-only (the gapped kernel is not group-aware), same
-        # whole-group bound as before — documented scale edge.
+        # per-group carry combine; the ignore_nils=False + adjust=False
+        # corner routes through ewm_gapped's grouped face) while
+        # normal-size groups keep the pandas path.
         import os
 
         gate = int(os.environ.get("SPARK_GRAFT_EWM_GROUP_GATE", 1 << 21))
-        has_gapped = any((not t[3]) and (not t[4]) for t in specs.values())
         mx = None
-        if not has_gapped:
-            # limit-probe first: a frame with <= gate rows can't hold a
-            # giant group, and the limit short-circuits without the
-            # group-count shuffle (the common case pays ~one scan task)
-            if sdf.limit(gate + 1).count() > gate:
-                mx_row = (
-                    sdf.groupBy(*groups)
-                    .agg(F.count(F.lit(1)).alias("__c__"))
-                    .agg(F.max("__c__").alias("__m__"))
-                    .first()
-                )
-                mx = mx_row["__m__"] if mx_row else None
+        # limit-probe first: a frame with <= gate rows can't hold a
+        # giant group, and the limit short-circuits without the
+        # group-count shuffle (the common case pays ~one scan task)
+        if sdf.limit(gate + 1).count() > gate:
+            mx_row = (
+                sdf.groupBy(*groups)
+                .agg(F.count(F.lit(1)).alias("__c__"))
+                .agg(F.max("__c__").alias("__m__"))
+                .first()
+            )
+            mx = mx_row["__m__"] if mx_row else None
         if mx is not None and mx > gate:
             return _ewm_grouped_giant(sdf, groups, specs, out_schema, apply_bucket, nb, gate)
         bucketed = sdf.withColumn("__ewmb__", F.pmod(F.xxhash64(*groups), F.lit(nb)))

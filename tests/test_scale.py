@@ -566,6 +566,10 @@ def test_grouped_ewm_giant_group_bounded(spark, monkeypatch):
                 m=("mean", "x", 0.3, True),
                 v=("variance", "x", 0.3, False),
                 sd=("standard_deviation", "x", 0.2, True),
+                # the gapped corner (adjust=False, ignore_nils=False)
+                # routes through ewm_gapped's grouped face
+                gm=("mean", "x", 0.3, False, False),
+                gv=("variance", "x", 0.3, False, False),
             )
             .to_columns()
         )
@@ -575,7 +579,7 @@ def test_grouped_ewm_giant_group_bounded(spark, monkeypatch):
     gated = run()
     import math
 
-    for c in ("m", "v", "sd"):
+    for c in ("m", "v", "sd", "gm", "gv"):
         for u, v in zip(base[c], gated[c]):
             if u is None and v is None:
                 continue
