@@ -942,6 +942,9 @@ def _json_decode(ctx: "LowerCtx", a, dtype) -> Column:
     )
     schema = T.StructType([T.StructField("v", st)])
     return F.from_json(wrapped, schema, {"mode": "FAILFAST"}).getField("v")
+
+
+def _trim_side(c: Column, chars: str, leading: bool) -> Column:
     # escape every character-class metachar: '-' (range), '^' (negation),
     # '[' and ']' and '\\' — otherwise strip("a-c") means the RANGE a..c
     esc = "".join("\\" + ch if ch in "\\]^-[" else ch for ch in chars)
