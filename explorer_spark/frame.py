@@ -1260,6 +1260,15 @@ class DataFrame:
                 if not isinstance(e, Expr):
                     return e
                 if e.op in ORDERED_EXPR_OPS:
+                    if e.references_agg():
+                        # reference grouped_test.exs:466: a window over an
+                        # aggregate is ill-defined in summarise (the agg
+                        # collapses the rows the window would scan)
+                        raise ValueError(
+                            "it's not possible to have an aggregation "
+                            f"operation inside :{e.op}, which is a window "
+                            "function"
+                        )
                     key = repr(e)
                     if key not in ordered_sub:
                         ordered_sub[key] = (f"__so{len(ordered_sub)}__", e)

@@ -147,3 +147,20 @@ def test_grouped_sample_population_and_stable_flag(spark):
     with _pytest.raises(ValueError, match="stable"):
         base.group_by("a", stable=True).group_by("b", stable=False)
     base.group_by("a", stable=True).group_by("b", stable=True)  # same flag ok
+
+
+def test_window_over_aggregation_raises(spark):
+    """A window function over an aggregate inside summarise raises
+    (reference grouped_test.exs:466 — the agg collapses the rows the
+    window would scan); an aggregate OVER a window stays legal."""
+    import pytest as _pytest
+
+    from explorer_spark import functions as f
+    from explorer_spark.functions import col
+    from explorer_spark.sources import from_columns
+
+    df = from_columns({"g": ["a", "b"], "v": [1.0, 2.0]}, spark=spark).group_by("g")
+    with _pytest.raises(ValueError, match="aggregation operation inside"):
+        df.summarise(x=f.window_mean(f.max(col("v")), 2))
+    ok = from_columns({"g": ["a", "a", "a"], "v": [1.0, 3.0, 5.0]}, spark=spark).group_by("g")
+    assert ok.summarise(mx=f.max(f.window_mean(col("v"), 2))).to_columns()["mx"] == [4.0]
