@@ -333,6 +333,12 @@ class DataFrame:
             rx = re.compile(selector)
             return [n for n in names if rx.search(n)]
         if isinstance(selector, range):
+            bad = [i for i in selector if i >= len(names) or i < -len(names)]
+            if bad:
+                raise ValueError(
+                    f"range {selector.start}..{selector.stop - 1} is out of bounds "
+                    f"for a dataframe with {len(names)} column(s)"
+                )
             return [names[i] for i in selector]
         if isinstance(selector, int):
             return [names[selector]]
@@ -1434,22 +1440,51 @@ class DataFrame:
             descending = [descending] * len(keys)
         base = self._ordered() if (stable or self.groups) else self
         ctx = base._ctx()
+        sdf = base._sdf
         exprs: list[Column] = []
-        for k, desc in zip(keys, descending):
-            c = k.lower(ctx) if isinstance(k, Expr) else F.col(k)
+        tmp_keys: list[str] = []
+        for i, (k, desc) in enumerate(zip(keys, descending)):
+            if isinstance(k, Expr):
+                # materialize computed keys: Spark refuses window/agg
+                # expressions directly inside a Sort operator, and the
+                # reference sorts by window keys (lazy_test.exs:768)
+                name = f"__sk_{i}__"
+                sdf = sdf.withColumn(name, k.lower(ctx))
+                tmp_keys.append(name)
+                c = F.col(name)
+            else:
+                c = F.col(k)
             if desc:
                 exprs.append(c.desc_nulls_last() if nils_last else c.desc_nulls_first())
             else:
                 exprs.append(c.asc_nulls_last() if nils_last else c.asc_nulls_first())
-        sdf = base._sdf
         if self.groups:
-            # grouped sort = reorder rows *within* each group, keeping the
-            # groups in their first-appearance order (min row order per group)
-            sdf = sdf.withColumn("__grp_order__", F.min(ORDER_COL).over(W.partitionBy(*self.groups)))
-            exprs = [F.col("__grp_order__").asc()] + exprs
+            # grouped sort = a within-group PERMUTATION that keeps each
+            # group's original row positions (reference lazy_test.exs:780
+            # — polars window-sort; groups need not be contiguous).
+            # Rendered scale-first: two global-index range sorts over
+            # (groups, original order) and (groups, keys). Group sizes are
+            # identical in both, so each group occupies the SAME dense
+            # index range; the equi-join on that index hands the i-th
+            # original position to the i-th key-sorted row. No per-group
+            # window, so a giant group never single-partitions.
+            from .operators.ordered import with_global_index
+
+            gcols = [F.col(g).asc_nulls_first() for g in self.groups]
+            pos = with_global_index(sdf, gcols + [F.col(ORDER_COL).asc()], name="__r1__")
+            pos = pos.select(F.col("__r1__"), F.col(ORDER_COL).alias("__new_ord__"))
+            rows = with_global_index(
+                sdf, gcols + exprs + [F.col(ORDER_COL).asc()], name="__r2__"
+            ).drop(ORDER_COL, *tmp_keys)
+            out = (
+                rows.join(pos, rows["__r2__"] == pos["__r1__"], "inner")
+                .drop("__r1__", "__r2__")
+                .withColumnRenamed("__new_ord__", ORDER_COL)
+            )
+            return base._replace(out, has_order=True, aligned=False)
         if stable and base._has_order:
             exprs.append(F.col(ORDER_COL).asc())
-        out = sdf.orderBy(*exprs).drop(ORDER_COL, "__grp_order__")
+        out = sdf.orderBy(*exprs).drop(ORDER_COL, *tmp_keys)
         out = out.withColumn(ORDER_COL, F.monotonically_increasing_id())
         res = base._replace(out, has_order=True, aligned=True)
         # the plan now contains a global sort: a small/large limit-probe on
@@ -2001,7 +2036,7 @@ class DataFrame:
     def join_asof(
         self,
         other: "DataFrame",
-        on: str,
+        on: str | None = None,
         by: list[str] | None = None,
         strategy: str = "backward",
         suffix: str = "_right",
@@ -2024,6 +2059,19 @@ class DataFrame:
         """
         assert strategy in ("backward", "forward", "nearest")
         by = list(by or [])
+        if on is None:
+            # default `on` = the single overlapping column (reference
+            # join_asof/3, lazy_test.exs:1472-1490)
+            overlap = [c for c in self.names if c in set(other.names)]
+            if not overlap:
+                raise ValueError(
+                    "could not find any overlapping columns for join_asof"
+                )
+            if len(overlap) > 1:
+                raise ValueError(
+                    "multiple columns for option `:on` is not supported for join_asof"
+                )
+            on = overlap[0]
         tolerance = self._asof_tolerance(tolerance, self.dtypes.get(on))
         if not by:
             return self._asof_merge(other, on, strategy, suffix, tolerance)
@@ -2175,15 +2223,19 @@ class DataFrame:
         data_frame.ex:5693-5720; accepts a list of frames too)."""
         if len(others) == 1 and isinstance(others[0], (list, tuple)):
             others = tuple(others[0])
-        out = self._with_row_index("__cc__")._sdf
+        out = self._with_row_index("__cc__")._sdf.drop(ORDER_COL)
         for i, other in enumerate(others):
             osdf = other._with_row_index("__cc__")._sdf.drop(ORDER_COL)
             taken = set(out.columns)
             for c in osdf.columns:
                 if c != "__cc__" and c in taken:
                     osdf = osdf.withColumnRenamed(c, f"{c}_{i + 1}")
-            out = out.join(osdf, "__cc__", "inner")
-        return DataFrame(out.drop("__cc__"), self.groups, has_order=True)
+            # FULL join: the result is as long as the LONGEST frame;
+            # shorter frames pad with nils (reference lazy_test.exs:1668,
+            # polars horizontal concat). USING-join coalesces the index.
+            out = out.join(osdf, "__cc__", "full")
+        out = out.withColumn(ORDER_COL, F.col("__cc__")).drop("__cc__")
+        return DataFrame(out, self.groups, has_order=True)
 
     # ------------------------------------------------------------------
     # reshape (reference SURVEY.md §2.8)
@@ -2290,11 +2342,17 @@ class DataFrame:
         names_to: str = "variable",
         values_to: str = "value",
         discard=None,
+        select=None,
     ) -> "DataFrame":
         """Melt columns into rows; pivoted columns are cast to their merged
-        dtype (reference data_frame.ex:4819-5099)."""
+        dtype (reference data_frame.ex:4819-5099). ``select``/``discard``
+        narrow the KEPT (id) columns; discard wins on overlap
+        (lazy_test.exs:1203-1220)."""
         cols = self._resolve(columns_to_pivot)
-        keep = [c for c in self.names if c not in cols]
+        if select is not None:
+            keep = [c for c in self._resolve(select) if c not in cols]
+        else:
+            keep = [c for c in self.names if c not in cols]
         if discard is not None:
             drop = set(self._resolve(discard))
             keep = [c for c in keep if c not in drop]

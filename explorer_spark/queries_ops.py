@@ -167,6 +167,46 @@ def q_grouped_slice(spark, sf_dir):
 
 
 @query(
+    "q_grouped_sort_positions",
+    """
+    WITH base AS (
+      SELECT o_orderpriority AS g, o_orderkey, o_totalprice,
+             row_number() OVER (ORDER BY o_orderkey) AS pos
+      FROM orders
+    ),
+    a AS (SELECT g, pos, row_number() OVER (PARTITION BY g ORDER BY pos) AS r FROM base),
+    b AS (SELECT g, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY g ORDER BY o_totalprice DESC, pos) AS r
+          FROM base)
+    SELECT a.pos - 1 AS idx, b.o_orderkey, b.o_totalprice
+    FROM a JOIN b ON a.g = b.g AND a.r = b.r
+    """,
+)
+def q_grouped_sort_positions(spark, sf_dir):
+    """Grouped sort is a within-group permutation that KEEPS each
+    group's original row positions (reference lazy_test.exs:780, polars
+    window-sort): the i-th key-sorted row of a group lands on the
+    group's i-th original position. The oracle states the same
+    permutation with two partitioned row_numbers joined on rank; the
+    engine runs the dense-index remap kernel (two global-index range
+    sorts + one equi-join — no per-group window, giant-group safe).
+    row_index materializes the final order so the hash GRADES order."""
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .select(["o_orderpriority", "o_orderkey", "o_totalprice"])
+        .sort_by("o_orderkey")
+        .group_by("o_orderpriority")
+        .sort_by("o_totalprice", descending=True)
+        .ungroup()
+    )
+    return (
+        orders.mutate(idx=f.row_index())
+        .select(["idx", "o_orderkey", "o_totalprice"])
+        .lazy_sdf()
+    )
+
+
+@query(
     "q_mutate_keep_none",
     """
     SELECT c_nationkey, ROUND(AVG(c_acctbal) OVER (PARTITION BY c_nationkey), 6) AS bal_avg

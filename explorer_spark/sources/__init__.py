@@ -413,7 +413,7 @@ def read_ipc(
 def write_parquet(
     df: DataFrame,
     path: str,
-    compression: str = "snappy",
+    compression="snappy",
     mode: str = "overwrite",
     partition_by: list[str] | None = None,
     config=None,
@@ -421,12 +421,20 @@ def write_parquet(
     """Parquet sink. ``partition_by`` hive-partitions the layout by the
     given columns — the 100 TB knob: readers then get partition PRUNING
     (directory-level skip, visible as PartitionFilters in the scan plan)
-    for free on any filter over those columns."""
+    for free on any filter over those columns.
+
+    ``compression`` accepts the reference's codec-or-(codec, level)
+    forms. The zstd level maps to parquet-mr's
+    ``parquet.compression.codec.zstd.level``; gzip/brotli levels have no
+    JVM-writer knob and are ignored here (dump_parquet honors them)."""
     path = _fss_resolve(path, df.lazy_sdf().sparkSession, config)
+    codec, level = _parquet_compression(compression)
     w = df.lazy_sdf().write.mode(mode)
+    if level is not None and codec == "zstd":
+        w = w.option("parquet.compression.codec.zstd.level", str(level))
     if partition_by:
         w = w.partitionBy(*partition_by)
-    w.parquet(path, compression=compression)
+    w.parquet(path, compression=codec)
     return path
 
 
@@ -762,12 +770,33 @@ def _to_arrow(df: DataFrame):
     return pa.Table.from_pandas(df.to_pandas(), preserve_index=False)
 
 
-def dump_parquet(df: DataFrame, compression: str = "snappy") -> bytes:
-    """Parquet as in-memory bytes (reference dump_parquet)."""
+def _parquet_compression(compression) -> tuple[str, int | None]:
+    """Normalize the reference's compression forms — ``"zstd"`` or a
+    ``("zstd", 3)`` codec+level pair (to_parquet/dump_parquet options,
+    reference parquet_test.exs:286-323)."""
+    level = None
+    if isinstance(compression, (tuple, list)):
+        compression, level = compression
+        level = int(level)
+    codec = str(compression).lower()
+    if codec in ("lz4raw", "lz4_raw"):
+        codec = "lz4_raw"
+    return codec, level
+
+
+def dump_parquet(df: DataFrame, compression="snappy") -> bytes:
+    """Parquet as in-memory bytes (reference dump_parquet). Accepts the
+    full reference codec surface incl. levels — gzip/brotli/zstd levels
+    apply exactly (pyarrow writer)."""
     import pyarrow.parquet as pq
 
+    codec, level = _parquet_compression(compression)
+    if codec == "lz4_raw":
+        codec = "lz4"  # pyarrow's parquet LZ4 IS the raw-block codec
+    elif codec == "uncompressed":
+        codec = "none"
     buf = _io.BytesIO()
-    pq.write_table(_to_arrow(df), buf, compression=compression)
+    pq.write_table(_to_arrow(df), buf, compression=codec, compression_level=level)
     return buf.getvalue()
 
 

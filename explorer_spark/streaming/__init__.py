@@ -77,16 +77,37 @@ def run_stream_once(
     schema=None,
     output_mode: str | None = None,
     options: dict | None = None,
+    shuffle_partitions: int | None = None,
 ) -> SDF:
     """Drive a parquet dir through readStream -> transform -> memory sink,
     synchronously (for tests / local verification). ``output_mode``
     defaults to complete for aggregations; pass "append" for stateful
     row-level operators (dedup etc.). ``options`` go to the file source
     (e.g. ``maxFilesPerTrigger=1`` for deterministic micro-batch splits
-    in watermark tests — the file source processes oldest-mtime first)."""
+    in watermark tests — the file source processes oldest-mtime first).
+
+    The stream runs in a CLONED session with a smaller
+    ``spark.sql.shuffle.partitions`` (default 8, env
+    SPARK_GRAFT_STREAM_SHUFFLE; 0 disables): every stateful stage spawns
+    one state-store instance per shuffle partition PER MICRO-BATCH, so a
+    32-partition local session pays 32 state commits a batch for
+    kilobyte-scale state. Builder-level SQL confs (timezone, ANSI,
+    nanosAsLong) are SparkConf-backed and inherited by the clone; the
+    transform must build its static sides from the stream's session
+    (``stream_sdf.sparkSession``), which all repo operators do. On a
+    real cluster, size it to the stream's actual state width instead."""
+    import os as _os
+
+    n = shuffle_partitions
+    if n is None:
+        n = int(_os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8") or 0)
+    sess = spark
+    if n and int(spark.conf.get("spark.sql.shuffle.partitions", "0")) > n:
+        sess = spark.newSession()
+        sess.conf.set("spark.sql.shuffle.partitions", str(n))
     if schema is None:
-        schema = spark.read.parquet(parquet_path).schema
-    reader = spark.readStream.schema(schema)
+        schema = sess.read.parquet(parquet_path).schema
+    reader = sess.readStream.schema(schema)
     for k, v in (options or {}).items():
         reader = reader.option(k, v)
     src = reader.parquet(parquet_path)
@@ -99,7 +120,7 @@ def run_stream_once(
     )
     q.processAllAvailable()
     q.stop()
-    return spark.sql(f"SELECT * FROM {query_name}")
+    return sess.sql(f"SELECT * FROM {query_name}")
 
 
 def streaming_dedup(

@@ -51,9 +51,12 @@ def test_grouped_mutate_broadcast(df):
         .to_columns()
     )
     assert out["gsum"] == [9, 12, 9, 12, 9, 12]
-    # grouped sort keeps group blocks in first-appearance order
+    # grouped sort permutes WITHIN each group, keeping the group's row
+    # positions (reference lazy_test.exs:780 — polars window sort). Here
+    # each group is already ascending, so nothing moves.
     within = df.group_by("g").mutate(gsum=f.sum(col("a"))).sort_by("a").to_columns()
-    assert within["gsum"] == [9, 9, 9, 12, 12, 12]
+    assert within["gsum"] == [9, 12, 9, 12, 9, 12]
+    assert within["a"] == [1, 2, 3, 4, 5, 6]
 
 
 def test_summarise_grouped(df):
@@ -265,6 +268,59 @@ def test_sample_seeded(df):
     assert out.n_rows() == 3
     again = df.sample(3, seed=42)
     assert sorted(out.to_columns()["a"]) == sorted(again.to_columns()["a"])
+
+
+def test_join_asof_default_on(spark):
+    """Omitted `on` resolves to the single overlapping column; zero or
+    multiple overlaps raise (reference lazy_test.exs:1471-1520)."""
+    import pytest as _pytest
+
+    import explorer_spark as ex
+
+    left = ex.from_columns({"id": [1, 2, 3], "time": [0.9, 2.1, 2.8]}, spark=spark)
+    right = ex.from_columns({"time": [2.0], "value": [100]}, spark=spark)
+    out = left.join_asof(right, strategy="nearest").to_columns()
+    assert out == {"id": [1, 2, 3], "time": [0.9, 2.1, 2.8], "value": [100, 100, 100]}
+    with _pytest.raises(ValueError, match="could not find any overlapping"):
+        ex.from_columns({"a": [1]}, spark=spark).join_asof(
+            ex.from_columns({"b": [1]}, spark=spark)
+        )
+    with _pytest.raises(ValueError, match="multiple columns"):
+        ex.from_columns({"a": [1], "b": [1]}, spark=spark).join_asof(
+            ex.from_columns({"a": [1], "b": [1]}, spark=spark)
+        )
+
+
+def test_selector_range_out_of_bounds(spark):
+    """Range selectors past the column count raise with the reference's
+    message shape (lazy_test.exs:897-910)."""
+    import pytest as _pytest
+
+    import explorer_spark as ex
+
+    df = ex.from_columns({"a": [1], "b": [2], "c": [3]}, spark=spark)
+    assert df.distinct(range(0, 2)).names == ["a", "b"]
+    with _pytest.raises(ValueError, match="out of bounds"):
+        df.distinct(range(100, 201))
+
+
+def test_pivot_longer_select_and_discard(spark):
+    """select narrows the kept id columns; discard wins on overlap
+    (reference lazy_test.exs:1203-1220)."""
+    import explorer_spark as ex
+
+    d = ex.from_columns(
+        {"gas_flaring": [1, 2], "cement": [3, 4], "solid_fuel": [5, 6], "liquid_fuels": [7, 8]},
+        spark=spark,
+    )
+    out = d.pivot_longer(
+        lambda n: n.endswith(("fuel", "fuels")),
+        select=["gas_flaring", "cement"],
+        discard=lambda n: n == "cement",
+    )
+    assert out.names == ["gas_flaring", "variable", "value"]
+    got = out.to_columns()
+    assert sorted(got["variable"]) == ["liquid_fuels", "liquid_fuels", "solid_fuel", "solid_fuel"]
 
 
 def test_join_asof_tolerance_keyless(spark):
@@ -557,6 +613,24 @@ def test_concat_columns_suffix_and_list(spark):
     assert out.names == ["x", "y", "x_1", "a"]
     cols = out.sort_by("x").to_columns()
     assert cols["x"] == [1, 2, 3] and cols["x_1"] == [4, 5, 6] and cols["a"] == ["d", "e", "f"]
+
+
+def test_concat_columns_pads_shorter_frames(spark):
+    """Reference lazy_test.exs:1668: horizontal concat is as long as the
+    LONGEST frame — shorter frames pad with nils (polars hstack rule)."""
+    df1 = ex.from_columns({"x": [1, 2, 3], "y": ["a", "b", "c"]}, spark=spark)
+    df2 = ex.from_columns({"z": [4, 5, 6, 7], "a": ["d", "e", "f", "g"]}, spark=spark)
+    out = df1.concat_columns(df2)
+    assert out.names == ["x", "y", "z", "a"]
+    cols = out.to_columns()
+    assert cols["x"] == [1, 2, 3, None]
+    assert cols["y"] == ["a", "b", "c", None]
+    assert cols["z"] == [4, 5, 6, 7]
+    # bigger LEFT side pads the right; row order stays left-major
+    d3 = ex.from_columns({"w": [9]}, spark=spark)
+    out2 = df1.concat_columns([df2, d3])
+    assert out2.to_columns()["w"] == [9, None, None, None]
+    assert out2.head(2).to_columns()["x"] == [1, 2]
 
 
 def test_pivot_wider_reference_option_corners(spark):

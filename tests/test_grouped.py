@@ -55,6 +55,40 @@ def test_grouped_sort_within(df):
     assert desc["x"] == [3, 2, 1, 20, 10, 100]
 
 
+def test_grouped_sort_preserves_group_positions(spark):
+    """Reference lazy_test.exs:780 (polars window-sort guide grid):
+    grouped sort is a within-group permutation that leaves each group's
+    original row POSITIONS fixed — groups are not re-blocked."""
+    d = ex.from_columns(
+        {
+            "name": ["Slowpoke", "Slowbro", "SlowbroMega", "Exeggcute", "Exeggutor", "Starmie", "Jynx"],
+            "type1": ["Water", " Water", "Water", "Grass", "Grass", "Water", "Ice"],
+            "speed": [15, 30, 30, 40, 55, 115, 95],
+        },
+        spark=spark,
+    )
+    out = d.group_by("type1").sort_by("speed", descending=True)
+    rows = [(r["name"], r["speed"]) for r in out.to_rows()]
+    assert rows == [
+        ("Starmie", 115),
+        ("Slowbro", 30),
+        ("SlowbroMega", 30),
+        ("Exeggutor", 55),
+        ("Exeggcute", 40),
+        ("Slowpoke", 15),
+        ("Jynx", 95),
+    ]
+
+
+def test_sort_by_window_expression_key(spark):
+    """Reference lazy_test.exs:768: sort_with by a window function key."""
+    d = ex.from_columns({"a": [1, 2, 4, 3, 6, 5], "b": ["a", "b", "d", "c", "f", "e"]}, spark=spark)
+    out = d.sort_with(lambda df: [("desc", f.window_mean(col("a"), 2))])
+    cols = out.to_columns()
+    assert cols["a"] == [5, 6, 3, 4, 2, 1]
+    assert cols["b"] == ["e", "f", "c", "d", "b", "a"]
+
+
 def test_grouped_shift_cumsum(df):
     out = (
         df.group_by("g")

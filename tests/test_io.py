@@ -32,6 +32,19 @@ def test_parquet_roundtrip(df, tmp_path):
     assert back.dtypes == df.dtypes
 
 
+def test_parquet_compression_surface(df, tmp_path):
+    """Reference parquet_test.exs:286-323: codec grid + (codec, level)
+    pairs. JVM writer: snappy/gzip/zstd/lz4_raw (+zstd level knob);
+    dump_parquet honors gzip/brotli/zstd levels exactly (pyarrow)."""
+    for i, codec in enumerate(["snappy", "gzip", ("zstd", 3), "lz4raw"]):
+        p = str(tmp_path / f"c{i}.parquet")
+        sources.write_parquet(df, p, compression=codec)
+        assert _cols(sources.read_parquet(p)) == _cols(df)
+    for codec in ["gzip", ("gzip", 5), ("brotli", 5), ("zstd", 2), "lz4raw", "uncompressed"]:
+        blob = sources.dump_parquet(df, compression=codec)
+        assert _cols(sources.load_parquet(blob)) == _cols(df)
+
+
 def test_parquet_column_projection(df, tmp_path):
     p = str(tmp_path / "t2.parquet")
     sources.write_parquet(df, p)

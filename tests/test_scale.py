@@ -636,3 +636,26 @@ def test_dedup_keep_best_deterministic(spark):
     assert a == b
     # exactly one survivor per pair-cluster + all singletons
     assert len(a) == 20
+
+
+def test_grouped_sort_no_per_group_window(spark):
+    """Grouped sort (within-group permutation keeping row positions,
+    lazy_test.exs:780) compiles to two global-index range sorts + a
+    dense-key equi-join — NO per-group Window (a giant group would
+    single-partition one) and no single-partition exchange."""
+    import explorer_spark as ex
+    from explorer_spark.sources import read_parquet
+
+    li = read_parquet("/root/testdata/sf0.001/lineitem.parquet", spark=spark)
+    out = li.group_by("l_returnflag").sort_by("l_extendedprice")
+    plan = _plan(out.lazy_sdf())
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # correctness on a small frame with NON-contiguous groups: the sorted
+    # values land back in the group's original row positions
+    d = ex.from_columns(
+        {"g": ["a", "b", "a", "b"], "v": [4, 9, 2, 1]}, spark=spark
+    )
+    got = d.group_by("g").sort_by("v").to_columns()
+    assert got["v"] == [2, 1, 4, 9]
+    assert got["g"] == ["a", "b", "a", "b"]
