@@ -264,6 +264,89 @@ def unigram_logprob(docs: SDF, text_col: str = "text", key_col: str = "doc_id") 
     )
 
 
+def bigram_logprob(
+    docs: SDF, text_col: str = "text", key_col: str = "doc_id", alpha: float = 0.5
+) -> SDF:
+    """Per-document mean bigram log-probability with add-alpha smoothing
+    — the next step up from ``unigram_logprob`` toward the KenLM-style
+    perplexity filters real pipelines run (CCNet, Gopher): word order now
+    matters, so shuffled/boilerplate text scores worse than its unigram
+    mix suggests.
+
+    Model: P(w2|w1) = (c(w1,w2) + a) / (c(w1,·) + a·V), V = corpus
+    vocabulary size. Per doc: mean ln P over its bigrams.
+
+    Plan: bigram pairs come from zip_with over two array slices (pure
+    codegen, NO window and no posexplode self-join); counts are two
+    map-side-combined aggregations keyed on the (pair|context) token;
+    V is one scalar broadcast. Shuffles stay token-keyed — the 100 TB
+    shape is (corpus explode) + (bounded vocab tables) + one join back.
+    """
+    arr = F.filter(words(F.col(text_col)), lambda t: F.length(t) > 0)
+    base = docs.select(F.col(key_col), arr.alias("__a__"))
+    pair = F.expr(
+        "zip_with(slice(__a__, 1, greatest(size(__a__) - 1, 0)), "
+        "slice(__a__, 2, greatest(size(__a__) - 1, 0)), "
+        "(x, y) -> struct(x AS w1, y AS w2))"
+    )
+    pairs = base.select(F.col(key_col), F.explode(pair).alias("__p__")).select(
+        key_col, F.col("__p__.w1").alias("__w1__"), F.col("__p__.w2").alias("__w2__")
+    )
+    big = pairs.groupBy("__w1__", "__w2__").agg(F.count(F.lit(1)).alias("__c12__"))
+    ctx = pairs.groupBy("__w1__").agg(F.count(F.lit(1)).alias("__c1__"))
+    vocab = base.select(F.explode("__a__").alias("__tok__")).agg(
+        F.count_distinct("__tok__").alias("__v__")
+    )
+    a = F.lit(float(alpha))
+    lp = (
+        big.join(ctx, "__w1__")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "__w1__",
+            "__w2__",
+            F.log(
+                (F.col("__c12__").cast("double") + a)
+                / (F.col("__c1__").cast("double") + a * F.col("__v__").cast("double"))
+            ).alias("__lp__"),
+        )
+    )
+    return (
+        pairs.join(lp, ["__w1__", "__w2__"])
+        .groupBy(key_col)
+        .agg(F.avg("__lp__").alias("bigram_logprob"), F.count(F.lit(1)).alias("n_bigrams"))
+    )
+
+
+def stratified_sample(
+    sdf: SDF,
+    strata_col: str,
+    rates: dict,
+    key_col: str = "doc_id",
+    buckets: int = 10_000,
+    default_rate: float = 0.0,
+) -> SDF:
+    """Deterministic per-stratum sampling to hit a target domain MIX —
+    the corpus-balancing primitive (upsample wiki, downsample web) a
+    training-data pipeline runs before packing. Keeps ``hash_sample``'s
+    md5-bucket keep-rule per stratum, so every stratum inherits its
+    properties: engine-reproducible, partition-independent, and nested
+    rates subset each other (raising one domain's rate only ADDS rows).
+
+    ``rates`` maps stratum value -> keep rate in [0, 1]; unlisted strata
+    fall back to ``default_rate``. Pure codegen: one map literal lookup
+    + the hash filter, no shuffle at all.
+    """
+    h = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10).cast("long")
+        % F.lit(buckets)
+    )
+    mapping = F.create_map(
+        *[F.lit(x) for k, r in rates.items() for x in (k, int(r * buckets))]
+    )
+    thr = F.coalesce(mapping[F.col(strata_col)], F.lit(int(default_rate * buckets)))
+    return sdf.filter(h < thr)
+
+
 def hash_sample(sdf: SDF, key_col: str, rate: float, buckets: int = 10_000) -> SDF:
     """Deterministic hash-bucket sampling — the reproducible alternative
     to RNG sampling for corpus subsetting: a row is kept iff

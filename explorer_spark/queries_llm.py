@@ -415,6 +415,85 @@ def q_text_unigram_logprob(spark, sf_dir):
     )
 
 
+@query(
+    "q_text_bigram_logprob",
+    f"""
+    WITH arr AS (
+        SELECT doc_id, list_filter({_WORDS.format(t="text")}, x -> len(x) > 0) AS a
+        FROM documents
+    ),
+    t AS (SELECT doc_id, unnest(a) AS tok, generate_subscripts(a, 1) AS pos FROM arr),
+    pairs AS (
+        SELECT doc_id, w1, tok AS w2 FROM (
+            SELECT doc_id, tok, lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+            FROM t
+        ) WHERE w1 IS NOT NULL
+    ),
+    big AS (SELECT w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY 1, 2),
+    ctx AS (SELECT w1, COUNT(*) AS c1 FROM pairs GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT tok) AS vs FROM t),
+    lp AS (
+        SELECT w1, w2,
+               ln((CAST(c12 AS DOUBLE) + 0.5) / (CAST(c1 AS DOUBLE) + 0.5 * vs)) AS lp
+        FROM big JOIN ctx USING (w1), v
+    )
+    SELECT doc_id, ROUND(AVG(lp), 6) AS bigram_logprob, COUNT(*) AS n_bigrams
+    FROM pairs JOIN lp USING (w1, w2)
+    GROUP BY doc_id
+    ORDER BY bigram_logprob ASC, doc_id
+    LIMIT 50
+    """,
+)
+def q_text_bigram_logprob(spark, sf_dir):
+    """Bigram-LM perplexity proxy with add-0.5 smoothing (operators/
+    text.bigram_logprob): word ORDER now matters, so the 50 most
+    surprising docs include shuffled/boilerplate text a unigram filter
+    scores as normal. zip_with-over-slices bigrams — no window, no
+    posexplode self-join."""
+    from .operators.text import bigram_logprob
+
+    docs = _t(spark, sf_dir, "documents").lazy_sdf()
+    scored = bigram_logprob(docs)
+    return (
+        scored.select(
+            "doc_id", SF.round(SF.col("bigram_logprob"), 6).alias("bigram_logprob"), "n_bigrams"
+        )
+        .orderBy(SF.col("bigram_logprob").asc(), SF.col("doc_id"))
+        .limit(50)
+    )
+
+
+@query(
+    "q_text_stratified_sample",
+    """
+    WITH s AS (
+        SELECT lang, n_chars FROM documents
+        WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000
+              < CASE lang WHEN 'en' THEN 2500 WHEN 'de' THEN 10000
+                          WHEN 'fr' THEN 5000 WHEN 'es' THEN 7500 ELSE 1000 END
+    )
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM s GROUP BY lang
+    """,
+)
+def q_text_stratified_sample(spark, sf_dir):
+    """Domain-mix rebalancing (operators/text.stratified_sample):
+    per-stratum deterministic hash rates — downsample en, keep all de,
+    unlisted langs fall to the 10% default. Pure-codegen filter, zero
+    shuffle before the rollup; the DuckDB oracle reproduces the exact
+    row set from the shared md5-bucket rule."""
+    from .operators.text import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents").lazy_sdf()
+    s = stratified_sample(
+        docs, "lang", {"en": 0.25, "de": 1.0, "fr": 0.5, "es": 0.75}, default_rate=0.10
+    )
+    return s.groupBy("lang").agg(
+        SF.count(SF.lit(1)).alias("n_docs"),
+        SF.sum("n_chars").cast("bigint").alias("chars"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # dedup: SimHash (16-bit oracle-expressible variant)
 # ---------------------------------------------------------------------------

@@ -920,3 +920,45 @@ def test_remove_repeated_spans_unit(spark):
     )
     out2 = {r.doc_id: r for r in remove_repeated_spans(sdf2, gram_n=5, min_count=2).collect()}
     assert out2[1].clean_text == "" and out2[1].words_removed == 7
+
+
+def test_bigram_logprob_hand_grid(spark):
+    """Add-0.5 smoothing over a two-doc corpus, hand-computed:
+    c(a,b)=2 c(b,a)=1 c(b,b)=2, ctx a=2 b=3, V=3 (vocab counts the
+    pair-less doc's token too)."""
+    import math
+
+    from explorer_spark.operators.text import bigram_logprob
+
+    sdf = spark.createDataFrame(
+        [(1, "a b a b"), (2, "b b b"), (3, "solo")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in bigram_logprob(sdf).collect()}
+    lp_ab = math.log(2.5 / 3.5)
+    lp_ba = math.log(1.5 / 4.5)
+    lp_bb = math.log(2.5 / 4.5)
+    assert got[1].n_bigrams == 3
+    assert abs(got[1].bigram_logprob - (2 * lp_ab + lp_ba) / 3) < 1e-12
+    assert got[2].n_bigrams == 2
+    assert abs(got[2].bigram_logprob - lp_bb) < 1e-12
+    assert 3 not in got  # single-token doc has no bigrams
+
+
+def test_stratified_sample_nested_rates_subset(spark, docs):
+    """Raising one stratum's rate only ADDS rows (md5-bucket rule is
+    shared with hash_sample), and unlisted strata use the default."""
+    from explorer_spark.operators.text import stratified_sample
+
+    lo = stratified_sample(docs, "lang", {"en": 0.2}, default_rate=0.05)
+    hi = stratified_sample(docs, "lang", {"en": 0.6}, default_rate=0.05)
+    lo_ids = {r.doc_id for r in lo.select("doc_id").collect()}
+    hi_ids = {r.doc_id for r in hi.select("doc_id").collect()}
+    assert lo_ids <= hi_ids
+    # non-en rows identical between the two (default bucket unchanged)
+    lo_non = {r.doc_id for r in lo.filter(F.col("lang") != "en").collect()}
+    hi_non = {r.doc_id for r in hi.filter(F.col("lang") != "en").collect()}
+    assert lo_non == hi_non
+    # rate 0 drops a stratum entirely; rate 1 keeps it whole
+    all_de = stratified_sample(docs, "lang", {"de": 1.0}, default_rate=0.0)
+    n_de = docs.filter(F.col("lang") == "de").count()
+    assert all_de.count() == n_de
