@@ -669,7 +669,23 @@ def _cum(aggfn, count=False):
     def low(ctx, a, reverse=False):
         w = _ordered_window(ctx, descending=bool(reverse)).rowsBetween(W.unboundedPreceding, 0)
         c = _c(a, ctx)
-        return (F.count(c) if count else aggfn(c)).over(w)
+        if count:
+            # cum_count skips nulls but EMITS at every row (series.ex
+            # cumulative_count doctest: [1, 2, 2, 3])
+            return F.count(c).over(w)
+        out = aggfn(c).over(w)
+        if aggfn is F.product and ctx.sdf is not None:
+            # Spark's PRODUCT always emits double; the reference keeps
+            # the integer dtype (series.ex cumulative_product: s64)
+            try:
+                t = ctx.sdf.select(c.alias("__cp__")).schema[0].dataType
+                if isinstance(t, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+                    out = out.cast(t)
+            except Exception:
+                pass
+        # nil positions STAY nil; accumulation skips them (series.ex
+        # cumulative_* doctests: [1, 2, nil, 4] -> [1, 3, nil, 7])
+        return F.when(c.isNotNull(), out)
 
     return low
 
@@ -953,8 +969,39 @@ def _trim_side(c: Column, chars: str, leading: bool) -> Column:
 
 
 def _clip(ctx, a, lo, hi):
+    """Reference clip/3 (series_test.exs:5498-5546): numeric bounds only,
+    max > min, numeric series only; nils stay nil and NaN passes through
+    unclipped (Spark's greatest/least would otherwise swallow the null
+    and clamp NaN to the max bound — both observed divergences)."""
+    for b in (lo, hi):
+        if isinstance(b, bool) or not isinstance(b, (int, float)):
+            raise ValueError(
+                "Explorer.Series.clip/3 expects both the min and max bounds to be numbers"
+            )
+    if not hi > lo:
+        raise ValueError(
+            "Explorer.Series.clip/3 expects the max bound to be greater than the min bound"
+        )
     c = _c(a, ctx)
-    return F.least(F.greatest(c, F.lit(lo)), F.lit(hi))
+    is_float = None
+    if ctx.sdf is not None:
+        try:
+            t = ctx.sdf.select(c.alias("__cl__")).schema[0].dataType
+            numeric = (
+                T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                T.FloatType, T.DoubleType, T.DecimalType,
+            )
+            if not isinstance(t, numeric):
+                raise ValueError(f"Explorer.Series.clip/3 not implemented for dtype {t.simpleString()}")
+            is_float = isinstance(t, (T.FloatType, T.DoubleType))
+        except ValueError:
+            raise
+        except Exception:
+            pass
+    clipped = F.least(F.greatest(c, F.lit(lo)), F.lit(hi))
+    if is_float is not False:
+        clipped = F.when(F.isnan(c.cast("double")), c).otherwise(clipped)
+    return F.when(c.isNull(), F.lit(None)).otherwise(clipped)
 
 
 def _between(ctx, a, lo, hi):

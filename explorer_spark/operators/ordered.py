@@ -313,7 +313,18 @@ def cumulative(
             [T.StructField(BUCKET, T.LongType()), T.StructField("__pre__", tot_type)],
         )
         s = s.join(F.broadcast(lookup), BUCKET, "left")
-    s = s.withColumn(out_col, _CUM_COMBINE[kind](F.col("__loc__"), F.col("__pre__")))
+    combined = _CUM_COMBINE[kind](F.col("__loc__"), F.col("__pre__"))
+    if kind == "product":
+        # Spark's PRODUCT always emits double; integer series keep their
+        # dtype (series.ex cumulative_product doctest: s64)
+        vt = s.schema[value_col].dataType
+        if isinstance(vt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+            combined = combined.cast(vt)
+    if kind != "count":
+        # nil positions STAY nil; accumulation skips them (series.ex
+        # cumulative_* doctests: [1, 2, nil, 4] -> [1, 3, nil, 7])
+        combined = F.when(F.col(value_col).isNotNull(), combined)
+    s = s.withColumn(out_col, combined)
     return s.drop(BUCKET, "__loc__", "__pre__")
 
 

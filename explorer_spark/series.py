@@ -949,6 +949,13 @@ class Series:
                 sv = sv.decode("utf-8")
             except UnicodeDecodeError:
                 raise ValueError("cannot cast to string") from None
+        if base in ("s", "u") and isinstance(sv, int):
+            # value must FIT the dtype (reference series_test.exs:869-874
+            # 'out of range integral type conversion attempted')
+            bits = dtype[1]
+            lo, hi = (0, 2**bits - 1) if base == "u" else (-(2 ** (bits - 1)), 2 ** (bits - 1) - 1)
+            if not (lo <= sv <= hi):
+                raise ValueError("out of range integral type conversion attempted")
         return self._apply(fns.fill_missing(self._c(), sv))
 
     def frequencies(self) -> DataFrame:
@@ -1379,7 +1386,13 @@ def _series_concat(series_list, other=None) -> "Series":
     a list (Series.concat([a, b])), the two-series form
     (Series.concat(a, b)), or the instance form (a.concat(b))."""
     if isinstance(series_list, Series):
-        series_list = [series_list] + ([other] if other is not None else [])
+        if other is None:
+            rest = []
+        elif isinstance(other, (list, tuple)):
+            rest = list(other)  # a.concat([b, c])
+        else:
+            rest = [other]
+        series_list = [series_list] + rest
     first = series_list[0]
     out = first.to_frame()
     for s in series_list[1:]:

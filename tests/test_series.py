@@ -283,6 +283,18 @@ class TestFillMissingReferenceGrid:
             with pytest.raises(ValueError, match="require a float series"):
                 i.fill_missing(sv)
 
+    def test_literal_out_of_dtype_range_raises(self, spark):
+        """Reference series_test.exs:869: fill value must FIT the dtype."""
+        s8 = Series.from_list([1, 2, None, 4], name="x", dtype=("s", 8), spark=spark)
+        with pytest.raises(ValueError, match="out of range"):
+            s8.fill_missing(1000)
+        assert s8.fill_missing(127).to_list() == [1, 2, 127, 4]
+        s16 = Series.from_list([1, None], name="x", dtype=("s", 16), spark=spark)
+        with pytest.raises(ValueError, match="out of range"):
+            s16.fill_missing(-40000)
+        with pytest.raises(ValueError, match="out of range"):
+            s16.fill_missing(70000)
+
     def test_literal_fills_by_dtype(self, spark):
         import datetime as dt
 
@@ -541,3 +553,57 @@ def test_iovec_object_backed_columns(spark):
     assert b"".join(s.to_iovec()) == want
     big = Series.from_list([2**63 + 5], dtype=("u", 64), spark=spark)
     assert b"".join(big.to_iovec()) == (2**63 + 5).to_bytes(16, "little", signed=True)
+
+
+def test_cumulative_ops_keep_nil_positions(spark):
+    """Reference series.ex cumulative_* doctests: accumulation SKIPS
+    nils and the nil positions stay nil; cum_count emits everywhere."""
+    s = Series.from_list([1, 2, None, 4], name="x", spark=spark)
+    assert s.cumulative_sum().to_list() == [1, 3, None, 7]
+    assert s.cumulative_min().to_list() == [1, 1, None, 1]
+    assert s.cumulative_max().to_list() == [1, 2, None, 4]
+    assert s.cumulative_sum(reverse=True).to_list() == [7, 6, None, 4]
+    c = Series.from_list(["a", "b", None, "d"], name="s", spark=spark)
+    assert c.cumulative_count().to_list() == [1, 2, 2, 3]
+
+
+def test_cumulative_product_reference_grid(spark):
+    """series_test.exs:5260-5315: integer dtype preserved, nil kept,
+    zero propagates, NaN/infinity contaminate downstream."""
+    S = lambda v: Series.from_list(v, name="x", spark=spark)
+    out = S([1, 2, None, 4]).cumulative_product()
+    assert out.to_list() == [1, 2, None, 8]
+    assert out.dtype == ("s", 64)
+    assert S([-2, 4, -3]).cumulative_product().to_list() == [-2, -8, 24]
+    assert S([1, 2, 0, 3]).cumulative_product().to_list() == [1, 2, 0, 0]
+    got = S([1.0, 2.0, float("inf"), 3.0]).cumulative_product().to_list()
+    assert got == [1.0, 2.0, float("inf"), float("inf")]
+
+
+def test_clip_reference_grid(spark):
+    """series_test.exs:5498-5546: nils stay nil, NaN passes through,
+    numeric bounds validated eagerly, numeric series only."""
+    import math
+
+    S = lambda v, **kw: Series.from_list(v, name="x", spark=spark, **kw)
+    out = S([-50, 5, None, 50]).clip(1, 10)
+    assert out.to_list() == [1, 5, None, 10] and out.dtype == ("s", 64)
+    out = S([-50, 5, None, 50]).clip(1.5, 10.5)
+    assert out.to_list() == [1.5, 5.0, None, 10.5] and out.dtype == ("f", 64)
+    got = S([float("-inf"), float("nan"), None, float("inf")]).clip(1.5, 10.5).to_list()
+    assert got[0] == 1.5 and math.isnan(got[1]) and got[2] is None and got[3] == 10.5
+    with pytest.raises(ValueError, match="to be numbers"):
+        S([1]).clip(1, "a")
+    with pytest.raises(ValueError, match="greater than the min"):
+        S([1]).clip(1, -1)
+    with pytest.raises(ValueError, match="not implemented for dtype"):
+        S(["a"]).clip(1, 10)
+
+
+def test_series_concat_list_form(spark):
+    """Reference Series.concat accepts a LIST of series; dtype ladder
+    merges across ALL inputs (series_test.exs:4473-4505)."""
+    S = lambda v, **kw: Series.from_list(v, name="x", spark=spark, **kw)
+    out = S([None]).concat([S([8], dtype=("s", 8)), S([16], dtype=("s", 16))])
+    assert out.dtype == ("s", 16)
+    assert out.to_list() == [None, 8, 16]
