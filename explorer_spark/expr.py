@@ -1009,6 +1009,17 @@ def _between(ctx, a, lo, hi):
     return (c >= _c(lo, ctx)) & (c <= _c(hi, ctx))
 
 
+def _binary_in(ctx, a, values):
+    """Membership vs a literal list (reference Series.in/2): nils in the
+    RIGHT side are ignored — SQL's IN would otherwise poison every
+    non-member to null — while a nil left value stays nil."""
+    c = _c(a, ctx)
+    vals = [v for v in values if v is not None]
+    if not vals:
+        return F.when(c.isNull(), F.lit(None).cast("boolean")).otherwise(F.lit(False))
+    return c.isin(vals)
+
+
 _AGG_NULL_DEFAULTS = {"all": True, "any": False}
 
 # ops whose lowerings window-wrap their inner aggregates themselves
@@ -1068,7 +1079,7 @@ _LOWER = {
     "binary_and": _binop(lambda a, b: a & b),
     "binary_or": _binop(lambda a, b: a | b),
     "unary_not": _unop(lambda a: ~a),
-    "binary_in": lambda ctx, a, values: _c(a, ctx).isin(values),
+    "binary_in": _binary_in,
     "is_nil": _unop(lambda a: a.isNull()),
     "is_not_nil": _unop(lambda a: a.isNotNull()),
     "is_nan": _unop(F.isnan),

@@ -1453,6 +1453,55 @@ def _install_scalar_methods():
 _install_scalar_methods()
 
 
+def _isin_kind(dtype) -> str:
+    """Comparable-kind bucket for Series.in/2 validation (reference
+    in/2 grid: numeric widths/flavors inter-compare, everything else
+    only with itself — string vs binary, date vs datetime raise)."""
+    base = dtype[0] if isinstance(dtype, tuple) else dtype
+    if base in ("s", "u", "f", "decimal"):
+        return "numeric"
+    if base in ("datetime", "naive_datetime"):
+        return "datetime"
+    if base == "category":
+        return "string"
+    return base
+
+
+def _series_isin(self, values) -> "Series":
+    """Reference Series.in/2. A Series right side runs DISTRIBUTED —
+    distinct non-null values left-joined back on equality (Spark
+    treats NaN = NaN, matching polars) — never a driver-collected
+    literal list. Nils on the right are ignored (non-members stay
+    false, series_test.exs:1525-1537); nil left values stay nil;
+    incompatible dtype kinds raise."""
+    from .expr import Expr
+
+    if isinstance(values, Series):
+        ka, kb = _isin_kind(self.dtype), _isin_kind(values.dtype)
+        if ka != kb and "null" not in (ka, kb):
+            raise ValueError(
+                f"cannot invoke Series.in/2 with mismatched dtypes: {self.dtype} and {values.dtype}"
+            )
+        vals = (
+            values._frame.lazy_sdf()
+            .select(F.col(values.name).alias("__inval__"))
+            .where(F.col("__inval__").isNotNull())
+            .distinct()
+        )
+        base = self._frame._ordered()
+        joined = base._sdf.join(vals, F.col(self.name) == F.col("__inval__"), "left")
+        res = F.when(F.col(self.name).isNull(), F.lit(None).cast("boolean")).otherwise(
+            F.col("__inval__").isNotNull()
+        )
+        out = joined.select(F.col(ORDER_COL), res.alias(self.name))
+        return Series(DataFrame(out, has_order=True), self.name)
+    return self._apply(Expr("binary_in", self._c(), list(values)))
+
+
+Series.isin = _series_isin
+Series.is_in = _series_isin
+
+
 def _series_pair_agg(op: str, a: "Series", b: "Series", *extra):
     from .expr import Expr
 

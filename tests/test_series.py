@@ -607,3 +607,42 @@ def test_series_concat_list_form(spark):
     out = S([None]).concat([S([8], dtype=("s", 8)), S([16], dtype=("s", 16))])
     assert out.dtype == ("s", 16)
     assert out.to_list() == [None, 8, 16]
+
+
+def test_isin_reference_grid(spark):
+    """Reference Series.in/2 (series_test.exs:1496-1770): rhs nils are
+    IGNORED (SQL IN would poison non-members to nil), lhs nils stay
+    nil, NaN matches NaN, dtype kinds validate, a Series rhs runs as a
+    distributed join (never a collected literal list)."""
+    S = lambda v, **kw: Series.from_list(v, name="x", spark=spark, **kw)
+    assert S([1, 2, 3, None]).isin(S([1, 0, 3])).to_list() == [True, False, True, None]
+    assert S([1, 2, 3]).isin(S([1, 0, 3, None])).to_list() == [True, False, True]
+    assert S([1, 2, 3, None]).isin(S([1, 0, 3, None])).to_list() == [True, False, True, None]
+    nan, inf = float("nan"), float("inf")
+    assert S([1.0, 2.0, nan, inf]).isin(S([1.0, 3.5, nan, inf])).to_list() == [True, False, True, True]
+    # list rhs: nils dropped the same way
+    assert S([1, 2, 3]).isin([1, 0, 3, None]).to_list() == [True, False, True]
+    # kind validation
+    import datetime as dt
+
+    for lhs, rhs in [
+        (S([True]), S([1, 2])),
+        (S([1]), S(["a"])),
+        (S([dt.date(2023, 1, 1)]), S([dt.datetime(2023, 1, 1)])),
+    ]:
+        with pytest.raises(ValueError, match="mismatched dtypes"):
+            lhs.isin(rhs)
+    # int vs float kinds are compatible
+    assert S([1, 2, 3]).isin(S([1.0, 3.0])).to_list() == [True, False, True]
+
+
+def test_isin_series_rhs_is_distributed(spark):
+    """The Series rhs must NOT become a driver-collected IN-list."""
+    n = 20_000
+    s = Series.from_list(list(range(n)), name="v", spark=spark)
+    rhs = Series.from_list([i * 2 for i in range(n // 2)], name="r", spark=spark)
+    out = s.isin(rhs)
+    plan = out._frame._sdf._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" in plan and " IN " not in plan
+    got = out.to_list()
+    assert got == [i % 2 == 0 for i in range(n)]
