@@ -431,3 +431,46 @@ def test_chunk_documents_matches_python(spark, docs, chunk, overlap):
             sl = w[ci * stride : ci * stride + chunk]
             exp[(i, ci)] = (" ".join(sl), len(sl))
     assert got == exp
+
+
+@given(
+    n=st.integers(min_value=1, max_value=18),
+    seed=st.integers(min_value=0, max_value=2**20),
+    desc=st.booleans(),
+)
+@settings(**_SETTINGS)
+def test_grouped_sort_position_permutation_property(spark, n, seed, desc):
+    """Grouped sort == python per-group permutation keeping the group's
+    row positions (reference lazy_test.exs:780 semantics, arbitrary
+    group interleavings and ties)."""
+    import random
+
+    rng = random.Random(seed)
+    gs = [rng.choice("abc") for _ in range(n)]
+    vs = [rng.randrange(5) for _ in range(n)]
+    d = ex.from_columns({"g": gs, "v": vs}, spark=spark)
+    got = d.group_by("g").sort_by("v", descending=desc).to_columns()
+    # python mirror: stable per-group sort placed back into positions
+    out = [None] * n
+    for grp in set(gs):
+        pos = [i for i, g in enumerate(gs) if g == grp]
+        vals = sorted((vs[i] for i in pos), reverse=desc)
+        for p, v in zip(pos, vals):
+            out[p] = v
+    assert got["v"] == out
+    assert got["g"] == gs
+
+
+@given(
+    lhs=st.lists(st.one_of(st.integers(min_value=-5, max_value=5), st.none()), min_size=1, max_size=15),
+    rhs=st.lists(st.one_of(st.integers(min_value=-5, max_value=5), st.none()), min_size=1, max_size=15),
+)
+@settings(**_SETTINGS)
+def test_isin_series_property(spark, lhs, rhs):
+    """in/2 vs python: rhs nils ignored, lhs nils stay nil."""
+    a = Series.from_list(lhs, dtype=("s", 64), name="a", spark=spark)
+    b = Series.from_list(rhs, dtype=("s", 64), name="b", spark=spark)
+    got = a.isin(b).to_list()
+    members = {v for v in rhs if v is not None}
+    want = [None if v is None else v in members for v in lhs]
+    assert got == want
