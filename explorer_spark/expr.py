@@ -22,6 +22,8 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from datetime import time as _time_type
+
 from . import dtypes as dt
 
 # ---------------------------------------------------------------------------
@@ -223,6 +225,11 @@ def _c(x, ctx) -> Column:
     """Lower a child (Expr or literal) to a Column."""
     if isinstance(x, Expr):
         return x.lower(ctx)
+    if isinstance(x, _time_type):
+        # same rendering as the literal op: ns-since-midnight long
+        return F.lit(
+            ((x.hour * 3600 + x.minute * 60 + x.second) * 1_000_000 + x.microsecond) * 1_000
+        ).cast("long")
     return F.lit(x)
 
 
@@ -591,7 +598,11 @@ def _node_meta(x, ctx: "LowerCtx") -> dict:
             md = dict(sdf.schema[x.args[0]].metadata or {})
         except Exception:
             return {}
-        return {k: md[k] for k in ("tz", "dt_p", "dur_p") if k in md}
+        return {k: md[k] for k in ("tz", "dt_p", "dur_p", "tm") if k in md}
+    if op == "to_time":
+        # time-of-day extraction emits the ns-since-midnight long whose
+        # logical dtype IS :time (the "tm" marker)
+        return {"tm": True}
     if op == "cast":
         d = dt.normalize(x.args[1])
         meta = {}
@@ -605,6 +616,8 @@ def _node_meta(x, ctx: "LowerCtx") -> dict:
             unit = _UNIT_SHORT.get(d[1], d[1]) if len(d) > 1 else "us"
             if unit != "us":
                 meta["dur_p"] = unit
+        if d == "time":
+            meta["tm"] = True
         return meta
     if op in _META_TRANSPARENT:
         metas = [_node_meta(a, ctx) for a in x.args if isinstance(a, Expr)]
@@ -617,6 +630,11 @@ def _node_meta(x, ctx: "LowerCtx") -> dict:
         dur_metas = [{"dur_p": m["dur_p"]} for m in metas if "dur_p" in m]
         if not dt_metas and dur_metas and all(m == dur_metas[0] for m in dur_metas):
             return dict(dur_metas[0])
+        tm_metas = [m for m in metas if m.get("tm")]
+        if not dt_metas and not dur_metas and tm_metas and len(tm_metas) == len(
+            [m for m in metas if m]
+        ):
+            return {"tm": True}
     return {}
 
 
@@ -1014,7 +1032,13 @@ def _binary_in(ctx, a, values):
     RIGHT side are ignored — SQL's IN would otherwise poison every
     non-member to null — while a nil left value stays nil."""
     c = _c(a, ctx)
-    vals = [v for v in values if v is not None]
+    vals = [
+        ((v.hour * 3600 + v.minute * 60 + v.second) * 1_000_000 + v.microsecond) * 1_000
+        if isinstance(v, _time_type)
+        else v
+        for v in values
+        if v is not None
+    ]
     if not vals:
         return F.when(c.isNull(), F.lit(None).cast("boolean")).otherwise(F.lit(False))
     return c.isin(vals)
@@ -1034,7 +1058,16 @@ _LOWER = {
     # python ints are s64 in the reference type system; PySpark's lit
     # would infer IntegerType — pin LongType (bools are not ints here)
     "literal": lambda ctx, v: (
-        F.lit(v).cast("long") if isinstance(v, int) and not isinstance(v, bool) else F.lit(v)
+        F.lit(v).cast("long")
+        if isinstance(v, int) and not isinstance(v, bool)
+        # time-of-day literals lower to the engine's physical rendering
+        # (ns-since-midnight long) — Spark 4 would otherwise make a
+        # TIME-typed literal that can't compare with the long columns
+        else F.lit(
+            ((v.hour * 3600 + v.minute * 60 + v.second) * 1_000_000 + v.microsecond) * 1_000
+        ).cast("long")
+        if isinstance(v, _time_type)
+        else F.lit(v)
     ),
     # a driver-computed scalar carrying its source column's exact Spark
     # type (the ungrouped-quantile kernel substitutes these so an s64
@@ -1239,9 +1272,10 @@ _LOWER = {
     "list_lengths": _unop(F.size),
     # value may be a scalar (the reference surface) or an expression
     # (engine extension — e.g. filter(member(mode(v), v)))
-    "list_member": lambda ctx, a, v: F.array_contains(
-        _c(a, ctx), _c(v, ctx) if isinstance(v, Expr) else v
-    ),
+    # value may be a scalar (the reference surface) or an expression;
+    # scalar values route through _c so time-of-day converts to the
+    # ns-long rendering (timedeltas hit real interval elements directly)
+    "list_member": lambda ctx, a, v: F.array_contains(_c(a, ctx), _c(v, ctx)),
     # structs / json
     "field": lambda ctx, a, name: _c(a, ctx).getField(name),
     # struct literal from alternating (name, child) args — mutate's map

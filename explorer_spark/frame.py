@@ -141,6 +141,21 @@ class DataFrame:
             # the logical dtype
             if d == "string" and fld.metadata.get("cat"):
                 d = "category"
+            # time-of-day is an ns-since-midnight long with the "tm"
+            # marker (reference :time dtype; from_list/cast stamp it)
+            if d == ("s", 64) and fld.metadata.get("tm"):
+                d = "time"
+            # list columns carry their element's logical dtype on the
+            # SAME column metadata (one nesting level)
+            if isinstance(d, tuple) and d[0] == "list":
+                if d[1] == ("s", 64) and fld.metadata.get("tm"):
+                    d = ("list", "time")
+                elif (
+                    isinstance(d[1], tuple)
+                    and d[1][0] == "duration"
+                    and fld.metadata.get("dur_p")
+                ):
+                    d = ("list", ("duration", fld.metadata["dur_p"]))
             out[fld.name] = d
         return out
 
@@ -266,11 +281,26 @@ class DataFrame:
         return self._attach_zones(out)
 
     def _attach_zones(self, out: dict) -> dict:
-        """tz-stamped datetime columns render in THEIR zone (reference
-        {:datetime, p, tz} round-trip, series/datetime_test.exs:107) —
-        applied on every collect path."""
+        """Logical-dtype rendering on collect: tz-stamped datetime
+        columns render in THEIR zone (reference {:datetime, p, tz}
+        round-trip, series/datetime_test.exs:107) and "tm"-marked
+        ns-long columns render as datetime.time values (reference :time
+        round-trip) — applied on every collect path."""
+        import datetime as _dtm
+
+        def _ns_to_time(v):
+            if v is None:
+                return None
+            us = v // 1_000  # Python time has µs resolution; sub-µs truncates
+            s, us_rem = divmod(us, 1_000_000)
+            h, rem = divmod(s, 3600)
+            m, sec = divmod(rem, 60)
+            return _dtm.time(h % 24, m, sec, us_rem)
+
         for fld in self._sdf.schema.fields:
-            tz = fld.metadata.get("tz") if fld.name in out else None
+            if fld.name not in out:
+                continue
+            tz = fld.metadata.get("tz")
             if tz and isinstance(fld.dataType, T.TimestampType):
                 from zoneinfo import ZoneInfo
 
@@ -278,6 +308,16 @@ class DataFrame:
                 out[fld.name] = [
                     v.astimezone(z) if v is not None else None for v in out[fld.name]
                 ]
+            if fld.metadata.get("tm"):
+                if isinstance(fld.dataType, T.LongType):
+                    out[fld.name] = [_ns_to_time(v) for v in out[fld.name]]
+                elif isinstance(fld.dataType, T.ArrayType) and isinstance(
+                    fld.dataType.elementType, T.LongType
+                ):
+                    out[fld.name] = [
+                        None if row is None else [_ns_to_time(v) for v in row]
+                        for row in out[fld.name]
+                    ]
         return out
 
     def _has_deep_nesting(self) -> bool:

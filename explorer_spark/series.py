@@ -29,6 +29,31 @@ def _dur_unit(target) -> str:
     return {"millisecond": "ms", "microsecond": "us", "nanosecond": "ns", "second": "s"}.get(unit, unit)
 
 
+def _list_leaf(d):
+    """Innermost element dtype of a (possibly nested) list dtype."""
+    while isinstance(d, tuple) and d[0] == "list":
+        d = d[1]
+    return d
+
+
+def _list_leaf_kind(d) -> str | None:
+    leaf = _list_leaf(d)
+    if leaf == "time":
+        return "time"
+    if isinstance(leaf, tuple) and leaf[0] == "duration":
+        return "duration"
+    return None
+
+
+def _list_counts_shape(d):
+    """The same list shape with time/duration leaves as count longs."""
+    if isinstance(d, tuple) and d[0] == "list":
+        return ("list", _list_counts_shape(d[1]))
+    if d == "time" or (isinstance(d, tuple) and d[0] == "duration"):
+        return ("s", 64)
+    return d
+
+
 def _stamp_col_meta(s: "Series", meta: dict) -> "Series":
     """Record logical dtype parameters as column metadata (read by
     frame.dtypes): ``dur_p`` = duration precision, ``dt_p`` =
@@ -298,6 +323,7 @@ class Series:
                 for v in values
             ]
         _dur_target = None
+        _tm_stamp = False
         if dtype is not None:
             nd_ = dt.normalize(dtype)
             if isinstance(nd_, tuple) and nd_[0] == "decimal":
@@ -337,6 +363,43 @@ class Series:
                     for v in values
                 ]
                 _dur_target, dtype = nd_, ("s", 64)
+            elif isinstance(nd_, tuple) and nd_[0] == "list" and _list_leaf_kind(nd_) in (
+                "time",
+                "duration",
+            ):
+                # list-of-time / list-of-duration: convert the python
+                # values to counts element-wise (the same boundary rules
+                # as the scalar paths), ingest the count arrays, then
+                # stamp/cast to the logical element dtype below
+                import datetime as _dtm
+
+                leaf = _list_leaf(nd_)
+
+                def _conv(v, d):
+                    if v is None:
+                        return None
+                    if isinstance(d, tuple) and d[0] == "list":
+                        return [_conv(x, d[1]) for x in v]
+                    if d == "time" and isinstance(v, _dtm.time):
+                        return (
+                            (v.hour * 3600 + v.minute * 60 + v.second) * 1_000_000
+                            + v.microsecond
+                        ) * 1_000
+                    if isinstance(d, tuple) and d[0] == "duration" and isinstance(v, _dtm.timedelta):
+                        unit = _dur_unit(d)
+                        per_us = {"ms": 1_000, "us": 1, "ns": 0.001, "s": 1_000_000}.get(unit, 1)
+                        return int(
+                            (v.days * 86_400_000_000 + v.seconds * 1_000_000 + v.microseconds)
+                            / per_us
+                        )
+                    return v
+
+                values = [_conv(v, nd_) for v in values]
+                if _list_leaf_kind(nd_) == "duration":
+                    _dur_target = nd_  # cast() owns intervals + dur_p stamp
+                else:
+                    _tm_stamp = True
+                dtype = _list_counts_shape(nd_)
             elif isinstance(nd_, tuple) and nd_[0] in ("naive_datetime", "datetime"):
                 unit = _dur_unit(nd_)
                 tz = nd_[2] if nd_[0] == "datetime" and len(nd_) > 2 else None
@@ -400,6 +463,9 @@ class Series:
             out = out.cast(_dur_target)
         if dtype is not None and dt.normalize(dtype) == "category":
             out = _stamp_col_meta(out, {"cat": True})
+        if _tm_stamp or (dtype is not None and dt.normalize(dtype) == "time"):
+            # ns-since-midnight longs + the "tm" marker = :time
+            out = _stamp_col_meta(out, {"tm": True})
         return out
 
     # -- materialization ----------------------------------------------------
@@ -643,6 +709,30 @@ class Series:
             # dtype report :category and enables replace/2's code decode
             out = self._apply(Expr("cast", self._c(), "string"))
             return _stamp_col_meta(out, {"cat": True})
+        if target == "time":
+            # int -> time: the integer IS the ns-since-midnight count
+            # (reference series_test.exs:4361-4378); physical storage is
+            # the same long, the "tm" marker makes it logical :time
+            if cur == "time":
+                return self
+            if dt.is_integer(cur):
+                out = self._apply(Expr("cast", self._c(), ("s", 64)))
+                return _stamp_col_meta(out, {"tm": True})
+        if cur == "time" and dt.is_integer(target):
+            # time -> int: the ns count (marker drops with the new column)
+            return self._apply(Expr("cast", self._c(), target))
+        if isinstance(target, tuple) and target[0] == "list":
+            out = self._apply(Expr("cast", self._c(), dtype))
+            k = _list_leaf_kind(target)
+            if k == "time":
+                return _stamp_col_meta(out, {"tm": True})
+            if k == "duration":
+                unit = _dur_unit(_list_leaf(target))
+                if unit != "us":
+                    # element intervals are physically µs; the logical
+                    # unit rides the column metadata like the scalar cast
+                    return _stamp_col_meta(out, {"dur_p": unit})
+            return out
         if isinstance(cur, tuple) and cur[0] == "duration" and dt.is_integer(target):
             # duration -> integer yields the count in the duration's
             # precision unit (reference shared.ex:12-22), not Spark's
@@ -1097,6 +1187,14 @@ class Series:
             raise ValueError(
                 f"unable to get index of value: {value!r} in series of type: {d}"
             )
+        import datetime as _dtm
+
+        if isinstance(value, _dtm.time):
+            # time columns are ns-since-midnight longs (the "tm" marker)
+            value = (
+                (value.hour * 3600 + value.minute * 60 + value.second) * 1_000_000
+                + value.microsecond
+            ) * 1_000
         f = self._frame._with_row_index("__idx__")
         rows = f._sdf.filter(F.col(self.name) == F.lit(value)).orderBy("__idx__").limit(1).collect()
         return rows[0]["__idx__"] if rows else None

@@ -106,10 +106,15 @@ def test_time_as_nanos(spark):
     import explorer_spark as ex
     from explorer_spark import Series
 
+    import datetime
+
     nanos = [0, 12 * 3600 * 10**9 + 345, 86399 * 10**9]
     s = Series.from_list(nanos, name="t", dtype="time", spark=spark)
-    assert s.dtype == ("s", 64)  # physical; logical 'time' tracked by caller
-    assert s.to_list() == nanos
+    # logical :time over an ns-long column (the "tm" marker); to_list
+    # renders datetime.time values (µs resolution — sub-µs truncates)
+    assert s.dtype == "time"
+    assert s.to_list() == [datetime.time(0, 0), datetime.time(12, 0), datetime.time(23, 59, 59)]
+    assert s.cast(("s", 64)).to_list() == nanos  # the exact ns counts survive
 
 
 def test_duration_total_precisions(spark):
@@ -173,7 +178,11 @@ def test_time_parquet_roundtrip(spark, tmp_path):
     p = str(tmp_path / "time.parquet")
     sources.write_parquet(s.to_frame(), p)
     back = sources.read_parquet(p)
-    assert sorted(back.to_columns()["t"]) == sorted(nanos)
+    # the "tm" marker rides parquet column metadata: the scan still
+    # reports :time and renders time values; the ns counts stay exact
+    # under the int cast
+    assert back.dtypes["t"] == "time"
+    assert sorted(back.pull("t").cast(("s", 64)).to_list()) == sorted(nanos)
 
 
 def test_duration_vs_oracle_truncation(duck):
@@ -496,3 +505,55 @@ def test_decimal_precision_boundary(spark):
     assert Series.from_list([big], spark=spark).to_list() == [big]
     with _pytest.raises(ValueError, match="38 can't fit values with 39 digits"):
         Series.from_list([Decimal(10**38)], spark=spark)
+
+
+def test_time_logical_dtype_surface(spark):
+    """:time as a real logical dtype (reference series_test.exs time
+    grids): round-trip, casts both ways, literal ops, list-of-time,
+    Expr-tree marker through to_time."""
+    import datetime
+
+    import explorer_spark as ex
+    from explorer_spark import Series, f
+
+    t = datetime.time
+    s = Series.from_list([t(1, 0), None, t(3, 0)], name="x", spark=spark)
+    assert s.dtype == "time"
+    assert s.to_list() == [t(1, 0), None, t(3, 0)]
+    assert s.fill_missing(t(2, 0)).to_list() == [t(1, 0), t(2, 0), t(3, 0)]
+    assert s.index_of(t(3, 0)) == 2
+    assert s.min() == t(1, 0) and s.max() == t(3, 0)
+    assert s.equal(t(1, 0)).to_list() == [True, None, False]
+    assert s.isin([t(3, 0)]).to_list() == [False, None, True]
+    assert s.sort().to_list() == [t(1, 0), t(3, 0), None]
+    # int <-> time casts: the integer IS the ns count
+    c = Series.from_list([1_000], name="x", spark=spark).cast("time")
+    assert c.dtype == "time" and c.to_list() == [t(0, 0, 0, 1)]
+    assert c.cast(("s", 64)).to_list() == [1_000]
+    # list-of-time ingestion + member
+    lt = Series.from_list([[t(0, 0)], [t(0, 0), t(0, 0, 1)]], name="x", dtype=("list", "time"), spark=spark)
+    assert lt.dtype == ("list", "time")
+    assert lt.to_list() == [[t(0, 0)], [t(0, 0), t(0, 0, 1)]]
+    assert lt.member(t(0, 0, 1)).to_list() == [False, True]
+    # to_time carries the marker through the Expr tree
+    ts = Series.from_list([datetime.datetime(2024, 3, 1, 12, 30, 45, 123456)], name="x", spark=spark)
+    tt = ts.map(f.to_time)
+    assert tt.dtype == "time"
+    assert tt.to_list() == [t(12, 30, 45, 123456)]
+
+
+def test_list_of_duration_ingestion(spark):
+    """list-of-duration from_list: timedeltas AND unit counts ingest;
+    dtype keeps the logical unit; member compares physically."""
+    import datetime
+
+    from explorer_spark import Series
+
+    td = datetime.timedelta
+    ld = Series.from_list([[td(seconds=1)]], name="x", dtype=("list", ("duration", "us")), spark=spark)
+    assert ld.dtype == ("list", ("duration", "us"))
+    assert ld.to_list() == [[td(seconds=1)]]
+    ld2 = Series.from_list([[1, 2], None], name="x", dtype=("list", ("duration", "ms")), spark=spark)
+    assert ld2.dtype == ("list", ("duration", "ms"))
+    assert ld2.to_list() == [[td(milliseconds=1), td(milliseconds=2)], None]
+    assert ld2.member(td(milliseconds=2)).to_list() == [True, None]

@@ -224,10 +224,13 @@ def test_from_list_time_values(spark):
     from explorer_spark.series import Series
 
     s = Series.from_list([datetime.time(1, 2, 3), None], dtype="time", spark=spark)
-    # time-of-day carried as ns since midnight (documented rendering)
-    assert s.to_list() == [(1 * 3600 + 2 * 60 + 3) * 10**9, None]
+    # logical :time over ns-since-midnight longs — round-trips as times
+    assert s.dtype == "time"
+    assert s.to_list() == [datetime.time(1, 2, 3), None]
+    assert s.cast(("s", 64)).to_list() == [(1 * 3600 + 2 * 60 + 3) * 10**9, None]
     inferred = Series.from_list([datetime.time(0, 0, 1)], spark=spark)
-    assert inferred.to_list() == [10**9]
+    assert inferred.dtype == "time"
+    assert inferred.to_list() == [datetime.time(0, 0, 1)]
 
 
 def test_grouped_projection_keeps_group_columns(spark):

@@ -122,8 +122,13 @@ def test_temporal_nanosecond_and_to_time(spark):
     ts = [datetime.datetime(2024, 3, 1, 12, 30, 45, 123456)]
     s = Series.from_list(ts, dtype=("naive_datetime", "us"), spark=spark)
     assert s.map(f.nanosecond).to_list() == [123456000]
+    # to_time emits a logical :time series (the "tm" marker rides the
+    # Expr-tree meta inference through Series.map's mutate)
+    t = s.map(f.to_time)
+    assert t.dtype == "time"
+    assert t.to_list() == [datetime.time(12, 30, 45, 123456)]
     ns_midnight = ((12 * 3600 + 30 * 60 + 45) * 1_000_000 + 123456) * 1000
-    assert s.map(f.to_time).to_list() == [ns_midnight]
+    assert t.cast(("s", 64)).to_list() == [ns_midnight]
 
 
 def test_series_access_fetch_pop(spark):
