@@ -1309,9 +1309,29 @@ class Series:
             ("f", 32): "float32", ("f", 64): "float64",
         }
         d = dt.normalize(dtype)
-        np_dtype = np_map.get(d if isinstance(d, tuple) else ("f", 64))
+        if d in np_map:
+            np_dtype = np_map[d]
+        else:
+            # non-numeric dtypes parse at their IOTYPE (reference
+            # from_binary: time = s64 ns counts, date = s32 days,
+            # boolean = u8 — series_test.exs:6505-6660)
+            iot = {
+                "time": "int64",
+                "date": "int32",
+                "boolean": "uint8",
+            }.get(d if isinstance(d, str) else None)
+            if iot is None and isinstance(d, tuple) and d[0] == "duration":
+                iot = "int64"
+            np_dtype = iot or "float64"
         arr = np.frombuffer(data, dtype=np_dtype)
-        return Series.from_list([v.item() for v in arr], dtype=d, name=name, spark=spark)
+        vals = [v.item() for v in arr]
+        if d == "boolean":
+            vals = [bool(v) for v in vals]
+        if d == "date":
+            import datetime as _dtm
+
+            vals = [_dtm.date(1970, 1, 1) + _dtm.timedelta(days=v) for v in vals]
+        return Series.from_list(vals, dtype=d, name=name, spark=spark)
 
     def __iter__(self):
         """Row streaming (reference's Enumerable impl / to_enum)."""

@@ -651,3 +651,25 @@ def test_isin_series_rhs_is_distributed(spark):
     assert "Join" in plan and " IN " not in plan
     got = out.to_list()
     assert got == [i % 2 == 0 for i in range(n)]
+
+
+def test_from_binary_non_numeric_dtypes(spark):
+    """Reference from_binary grid (series_test.exs:6505-6660): time
+    parses as s64 ns counts, date as s32 days, boolean as u8 — the old
+    fallback parsed every non-tuple dtype as float64 garbage."""
+    import datetime
+    import struct
+
+    s = Series.from_binary(struct.pack("<qq", 0, 86_399_999_999_000), "time", spark=spark)
+    assert s.dtype == "time"
+    assert s.to_list() == [datetime.time(0, 0), datetime.time(23, 59, 59, 999999)]
+    d = Series.from_binary(struct.pack("<iii", -719_162, 0, 6129), "date", spark=spark)
+    assert d.dtype == "date"
+    assert d.to_list() == [
+        datetime.date(1, 1, 1),
+        datetime.date(1970, 1, 1),
+        datetime.date(1986, 10, 13),
+    ]
+    b = Series.from_binary(b"\x01\x00\x01", "boolean", spark=spark)
+    assert b.dtype == "boolean"
+    assert b.to_list() == [True, False, True]
