@@ -1279,6 +1279,19 @@ class Series:
         out = []
         for chunk in col_.chunks:
             arr = chunk.to_numpy(zero_copy_only=False)
+            if self.dtype == "date":
+                # reference iotype for :date is {:s, 32} epoch DAYS —
+                # numpy's datetime64 rendering would dump 8-byte values
+                import datetime as _dtm
+
+                if arr.dtype == object:
+                    arr = np.array(
+                        [(v - _dtm.date(1970, 1, 1)).days for v in arr], dtype="int32"
+                    )
+                else:
+                    arr = arr.astype("datetime64[D]").astype("int32")
+                out.append(arr.tobytes())
+                continue
             if arr.dtype == object:
                 kind, bits = self.iotype()
                 if kind in ("s", "u") and bits == 128:

@@ -673,3 +673,24 @@ def test_from_binary_non_numeric_dtypes(spark):
     b = Series.from_binary(b"\x01\x00\x01", "boolean", spark=spark)
     assert b.dtype == "boolean"
     assert b.to_list() == [True, False, True]
+
+
+def test_iovec_date_time_boolean_symmetry(spark):
+    """to_binary/from_binary symmetry at the reference iotypes: date
+    s32 days (matches the reference's -719162 epoch-day rendering of
+    ~D[0001-01-01]), time s64 ns, boolean u8."""
+    import datetime
+    import struct
+
+    d = Series.from_list(
+        [datetime.date(1, 1, 1), datetime.date(1970, 1, 1), datetime.date(1986, 10, 13)],
+        name="d",
+        spark=spark,
+    )
+    buf = d.to_binary()
+    assert struct.unpack("<iii", buf) == (-719_162, 0, 6129)
+    assert Series.from_binary(buf, "date", spark=spark).to_list() == d.to_list()
+    t = Series.from_list([datetime.time(0, 0, 1)], name="t", spark=spark)
+    assert struct.unpack("<q", t.to_binary()) == (10**9,)
+    b = Series.from_list([True, False, True], name="b", spark=spark)
+    assert Series.from_binary(b.to_binary(), "boolean", spark=spark).to_list() == [True, False, True]
