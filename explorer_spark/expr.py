@@ -723,8 +723,17 @@ def _rank(ctx, a, method="average", descending=False, seed=None):
         return F.when(c.isNotNull(), e)
 
     if method == "random":
-        # ties broken by a seeded shuffle (reference rank :random + seed)
-        return masked(F.row_number().over(base.orderBy(key, F.rand(seed))).cast("long"))
+        # ties broken by a seeded shuffle (reference rank :random + seed).
+        # The draw is an md5 over (seed, value, row order) — F.rand(seed)
+        # is PARTITION-dependent (same seed, different partitioning,
+        # different ranks), which breaks run-to-run reproducibility at
+        # scale; the hash draw is layout-independent like the sampling
+        # kernels' draws.
+        draw_parts = [F.lit(str(seed if seed is not None else "")), c.cast("string")]
+        if ctx.order is not None:
+            draw_parts.append(F.col(ctx.order).cast("string"))
+        draw = F.md5(F.concat_ws("|", *draw_parts))
+        return masked(F.row_number().over(base.orderBy(key, draw)).cast("long"))
     w = base.orderBy(key, F.col(ctx.order).asc()) if ctx.order is not None else base.orderBy(key)
     wv = base.orderBy(key)
     if method == "ordinal":

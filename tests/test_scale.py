@@ -659,3 +659,20 @@ def test_grouped_sort_no_per_group_window(spark):
     got = d.group_by("g").sort_by("v").to_columns()
     assert got["v"] == [2, 1, 4, 9]
     assert got["g"] == ["a", "b", "a", "b"]
+
+
+def test_rank_random_draw_is_hash_based(spark):
+    """rank(:random) tie-breaks via an md5 draw over (seed, value, row
+    order) — not F.rand, whose stream depends on the partition id a row
+    happens to land in. The guarantee: same frame, same seed -> same
+    ranks on every materialization, and different seeds shuffle ties."""
+    import explorer_spark as ex
+    from explorer_spark import col, f
+
+    d = ex.from_columns({"x": [1] * 8 + [2, 2]}, spark=spark)
+    a = d.mutate(r=f.rank(col("x"), method="random", seed=11)).to_columns()["r"]
+    b = d.mutate(r=f.rank(col("x"), method="random", seed=11)).to_columns()["r"]
+    assert a == b
+    c = d.mutate(r=f.rank(col("x"), method="random", seed=12)).to_columns()["r"]
+    assert sorted(c) == sorted(a) == list(range(1, 11))
+    assert c[:8] != a[:8]  # a different seed reshuffles the tie block
