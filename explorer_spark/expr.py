@@ -573,6 +573,10 @@ _META_TRANSPARENT = frozenset(
         "clip",
         "cumulative_min",
         "cumulative_max",
+        # order statistics return a value OF the input dtype (reference
+        # quantile doctest on :time, series.ex:2852)
+        "quantile",
+        "median",
     }
 )
 

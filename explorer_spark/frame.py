@@ -1327,6 +1327,10 @@ class DataFrame:
             pre = self.mutate_with(**{name: sub for name, sub in ordered_sub.values()})
             return pre.summarise_with(**new_exprs)
 
+        # metadata stamps come from the ORIGINAL expressions — the
+        # quantile kernel rewrite below substitutes typed_literals, which
+        # would lose e.g. quantile-of-:time keeping the time dtype
+        meta_source = dict(exprs)
         if not self.groups and any(
             isinstance(e, Expr) and _tree_has(e, "quantile") for e in exprs.values()
         ):
@@ -1402,9 +1406,10 @@ class DataFrame:
         # dtype (the reference keeps the series dtype through value-
         # preserving aggregates) — same Expr-tree inference as mutate
         for n, m in base._mutate_meta_stamps(
-            {n: e for n, e in exprs.items() if isinstance(e, Expr)}
+            {n: e for n, e in meta_source.items() if isinstance(e, Expr)}
         ).items():
-            out = out.withMetadata(n, m)
+            if n in out.columns:
+                out = out.withMetadata(n, m)
         return DataFrame(out, groups=[], has_order=False)
 
     summarise = summarise_with

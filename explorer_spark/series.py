@@ -1656,3 +1656,21 @@ def _series_covariance(self, other: "Series", ddof: int = 1):
 
 Series.correlation = _series_correlation
 Series.covariance = _series_covariance
+
+
+def _series_coalesce(self, other) -> "Series":
+    """Element-wise first non-nil of two series (reference
+    Series.coalesce/2, series.ex:2351 doctest)."""
+    return _series_binop("coalesce", self, other, self.name)
+
+
+def _series_row_index(self) -> "Series":
+    """0-based row index of the series (reference Series.row_index/1,
+    series.ex:3073)."""
+    from . import functions as fns
+
+    return self._apply(fns.row_index())
+
+
+Series.coalesce = _series_coalesce
+Series.row_index = _series_row_index
