@@ -575,7 +575,16 @@ class Series:
         return Series(DataFrame(out, has_order=True), self.name)
 
     def product(self):
-        return self._agg(Expr("product", self._c()))
+        # Spark's PRODUCT agg always yields double and null on empty —
+        # the reference keeps the integer dtype (doctest: product of
+        # [1, 2, 3] === 6) and returns the multiplicative identity for
+        # empty/all-nil input (series.ex:2805: product of [] = 1.0)
+        out = self._agg(Expr("product", self._c()))
+        d = self.dtype
+        integral = isinstance(d, tuple) and d[0] in ("s", "u")
+        if out is None:
+            return 1 if integral else 1.0
+        return int(out) if integral else out
 
     def count(self):
         return self._agg(Expr("count", self._c()))
@@ -654,13 +663,25 @@ class Series:
         return self.fetch(key), self.slice(keep)
 
     def argmin(self) -> int:
+        # nil rows never win, and an all-nil/empty series yields nil
+        # (reference argmin doctests, series.ex:2585-2596)
         f = self._frame._with_row_index("__idx__")
-        row = f._sdf.orderBy(F.col(self.name).asc_nulls_last(), F.col("__idx__")).limit(1).collect()
+        row = (
+            f._sdf.where(F.col(self.name).isNotNull())
+            .orderBy(F.col(self.name).asc(), F.col("__idx__"))
+            .limit(1)
+            .collect()
+        )
         return row[0]["__idx__"] if row else None
 
     def argmax(self) -> int:
         f = self._frame._with_row_index("__idx__")
-        row = f._sdf.orderBy(F.col(self.name).desc_nulls_last(), F.col("__idx__")).limit(1).collect()
+        row = (
+            f._sdf.where(F.col(self.name).isNotNull())
+            .orderBy(F.col(self.name).desc(), F.col("__idx__"))
+            .limit(1)
+            .collect()
+        )
         return row[0]["__idx__"] if row else None
 
     # -- element-wise (any Expr op by name) ----------------------------------

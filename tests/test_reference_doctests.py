@@ -81,3 +81,77 @@ def test_reference_scalar_doctests(spark):
         if not _eq(got, want):
             fails.append((c["line"], c["op"], got, want))
     assert not fails, fails
+
+
+_DTYPE_TOK = {
+    ":integer": ("s", 64), ":float": ("f", 64), ":boolean": "boolean",
+    ":string": "string", ":binary": "binary", ":date": "date", ":time": "time",
+    ":category": "category", ":s8": ("s", 8), ":s16": ("s", 16), ":s32": ("s", 32),
+    ":u8": ("u", 8), ":u16": ("u", 16), ":u32": ("u", 32), ":u64": ("u", 64),
+    ":f32": ("f", 32), ":f64": ("f", 64),
+    "{:f, 32}": ("f", 32), "{:s, 8}": ("s", 8), "{:s, 16}": ("s", 16), "{:s, 32}": ("s", 32),
+    "{:duration, :millisecond}": ("duration", "ms"),
+    "{:naive_datetime, :millisecond}": ("naive_datetime", "ms"),
+}
+
+
+def _decode2(v, spark):
+    if isinstance(v, dict):
+        if "__atom__" in v:
+            return v["__atom__"]
+        if "__series__" in v and isinstance(v["__series__"], dict):
+            b = v["__series__"]
+            return Series.from_list(
+                [_decode2(x, spark) for x in b["vals"]],
+                name="arg",
+                dtype=_DTYPE_TOK.get(b["dtype"]) if b["dtype"] else None,
+                spark=spark,
+            )
+    return _decode(v, spark)
+
+
+def _run_kw_case(c, spark):
+    inp = c["input"]
+    dty = _DTYPE_TOK.get(inp["dtype"]) if inp["dtype"] else None
+    if inp["dtype"] and dty is None:
+        return None  # untranslated dtype token
+    s = Series.from_list([_decode2(v, spark) for v in inp["vals"]], name="x", dtype=dty, spark=spark)
+    kwargs = {k: _decode2(v, spark) for k, v in c["kwargs"].items()}
+    args = [_decode2(a, spark) for a in c["args"]]
+    op = c["op"]
+    if op in ("sort", "argsort") and "direction" in kwargs:
+        kwargs["descending"] = kwargs.pop("direction") == "desc"
+    if op == "rank" and "method" in kwargs:
+        args = [kwargs.pop("method")] + args
+    if "nils" in kwargs:
+        kwargs["nils_last"] = kwargs.pop("nils") == "last"
+    if op == "cast":
+        tok = c["args"][0]
+        key = ":" + tok["__atom__"] if isinstance(tok, dict) and "__atom__" in tok else tok
+        t = _DTYPE_TOK.get(key)
+        if t is None:
+            return None
+        args = [t]
+    got = getattr(s, op)(*args, **kwargs)
+    return got.to_list() if isinstance(got, Series) else got
+
+
+def test_reference_doctests_with_options(spark):
+    """Wave-2 corpus: doctests with dtype'd inputs, atom args and
+    keyword options (sort direction, rank method, fill strategies,
+    casts). rank(:random) is excluded — seeded RNG values are
+    engine-specific by design."""
+    fails = []
+    for c in CASES["series_kw"]:
+        got = _run_kw_case(c, spark)
+        if got is None:
+            continue
+        want = [_decode2(v, spark) for v in c["expected"]]
+        if len(got) != len(want) or not all(_eq(a, b) for a, b in zip(got, want)):
+            fails.append((c["line"], c["op"], got, want))
+    for c in CASES["scalar_kw"]:
+        got = _run_kw_case(c, spark)
+        want = _decode2(c["expected_scalar"], spark)
+        if isinstance(got, list) or not _eq(got, want):
+            fails.append((c["line"], c["op"], got, want))
+    assert not fails, fails
