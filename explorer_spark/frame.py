@@ -602,6 +602,11 @@ class DataFrame:
         equi-join, the distributed form)."""
         from .series import Series as _Series
 
+        if isinstance(bool_col, (list, tuple)):
+            # reference mask/2 accepts a plain list (data_frame.ex:2540)
+            bool_col = _Series.from_list(
+                list(bool_col), name="__mask__", spark=self._sdf.sparkSession
+            )
         if isinstance(bool_col, _Series):
             idxed = self._with_row_index("__mi__")
             pf = bool_col._frame._with_row_index("__mi__")
@@ -2453,21 +2458,25 @@ class DataFrame:
         of thousands of when-branches. Raise the ``max_categories``
         escape hatch deliberately if you really want a wider frame."""
         cols = self._resolve(selector)
-        sdf = self._sdf
+        base = self._ordered()
+        sdf = base._sdf
         new_cols = []
         for c in cols:
             # Exclude nulls BEFORE the limit: a null row otherwise eats one
             # of the max_categories+1 probe slots, so a column with
             # max_categories+1 real values plus nulls would pass the gate
-            # and silently encode an arbitrary subset.
+            # and silently encode an arbitrary subset. Categories order by
+            # FIRST APPEARANCE, not value (reference dummies doctest
+            # data_frame.ex:4068: col_y_b before col_y_a).
             got = (
-                sdf.select(c)
-                .where(F.col(c).isNotNull())
-                .distinct()
+                sdf.where(F.col(c).isNotNull())
+                .groupBy(c)
+                .agg(F.min(ORDER_COL).alias("__o__"))
+                .orderBy("__o__")
                 .limit(max_categories + 1)
                 .collect()
             )
-            values = sorted(r[0] for r in got)
+            values = [r[0] for r in got]
             if len(values) > max_categories:
                 raise ValueError(
                     f"dummies: column {c!r} has more than {max_categories} distinct "
@@ -2476,9 +2485,18 @@ class DataFrame:
                     f"first (cut/qcut/categorise)."
                 )
             for v in values:
-                new_cols.append(F.when(F.col(c) == v, 1).otherwise(0).alias(f"{c}_{v}"))
-        keep = [F.col(c) for c in sdf.columns if c not in cols]
-        return self._replace(sdf.select(*new_cols, *keep))
+                # u8 flags in the reference; smallint is our u8 physical
+                new_cols.append(
+                    F.when(F.col(c) == v, 1).otherwise(0).cast("smallint").alias(f"{c}_{v}")
+                )
+        # the result is ONLY the dummy columns (reference doctest
+        # data_frame.ex:4057: Polars[4 x 3] — non-selected columns drop)
+        # groups are removed (reference: "In case the dataframe is using
+        # groups, all groups will be removed") — the group columns are
+        # gone from the output anyway
+        return DataFrame(
+            sdf.select(*new_cols, F.col(ORDER_COL)), groups=[], has_order=True, aligned=base._aligned
+        )
 
     def transpose(self, header: bool | str = False, columns: list[str] | None = None) -> "DataFrame":
         """Flip rows/columns — one output row per input column, all values

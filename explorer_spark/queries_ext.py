@@ -169,10 +169,17 @@ def q_strftime_buckets(spark, sf_dir):
     """,
 )
 def q_dummies_onehot(spark, sf_dir):
-    """dummies (one-hot) then per-nation sums (SURVEY §2.8)."""
+    """dummies (one-hot) then per-nation sums (SURVEY §2.8). The dummies
+    result is ONLY the flag columns (reference data_frame.ex:4057), so
+    the id column rides back in via positional concat_columns — the
+    reference idiom for keeping context columns."""
     cust = _t(spark, sf_dir, "customer")
-    hot = cust.select(["c_nationkey", "c_mktsegment"]).dummies(["c_mktsegment"]).rename_with(
-        lambda c: c.replace("c_mktsegment_", "seg_") if c.startswith("c_mktsegment_") else c
+    hot = (
+        cust.select(["c_nationkey"])
+        .concat_columns(cust.select(["c_mktsegment"]).dummies(["c_mktsegment"]))
+        .rename_with(
+            lambda c: c.replace("c_mktsegment_", "seg_") if c.startswith("c_mktsegment_") else c
+        )
     )
     seg_cols = [c for c in hot.names if c.startswith("seg_")]
     return (

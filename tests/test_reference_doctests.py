@@ -155,3 +155,40 @@ def test_reference_doctests_with_options(spark):
         if isinstance(got, list) or not _eq(got, want):
             fails.append((c["line"], c["op"], got, want))
     assert not fails, fails
+
+
+def _decode_df_arg(v, spark):
+    if isinstance(v, dict):
+        if "__atom__" in v:
+            return v["__atom__"]
+        if "__kwlist__" in v:
+            return {k: _decode_df_arg(x, spark) for k, x in v["__kwlist__"].items()}
+    if isinstance(v, list):
+        return [_decode_df_arg(x, spark) for x in v]
+    return _decode(v, spark)
+
+
+def test_reference_dataframe_doctests(spark):
+    """DataFrame doctests of the plain-verb shape (select/discard/
+    drop_nil/dummies/mask/rename/slice/transpose/nil_count/
+    correlation/covariance) replayed against the rendered output
+    blocks — this corpus surfaced the dummies only-flag-columns /
+    first-appearance-order and mask-accepts-list divergences."""
+    import explorer_spark as ex
+
+    fails = []
+    for c in CASES["dataframe"]:
+        df = ex.from_columns(c["cols"], spark=spark)
+        out = getattr(df, c["verb"])(*[_decode_df_arg(a, spark) for a in c["args"]])
+        got = out.to_columns() if hasattr(out, "to_columns") else out
+        want_names = [o[0] for o in c["out"]]
+        want = {o[0]: [_decode(v, spark) for v in o[2]] for o in c["out"]}
+        if list(got.keys()) != want_names:
+            fails.append((c["line"], c["verb"], list(got.keys()), want_names))
+            continue
+        for k in want_names:
+            a, b = got[k], want[k]
+            if len(a) != len(b) or not all(_eq(x, y) for x, y in zip(a, b)):
+                fails.append((c["line"], c["verb"], got, want))
+                break
+    assert not fails, fails
