@@ -76,6 +76,13 @@ def is_temporal(dtype) -> bool:
     return isinstance(dtype, tuple) and dtype[0] in ("naive_datetime", "datetime", "duration")
 
 
+def time_to_ns(t) -> int:
+    """datetime.time -> the engine's physical :time rendering
+    (nanoseconds since midnight). The single definition every literal
+    boundary uses (lit/_c/isin/index_of/from_list/member)."""
+    return ((t.hour * 3600 + t.minute * 60 + t.second) * 1_000_000 + t.microsecond) * 1_000
+
+
 # ---------------------------------------------------------------------------
 # Explorer dtype -> Spark DataType
 # ---------------------------------------------------------------------------

@@ -227,9 +227,7 @@ def _c(x, ctx) -> Column:
         return x.lower(ctx)
     if isinstance(x, _time_type):
         # same rendering as the literal op: ns-since-midnight long
-        return F.lit(
-            ((x.hour * 3600 + x.minute * 60 + x.second) * 1_000_000 + x.microsecond) * 1_000
-        ).cast("long")
+        return F.lit(dt.time_to_ns(x)).cast("long")
     return F.lit(x)
 
 
@@ -736,6 +734,11 @@ def _rank(ctx, a, method="average", descending=False, seed=None):
         draw_parts = [F.lit(str(seed if seed is not None else "")), c.cast("string")]
         if ctx.order is not None:
             draw_parts.append(F.col(ctx.order).cast("string"))
+        else:
+            # no row-order column: a per-row component keeps tied values'
+            # draws DISTINCT (md5(seed|value) alone would tie every equal
+            # value and hand the break back to task order)
+            draw_parts.append(F.monotonically_increasing_id().cast("string"))
         draw = F.md5(F.concat_ws("|", *draw_parts))
         return masked(F.row_number().over(base.orderBy(key, draw)).cast("long"))
     w = base.orderBy(key, F.col(ctx.order).asc()) if ctx.order is not None else base.orderBy(key)
@@ -1046,9 +1049,7 @@ def _binary_in(ctx, a, values):
     non-member to null — while a nil left value stays nil."""
     c = _c(a, ctx)
     vals = [
-        ((v.hour * 3600 + v.minute * 60 + v.second) * 1_000_000 + v.microsecond) * 1_000
-        if isinstance(v, _time_type)
-        else v
+        dt.time_to_ns(v) if isinstance(v, _time_type) else v
         for v in values
         if v is not None
     ]
@@ -1076,9 +1077,7 @@ _LOWER = {
         # time-of-day literals lower to the engine's physical rendering
         # (ns-since-midnight long) — Spark 4 would otherwise make a
         # TIME-typed literal that can't compare with the long columns
-        else F.lit(
-            ((v.hour * 3600 + v.minute * 60 + v.second) * 1_000_000 + v.microsecond) * 1_000
-        ).cast("long")
+        else F.lit(dt.time_to_ns(v)).cast("long")
         if isinstance(v, _time_type)
         else F.lit(v)
     ),

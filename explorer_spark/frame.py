@@ -295,7 +295,9 @@ class DataFrame:
             s, us_rem = divmod(us, 1_000_000)
             h, rem = divmod(s, 3600)
             m, sec = divmod(rem, 60)
-            return _dtm.time(h % 24, m, sec, us_rem)
+            # out-of-range ns (a corrupt or overflowed :time long) raises
+            # here rather than silently wrapping past midnight
+            return _dtm.time(h, m, sec, us_rem)
 
         for fld in self._sdf.schema.fields:
             if fld.name not in out:
@@ -1521,17 +1523,32 @@ class DataFrame:
             from .operators.ordered import with_global_index
 
             gcols = [F.col(g).asc_nulls_first() for g in self.groups]
-            pos = with_global_index(sdf, gcols + [F.col(ORDER_COL).asc()], name="__r1__")
+            # forward the upstream probe hints: a limit-probe over a plan
+            # already containing a global sort would execute it just to
+            # count (the ungrouped branch sets _expensive_order for the
+            # same reason)
+            skip = getattr(base, "_expensive_order", False)
+            hint = getattr(self, "_row_count_hint", None)
+            pos = with_global_index(
+                sdf, gcols + [F.col(ORDER_COL).asc()], name="__r1__",
+                n_hint=hint, skip_probe=skip,
+            )
             pos = pos.select(F.col("__r1__"), F.col(ORDER_COL).alias("__new_ord__"))
             rows = with_global_index(
-                sdf, gcols + exprs + [F.col(ORDER_COL).asc()], name="__r2__"
+                sdf, gcols + exprs + [F.col(ORDER_COL).asc()], name="__r2__",
+                n_hint=hint, skip_probe=skip,
             ).drop(ORDER_COL, *tmp_keys)
             out = (
                 rows.join(pos, rows["__r2__"] == pos["__r1__"], "inner")
                 .drop("__r1__", "__r2__")
                 .withColumnRenamed("__new_ord__", ORDER_COL)
             )
-            return base._replace(out, has_order=True, aligned=False)
+            res = base._replace(out, has_order=True, aligned=False)
+            # the result's plan embeds two range sorts + a join: later
+            # index kernels must not limit-probe it
+            res._expensive_order = True
+            res._row_count_hint = hint
+            return res
         if stable and base._has_order:
             exprs.append(F.col(ORDER_COL).asc())
         out = sdf.orderBy(*exprs).drop(ORDER_COL, *tmp_keys)

@@ -315,12 +315,7 @@ class Series:
             import datetime as _dtm
 
             values = [
-                (
-                    ((v.hour * 3600 + v.minute * 60 + v.second) * 1_000_000 + v.microsecond) * 1_000
-                    if isinstance(v, _dtm.time)
-                    else v
-                )
-                for v in values
+                dt.time_to_ns(v) if isinstance(v, _dtm.time) else v for v in values
             ]
         _dur_target = None
         _tm_stamp = False
@@ -373,6 +368,14 @@ class Series:
                 # stamp/cast to the logical element dtype below
                 import datetime as _dtm
 
+                if isinstance(nd_[1], tuple) and nd_[1][0] == "list":
+                    # dtype introspection + collect decode only handle one
+                    # nesting level of time/duration elements — reject
+                    # rather than round-trip raw counts with a wrong dtype
+                    raise ValueError(
+                        f"nested {nd_!r} is not supported: time/duration list "
+                        "elements decode one nesting level deep"
+                    )
                 leaf = _list_leaf(nd_)
 
                 def _conv(v, d):
@@ -381,10 +384,7 @@ class Series:
                     if isinstance(d, tuple) and d[0] == "list":
                         return [_conv(x, d[1]) for x in v]
                     if d == "time" and isinstance(v, _dtm.time):
-                        return (
-                            (v.hour * 3600 + v.minute * 60 + v.second) * 1_000_000
-                            + v.microsecond
-                        ) * 1_000
+                        return dt.time_to_ns(v)
                     if isinstance(d, tuple) and d[0] == "duration" and isinstance(v, _dtm.timedelta):
                         unit = _dur_unit(d)
                         per_us = {"ms": 1_000, "us": 1, "ns": 0.001, "s": 1_000_000}.get(unit, 1)
@@ -584,7 +584,10 @@ class Series:
         integral = isinstance(d, tuple) and d[0] in ("s", "u")
         if out is None:
             return 1 if integral else 1.0
-        return int(out) if integral else out
+        # Spark PRODUCT computes in double: round (not truncate) back
+        # to int — exactness past 2^53 is bounded by the double
+        # intermediate either way (documented trade)
+        return int(round(out)) if integral else out
 
     def count(self):
         return self._agg(Expr("count", self._c()))
@@ -1212,10 +1215,7 @@ class Series:
 
         if isinstance(value, _dtm.time):
             # time columns are ns-since-midnight longs (the "tm" marker)
-            value = (
-                (value.hour * 3600 + value.minute * 60 + value.second) * 1_000_000
-                + value.microsecond
-            ) * 1_000
+            value = dt.time_to_ns(value)
         f = self._frame._with_row_index("__idx__")
         rows = f._sdf.filter(F.col(self.name) == F.lit(value)).orderBy("__idx__").limit(1).collect()
         return rows[0]["__idx__"] if rows else None
@@ -1647,6 +1647,36 @@ def _series_isin(self, values) -> "Series":
         )
         out = joined.select(F.col(ORDER_COL), res.alias(self.name))
         return Series(DataFrame(out, has_order=True), self.name)
+    # list rhs: the same kind validation as the Series path — Spark's
+    # implicit coercion would otherwise compare int-vs-string silently
+    import datetime as _dtm
+
+    def _value_kind(v):
+        if isinstance(v, bool):
+            return "boolean"
+        if isinstance(v, (int, float)):
+            return "numeric"
+        if isinstance(v, str):
+            return "string"
+        if isinstance(v, bytes):
+            return "binary"
+        if isinstance(v, _dtm.datetime):
+            return "datetime"
+        if isinstance(v, _dtm.date):
+            return "date"
+        if isinstance(v, _dtm.time):
+            return "time"
+        if isinstance(v, _dtm.timedelta):
+            return "duration"
+        return None
+
+    ka = _isin_kind(self.dtype)
+    for v in values:
+        kb = None if v is None else _value_kind(v)
+        if kb is not None and ka != kb and ka != "null":
+            raise ValueError(
+                f"cannot invoke Series.in/2 with mismatched dtypes: {self.dtype} and {v!r}"
+            )
     return self._apply(Expr("binary_in", self._c(), list(values)))
 
 

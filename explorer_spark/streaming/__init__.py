@@ -69,6 +69,24 @@ def sessionize_batch(events: SDF, gap_minutes: int = 30, ts_col: str = "ts", use
     )
 
 
+def stream_session(spark, shuffle_partitions: int | None = None):
+    """Clone the session with a small shuffle-partition count for a
+    stream run (state-store instances scale per partition per
+    micro-batch; builder-level SQL confs are SparkConf-backed and
+    inherited by the clone). Shared by run_stream_once and
+    stateful.run_stateful_once."""
+    import os as _os
+
+    n = shuffle_partitions
+    if n is None:
+        n = int(_os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8") or 0)
+    if n and int(spark.conf.get("spark.sql.shuffle.partitions", "0")) > n:
+        sess = spark.newSession()
+        sess.conf.set("spark.sql.shuffle.partitions", str(n))
+        return sess
+    return spark
+
+
 def run_stream_once(
     spark,
     parquet_path: str,
@@ -96,15 +114,7 @@ def run_stream_once(
     transform must build its static sides from the stream's session
     (``stream_sdf.sparkSession``), which all repo operators do. On a
     real cluster, size it to the stream's actual state width instead."""
-    import os as _os
-
-    n = shuffle_partitions
-    if n is None:
-        n = int(_os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8") or 0)
-    sess = spark
-    if n and int(spark.conf.get("spark.sql.shuffle.partitions", "0")) > n:
-        sess = spark.newSession()
-        sess.conf.set("spark.sql.shuffle.partitions", str(n))
+    sess = stream_session(spark, shuffle_partitions)
     if schema is None:
         schema = sess.read.parquet(parquet_path).schema
     reader = sess.readStream.schema(schema)

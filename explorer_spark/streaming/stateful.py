@@ -72,12 +72,9 @@ def run_stateful_once(spark, parquet_path: str, query_name: str = "stateful_out"
     memory sink, synchronously (test/verification path). Runs in a
     cloned session with small shuffle-partition count — see
     streaming.run_stream_once for the state-store-per-partition math."""
-    import os as _os
+    from . import stream_session
 
-    n = int(_os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8") or 0)
-    if n and int(spark.conf.get("spark.sql.shuffle.partitions", "0")) > n:
-        spark = spark.newSession()
-        spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    spark = stream_session(spark)
     schema = spark.read.parquet(parquet_path).schema
     src = spark.readStream.schema(schema).parquet(parquet_path)
     out = running_totals(src)

@@ -110,11 +110,14 @@ def _decode2(v, spark):
     return _decode(v, spark)
 
 
+_SKIP = object()  # untranslated dtype token — distinct from a None result
+
+
 def _run_kw_case(c, spark):
     inp = c["input"]
     dty = _DTYPE_TOK.get(inp["dtype"]) if inp["dtype"] else None
     if inp["dtype"] and dty is None:
-        return None  # untranslated dtype token
+        return _SKIP
     s = Series.from_list([_decode2(v, spark) for v in inp["vals"]], name="x", dtype=dty, spark=spark)
     kwargs = {k: _decode2(v, spark) for k, v in c["kwargs"].items()}
     args = [_decode2(a, spark) for a in c["args"]]
@@ -130,7 +133,7 @@ def _run_kw_case(c, spark):
         key = ":" + tok["__atom__"] if isinstance(tok, dict) and "__atom__" in tok else tok
         t = _DTYPE_TOK.get(key)
         if t is None:
-            return None
+            return _SKIP
         args = [t]
     got = getattr(s, op)(*args, **kwargs)
     return got.to_list() if isinstance(got, Series) else got
@@ -144,13 +147,15 @@ def test_reference_doctests_with_options(spark):
     fails = []
     for c in CASES["series_kw"]:
         got = _run_kw_case(c, spark)
-        if got is None:
+        if got is _SKIP:
             continue
         want = [_decode2(v, spark) for v in c["expected"]]
         if len(got) != len(want) or not all(_eq(a, b) for a, b in zip(got, want)):
             fails.append((c["line"], c["op"], got, want))
     for c in CASES["scalar_kw"]:
         got = _run_kw_case(c, spark)
+        if got is _SKIP:
+            continue
         want = _decode2(c["expected_scalar"], spark)
         if isinstance(got, list) or not _eq(got, want):
             fails.append((c["line"], c["op"], got, want))
