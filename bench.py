@@ -91,36 +91,50 @@ def main() -> None:
     # reps/agg so the protocol is auditable.
     REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
-    for i, (name, fn) in enumerate(QUERIES.items()):
-        best = -1.0
-        for _rep in range(REPS):
+    # Reps are INTERLEAVED round-robin across the query loop (pass 1 of
+    # every query, then pass 2, …) rather than back-to-back per query:
+    # host interference arrives in multi-second episodic windows, and
+    # three back-to-back reps all land inside one window — min-of-3 then
+    # measures the episode, not the engine (observed: a query printing
+    # 12.2s min-of-3 back-to-back vs 1.25s warm min-of-3 spread out).
+    # Round-robin puts a query's reps minutes apart, sampling
+    # independent windows. Per-query codegen/JIT still lands on pass 1
+    # and later passes stay warm (the JIT cache is session-global).
+    failed: set[str] = set()
+    n_run = 0
+    for _rep in range(REPS):
+        for name, fn in QUERIES.items():
+            if name in failed:
+                continue
             t0 = time.perf_counter()
             try:
                 df = fn(spark, SF_DIR)
                 df.write.format("noop").mode("overwrite").save()
                 elapsed = round(time.perf_counter() - t0, 4)
-                best = elapsed if best < 0 else min(best, elapsed)
+                prev = timings.get(name, -1.0)
+                timings[name] = elapsed if prev < 0 else min(prev, elapsed)
             except Exception as e:  # keep the bench line intact on one failure
                 print(f"BENCH_ERROR {name}: {e}", file=sys.stderr)
                 # ANY failed rep marks the query failed — an
-                # intermittently-crashing query must not publish the
-                # earlier rep's time as green
-                best = -1.0
-                break
+                # intermittently-crashing query must not publish another
+                # rep's time as green
+                failed.add(name)
+                timings[name] = -1.0
             finally:
                 # release this query's frames (py4j refs) OUTSIDE the next
                 # timed region
                 df = None
-        timings[name] = best
-        # let the JVM clean checkpoint blocks OUTSIDE the timed region —
-        # otherwise the accumulated session state surfaces as a random
-        # multi-second GC pause inside some later unlucky query
-        if i % 10 == 9:
-            gc.collect()
-            try:
-                spark.sparkContext._jvm.System.gc()
-            except Exception:
-                pass
+            n_run += 1
+            # let the JVM clean checkpoint blocks OUTSIDE the timed region —
+            # otherwise the accumulated session state surfaces as a random
+            # multi-second GC pause inside some later unlucky query
+            if n_run % 10 == 0:
+                gc.collect()
+                try:
+                    spark.sparkContext._jvm.System.gc()
+                except Exception:
+                    pass
+    timings = {name: timings.get(name, -1.0) for name in QUERIES}
     ok = [v for v in timings.values() if v > 0]
     geomean = math.exp(sum(math.log(v) for v in ok) / len(ok)) if ok else -1.0
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf

@@ -737,7 +737,10 @@ def _rank(ctx, a, method="average", descending=False, seed=None):
         else:
             # no row-order column: a per-row component keeps tied values'
             # draws DISTINCT (md5(seed|value) alone would tie every equal
-            # value and hand the break back to task order)
+            # value and hand the break back to task order). This component
+            # is partition-layout dependent, so SEEDED REPRODUCIBILITY of
+            # tie ranks requires an order column — without one the seed
+            # only pins the draw within a fixed physical layout.
             draw_parts.append(F.monotonically_increasing_id().cast("string"))
         draw = F.md5(F.concat_ws("|", *draw_parts))
         return masked(F.row_number().over(base.orderBy(key, draw)).cast("long"))
@@ -1033,7 +1036,11 @@ def _clip(ctx, a, lo, hi):
         except Exception:
             pass
     clipped = F.least(F.greatest(c, F.lit(lo)), F.lit(hi))
-    if is_float is not False:
+    if is_float:
+        # NaN pass-through only when the column is KNOWN float: casting a
+        # non-numeric column to double here (probe skipped/failed) would
+        # surface as a confusing Spark cast error instead of the clip
+        # dtype ValueError above; ints can't hold NaN so need no guard
         clipped = F.when(F.isnan(c.cast("double")), c).otherwise(clipped)
     return F.when(c.isNull(), F.lit(None)).otherwise(clipped)
 

@@ -340,10 +340,12 @@ def stratified_sample(
         F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10).cast("long")
         % F.lit(buckets)
     )
+    # round, not truncate: float representation of e.g. 0.29*10000 can
+    # land at 2899.9999..., undershooting the stated rate by one bucket
     mapping = F.create_map(
-        *[F.lit(x) for k, r in rates.items() for x in (k, int(r * buckets))]
+        *[F.lit(x) for k, r in rates.items() for x in (k, int(round(r * buckets)))]
     )
-    thr = F.coalesce(mapping[F.col(strata_col)], F.lit(int(default_rate * buckets)))
+    thr = F.coalesce(mapping[F.col(strata_col)], F.lit(int(round(default_rate * buckets))))
     return sdf.filter(h < thr)
 
 
@@ -363,7 +365,7 @@ def hash_sample(sdf: SDF, key_col: str, rate: float, buckets: int = 10_000) -> S
     UDF barrier (md5 itself is not a parquet-pushable predicate).
     """
     h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10).cast("long")
-    return sdf.filter(h % F.lit(buckets) < F.lit(int(rate * buckets)))
+    return sdf.filter(h % F.lit(buckets) < F.lit(int(round(rate * buckets))))
 
 
 def pack_context_windows(frame, token_col: str, budget: int, bin_col: str = "bin"):

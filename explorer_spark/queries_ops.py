@@ -111,14 +111,20 @@ def q_sample_seeded(spark, sf_dir):
 
 @query(
     "q_grouped_sample",
-    "SELECT c_nationkey, CAST(5 AS BIGINT) AS n FROM customer GROUP BY c_nationkey",
+    """
+    SELECT c_nationkey, CAST(FLOOR(COUNT(*) * 0.25) AS BIGINT) AS n
+    FROM customer GROUP BY c_nationkey
+    HAVING FLOOR(COUNT(*) * 0.25) > 0
+    """,
 )
 def q_grouped_sample(spark, sf_dir):
-    """Grouped sample: n rows drawn per group (reference
-    polars_backend/data_frame.ex:779-796); every nation has >= 43
-    customers so each group yields exactly 5."""
+    """Grouped frac sample: floor(frac*len) rows drawn per group
+    (reference polars_backend/data_frame.ex:779-796). frac=0.25 is a
+    binary-exact fraction so the floor parity with the oracle holds at
+    every SF; groups small enough to floor to zero vanish on both sides
+    (a fixed-n sample would raise the population error at tiny SFs)."""
     cust = _t(spark, sf_dir, "customer").group_by("c_nationkey")
-    return cust.sample(5, seed=11).summarise(n=f.size(col("c_custkey"))).lazy_sdf()
+    return cust.sample(0.25, seed=11).summarise(n=f.size(col("c_custkey"))).lazy_sdf()
 
 
 # ---------------------------------------------------------------------------

@@ -10,6 +10,7 @@ pandas UDF.
 
 from __future__ import annotations
 
+import math
 from typing import Callable
 
 import pandas as pd
@@ -586,8 +587,17 @@ class Series:
             return 1 if integral else 1.0
         # Spark PRODUCT computes in double: round (not truncate) back
         # to int — exactness past 2^53 is bounded by the double
-        # intermediate either way (documented trade)
-        return int(round(out)) if integral else out
+        # intermediate either way (documented trade). If the double
+        # intermediate overflowed, int(round(inf)) would raise a bare
+        # OverflowError — surface the documented limit instead.
+        if integral:
+            if math.isinf(out) or math.isnan(out):
+                raise ValueError(
+                    "Series.product overflowed the float64 intermediate; "
+                    "cast to float first to get an inf/nan result"
+                )
+            return int(round(out))
+        return out
 
     def count(self):
         return self._agg(Expr("count", self._c()))

@@ -79,8 +79,16 @@ def stream_session(spark, shuffle_partitions: int | None = None):
 
     n = shuffle_partitions
     if n is None:
-        n = int(_os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8") or 0)
-    if n and int(spark.conf.get("spark.sql.shuffle.partitions", "0")) > n:
+        try:
+            n = int(_os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8") or 0)
+        except ValueError:
+            n = 8
+    try:
+        # non-numeric on some platforms (e.g. "auto") — skip the clone then
+        current = int(spark.conf.get("spark.sql.shuffle.partitions", "0"))
+    except (ValueError, TypeError):
+        current = 0
+    if n and current > n:
         sess = spark.newSession()
         sess.conf.set("spark.sql.shuffle.partitions", str(n))
         return sess

@@ -144,7 +144,9 @@ def test_pivot_wider_longer(spark):
         },
         spark=spark,
     )
-    wide = d.pivot_wider("day", "hours", id_columns=["team"]).sort_by("team")
+    wide = d.pivot_wider("day", "hours", id_columns=["team"], values=["mon", "tue"]).sort_by(
+        "team"
+    )
     assert wide.to_columns() == {"team": ["A", "B"], "mon": [1, 3], "tue": [2, 4]}
     back = wide.pivot_longer(["mon", "tue"], names_to="day", values_to="hours")
     assert back.n_rows() == 4
@@ -643,14 +645,16 @@ def test_pivot_wider_reference_option_corners(spark):
 
     d = from_columns(
         {"id": [1, 1], "variable": ["1", "2"], "value": [1.0, 2.0]}, spark=spark
-    ).pivot_wider("variable", "value", id_columns=["id"], names_prefix="column_")
+    ).pivot_wider(
+        "variable", "value", id_columns=["id"], names_prefix="column_", values=["1", "2"]
+    )
     assert d.names == ["id", "column_1", "column_2"]
     assert d.to_columns() == {"id": [1], "column_1": [1.0], "column_2": [2.0]}
 
     m = from_columns(
         {"id": [1, 1], "variable": ["a", "b"], "value": [1, 2], "another_value": [6, 9]},
         spark=spark,
-    ).pivot_wider("variable", ["value", "another_value"])
+    ).pivot_wider("variable", ["value", "another_value"], values=["a", "b"])
     assert m.to_columns() == {
         "id": [1],
         "value_a": [1],

@@ -533,7 +533,9 @@ def test_pivot_wider_multi_values_naming(spark):
         property_value=[42, 40, 35, 20],
         another_value=[43, 41, 36, 21],
     )
-    out = df.pivot_wider("property", ["property_value", "another_value"])
+    out = df.pivot_wider(
+        "property", ["property_value", "another_value"], values=["width_cm", "height_cm"]
+    )
     assert sorted(out.names) == [
         "another_value_height_cm", "another_value_width_cm",
         "product_id", "property_value_height_cm", "property_value_width_cm",
@@ -547,9 +549,9 @@ def test_pivot_wider_group_metadata(spark):
     # reference: groups that are ID columns stay groups; the pivoted
     # column's group is discarded
     df = _frame(spark, weekday=["Mon", "Tue"] * 2, team=["A", "B", "A", "B"], hour=[10, 9, 15, 14])
-    out = df.group_by("team").pivot_wider("weekday", "hour")
+    out = df.group_by("team").pivot_wider("weekday", "hour", values=["Mon", "Tue"])
     assert out.groups == ["team"]
-    out2 = df.group_by("weekday").pivot_wider("weekday", "hour")
+    out2 = df.group_by("weekday").pivot_wider("weekday", "hour", values=["Mon", "Tue"])
     assert out2.groups == []
 
 

@@ -275,17 +275,30 @@ class TestPivotWiderReferenceGrid:
 
     def test_single_id(self, spark):
         df = ex.from_columns({"id": [1, 1], "variable": ["a", "b"], "value": [1, 2]})
-        out = df.pivot_wider("variable", "value")
+        out = df.pivot_wider("variable", "value", values=["a", "b"])
+        assert out.to_columns() == {"id": [1], "a": [1], "b": [2]}
+
+    def test_implicit_values_warns_but_works(self, spark):
+        # without values= the implicit distinct-collect discovery path
+        # still produces the same frame, and the scale warning fires
+        import pytest as _pytest
+
+        df = ex.from_columns({"id": [1, 1], "variable": ["a", "b"], "value": [1, 2]})
+        with _pytest.warns(UserWarning, match="distinct-collect"):
+            out = df.pivot_wider("variable", "value")
         assert out.to_columns() == {"id": [1], "a": [1], "b": [2]}
 
     def test_nil_variable_becomes_nil_column(self, spark):
         df = ex.from_columns({"id": [1, 1, 1], "variable": ["a", "b", None], "value": [1, 2, 3]})
-        out = df.pivot_wider("variable", "value")
+        # None in values= renders as the "nil" column, same as discovery
+        out = df.pivot_wider("variable", "value", values=["a", "b", None])
         assert out.to_columns() == {"id": [1], "a": [1], "b": [2], "nil": [3]}
 
     def test_names_prefix(self, spark):
         df = ex.from_columns({"id": [1, 1], "variable": ["1", "2"], "value": [1.0, 2.0]})
-        out = df.pivot_wider("variable", "value", id_columns=["id"], names_prefix="column_")
+        out = df.pivot_wider(
+            "variable", "value", id_columns=["id"], names_prefix="column_", values=["1", "2"]
+        )
         assert out.names == ["id", "column_1", "column_2"]
         assert out.to_columns() == {"id": [1], "column_1": [1.0], "column_2": [2.0]}
 
@@ -293,19 +306,19 @@ class TestPivotWiderReferenceGrid:
         df = ex.from_columns(
             {"id": [1, 1], "variable": ["a", "b"], "value": [1, 2], "b": [4, 5]}
         )
-        out = df.pivot_wider("variable", "value")
+        out = df.pivot_wider("variable", "value", values=["a", "b"])
         assert sorted(out.names) == sorted(["id", "b", "a", "b_1"])
         cols = out.sort_by("b").to_columns()
         assert cols["b"] == [4, 5] and sorted(x for x in cols["b_1"] if x is not None) == [2]
         # with a prefix there's no collision
-        out2 = df.pivot_wider("variable", "value", names_prefix="col_")
+        out2 = df.pivot_wider("variable", "value", names_prefix="col_", values=["a", "b"])
         assert sorted(out2.names) == sorted(["id", "b", "col_a", "col_b"])
 
     def test_multiple_ids_and_values_list(self, spark):
         df = ex.from_columns(
             {"id": [1, 1], "variable": ["a", "b"], "value": [1, 2], "other_id": [4, 5]}
         )
-        out = df.pivot_wider("variable", "value")
+        out = df.pivot_wider("variable", "value", values=["a", "b"])
         assert sorted(out.names) == sorted(["id", "other_id", "a", "b"])
         # pre-declared values avoid the distinct job and pin column order
         out2 = df.pivot_wider("variable", "value", id_columns=["id"], values=["a", "b"])
