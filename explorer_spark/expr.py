@@ -15,6 +15,8 @@ frame's hidden row-order column.
 
 from __future__ import annotations
 
+import re
+
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column
@@ -600,11 +602,23 @@ def _node_meta(x, ctx: "LowerCtx") -> dict:
             md = dict(sdf.schema[x.args[0]].metadata or {})
         except Exception:
             return {}
-        return {k: md[k] for k in ("tz", "dt_p", "dur_p", "tm") if k in md}
+        return {k: md[k] for k in ("tz", "dt_p", "dur_p", "tm", "uw") if k in md}
     if op == "to_time":
         # time-of-day extraction emits the ns-since-midnight long whose
         # logical dtype IS :time (the "tm" marker)
         return {"tm": True}
+    if op in _UW32_OPS:
+        # count-shaped ops are :u32 in the reference (polars idx/count
+        # outputs: row_index, rank, cumulative_count, count_matches,
+        # n_distinct, list lengths — series.ex doctests render u32);
+        # physically the next wider signed int, "uw" carries the logical
+        # unsignedness like "tm" carries :time
+        if op == "rank":
+            # only :ordinal is u32; :min/:max/:dense render s64,
+            # :average f64, :random s64 (series.ex:2025-2054 doctests)
+            method = x.args[1] if len(x.args) > 1 else "average"
+            return {"uw": 32} if method == "ordinal" else {}
+        return {"uw": 32}
     if op == "cast":
         d = dt.normalize(x.args[1])
         meta = {}
@@ -620,6 +634,8 @@ def _node_meta(x, ctx: "LowerCtx") -> dict:
                 meta["dur_p"] = unit
         if d == "time":
             meta["tm"] = True
+        if isinstance(d, tuple) and d[0] == "u":
+            meta["uw"] = d[1]
         return meta
     if op in _META_TRANSPARENT:
         metas = [_node_meta(a, ctx) for a in x.args if isinstance(a, Expr)]
@@ -637,7 +653,28 @@ def _node_meta(x, ctx: "LowerCtx") -> dict:
             [m for m in metas if m]
         ):
             return {"tm": True}
+        uw_metas = [m["uw"] for m in metas if "uw" in m]
+        if (
+            op not in ("add", "subtract")
+            and not dt_metas and not dur_metas and not tm_metas and uw_metas
+            and all(w == uw_metas[0] for w in uw_metas)
+            and len(uw_metas) == len([m for m in metas if m])
+        ):
+            # unsignedness survives VALUE-PRESERVING ops (min/max/shift/
+            # fill/...); arithmetic promotes away from it — row_index(a)
+            # + 1000 is s64 in the reference (series.ex:3091, the i64
+            # literal wins the supertype)
+            return {"uw": uw_metas[0]}
     return {}
+
+
+_UW32_OPS = frozenset(
+    {
+        "row_index", "rank", "cumulative_count", "count_matches",
+        "re_count_matches", "list_lengths", "n_distinct", "count",
+        "nil_count", "size",
+    }
+)
 
 
 def _wall(ctx: "LowerCtx", a) -> Column:
@@ -666,8 +703,13 @@ def _wall(ctx: "LowerCtx", a) -> Column:
     return c
 
 
-def _wunop(fn):
-    return lambda ctx, a: fn(_wall(ctx, a))
+def _wunop(fn, cast: str | None = None):
+    """Wall-clock field read; ``cast`` pins the reference's part dtype
+    (polars: month/day/hour/… are i8, day_of_year i16 — series.ex
+    doctests at 6458/6578 render s8/s16)."""
+    if cast is None:
+        return lambda ctx, a: fn(_wall(ctx, a))
+    return lambda ctx, a: fn(_wall(ctx, a)).cast(cast)
 
 
 def _sum_lower(ctx: "LowerCtx", a) -> Column:
@@ -870,11 +912,11 @@ def _fill_backward(ctx, a):
 def _day_of_week(ctx, a):
     # Explorer: Monday=1..Sunday=7; Spark dayofweek: Sunday=1..Saturday=7
     c = F.dayofweek(_wall(ctx, a))
-    return F.when(c == 1, F.lit(7)).otherwise(c - 1)
+    return F.when(c == 1, F.lit(7)).otherwise(c - 1).cast("tinyint")
 
 
 def _week_of_year(ctx, a):
-    return F.weekofyear(_wall(ctx, a))
+    return F.weekofyear(_wall(ctx, a)).cast("tinyint")
 
 
 def _strftime_to_java(fmt: str) -> str:
@@ -1098,7 +1140,18 @@ _LOWER = {
     "add": lambda ctx, a, b: _add_sub(ctx, a, b, sub=False),
     "subtract": lambda ctx, a, b: _add_sub(ctx, a, b, sub=True),
     "multiply": _binop(lambda a, b: a * b),
-    "divide": _binop(lambda a, b: a.cast("double") / b),
+    # float division; Spark's Divide yields NULL at a zero denominator
+    # where the reference (IEEE / polars) yields ±Inf and 0/0 -> NaN
+    # (series.ex:3658 divide doctest; is_finite/is_infinite/is_nan
+    # doctests build their inputs this way)
+    "divide": _binop(
+        lambda a, b: F.when(
+            b.cast("double") == 0.0,
+            F.when(a.cast("double") == 0.0, F.lit(float("nan")))
+            .when(a.cast("double") > 0, F.lit(float("inf")))
+            .when(a.cast("double") < 0, F.lit(float("-inf"))),
+        ).otherwise(a.cast("double") / b)
+    ),
     "quotient": _binop(lambda a, b: F.floor(a / b).cast("long")),
     "remainder": _binop(lambda a, b: a % b),
     "pow": lambda ctx, a, b: _pow(ctx, a, b),
@@ -1119,8 +1172,10 @@ _LOWER = {
     "radians": _unop(F.radians),
     # rounding
     "round": lambda ctx, a, d=0: F.round(_c(a, ctx), d),
-    "floor": _unop(F.floor),
-    "ceil": _unop(F.ceil),
+    # floor/ceil KEEP the float dtype (reference series.ex:6325/6344 —
+    # f64 in, f64 out; Spark's floor/ceil return bigint)
+    "floor": _unop(lambda c: F.floor(c).cast("double")),
+    "ceil": _unop(lambda c: F.ceil(c).cast("double")),
     # comparison / boolean
     "equal": _binop(lambda a, b: a == b),
     "not_equal": _binop(lambda a, b: a != b),
@@ -1134,7 +1189,9 @@ _LOWER = {
     "binary_in": _binary_in,
     "is_nil": _unop(lambda a: a.isNull()),
     "is_not_nil": _unop(lambda a: a.isNotNull()),
-    "is_nan": _unop(F.isnan),
+    # nil stays nil (reference series.ex:6406 — Spark's isnan would
+    # render NULL as false)
+    "is_nan": _unop(lambda a: F.when(a.isNotNull(), F.isnan(a))),
     "is_finite": _unop(lambda a: ~F.isnan(a) & (F.abs(a) != F.lit(float("inf")))),
     "is_infinite": _unop(lambda a: F.abs(a) == F.lit(float("inf"))),
     "between": _between,
@@ -1222,7 +1279,12 @@ _LOWER = {
     # F.split interprets regex, so quote with \Q...\E
     "split": lambda ctx, a, sep: F.split(_c(a, ctx), _rx_quote(sep), -1),
     "replace": lambda ctx, a, pat, repl: F.replace(_c(a, ctx), F.lit(pat), F.lit(repl)),
-    "re_replace": lambda ctx, a, pat, repl: F.regexp_replace(_c(a, ctx), pat, repl),
+    # Rust-regex replacement groups write ${1}/${name}; Java wants $1 —
+    # translate so reference patterns (series.ex:5846) work verbatim
+    "re_replace": lambda ctx, a, pat, repl: F.regexp_replace(
+        # NUMERIC ${1} -> $1 only: Java supports ${name} for NAMED groups
+        _c(a, ctx), pat, re.sub(r"\$\{(\d+)\}", r"$\1", repl)
+    ),
     # null-guard: size(split(NULL)) is -1, which would read as -2 matches
     "count_matches": lambda ctx, a, pat: F.when(
         _c(a, ctx).isNotNull(), F.size(F.split(_c(a, ctx), _rx_quote(pat), -1)) - 1
@@ -1235,9 +1297,14 @@ _LOWER = {
             for i, name in enumerate(fields)
         ]
     ),
-    "re_named_captures": lambda ctx, a, pat, names: F.struct(
-        *[F.regexp_extract(_c(a, ctx), pat, i + 1).alias(n) for i, n in enumerate(names)]
-    ),
+    # a NON-MATCHING (or nil) subject yields a nil STRUCT, not a struct
+    # of empty strings (reference series.ex:6265; polars extract_groups)
+    "re_named_captures": lambda ctx, a, pat, names: (
+        lambda c: F.when(
+            c.rlike(pat),
+            F.struct(*[F.regexp_extract(c, pat, i + 1).alias(n) for i, n in enumerate(names)]),
+        )
+    )(_c(a, ctx)),
     "string_length": _unop(F.length),
     # the reference's string concat IS format (the <> operator lowers to
     # it): nil parts render as the empty string, the row survives
@@ -1251,32 +1318,33 @@ _LOWER = {
     # temporal — wall-clock field reads go through _wall (tz-stamped
     # datetime columns shift into their zone first)
     "year": _wunop(F.year),
-    "month": _wunop(F.month),
-    "day_of_month": _wunop(F.dayofmonth),
+    "month": _wunop(F.month, "tinyint"),
+    "day_of_month": _wunop(F.dayofmonth, "tinyint"),
     "day_of_week": _day_of_week,
-    "day_of_year": _wunop(F.dayofyear),
+    "day_of_year": _wunop(F.dayofyear, "smallint"),
     "week_of_year": _week_of_year,
     # ISO-8601 year = calendar year of the Thursday in the date's ISO week
     # (exact by definition; weekday() is Mon=0, so Thursday = d + (3 - wd))
     "iso_year": lambda ctx, a: (
         lambda c: F.year(F.date_add(F.to_date(c), 3 - F.weekday(c)))
     )(_wall(ctx, a)),
-    "quarter_of_year": _wunop(F.quarter),
-    "hour": _wunop(F.hour),
-    "minute": _wunop(F.minute),
-    "second": _wunop(F.second),
+    "quarter_of_year": _wunop(F.quarter, "tinyint"),
+    "hour": _wunop(F.hour, "tinyint"),
+    "minute": _wunop(F.minute, "tinyint"),
+    "second": _wunop(F.second, "tinyint"),
     "is_leap_year": lambda ctx, a: (
         lambda y: (y % 4 == 0) & ((y % 100 != 0) | (y % 400 == 0))
     )(F.year(_wall(ctx, a))),
     "to_date": _wunop(F.to_date),
     # number of days in the value's month (reference lazy_series.ex
     # days_of_month; Polars days_in_month)
-    "days_of_month": lambda ctx, a: F.dayofmonth(F.last_day(_wall(ctx, a))),
+    "days_of_month": lambda ctx, a: F.dayofmonth(F.last_day(_wall(ctx, a))).cast("tinyint"),
     # nanosecond component of the second (reference series.ex nanosecond/1;
-    # µs-precision storage means the last 3 digits are always 0)
+    # µs-precision storage means the last 3 digits are always 0; polars
+    # renders the part as s32 — series.ex:6764)
     "nanosecond": lambda ctx, a: (
         F.pmod(F.unix_micros(_c(a, ctx).cast("timestamp_ltz")), F.lit(1_000_000)) * 1_000
-    ).cast("long"),
+    ).cast("int"),
     # time-of-day as ns since midnight — the engine's :time representation
     # (dtypes.py maps time -> long ns, reference shared.ex:12-16)
     "to_time": lambda ctx, a: (

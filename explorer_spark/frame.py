@@ -145,6 +145,15 @@ class DataFrame:
             # marker (reference :time dtype; from_list/cast stamp it)
             if d == ("s", 64) and fld.metadata.get("tm"):
                 d = "time"
+            # unsigned ints are physically the next wider signed type;
+            # the "uw" marker carries the logical width (from_list/cast
+            # stamp it; count-shaped ops set uw=32 via expr._node_meta)
+            if (
+                isinstance(d, tuple)
+                and d[0] in ("s", "decimal")
+                and fld.metadata.get("uw")
+            ):
+                d = ("u", fld.metadata["uw"])
             # list columns carry their element's logical dtype on the
             # SAME column metadata (one nesting level)
             if isinstance(d, tuple) and d[0] == "list":
@@ -423,13 +432,19 @@ class DataFrame:
         cols = self._resolve(selector)
         return self.rename({c: fun(c) for c in cols})
 
-    def relocate(self, selector, before: str | None = None, after: str | None = None) -> "DataFrame":
+    def relocate(self, selector, before=None, after=None) -> "DataFrame":
         moving = self._resolve(selector)
         rest = [n for n in self.names if n not in moving]
+        # integer anchors are POSITIONS in the original frame
+        # (reference relocate doctests use before: 0)
+        if isinstance(before, int):
+            before = self.names[before]
+        if isinstance(after, int):
+            after = self.names[after]
         if before is not None:
-            i = rest.index(before)
+            i = rest.index(before) if before in rest else 0
         elif after is not None:
-            i = rest.index(after) + 1
+            i = rest.index(after) + 1 if after in rest else 0
         else:
             i = 0
         return self.select(rest[:i] + moving + rest[i:])
@@ -495,6 +510,19 @@ class DataFrame:
         a row-index equi-join, never a driver collect."""
         from .series import Series as _Series
 
+        if not self.names:
+            # put on an empty 0-column frame CREATES the frame sized by
+            # the values (reference data_frame.ex:3303 new([]) |> put)
+            if isinstance(values, _Series):
+                s = values
+            else:
+                s = _Series.from_list(
+                    list(values), name=str(name), spark=self._sdf.sparkSession
+                )
+            out = s.to_frame()
+            if out.names != [str(name)]:
+                out = out.rename({out.names[0]: str(name)})
+            return out
         if isinstance(values, _Series):
             idx_df = self._with_row_index("__pos__")
             sv_frame = values._frame._with_row_index("__pos__")
@@ -767,7 +795,7 @@ class DataFrame:
         if not self.groups and (needs_order or has_agg):
             mat, rewritten = self._materialize_distributed(list(exprs.values()))
             cols = {
-                name: (e.lower(LowerCtx(sdf=mat._sdf)) if isinstance(e, Expr) else F.lit(e))
+                name: (e.lower(LowerCtx(sdf=mat._sdf)) if isinstance(e, Expr) else lit(e).lower(LowerCtx(sdf=mat._sdf)))
                 for name, e in zip(exprs.keys(), rewritten)
             }
             out = mat._sdf.withColumns(cols)
@@ -792,7 +820,7 @@ class DataFrame:
                 base._sdf.withColumn("__pos_idx__", (F.row_number().over(w) - 1).cast("long"))
             )
             ctx.order = "__pos_idx__"
-        cols = {name: (e.lower(ctx) if isinstance(e, Expr) else F.lit(e)) for name, e in exprs.items()}
+        cols = {name: (e.lower(ctx) if isinstance(e, Expr) else lit(e).lower(ctx)) for name, e in exprs.items()}
         out = base._sdf.withColumns(cols)
         if needs_pos:
             out = out.drop("__pos_idx__")
@@ -895,7 +923,7 @@ class DataFrame:
             if isinstance(e, Expr) and e.op == "column":
                 return e.args[0]
             name = tmp()
-            state["sdf"] = state["sdf"].withColumn(name, e.lower(plain) if isinstance(e, Expr) else F.lit(e))
+            state["sdf"] = state["sdf"].withColumn(name, e.lower(plain) if isinstance(e, Expr) else lit(e).lower(plain))
             return name
 
         def bounded(node: Expr, value: str, before: int, after: int, params: tuple) -> str:
@@ -1369,7 +1397,17 @@ class DataFrame:
             if pre is not self:
                 return pre.summarise_with(**new_exprs)
 
-        needs_order = any(_implicit_list(e) for e in exprs.values())
+        # stable grouped summarise emits groups in FIRST-APPEARANCE order
+        # (reference data_frame.ex:6094/6107 fossil/iris doctests pin it).
+        # min(order) per group is a map-side-combined agg and itself a
+        # valid global order column — no extra sort or shuffle here; the
+        # sort happens only at materialization like every ordered frame.
+        stable_groups = bool(
+            self.groups
+            and self._group_mode == "groups"
+            and getattr(self, "_group_stable", True)
+        )
+        needs_order = stable_groups or any(_implicit_list(e) for e in exprs.values())
         # argmin/argmax (and order-exact first/last) return/consume row
         # POSITIONS: the hidden order column is a sparse monotonic id, so
         # materialize a contiguous index — per group when grouped (the
@@ -1391,7 +1429,7 @@ class DataFrame:
         aggs = []
         for name, e in exprs.items():
             if not isinstance(e, Expr):
-                aggs.append(F.lit(e).alias(name))
+                aggs.append(lit(e).lower(ctx).alias(name))
             elif _implicit_list(e):
                 pair = F.struct(F.col(ORDER_COL).alias("o"), e.lower(ctx).alias("v"))
                 aggs.append(
@@ -1399,6 +1437,8 @@ class DataFrame:
                 )
             else:
                 aggs.append(e.lower(ctx).alias(name))
+        if stable_groups:
+            aggs.append(F.min(ORDER_COL).alias(ORDER_COL))
         if self.groups:
             if self._group_mode == "cube":
                 grouped = base._sdf.cube(*self.groups)
@@ -1417,7 +1457,9 @@ class DataFrame:
         ).items():
             if n in out.columns:
                 out = out.withMetadata(n, m)
-        return DataFrame(out, groups=[], has_order=False)
+        # not aligned: the hash aggregation shuffled; ORDER_COL carries
+        # the first-appearance order, the physical layout doesn't
+        return DataFrame(out, groups=[], has_order=stable_groups)
 
     summarise = summarise_with
 
@@ -1593,8 +1635,12 @@ class DataFrame:
 
     def distinct(self, selector=None, keep_all: bool = False) -> "DataFrame":
         """De-dup on subset, keeping the FIRST occurrence
-        (reference lazyframe.rs:220-232 UniqueKeepStrategy::First)."""
+        (reference lazyframe.rs:220-232 UniqueKeepStrategy::First).
+        On a grouped frame the group columns prepend to the subset
+        (reference data_frame.ex:3672 'groups will be added')."""
         subset = self._resolve(selector) if selector is not None else self.names
+        if self.groups and selector is not None:
+            subset = list(dict.fromkeys(self.groups + subset))
         if not keep_all and set(subset) == set(self.names) and not self._has_order:
             return self._replace(self._sdf.dropDuplicates(), has_order=False)
         base = self._ordered()
@@ -2079,17 +2125,37 @@ class DataFrame:
             out = joined.drop(*[f"__rk_{i}__" for i in range(len(on_pairs))])
             groups = self.groups
         if keep_order:
-            return DataFrame(self._rederive_join_order(out), groups=groups, has_order=True, aligned=True)
+            return DataFrame(
+                self._rederive_join_order(out, full=(how == "outer")),
+                groups=groups,
+                has_order=True,
+                aligned=True,
+            )
         return DataFrame(out, groups=groups, has_order=ORDER_COL in out.columns)
 
     @staticmethod
-    def _rederive_join_order(out: SDF) -> SDF:
+    def _rederive_join_order(out: SDF, full: bool = False) -> SDF:
         """Fresh total order for an ordered join result: left order major,
         right order minor (null = unmatched side, kept adjacent). Same
-        fresh-mono-id-after-sort idiom as sort_by."""
-        out = out.orderBy(
-            F.col(ORDER_COL).asc_nulls_last(), F.col("__rord__").asc_nulls_first()
-        ).drop(ORDER_COL, "__rord__")
+        fresh-mono-id-after-sort idiom as sort_by. A FULL join orders
+        matched rows first (left order), then right-only rows (right
+        order), then left-only rows (reference outer doctest
+        data_frame.ex:5197: a = [1, 2, nil, 3])."""
+        if full:
+            cat = (
+                F.when(F.col(ORDER_COL).isNotNull() & F.col("__rord__").isNotNull(), F.lit(0))
+                .when(F.col(ORDER_COL).isNull(), F.lit(1))
+                .otherwise(F.lit(2))
+            )
+            out = out.orderBy(
+                cat.asc(),
+                F.col(ORDER_COL).asc_nulls_first(),
+                F.col("__rord__").asc_nulls_first(),
+            ).drop(ORDER_COL, "__rord__")
+        else:
+            out = out.orderBy(
+                F.col(ORDER_COL).asc_nulls_last(), F.col("__rord__").asc_nulls_first()
+            ).drop(ORDER_COL, "__rord__")
         return out.withColumn(ORDER_COL, F.monotonically_increasing_id())
 
     def _on_pair_from_index(self, other: "DataFrame", i: int) -> tuple:
@@ -2364,7 +2430,18 @@ class DataFrame:
                 "pass values=[...] at scale",
                 stacklevel=2,
             )
-        piv = gb.pivot("__pvk__", str_values) if str_values else gb.pivot("__pvk__")
+            # discover in FIRST-APPEARANCE order (reference pivot_wider
+            # doctests data_frame.ex:4959 — Monday before Tuesday, not
+            # alphabetical; Spark's implicit pivot would sort)
+            got = (
+                s.groupBy("__pvk__")
+                .agg(F.min(ORDER_COL).alias("__o__"))
+                .orderBy("__o__")
+                .select("__pvk__")
+                .collect()
+            )
+            str_values = [r[0] for r in got]
+        piv = gb.pivot("__pvk__", str_values)
         if len(vals) == 1:
             out = piv.agg(aggfn(vals[0]))
         else:
@@ -2374,11 +2451,13 @@ class DataFrame:
         # name-based rename can't address — reference dedupes with a
         # numeric suffix ("b" id + "b" variable -> "b_1")
         new_names, taken = [], set()
+        val_order: list[tuple] = []  # (value-col idx, key idx) per non-id col
         for i, c in enumerate(out.columns):
             if i < len(ids):
                 new_names.append(c)
                 taken.add(c)
                 continue
+            v_idx, k_idx = 0, i - len(ids)
             if len(vals) > 1:
                 # Spark names multi-agg pivot columns "{key}_{value_col}";
                 # the reference prefixes with the VALUE column instead:
@@ -2389,7 +2468,10 @@ class DataFrame:
                     (v for v in vals if c.endswith(f"_{v}")), key=len, default=None
                 )
                 if v is not None:
-                    c = f"{v}_{c[: -len(v) - 1]}"
+                    k = c[: -len(v) - 1]
+                    c = f"{v}_{k}"
+                    v_idx = vals.index(v)
+                    k_idx = str_values.index(k) if k in str_values else k_idx
             name = f"{names_prefix}{c}"
             if name in taken:
                 j = 1
@@ -2398,10 +2480,23 @@ class DataFrame:
                 name = f"{name}_{j}"
             taken.add(name)
             new_names.append(name)
+            val_order.append((v_idx, k_idx, name))
         out = out.toDF(*new_names)
+        if len(vals) > 1:
+            # reference column order is VALUE-COL-MAJOR (all
+            # property_value_* then all another_value_*,
+            # data_frame.ex:5029); Spark pivots key-major
+            ordered = new_names[: len(ids)] + [n for _, _, n in sorted(val_order)]
+            out = out.select(*ordered)
+        # output ROWS keep the ids' first-appearance order (reference
+        # pivot_wider doctests render product_id [1, 2]); min(order) per
+        # id group is the same trick as stable summarise — the join is
+        # on the (small) pivoted output
+        orddf = s.groupBy(*ids).agg(F.min(ORDER_COL).alias(ORDER_COL))
+        out = out.join(orddf, ids, "left")
         # groups that are ID columns survive; pivoted/value groups are
         # discarded (reference pivot_wider grouped doctests)
-        return DataFrame(out, groups=[g for g in self.groups if g in ids], has_order=False)
+        return DataFrame(out, groups=[g for g in self.groups if g in ids], has_order=True)
 
     def pivot_longer(
         self,
@@ -2428,12 +2523,21 @@ class DataFrame:
             d = self.dtypes[c]
             merged = d if merged is None else dt.merge_dtype(merged, d)
         spark_t = dt.to_spark(merged).simpleString()
-        pairs = ", ".join(f"'{c}', cast(`{c}` as {spark_t})" for c in cols)
-        stack = F.expr(f"stack({len(cols)}, {pairs}) as (`{names_to}`, `{values_to}`)")
-        base = self._ordered()
-        out = base._sdf.select(*keep, stack, F.col(ORDER_COL))
-        out = out.drop(ORDER_COL).withColumn(ORDER_COL, F.monotonically_increasing_id())
-        return DataFrame(out, groups=self.groups, has_order=True, aligned=base._aligned)
+        # VARIABLE-MAJOR output order (reference data_frame.ex:4734 —
+        # polars melt stacks column by column, all solid_fuel rows before
+        # all liquid_fuel rows), derived WITHOUT a sort: a dense row index
+        # o plus the stacked variable index vi give order = vi*n + o
+        pairs = ", ".join(f"{i}, '{c}', cast(`{c}` as {spark_t})" for i, c in enumerate(cols))
+        stack = F.expr(
+            f"stack({len(cols)}, {pairs}) as (`__vi__`, `{names_to}`, `{values_to}`)"
+        )
+        base = self._ordered()._with_row_index("__plo__")
+        n = _known_count(base)
+        out = base._sdf.drop(ORDER_COL).select(*keep, stack, F.col("__plo__"))
+        out = out.withColumn(
+            ORDER_COL, F.col("__vi__") * F.lit(n) + F.col("__plo__")
+        ).drop("__vi__", "__plo__")
+        return DataFrame(out, groups=self.groups, has_order=True)
 
     def explode(self, selector) -> "DataFrame":
         """Unnest list columns; multiple columns are zipped
@@ -2511,9 +2615,12 @@ class DataFrame:
         # groups are removed (reference: "In case the dataframe is using
         # groups, all groups will be removed") — the group columns are
         # gone from the output anyway
-        return DataFrame(
-            sdf.select(*new_cols, F.col(ORDER_COL)), groups=[], has_order=True, aligned=base._aligned
-        )
+        out = sdf.select(*new_cols, F.col(ORDER_COL))
+        # flag columns are :u8 in the reference (data_frame.ex:4056)
+        for fld in out.columns:
+            if fld != ORDER_COL:
+                out = out.withMetadata(fld, {"uw": 8})
+        return DataFrame(out, groups=[], has_order=True, aligned=base._aligned)
 
     def transpose(self, header: bool | str = False, columns: list[str] | None = None) -> "DataFrame":
         """Flip rows/columns — one output row per input column, all values
@@ -2561,11 +2668,17 @@ class DataFrame:
     # ------------------------------------------------------------------
     def nil_count(self) -> "DataFrame":
         aggs = [F.count(F.when(F.col(c).isNull(), 1)).alias(c) for c in self.names]
-        return DataFrame(self._sdf.agg(*aggs), has_order=False)
+        out = self._sdf.agg(*aggs)
+        for c in self.names:
+            # counts are :u32 in the reference (data_frame.ex:6749)
+            out = out.withMetadata(c, {"uw": 32})
+        return DataFrame(out, has_order=False)
 
     def frequencies(self, selector) -> "DataFrame":
         cols = self._resolve(selector)
         out = self.lazy_sdf().groupBy(*cols).agg(F.count(F.lit(1)).alias("counts")).orderBy(F.col("counts").desc())
+        # counts are :u32 in the reference (series.ex:4889)
+        out = out.withMetadata("counts", {"uw": 32})
         return DataFrame(out, has_order=False)
 
     def describe(self, percentiles: Sequence[float] = (0.25, 0.5, 0.75)) -> "DataFrame":

@@ -65,6 +65,9 @@ def cut(frame, column: str, breaks: list[float], labels=None, left_close: bool =
         brk.alias("break_point"),
         cat.alias("category"),
     )
+    # the bin column is a :category series in the reference
+    # (series.ex:4927 cut doctest renders `category category [...]`)
+    out = out.withMetadata("category", {"cat": True})
     return DataFrame(out, has_order=False)
 
 

@@ -1017,7 +1017,10 @@ def ewm_global(
                 dn2 = (a * a) * dn2 + (1.0 - a * a) * cw * cw
             var_b = ssq / den - mean * mean
             corr = (den * den) / (den * den - dn2)
-            expr = F.when(den * den > dn2, F.greatest(var_b * corr, F.lit(0.0))).otherwise(F.lit(None))
+            # one effective observation -> 0.0, not nil (reference
+            # ewm_variance doctest series.ex:5449 starts at 0.0; pandas'
+            # ddof NaN is the divergent one)
+            expr = F.when(den * den > dn2, F.greatest(var_b * corr, F.lit(0.0))).otherwise(F.lit(0.0))
             if kind == "standard_deviation":
                 expr = F.sqrt(expr)
         out_cols[out_name] = F.when(den > 0, expr).otherwise(F.lit(None))
@@ -1338,7 +1341,11 @@ def ewm_gapped(
         else:
             var_b = F.greatest(ce["swx2"] / ce["sw"] - mean * mean, F.lit(0.0))
             denom = ce["sw"] * ce["sw"] - ce["sw2"]
-            var = F.when(denom > 0, var_b * ce["sw"] * ce["sw"] / denom).otherwise(F.lit(None))
+            # single-observation windows are 0.0 (reference), not nil;
+            # zero observations stay nil
+            var = F.when(denom > 0, var_b * ce["sw"] * ce["sw"] / denom).otherwise(
+                F.when(ce["sw"] > 0, F.lit(0.0))
+            )
             out_cols[out] = F.sqrt(var) if kind == "standard_deviation" else var
     j = j.withColumns(out_cols)
     drop = [BUCKET]

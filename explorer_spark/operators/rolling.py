@@ -104,7 +104,11 @@ def _lower_weighted(ctx, a, op, n, weights, min_periods, center):
         scaled = [v * F.lit(wk) for v, wk in zip(vals, wts)]
         out = (F.least if op == "window_min" else F.greatest)(*scaled) if n > 1 else scaled[0]
     elif op == "window_median":
-        out = _weighted_quantile_expr(vals, wts, 0.5)
+        # polars IGNORES weights for rolling_median — the reference
+        # doctest (series.ex:5195, weights + min_periods: nil) renders
+        # the plain window median. (Its min_periods-1 first element is a
+        # polars edge artifact; see the doctest skip list.)
+        return _lower_median(ctx, a, n, min_periods, center)
     else:
         sw = [F.when(v.isNotNull(), F.lit(wk)).otherwise(F.lit(0.0)) for v, wk in zip(vals, wts)]
         swx = [F.when(v.isNotNull(), v * F.lit(wk)).otherwise(F.lit(0.0)) for v, wk in zip(vals, wts)]
@@ -245,6 +249,12 @@ def ewm_columns(frame, specs: dict[str, tuple], order_cols=None):
     )
     groups = list(frame.groups)
 
+    def _fill_first_valid(src_s: pd.Series, r: pd.Series) -> pd.Series:
+        # pandas ewm var/std are NaN until the SECOND valid observation;
+        # the reference (polars) emits 0.0 from the first (series.ex:5449)
+        seen = src_s.notna().cumsum() >= 1
+        return r.mask(r.isna() & seen, 0.0)
+
     def apply_fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(ORDER_COL)
         for out_name, (kind, src, alpha, adjust, ign) in specs.items():
@@ -252,9 +262,9 @@ def ewm_columns(frame, specs: dict[str, tuple], order_cols=None):
             if kind == "mean":
                 pdf[out_name] = ew.mean()
             elif kind == "variance":
-                pdf[out_name] = ew.var(bias=False)
+                pdf[out_name] = _fill_first_valid(pdf[src], ew.var(bias=False))
             else:
-                pdf[out_name] = ew.std(bias=False)
+                pdf[out_name] = _fill_first_valid(pdf[src], ew.std(bias=False))
         return pdf
 
     if groups:
@@ -279,6 +289,12 @@ def ewm_columns(frame, specs: dict[str, tuple], order_cols=None):
                     r = ew.std(bias=False)
                 if isinstance(r.index, pd.MultiIndex):
                     r = r.droplevel(list(range(len(groups))))
+                if kind != "mean":
+                    # first valid obs per GROUP is 0.0, not pandas' NaN
+                    seen = g[src].apply(lambda s: s.notna().cumsum() >= 1)
+                    if isinstance(seen.index, pd.MultiIndex):
+                        seen = seen.droplevel(list(range(len(groups))))
+                    r = r.mask(r.isna() & seen, 0.0)
                 pdf[out_name] = r
             return pdf
 

@@ -221,6 +221,13 @@ class Series:
             for v in values
         ):
             _validate_struct_values(values)
+        if dtype is None:
+            # inferred-dtype validation: mixed value KINDS raise like the
+            # reference (series.ex:513 from_list([1, "a"]) — int/float
+            # promote, bools are not ints)
+            from .sources import _validate_column_kinds
+
+            _validate_column_kinds({name: values})
         # a nil STRUCT row INGESTS as a struct of nil fields (reference
         # struct_test.exs 'allow nils' — polars struct ingestion); this
         # is a write-side conversion only: function-PRODUCED null
@@ -467,6 +474,12 @@ class Series:
         if _tm_stamp or (dtype is not None and dt.normalize(dtype) == "time"):
             # ns-since-midnight longs + the "tm" marker = :time
             out = _stamp_col_meta(out, {"tm": True})
+        if dtype is not None:
+            nd = dt.normalize(dtype)
+            if isinstance(nd, tuple) and nd[0] == "u":
+                # unsigned: physically the next wider signed type, the
+                # "uw" marker keeps the logical dtype (reference u8..u64)
+                out = _stamp_col_meta(out, {"uw": nd[1]})
         return out
 
     # -- materialization ----------------------------------------------------
@@ -540,14 +553,32 @@ class Series:
     def _c(self) -> Expr:
         return col(self.name)
 
+    def _require_kind(self, fname: str, kinds: tuple, valid: str) -> None:
+        """Eager dtype validation for dtype-restricted functions — the
+        reference raises ArgumentError at call time (series.ex:2441
+        min/1 on :string, :2772 std on :string, :2855 quantile on
+        :boolean, :5679 abs on :string)."""
+        d = dt.normalize(self.dtype)
+        base = d[0] if isinstance(d, tuple) else d
+        if base not in kinds:
+            raise ValueError(
+                f"Explorer.Series.{fname} not implemented for dtype "
+                f"{self.dtype!r}. Valid dtypes are {valid}"
+            )
+
+    _ORD_KINDS = ("s", "u", "f", "date", "time", "naive_datetime", "datetime", "duration", "decimal", "null")
+    _NUM_KINDS = ("s", "u", "f", "decimal", "null")
+
     # -- aggregations (reference series.ex:2400-3102) -----------------------
     def sum(self):
         return self._agg(Expr("sum", self._c()))
 
     def min(self):
+        self._require_kind("min/1", self._ORD_KINDS, "numeric and temporal dtypes")
         return self._agg(Expr("min", self._c()))
 
     def max(self):
+        self._require_kind("max/1", self._ORD_KINDS, "numeric and temporal dtypes")
         return self._agg(Expr("max", self._c()))
 
     def mean(self):
@@ -609,16 +640,26 @@ class Series:
         return self._agg(Expr("n_distinct", self._c()))
 
     def variance(self, ddof: int = 1):
+        self._require_kind("variance/1", self._NUM_KINDS, "numeric dtypes")
         return self._agg(Expr("variance", self._c(), ddof))
 
     def standard_deviation(self, ddof: int = 1):
+        self._require_kind("standard_deviation/1", self._NUM_KINDS, "numeric dtypes")
         return self._agg(Expr("standard_deviation", self._c(), ddof))
 
     def quantile(self, q: float):
+        self._require_kind(
+            "quantile/2", self._ORD_KINDS, "any subtype of [:u, :s, :f, :date, :time, :naive_datetime, :datetime]"
+        )
         return self._agg(Expr("quantile", self._c(), q))
 
     def skew(self, bias: bool = True):
+        self._require_kind("skew/2", self._NUM_KINDS, "numeric dtypes")
         return self._agg(Expr("skew", self._c(), bias))
+
+    def abs(self) -> "Series":
+        self._require_kind("abs/1", self._NUM_KINDS, "numeric dtypes")
+        return self._apply(Expr("abs", self._c()))
 
     def all(self):
         return self._agg(Expr("all", self._c()))
@@ -636,7 +677,11 @@ class Series:
 
     def at(self, i: int):
         vals = self._frame.slice(i, 1).to_columns()[self.name]
-        return vals[0] if vals else None
+        if not vals:
+            # reference series.ex:2196 raises; fetch/2 is the nil-on-
+            # out-of-bounds accessor
+            raise ValueError(f"index {i} out of bounds for series of size {self.size()}")
+        return vals[0]
 
     def fetch(self, key):
         """Access-style fetch (reference series.ex:286-288): an int
@@ -678,6 +723,7 @@ class Series:
     def argmin(self) -> int:
         # nil rows never win, and an all-nil/empty series yields nil
         # (reference argmin doctests, series.ex:2585-2596)
+        self._require_kind("argmin/1", self._ORD_KINDS, "numeric and temporal dtypes")
         f = self._frame._with_row_index("__idx__")
         row = (
             f._sdf.where(F.col(self.name).isNotNull())
@@ -688,6 +734,7 @@ class Series:
         return row[0]["__idx__"] if row else None
 
     def argmax(self) -> int:
+        self._require_kind("argmax/1", self._ORD_KINDS, "numeric and temporal dtypes")
         f = self._frame._with_row_index("__idx__")
         row = (
             f._sdf.where(F.col(self.name).isNotNull())
@@ -733,7 +780,9 @@ class Series:
             return ("s", 32)
         if d == "time":
             return ("s", 64)
-        raise ValueError(f"dtype {d!r} has no io representation")
+        # variable-width dtypes have no fixed iovec shape — the
+        # reference returns :none (series.ex:1280 iotype of :string)
+        return "none"
 
     def cast(self, dtype) -> "Series":
         cur = self.dtype
@@ -934,7 +983,9 @@ class Series:
         f = self._frame.select([self.name])._with_row_index("__argsort_idx__")
         nf = f.sort_by(self.name, descending=descending, nils_last=nils_last, stable=True)
         out = nf._replace(nf._sdf.select("__argsort_idx__", ORDER_COL))
-        return Series(out.rename({"__argsort_idx__": self.name}), self.name)
+        return _stamp_col_meta(
+            Series(out.rename({"__argsort_idx__": self.name}), self.name), {"uw": 32}
+        )
 
     def reverse(self) -> "Series":
         base = self._frame._ordered()
@@ -949,10 +1000,11 @@ class Series:
     def unordered_distinct(self) -> "Series":
         return Series(self._frame.unordered_distinct([self.name]), self.name)
 
-    def head(self, n: int = 5) -> "Series":
+    def head(self, n: int = 10) -> "Series":
+        # default 10, unlike DataFrame.head's 5 (reference series.ex:1433)
         return Series(self._frame.head(n), self.name)
 
-    def tail(self, n: int = 5) -> "Series":
+    def tail(self, n: int = 10) -> "Series":
         return Series(self._frame.tail(n), self.name)
 
     def slice(self, offset, length=None) -> "Series":
@@ -1128,8 +1180,10 @@ class Series:
             )
         return _stamp_col_meta(self._apply(Expr("raw", decoded)), {"cat": True})
 
-    def categories(self) -> list[str]:
-        """Distinct values in first-appearance order (dictionary levels)."""
+    def categories(self) -> "Series":
+        """Distinct values in first-appearance order (dictionary levels),
+        as a :string SERIES (reference series.ex:1310 — categories/1
+        returns a series, not a list)."""
         f = self._frame._ordered()
         rows = (
             f._sdf.groupBy(self.name)
@@ -1138,7 +1192,12 @@ class Series:
             .select(self.name)
             .collect()
         )
-        return [r[0] for r in rows if r[0] is not None]
+        return Series.from_list(
+            [r[0] for r in rows if r[0] is not None],
+            dtype="string",
+            name=self.name,
+            spark=self._frame._sdf.sparkSession,
+        )
 
     def cut(
         self,
@@ -1180,6 +1239,32 @@ class Series:
     def transform(self, fn: Callable, dtype=None) -> "Series":
         from pyspark.sql import types as T
 
+        if dtype is None:
+            # the reference infers the output dtype from the produced
+            # values (series.ex:6888: String.length over strings -> s64).
+            # Probe the fn on a driver-side sample; fall back to the
+            # input type when the sample is empty/None.
+            import datetime as _dtm
+
+            probe = None
+            for v in self._frame.head(20).to_columns()[self.name]:
+                if v is not None:
+                    try:
+                        probe = fn(v)
+                    except Exception:
+                        probe = None
+                    break
+            _PY2DT = [
+                (bool, "boolean"), (int, ("s", 64)), (float, ("f", 64)),
+                (str, "string"), (bytes, "binary"),
+                (_dtm.datetime, ("naive_datetime", "us")), (_dtm.date, "date"),
+                (_dtm.timedelta, ("duration", "us")),
+            ]
+            if probe is not None:
+                for py, d in _PY2DT:
+                    if isinstance(probe, py):
+                        dtype = d
+                        break
         ret = dt.to_spark(dtype) if dtype is not None else self._frame._sdf.schema[self.name].dataType
 
         def kernel(s: pd.Series) -> pd.Series:
@@ -1324,7 +1409,10 @@ class Series:
                 out.append(arr.tobytes())
                 continue
             if arr.dtype == object:
-                kind, bits = self.iotype()
+                iot = self.iotype()
+                if iot == "none":
+                    raise ValueError(f"to_iovec not supported for dtype {self.dtype}")
+                kind, bits = iot
                 if kind in ("s", "u") and bits == 128:
                     # decimals (including the u64-as-decimal emulation)
                     # are i128 iovecs; numpy has no int128 — pack manually
@@ -1339,6 +1427,16 @@ class Series:
                     raise ValueError(f"to_iovec not supported for dtype {self.dtype}")
                 cast = float if kind == "f" else int
                 arr = np.array([cast(v) for v in arr], dtype=np_t)
+            else:
+                # physical storage can be WIDER than the logical iotype
+                # (u8/u16/u32 live in the next wider signed type) — pack
+                # at the logical width like the reference
+                iot = self.iotype()
+                kind, bits = iot if isinstance(iot, tuple) else (None, 0)
+                if kind in ("s", "u", "f") and bits < 128:
+                    np_t = {"s": f"int{bits}", "u": f"uint{bits}", "f": f"float{bits}"}[kind]
+                    if arr.dtype != np.dtype(np_t) and arr.dtype.kind in "iuf":
+                        arr = arr.astype(np_t)
             out.append(arr.tobytes())
         return out
 
@@ -1432,10 +1530,36 @@ def _broadcast_args(args):
     return out
 
 
+_COMPARISON_OPS = frozenset(
+    {"equal", "not_equal", "greater", "greater_equal", "less", "less_equal"}
+)
+
+
 def _series_binop(op: str, a, b, name: str) -> "Series":
     from .expr import Expr, lit
 
     a, b = _broadcast_args([a, b])
+    if op in _COMPARISON_OPS:
+        # mismatched dtype KINDS raise eagerly (reference series.ex:4244
+        # equal of :string vs false) — same bucket rule as in/2
+        sa = a if isinstance(a, Series) else b
+        other = b if isinstance(a, Series) else a
+        if isinstance(other, Series):
+            ka, kb = _isin_kind(sa.dtype), _isin_kind(other.dtype)
+            if ka != kb and "null" not in (ka, kb):
+                raise ValueError(
+                    f"cannot invoke Explorer.Series.{op}/2 with mismatched "
+                    f"dtypes: {sa.dtype} and {other.dtype}"
+                )
+        elif other is not None:
+            d = dt.normalize(sa.dtype)
+            base = d[0] if isinstance(d, tuple) else d
+            ok = _VALUE_KIND_CHECKS.get(base)
+            if ok is not None and not ok(other):
+                raise ValueError(
+                    f"cannot invoke Explorer.Series.{op}/2 with mismatched "
+                    f"dtypes: {sa.dtype} and {other!r}"
+                )
     if isinstance(a, Series) and isinstance(b, Series):
         sdf, (ca, cb) = _series_zip(a, b)
         # pass the zipped frame: dtype-aware lowerings (pow's integer
@@ -1463,6 +1587,10 @@ def _install_series_binops():
         "greater_equal": "greater_equal",
         "less": "less",
         "less_equal": "less_equal",
+        # boolean masks (reference Series.and/or — Elixir keywords, so
+        # they surface here as binary_and/binary_or)
+        "binary_and": "binary_and",
+        "binary_or": "binary_or",
     }
     for meth, op in table.items():
         def make(op=op, meth=meth):
@@ -1719,10 +1847,21 @@ Series.correlation = _series_correlation
 Series.covariance = _series_covariance
 
 
-def _series_coalesce(self, other) -> "Series":
-    """Element-wise first non-nil of two series (reference
-    Series.coalesce/2, series.ex:2351 doctest)."""
-    return _series_binop("coalesce", self, other, self.name)
+def _series_coalesce(self, *others) -> "Series":
+    """Element-wise first non-nil (reference Series.coalesce/2 +
+    the coalesce([s1, s2, s3]) list form, series.ex:2328): mismatched
+    dtype kinds raise eagerly (series.ex:2357)."""
+    out = self
+    for other in others:
+        if isinstance(other, Series):
+            ka, kb = _isin_kind(out.dtype), _isin_kind(other.dtype)
+            if ka != kb and "null" not in (ka, kb):
+                raise ValueError(
+                    "cannot invoke Explorer.Series.coalesce/2 with mismatched "
+                    f"dtypes: {out.dtype} and {other.dtype}"
+                )
+        out = _series_binop("coalesce", out, other, self.name)
+    return out
 
 
 def _series_row_index(self) -> "Series":

@@ -230,6 +230,19 @@ def read_csv(
         sdf = reader.csv(lines)
     else:
         sdf = reader.csv(path)
+    if not dtypes and (infer_schema_length or parse_dates):
+        # the reference infers CSV integers as s64 (polars i64 default);
+        # Spark's inference picks the narrowest int type — widen so a
+        # from_csv frame's dtype surface matches the reference's
+        from pyspark.sql import types as T
+
+        narrow = {
+            f.name
+            for f in sdf.schema.fields
+            if isinstance(f.dataType, (T.ByteType, T.ShortType, T.IntegerType))
+        }
+        if narrow:
+            sdf = sdf.withColumns({n: F.col(n).cast("long") for n in narrow})
     if nil_values and len(nil_values) > 1:
         from pyspark.sql import types as T
 
@@ -517,6 +530,10 @@ def from_pandas(pdf, spark: SparkSession | None = None) -> DataFrame:
 
 def from_rows(rows: list[dict], spark: SparkSession | None = None) -> DataFrame:
     spark = spark or get_spark()
+    if not rows:
+        from pyspark.sql import types as T
+
+        return _attach_order(spark.createDataFrame([], T.StructType([])))
     return _attach_order(spark.createDataFrame(rows))
 
 
@@ -534,20 +551,70 @@ def from_columns(columns: dict, spark: SparkSession | None = None) -> DataFrame:
     # below may drain a generator and then fall back to pandas, which
     # would silently see the exhausted iterator
     columns = {k: (v if isinstance(v, list) else list(v)) for k, v in columns.items()}
-    if columns:
-        try:
-            import pyarrow as pa
+    if not columns:
+        # 0x0 frame (reference DataFrame.new([]) — put/3 then grows it)
+        from pyspark.sql import types as T
 
-            arrays = {}
-            for name, vals in columns.items():
-                arr = pa.array(vals)
-                if pa.types.is_nested(arr.type):
-                    raise ValueError("nested: pandas path")
-                arrays[name] = arr
-            return _arrow_ingest(spark, pa.table(arrays))
-        except Exception:
-            pass
+        return _attach_order(spark.createDataFrame([], T.StructType([])))
+    _validate_column_kinds(columns)
+    try:
+        import pyarrow as pa
+
+        arrays = {}
+        for name, vals in columns.items():
+            arr = pa.array(vals)
+            if pa.types.is_nested(arr.type):
+                raise ValueError("nested: pandas path")
+            arrays[name] = arr
+        return _arrow_ingest(spark, pa.table(arrays))
+    except Exception:
+        pass
     return from_pandas(pd.DataFrame(columns), spark=spark)
+
+
+def _validate_column_kinds(columns: dict) -> None:
+    """Reject value-kind mixes the reference's from_list inference
+    rejects (data_frame.ex:1888: [1, "wrong"] raises) — the pandas
+    fallback below would otherwise silently coerce to object/strings.
+    int/float mixing promotes like the reference; bools are NOT ints."""
+    import datetime as _dtm
+
+    def kind(v):
+        if isinstance(v, bool):
+            return "boolean"
+        if isinstance(v, int):
+            return "numeric"
+        if isinstance(v, float):
+            return "numeric"
+        if isinstance(v, str):
+            return "string"
+        if isinstance(v, _dtm.datetime):
+            return "datetime"
+        if isinstance(v, _dtm.date):
+            return "date"
+        if isinstance(v, _dtm.time):
+            return "time"
+        if isinstance(v, _dtm.timedelta):
+            return "duration"
+        if isinstance(v, (bytes, bytearray)):
+            return "binary"
+        return None  # nested / exotic — let the ingest paths decide
+
+    for name, vals in columns.items():
+        first = None
+        for v in vals:
+            if v is None:
+                continue
+            k = kind(v)
+            if k is None:
+                break
+            if first is None:
+                first = k
+            elif k != first:
+                raise ValueError(
+                    f'cannot create series "{name}": the value {v!r} does not '
+                    f"match the inferred kind {first}"
+                )
 
 
 def _dbapi_schema(pdf):

@@ -68,13 +68,15 @@ def test_merge_dtype_for_concat():
 
 
 def test_u64_values_roundtrip(spark):
-    """u64 emulation: values above 2^63 survive via decimal(20,0)."""
+    """u64: values above 2^63 survive via the decimal(20,0) physical
+    storage, and the dtype reports the LOGICAL ('u', 64) (the 'uw'
+    column-metadata marker — round 9; reference from_list/cast u64)."""
     import explorer_spark as ex
     from explorer_spark import Series
 
     big = [2**63 + 5, 2**64 - 1, 0]
     s = Series.from_list([str(v) for v in big], name="u", dtype="string", spark=spark).cast(("u", 64))
-    assert s.dtype == ("decimal", 20, 0)
+    assert s.dtype == ("u", 64)
     from decimal import Decimal
 
     assert s.to_list() == [Decimal(v) for v in big]
@@ -164,7 +166,10 @@ def test_u64_parquet_roundtrip(spark, tmp_path):
     p = str(tmp_path / "u64.parquet")
     sources.write_parquet(s.to_frame(), p)
     back = sources.read_parquet(p)
-    assert back.dtypes["u"] == ("decimal", 20, 0)
+    # the 'uw' logical marker rides Spark's parquet column metadata, so
+    # the round-trip keeps u64 (like the reference); physical storage is
+    # still decimal(20,0)
+    assert back.dtypes["u"] == ("u", 64)
     assert sorted(back.to_columns()["u"]) == sorted(Decimal(v) for v in big)
 
 

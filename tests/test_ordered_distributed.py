@@ -257,8 +257,15 @@ def test_ewm_var_std_match_pandas(spark, pdf, adjust):
 
     gv = np.array([np.nan if x is None else x for x in got["v"]], dtype="float64")
     gs = np.array([np.nan if x is None else x for x in got["s"]], dtype="float64")
-    assert np.allclose(gv, ew.var(bias=False).to_numpy(), rtol=1e-8, equal_nan=True)
-    assert np.allclose(gs, ew.std(bias=False).to_numpy(), rtol=1e-8, equal_nan=True)
+
+    def refized(r):
+        # reference semantics: 0.0 (not pandas' ddof NaN) once a valid
+        # observation has been seen (series.ex:5449 ewm_variance doctest)
+        seen = pdf["y"].notna().cumsum() >= 1
+        return r.mask(r.isna() & seen, 0.0).to_numpy()
+
+    assert np.allclose(gv, refized(ew.var(bias=False)), rtol=1e-8, equal_nan=True)
+    assert np.allclose(gs, refized(ew.std(bias=False)), rtol=1e-8, equal_nan=True)
 
 
 @pytest.mark.parametrize("ign", [True, False])
@@ -268,6 +275,8 @@ def test_ewm_var_adjust_false_with_nulls(spark, ign):
     df = from_pandas(pdf2, spark=spark)
     got = df.ewm(v=("variance", "v", 0.4, False, ign)).to_columns()["v"]
     want = pdf2["v"].ewm(alpha=0.4, adjust=False, min_periods=1, ignore_na=ign).var(bias=False)
+    seen = pdf2["v"].notna().cumsum() >= 1
+    want = want.mask(want.isna() & seen, 0.0)
     import numpy as np
 
     g = np.array([np.nan if x is None else x for x in got], dtype="float64")
@@ -409,9 +418,14 @@ def test_ewm_gapped_var_std_match_pandas(spark, monkeypatch):
         .to_pandas()
     )
     ew = pdf["x"].ewm(alpha=0.25, adjust=False, ignore_na=False, min_periods=1)
+    # reference semantics: var/std are 0.0 (not pandas' ddof NaN) once a
+    # valid observation has been seen (series.ex:5449)
+    seen = pdf["x"].notna().cumsum() >= 1
+    wv = ew.var(bias=False).mask(lambda s: s.isna() & seen, 0.0)
+    ws = ew.std(bias=False).mask(lambda s: s.isna() & seen, 0.0)
     assert np.allclose(got["m"], ew.mean(), equal_nan=True, rtol=1e-10, atol=1e-12)
-    assert np.allclose(got["v"], ew.var(bias=False), equal_nan=True, rtol=1e-10, atol=1e-12)
-    assert np.allclose(got["sd"], ew.std(bias=False), equal_nan=True, rtol=1e-10, atol=1e-12)
+    assert np.allclose(got["v"], wv, equal_nan=True, rtol=1e-10, atol=1e-12)
+    assert np.allclose(got["sd"], ws, equal_nan=True, rtol=1e-10, atol=1e-12)
 
 
 def test_ewm_gapped_carry_lookup_join_fallback(spark, monkeypatch):
@@ -440,8 +454,10 @@ def test_ewm_gapped_carry_lookup_join_fallback(spark, monkeypatch):
         .to_pandas()
     )
     ew = pdf["x"].ewm(alpha=0.3, adjust=False, ignore_na=False, min_periods=1)
+    seen = pdf["x"].notna().cumsum() >= 1
+    wv = ew.var(bias=False).mask(lambda s: s.isna() & seen, 0.0)
     assert np.allclose(got["m"], ew.mean(), equal_nan=True, rtol=1e-10, atol=1e-12)
-    assert np.allclose(got["v"], ew.var(bias=False), equal_nan=True, rtol=1e-10, atol=1e-12)
+    assert np.allclose(got["v"], wv, equal_nan=True, rtol=1e-10, atol=1e-12)
 
 
 def test_uniform_select_exact_ranks(spark, monkeypatch):

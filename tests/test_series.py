@@ -71,7 +71,9 @@ def test_transform_udf(s):
 
 def test_categories(spark):
     c = Series.from_list(["b", "a", "b", "c"], name="c", spark=spark)
-    assert c.categories() == ["b", "a", "c"]
+    # categories/1 returns a :string SERIES (reference series.ex:1310)
+    cats = c.categories()
+    assert cats.dtype == "string" and cats.to_list() == ["b", "a", "c"]
     codes = Series.from_list([0, 1, None, 2], name="k", dtype=("s", 64), spark=spark)
     assert codes.categorise(["x", "y", "z"]).to_list() == ["x", "y", None, "z"]
 
@@ -550,14 +552,19 @@ def test_index_of_type_mismatch_raises(spark):
 
 
 def test_iovec_object_backed_columns(spark):
-    """to_iovec on decimal-backed columns (incl. the u64 emulation)
-    packs VALUES as i128, never numpy object-pointer bytes (round-8
-    sweep find: tobytes() on an object array dumps pointers)."""
+    """to_iovec packs VALUES at the LOGICAL iotype width, never numpy
+    object-pointer bytes (round-8 sweep find) — u64 is a real logical
+    dtype now (the 'uw' marker), so its iovec is 8-byte unsigned like
+    the reference's {:u, 64}, not the decimal-emulation i128."""
     s = Series.from_list([1_249_123, 0, 1], dtype=("u", 64), spark=spark)
-    want = b"".join(int(v).to_bytes(16, "little", signed=True) for v in [1_249_123, 0, 1])
+    assert s.dtype == ("u", 64) and s.iotype() == ("u", 64)
+    want = b"".join(int(v).to_bytes(8, "little", signed=False) for v in [1_249_123, 0, 1])
     assert b"".join(s.to_iovec()) == want
     big = Series.from_list([2**63 + 5], dtype=("u", 64), spark=spark)
-    assert b"".join(big.to_iovec()) == (2**63 + 5).to_bytes(16, "little", signed=True)
+    assert b"".join(big.to_iovec()) == (2**63 + 5).to_bytes(8, "little", signed=False)
+    # narrower unsigned packs at its own width despite wider storage
+    u8 = Series.from_list([1, 2, 255], dtype=("u", 8), spark=spark)
+    assert b"".join(u8.to_iovec()) == bytes([1, 2, 255])
 
 
 def test_cumulative_ops_keep_nil_positions(spark):
