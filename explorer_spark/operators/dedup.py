@@ -198,6 +198,43 @@ def lsh_buckets(
     )
 
 
+def exact_text_census(
+    docs: SDF, text_col: str = "text", id_col: str = "doc_id"
+) -> tuple:
+    """Collapse EXACT-text duplicate groups to one min-id representative
+    before candidate generation, returning ``(rep_ids, star_pairs)``:
+
+    - ``rep_ids``: one row per distinct text, column ``id_col`` = the
+      group's minimum id (semi-join the corpus on it to band only
+      representatives);
+    - ``star_pairs``: (id_a=rep, id_b=member) edges re-attaching each
+      collapsed member — k-1 edges per group instead of the k² clique
+      the banding self-join would materialize.
+
+    Equivalence (why downstream clusters are IDENTICAL, not just
+    approximated): identical text ⇒ identical shingle set ⇒ identical
+    minhash signature ⇒ identical band buckets, so any candidate pair
+    (member, other) exists iff (rep, other) does, and their exact
+    Jaccard scores are equal; the star edges carry Jaccard exactly 1, so
+    they pass any threshold. Connected components over
+    {verified rep pairs} ∪ {star edges} therefore equal components over
+    the full verified clique set. This is the quadratic-pair fix for the
+    replicated-corpus regime (round-9 verdict #2): a doc replicated k
+    times contributed k²/2 pairs per band; now it contributes k-1 total.
+
+    Cost: one narrow (hash, id) aggregation + a broadcastable join —
+    no text shuffle (md5 computed in the scan stage)."""
+    m = docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("__th__"))
+    rep = m.groupBy("__th__").agg(F.min(id_col).alias("__rep__"))
+    j = m.join(rep, "__th__")
+    star = (
+        j.filter(F.col(id_col) != F.col("__rep__"))
+        .select(F.col("__rep__").alias("id_a"), F.col(id_col).alias("id_b"))
+    )
+    rep_ids = rep.select(F.col("__rep__").alias(id_col))
+    return rep_ids, star
+
+
 def lsh_candidate_pairs(buckets: SDF, key_col: str = "doc_id") -> SDF:
     """Self-join bucket lists into candidate pairs (a < b), distinct."""
     a = buckets.alias("a")
