@@ -1362,6 +1362,40 @@ class DataFrame:
             pre = self.mutate_with(**{name: sub for name, sub in ordered_sub.values()})
             return pre.summarise_with(**new_exprs)
 
+        if self._group_mode in ("cube", "rollup") and any(
+            isinstance(e, Expr) and _tree_has(e, "mode", "quantile") for e in exprs.values()
+        ):
+            # grouping-sets parity for the list-mode and NEAREST-quantile
+            # kernels (round-9 verdict #5): Spark's cube/rollup can't host
+            # the rewrites (they join back on ONE key set), so decompose
+            # into the explicit grouping sets and union plain grouped
+            # summarises — each subset rides the verified kernels, and the
+            # union IS the cube/rollup row set (a subset aggregation with
+            # the absent keys null matches Spark's own encoding)
+            if self._group_mode == "rollup":
+                sets = [self.groups[:i] for i in range(len(self.groups), -1, -1)]
+            else:
+                sets = [
+                    [g for i, g in enumerate(self.groups) if not (mask >> i) & 1]
+                    for mask in range(1 << len(self.groups))
+                ]
+            schema_by = {f.name: f.dataType for f in self._sdf.schema.fields}
+            pieces = []
+            flat = self.ungroup()
+            for S in sets:
+                sub = flat.group_by(*S) if S else flat
+                out = sub.summarise_with(**exprs)
+                sdf = out.lazy_sdf()
+                for g in self.groups:
+                    if g not in S:
+                        sdf = sdf.withColumn(g, F.lit(None).cast(schema_by[g]))
+                sdf = sdf.select(*self.groups, *[c for c in exprs])
+                pieces.append(sdf)
+            u = pieces[0]
+            for p in pieces[1:]:
+                u = u.unionByName(p)
+            return DataFrame(u, groups=[], has_order=False)
+
         # metadata stamps come from the ORIGINAL expressions — the
         # quantile kernel rewrite below substitutes typed_literals, which
         # would lose e.g. quantile-of-:time keeping the time dtype

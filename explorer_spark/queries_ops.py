@@ -213,6 +213,87 @@ def q_grouped_sort_positions(spark, sf_dir):
 
 
 @query(
+    "q_summarise_stable_order",
+    """
+    WITH agg AS (
+      SELECT o_orderpriority, COUNT(*) AS n, MIN(o_orderkey) AS mo
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT CAST(rank() OVER (ORDER BY mo) AS BIGINT) - 1 AS idx,
+           o_orderpriority, n
+    FROM agg
+    """,
+)
+def q_summarise_stable_order(spark, sf_dir):
+    """Stable grouped summarise emits groups in FIRST-APPEARANCE order
+    (reference data_frame.ex:6094 fossil doctest; round-9 fix — the
+    min(order) per group rides as the output's hidden order column, a
+    map-side-combined agg with no extra shuffle). row_index materializes
+    the order so the driver hash GRADES it; the oracle derives the same
+    order from min(o_orderkey) per group."""
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .select(["o_orderpriority", "o_orderkey"])
+        .sort_by("o_orderkey")
+        .group_by("o_orderpriority", stable=True)
+        .summarise(n=f.size(col("o_orderkey")))
+    )
+    return (
+        orders.mutate(idx=f.row_index())
+        .select(["idx", "o_orderpriority", "n"])
+        .mutate(n=col("n").cast(("s", 64)))
+        .lazy_sdf()
+    )
+
+
+@query(
+    "q_pivot_longer_order",
+    """
+    WITH base AS (
+      SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount,
+             row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS rid,
+             COUNT(*) OVER () AS n
+      FROM lineitem
+    ),
+    longd AS (
+      SELECT l_orderkey, l_linenumber, 'l_quantity' AS variable,
+             l_quantity AS value, 0 * n + rid AS idx FROM base
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+             l_extendedprice, 1 * n + rid FROM base
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_discount',
+             l_discount, 2 * n + rid FROM base
+    )
+    SELECT CAST(idx AS BIGINT) AS idx, l_orderkey, l_linenumber, variable,
+           ROUND(value, 6) AS value
+    FROM longd
+    """,
+)
+def q_pivot_longer_order(spark, sf_dir):
+    """pivot_longer stacks VARIABLE-MAJOR (polars melt — all rows of the
+    first pivoted column before any of the second; reference
+    data_frame.ex:4734 fossil doctest; round-9 fix derives the order as
+    vi*n + dense-row-index with no sort). row_index pins the row order
+    for the driver hash; the oracle is the UNION ALL with computed
+    positions."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"]
+        )
+        .sort_by("l_orderkey", "l_linenumber")
+        .pivot_longer(["l_quantity", "l_extendedprice", "l_discount"])
+    )
+    return (
+        li.mutate(idx=f.row_index())
+        .mutate(idx=col("idx").cast(("s", 64)), value=f.round(col("value"), 6))
+        .select(["idx", "l_orderkey", "l_linenumber", "variable", "value"])
+        .lazy_sdf()
+    )
+
+
+@query(
     "q_mutate_keep_none",
     """
     SELECT c_nationkey, ROUND(AVG(c_acctbal) OVER (PARTITION BY c_nationkey), 6) AS bal_avg

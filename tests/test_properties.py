@@ -474,3 +474,112 @@ def test_isin_series_property(spark, lhs, rhs):
     members = {v for v in rhs if v is not None}
     want = [None if v is None else v in members for v in lhs]
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# reference inferred-dtype property (round-9 verdict #7): port of
+# test/support/generator.ex:461 dtype tree generator +
+# inferred_dtype_property_test.exs:13-22 — the dtype inferred by
+# from_list over a generated column must be a SUB-DTYPE of the
+# generating dtype (any subtree replaceable by :null, covering
+# empty lists / all-nil branches where inference can't see deeper).
+# ---------------------------------------------------------------------------
+
+# dtype tree over the {:s, 64} scalar (the reference property pins
+# scalar: constant({:s, 64})): list/struct composites, fields n..z,
+# 1-2 fields, like generator.ex
+_FIELD_NAMES = st.text(alphabet="nopqrstuvwxyz", min_size=1, max_size=1)
+
+_dtype_tree = st.recursive(
+    st.just(("s", 64)),
+    lambda node: st.one_of(
+        st.tuples(st.just("list"), node),
+        st.builds(
+            lambda fields: ("struct", tuple(fields)),
+            st.lists(
+                st.tuples(_FIELD_NAMES, node),
+                min_size=1,
+                max_size=2,
+                unique_by=lambda kv: kv[0],
+            ),
+        ),
+    ),
+    max_leaves=4,
+)
+
+
+def _value_for(dtype):
+    """Value strategy for a dtype (generator.ex value/1): nils allowed
+    at every level, inner lists <= 3 elements."""
+    if dtype == ("s", 64):
+        return st.one_of(st.none(), st.integers(min_value=-(2**62), max_value=2**62))
+    if dtype[0] == "list":
+        return st.one_of(st.none(), st.lists(_value_for(dtype[1]), max_size=3))
+    if dtype[0] == "struct":
+        return st.one_of(
+            st.none(),
+            st.fixed_dictionaries({k: _value_for(v) for k, v in dtype[1]}),
+        )
+    raise AssertionError(dtype)
+
+
+def _sub_dtype_of(sub, full) -> bool:
+    """inferred_dtype_property_test.exs:27-47 sub-dtype relation."""
+    if sub == full or sub == "null":
+        return True
+    if isinstance(sub, tuple) and isinstance(full, tuple):
+        if sub[0] == "list" and full[0] == "list":
+            return _sub_dtype_of(sub[1], full[1])
+        if sub[0] == "struct" and full[0] == "struct":
+            subf, fullf = list(sub[1]), list(full[1])
+            if len(subf) != len(fullf):
+                return False
+            return all(
+                sk == fk and _sub_dtype_of(sv, fv)
+                for (sk, sv), (fk, fv) in zip(sorted(subf), sorted(fullf))
+            )
+    return False
+
+
+import os as _os
+
+_DTYPE_PROP_EXAMPLES = int(_os.environ.get("SPARK_GRAFT_DTYPE_PROPERTY_EXAMPLES", "1500"))
+
+
+@given(case=_dtype_tree.flatmap(lambda d: st.tuples(st.just(d), st.lists(_value_for(d), min_size=3, max_size=3))))
+@settings(
+    max_examples=_DTYPE_PROP_EXAMPLES,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_inferred_dtype_is_sub_dtype(spark, case):
+    """The 10k-example run is the round receipt (env
+    SPARK_GRAFT_DTYPE_PROPERTY_EXAMPLES=10000); the suite default keeps
+    the loop inside the test-group budget (~120 ms/example: each
+    from_list is a real Spark ingest)."""
+    dtype, values = case
+    try:
+        got = Series.from_list(values, spark=spark).dtype
+    except ValueError as e:
+        # reference from_list REJECTS struct rows with differing field
+        # sets — hypothesis can build [nil-struct-with-fields, ...] mixes
+        # our validation refuses; that's a pinned behavior, not a
+        # property failure
+        if "field" in str(e) or "kind" in str(e):
+            return
+        raise
+    norm = got
+    assert _sub_dtype_of(_normalize_struct(norm), _normalize_struct(dtype)), (
+        dtype,
+        values,
+        got,
+    )
+
+
+def _normalize_struct(d):
+    """tuples <-> lists of field pairs normalize for comparison."""
+    if isinstance(d, tuple) and d and d[0] == "struct":
+        return ("struct", tuple((k, _normalize_struct(v)) for k, v in d[1]))
+    if isinstance(d, tuple) and d and d[0] == "list":
+        return ("list", _normalize_struct(d[1]))
+    return d

