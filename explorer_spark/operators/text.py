@@ -659,15 +659,32 @@ def remove_repeated_spans(
     import os
 
     spark = sdf.sparkSession
-    n_words_total = (
-        sdf.select(F.sum(F.size(words(F.col(text_col)))).alias("n")).first()["n"] or 0
+    # estimate, don't scan: row count is metadata-cheap on file scans,
+    # and a 200-doc prefix prices the words-per-doc average — partition
+    # sizing needs the right order of magnitude, not an exact census
+    n_docs = sdf.count()
+    avg_row = (
+        sdf.select(F.size(words(F.col(text_col))).alias("__n__"))
+        .limit(200)
+        .agg(F.avg("__n__"))
+        .first()[0]
+        or 0
     )
-    per_part = int(os.environ.get("SPARK_GRAFT_SPANS_ROWS_PER_PARTITION", 2_000_000))
+    n_words_total = int(n_docs * avg_row)
+    # target per-partition (id, pos) volume: sized so the r8 64x probe's
+    # measured optimum (~17.5M words -> ~128 partitions; 32 spills, 256
+    # pays the over-partitioning tax) falls out of the formula
+    per_part = int(os.environ.get("SPARK_GRAFT_SPANS_ROWS_PER_PARTITION", 150_000))
     try:
         default_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     except (ValueError, TypeError):
         default_parts = 32
     nparts = max(default_parts, math.ceil(n_words_total / per_part))
+
+    def _sized(df, *cols):
+        # explicit exchanges only when the data OUTGROWS the session
+        # default — small inputs keep the plain plan (no extra shuffles)
+        return df.repartition(nparts, *cols) if nparts > default_parts else df
 
     grams = shingle_rows_arrow(
         sdf.select(id_col, text_col), id_col, text_col, gram_n, pos_col="__pos__"
@@ -681,11 +698,7 @@ def remove_repeated_spans(
     # explicit hash partitioning on the doc key at the computed width:
     # the window below reuses it (no second exchange), and per-partition
     # sort volume stays bounded at any replication factor
-    hp = (
-        grams.join(hot, "shingle")
-        .select(id_col, "__pos__")
-        .repartition(nparts, id_col)
-    )
+    hp = _sized(grams.join(hot, "shingle").select(id_col, "__pos__"), id_col)
     wd = W.partitionBy(id_col).orderBy("__pos__")
     runs = (
         hp.withColumn(
@@ -701,19 +714,26 @@ def remove_repeated_spans(
         (F.max("__pos__") + F.lit(gram_n - 1)).alias("__e__"),
     )
     covered = (
-        spans.select(
-            id_col, F.explode(F.sequence(F.col("__s__"), F.col("__e__"))).alias("__pos__")
-        )
         # hash-partition at the data-sized width BEFORE the distinct so
         # its exchange doesn't collapse back to the session default
-        .repartition(nparts, id_col, "__pos__")
-        .dropDuplicates()
+        _sized(
+            spans.select(
+                id_col,
+                F.explode(F.sequence(F.col("__s__"), F.col("__e__"))).alias("__pos__"),
+            ),
+            id_col,
+            "__pos__",
+        ).dropDuplicates()
     )
-    wpos = sdf.select(
-        F.col(id_col), F.posexplode(words(F.col(text_col))).alias("__pos0__", "__w__")
-    ).withColumn("__pos__", F.col("__pos0__") + 1).repartition(nparts, id_col, "__pos__")
+    wpos = _sized(
+        sdf.select(
+            F.col(id_col), F.posexplode(words(F.col(text_col))).alias("__pos0__", "__w__")
+        ).withColumn("__pos__", F.col("__pos0__") + 1),
+        id_col,
+        "__pos__",
+    )
     kept = wpos.join(covered, [id_col, "__pos__"], "left_anti")
-    rebuilt = kept.repartition(nparts, id_col).groupBy(id_col).agg(
+    rebuilt = _sized(kept, id_col).groupBy(id_col).agg(
         F.array_join(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("__pos__", "__w__"))),
