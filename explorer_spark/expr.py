@@ -280,6 +280,24 @@ ORDERED_OPS = {
 }
 
 
+def _ieee_divide(a: Column, b: Column) -> Column:
+    """Float division with IEEE zero-denominator semantics (Spark's
+    Divide yields NULL): x/0 -> sign(x)*Inf (flipped for -0.0 via
+    signbit), 0/0 and NaN/0 -> NaN."""
+    ad, bd = a.cast("double"), b.cast("double")
+    pos_inf, neg_inf, nan = F.lit(float("inf")), F.lit(float("-inf")), F.lit(float("nan"))
+    mag = (
+        F.when(F.isnan(ad) | (ad == 0.0), nan)
+        .when(ad > 0, pos_inf)
+        .when(ad < 0, neg_inf)
+    )
+    # negative-zero detection without signbit() (absent in this
+    # pyspark): == can't see -0.0, but Spark RENDERS it signed — within
+    # the bd == 0.0 branch a leading '-' means exactly -0.0
+    at_zero = F.when(bd.cast("string").startswith("-"), -mag).otherwise(mag)
+    return F.when(bd == 0.0, at_zero).otherwise(ad / b)
+
+
 def _binop(fn):
     return lambda ctx, a, b: fn(_c(a, ctx), _c(b, ctx))
 
@@ -653,19 +671,35 @@ def _node_meta(x, ctx: "LowerCtx") -> dict:
             [m for m in metas if m]
         ):
             return {"tm": True}
-        uw_metas = [m["uw"] for m in metas if "uw" in m]
+        # uw: EVERY column-bearing child must carry the same width —
+        # coalesce/select mixing a u32 column with a plain s64 column
+        # supertypes to s64 (a meta-less COLUMN arg is signed; meta-less
+        # literals don't vote, so shift(u32, 2) still propagates)
+        col_children = [
+            a for a in x.args if isinstance(a, Expr) and _expr_has_column(a)
+        ]
+        col_metas = [_node_meta(a, ctx) for a in col_children]
+        uw_widths = [m.get("uw") for m in col_metas]
         if (
             op not in ("add", "subtract")
-            and not dt_metas and not dur_metas and not tm_metas and uw_metas
-            and all(w == uw_metas[0] for w in uw_metas)
-            and len(uw_metas) == len([m for m in metas if m])
+            and not dt_metas and not dur_metas and not tm_metas
+            and uw_widths
+            and all(w is not None and w == uw_widths[0] for w in uw_widths)
         ):
             # unsignedness survives VALUE-PRESERVING ops (min/max/shift/
             # fill/...); arithmetic promotes away from it — row_index(a)
             # + 1000 is s64 in the reference (series.ex:3091, the i64
             # literal wins the supertype)
-            return {"uw": uw_metas[0]}
+            return {"uw": uw_widths[0]}
     return {}
+
+
+def _expr_has_column(e) -> bool:
+    if not isinstance(e, Expr):
+        return False
+    if e.op == "column" or e.op in _UW32_OPS:
+        return True
+    return any(_expr_has_column(a) for a in e.args if isinstance(a, Expr))
 
 
 _UW32_OPS = frozenset(
@@ -1143,15 +1177,9 @@ _LOWER = {
     # float division; Spark's Divide yields NULL at a zero denominator
     # where the reference (IEEE / polars) yields ±Inf and 0/0 -> NaN
     # (series.ex:3658 divide doctest; is_finite/is_infinite/is_nan
-    # doctests build their inputs this way)
-    "divide": _binop(
-        lambda a, b: F.when(
-            b.cast("double") == 0.0,
-            F.when(a.cast("double") == 0.0, F.lit(float("nan")))
-            .when(a.cast("double") > 0, F.lit(float("inf")))
-            .when(a.cast("double") < 0, F.lit(float("-inf"))),
-        ).otherwise(a.cast("double") / b)
-    ),
+    # doctests build their inputs this way). IEEE corners: NaN/0 -> NaN,
+    # x/-0.0 flips the sign (signbit sees negative zero; == cannot)
+    "divide": _binop(lambda a, b: _ieee_divide(a, b)),
     "quotient": _binop(lambda a, b: F.floor(a / b).cast("long")),
     "remainder": _binop(lambda a, b: a % b),
     "pow": lambda ctx, a, b: _pow(ctx, a, b),

@@ -434,20 +434,26 @@ class DataFrame:
 
     def relocate(self, selector, before=None, after=None) -> "DataFrame":
         moving = self._resolve(selector)
-        rest = [n for n in self.names if n not in moving]
         # integer anchors are POSITIONS in the original frame
         # (reference relocate doctests use before: 0)
+        names = self.names
         if isinstance(before, int):
-            before = self.names[before]
+            before = names[before]
         if isinstance(after, int):
-            after = self.names[after]
+            after = names[after]
+        # split at the anchor's position in the ORIGINAL order, then
+        # remove the moving block from both halves — an anchor that is
+        # itself moving keeps the block at its original position
+        # (reference relocate; the old rest.index would misplace it)
         if before is not None:
-            i = rest.index(before) if before in rest else 0
+            cut = names.index(before)
         elif after is not None:
-            i = rest.index(after) + 1 if after in rest else 0
+            cut = names.index(after) + 1
         else:
-            i = 0
-        return self.select(rest[:i] + moving + rest[i:])
+            cut = 0
+        left = [n for n in names[:cut] if n not in moving]
+        right = [n for n in names[cut:] if n not in moving]
+        return self.select(left + moving + right)
 
     def pull(self, name) -> "Series":
         """One column as a Series (reference pull/2 returns a PLAIN
@@ -2527,7 +2533,16 @@ class DataFrame:
         # id group is the same trick as stable summarise — the join is
         # on the (small) pivoted output
         orddf = s.groupBy(*ids).agg(F.min(ORDER_COL).alias(ORDER_COL))
-        out = out.join(orddf, ids, "left")
+        # eqNullSafe: a NULL id value is a real pivoted row; a plain
+        # equi-join would leave its ORDER_COL null (sorting it wrongly
+        # to the front)
+        cond = None
+        right = orddf
+        for c in ids:
+            right = right.withColumnRenamed(c, f"__oid_{c}__")
+            e = F.col(c).eqNullSafe(F.col(f"__oid_{c}__"))
+            cond = e if cond is None else (cond & e)
+        out = out.join(right, cond, "left").drop(*[f"__oid_{c}__" for c in ids])
         # groups that are ID columns survive; pivoted/value groups are
         # discarded (reference pivot_wider grouped doctests)
         return DataFrame(out, groups=[g for g in self.groups if g in ids], has_order=True)

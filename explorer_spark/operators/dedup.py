@@ -199,7 +199,7 @@ def lsh_buckets(
 
 
 def exact_text_census(
-    docs: SDF, text_col: str = "text", id_col: str = "doc_id"
+    docs: SDF, text_col: str = "text", id_col: str = "doc_id", min_words: int = 0
 ) -> tuple:
     """Collapse EXACT-text duplicate groups to one min-id representative
     before candidate generation, returning ``(rep_ids, star_pairs)``:
@@ -223,15 +223,38 @@ def exact_text_census(
     times contributed k²/2 pairs per band; now it contributes k-1 total.
 
     Cost: one narrow (hash, id) aggregation + a broadcastable join —
-    no text shuffle (md5 computed in the scan stage)."""
-    m = docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("__th__"))
-    rep = m.groupBy("__th__").agg(F.min(id_col).alias("__rep__"))
-    j = m.join(rep, "__th__")
+    no text shuffle (md5 computed in the scan stage).
+
+    ``min_words``: docs with fewer words do NOT collapse (each remains
+    its own representative, no star edge). The equivalence argument
+    assumes the doc SHINGLES — a duplicate pair of sub-``shingle_n``-word
+    texts has an empty shingle set, so an exact-SQL banding oracle never
+    pairs it; pass ``min_words=shingle_n`` to keep the census aligned
+    with such an oracle. (The engine's own minhash fallback hash DOES
+    bucket identical short texts — a documented engine-vs-SQL edge that
+    predates the census.)"""
+    base = docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("__th__"))
+    short_ids = None
+    if min_words > 0:
+        from .text import words
+
+        nw = docs.select(
+            F.col(id_col), F.md5(F.col(text_col)).alias("__th__"),
+            F.size(words(F.col(text_col))).alias("__nw__"),
+        )
+        # short docs stay their OWN representatives (they still band
+        # downstream; they just don't collapse or gain star edges)
+        short_ids = nw.filter(F.col("__nw__") < min_words).select(id_col)
+        base = nw.filter(F.col("__nw__") >= min_words).drop("__nw__")
+    rep = base.groupBy("__th__").agg(F.min(id_col).alias("__rep__"))
+    j = base.join(rep, "__th__")
     star = (
         j.filter(F.col(id_col) != F.col("__rep__"))
         .select(F.col("__rep__").alias("id_a"), F.col(id_col).alias("id_b"))
     )
     rep_ids = rep.select(F.col("__rep__").alias(id_col))
+    if short_ids is not None:
+        rep_ids = rep_ids.unionByName(short_ids)
     return rep_ids, star
 
 

@@ -252,7 +252,6 @@ def ffmpeg_decode_frames(raw: bytes, every_ms: int = 1000):
     if not ffmpeg_available():
         return None
     import json
-    import math
     import os
     import subprocess
     import tempfile
@@ -261,6 +260,9 @@ def ffmpeg_decode_frames(raw: bytes, every_ms: int = 1000):
         f.write(raw)
         path = f.name
     try:
+        # ANY failure (no video stream, missing dimensions, timeouts,
+        # unparsable probe json) falls through to None — the caller's
+        # documented stub fallback; never fail the whole executor task
         probe = subprocess.run(
             [
                 "ffprobe", "-v", "error", "-select_streams", "v:0",
@@ -272,7 +274,10 @@ def ffmpeg_decode_frames(raw: bytes, every_ms: int = 1000):
         )
         if probe.returncode != 0:
             return None
-        meta = json.loads(probe.stdout)["streams"][0]
+        streams = json.loads(probe.stdout).get("streams") or []
+        if not streams or "width" not in streams[0] or "height" not in streams[0]:
+            return None
+        meta = streams[0]
         width, height = int(meta["width"]), int(meta["height"])
         num, den = meta.get("r_frame_rate", "25/1").split("/")
         fps = (int(num) / int(den)) if int(den) else 25.0
@@ -295,8 +300,26 @@ def ffmpeg_decode_frames(raw: bytes, every_ms: int = 1000):
             for i in range(0, len(buf) - frame_len + 1, frame_len)
         ]
         return fps, width, height, frames
+    except Exception:
+        return None
     finally:
         os.unlink(path)
+
+
+def _looks_like_container(raw: bytes) -> bool:
+    """Cheap magic-byte sniff so frame_sample only spawns ffprobe for
+    plausible video containers (mp4/mov ftyp, Matroska/WebM EBML,
+    AVI RIFF, Ogg, MPEG-TS) — arbitrary binary payloads keep the free
+    stub path even on ffmpeg-equipped hosts."""
+    if len(raw) < 12:
+        return False
+    return (
+        raw[4:8] == b"ftyp"
+        or raw[:4] == b"\x1a\x45\xdf\xa3"
+        or (raw[:4] == b"RIFF" and raw[8:12] == b"AVI ")
+        or raw[:4] == b"OggS"
+        or raw[:1] == b"\x47" and len(raw) > 188 and raw[188:189] == b"\x47"
+    )
 
 
 def frame_sample(sdf: SDF, every_ms: int = 1000, id_col: str = "media_id", payload_col: str = "payload") -> SDF:
@@ -311,6 +334,7 @@ def frame_sample(sdf: SDF, every_ms: int = 1000, id_col: str = "media_id", paylo
     def op(batches):
         import pandas as pd
 
+        ffmpeg_ok = ffmpeg_available()  # one PATH scan per task, not per row
         for pdf in batches:
             rows = {"media_id": [], "frame_idx": [], "frame_payload": []}
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
@@ -323,7 +347,11 @@ def frame_sample(sdf: SDF, every_ms: int = 1000, id_col: str = "media_id", paylo
                         rows["frame_idx"].append(i)
                         rows["frame_payload"].append(frames[i])
                     continue
-                decoded = ffmpeg_decode_frames(raw, every_ms) if raw else None
+                decoded = (
+                    ffmpeg_decode_frames(raw, every_ms)
+                    if ffmpeg_ok and _looks_like_container(raw)
+                    else None
+                )
                 if decoded is not None:
                     # compressed container through the gated ffmpeg CLI
                     # (already sampled at every_ms by the fps filter)

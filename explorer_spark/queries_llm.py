@@ -360,7 +360,10 @@ def q_dedup_keep_best(spark, sf_dir):
     # verdict #2): banding/shingling/verify run on one representative
     # per distinct text; star edges re-attach members with provably
     # identical components (see exact_text_census docstring)
-    rep_ids, star = exact_text_census(docs)
+    # min_words=3 (the shingle width): duplicate sub-3-word texts have
+    # EMPTY shingle sets, which the SQL banding oracle never pairs —
+    # they stay uncollapsed so engine == oracle on any corpus
+    rep_ids, star = exact_text_census(docs, min_words=3)
     rdocs = docs.join(rep_ids, "doc_id", "left_semi")
     sig = minhash_signatures(rdocs, num_hashes=8, shingle_n=3)
     cand = lsh_candidate_pairs(lsh_buckets(sig, num_hashes=8, bands=4))

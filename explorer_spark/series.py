@@ -1554,8 +1554,15 @@ def _series_binop(op: str, a, b, name: str) -> "Series":
         elif other is not None:
             d = dt.normalize(sa.dtype)
             base = d[0] if isinstance(d, tuple) else d
-            ok = _VALUE_KIND_CHECKS.get(base)
-            if ok is not None and not ok(other):
+            if base in ("s", "u", "f", "decimal"):
+                # any NUMERIC scalar compares with a numeric series —
+                # the reference casts int-vs-float to {:f, 64}
+                # (cast_to_ordered_series); only non-numeric kinds raise
+                ok = isinstance(other, (int, float)) and not isinstance(other, bool)
+            else:
+                check = _VALUE_KIND_CHECKS.get(base)
+                ok = check(other) if check is not None else True
+            if not ok:
                 raise ValueError(
                     f"cannot invoke Explorer.Series.{op}/2 with mismatched "
                     f"dtypes: {sa.dtype} and {other!r}"

@@ -884,10 +884,16 @@ class Ev:
                 return df.drop_nil()
             return getattr(df, fn)(sel)
         if fn == "relocate":
+            def _anchor(v):
+                # int anchors are positions; atoms/strings are names
+                if v is None or isinstance(v, bool):
+                    return None
+                return v if isinstance(v, int) else str(v)
+
             return df.relocate(
                 _selector(rest[0]),
-                before=_optstr(kw.get("before")),
-                after=_optstr(kw.get("after")),
+                before=_anchor(kw.get("before")),
+                after=_anchor(kw.get("after")),
             )
         if fn == "put":
             name = str(rest[0])
