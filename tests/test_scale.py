@@ -676,3 +676,64 @@ def test_rank_random_draw_is_hash_based(spark):
     c = d.mutate(r=f.rank(col("x"), method="random", seed=12)).to_columns()["r"]
     assert sorted(c) == sorted(a) == list(range(1, 11))
     assert c[:8] != a[:8]  # a different seed reshuffles the tie block
+
+
+def test_pivot_longer_order_without_sort(spark):
+    """pivot_longer's variable-major row order derives from vi*n + a
+    dense row index — it must add NO Sort beyond whatever the row-index
+    kernel itself needs to (re)align the input (a range sort of the
+    melted output would be a full extra shuffle at scale)."""
+    from explorer_spark.sources import read_parquet
+
+    li = read_parquet("/root/testdata/sf0.001/lineitem.parquet", spark=spark).select(
+        ["l_orderkey", "l_quantity", "l_extendedprice"]
+    )
+    baseline = _plan(li._ordered()._with_row_index("__i__").lazy_sdf())
+    out = li.pivot_longer(["l_quantity", "l_extendedprice"])
+    plan = _plan(out.lazy_sdf())
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("+- Sort") <= baseline.count("+- Sort"), plan
+
+
+def test_stable_summarise_order_single_aggregate(spark):
+    """Stable grouped summarise carries first-appearance order as a
+    min(order) INSIDE the one hash aggregate — exactly one aggregate
+    pair (partial + final) and no Window/extra Exchange beyond the
+    group-key shuffle."""
+    from explorer_spark.expr import col
+    from explorer_spark import f
+    from explorer_spark.sources import read_parquet
+
+    li = read_parquet("/root/testdata/sf0.001/lineitem.parquet", spark=spark)
+    out = li.group_by("l_returnflag", stable=True).summarise(n=f.size(col("l_orderkey")))
+    plan = _plan(out._sdf)
+    assert "Window" not in plan, plan
+    assert plan.count("Exchange") <= 2, plan  # key shuffle (+AQE read)
+
+
+def test_exact_text_census_is_narrow(spark):
+    """The census never shuffles TEXT: its exchanges carry (md5, id)
+    pairs only, and the star-edge/representative plan is join+agg shaped
+    (no CartesianProduct, no Window)."""
+    from explorer_spark.operators.dedup import exact_text_census
+    from explorer_spark.sources import read_parquet
+
+    docs = read_parquet("/root/testdata/sf0.001/documents.parquet", spark=spark).lazy_sdf()
+    rep_ids, star = exact_text_census(docs, min_words=3)
+    for d in (rep_ids, star):
+        plan = _plan(d)
+        assert "CartesianProduct" not in plan, plan
+        assert "Window" not in plan, plan
+    # correctness: exact replicas collapse to the min id with k-1 edges
+    import explorer_spark as ex
+
+    d2 = ex.from_columns(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": ["a b c d", "a b c d", "a b c d", "x y z w", "q r"],
+        },
+        spark=spark,
+    ).lazy_sdf()
+    reps, edges = exact_text_census(d2, min_words=3)
+    assert sorted(r["doc_id"] for r in reps.collect()) == [1, 4, 5]
+    assert sorted((r["id_a"], r["id_b"]) for r in edges.collect()) == [(1, 2), (1, 3)]
