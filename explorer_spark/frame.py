@@ -50,6 +50,23 @@ SAMPLE_TAKEORDERED_MAX = 1 << 17
 DUMMIES_MAX_CATEGORIES = 4096
 
 
+def _tensor_type_for(d):
+    """Expected tensor (numpy) kind for a column dtype — the reference's
+    put/4 dtype-vs-tensor-type validation (data_frame.ex:3281)."""
+    d = dt.normalize(d)
+    if d == "boolean":
+        return ("u", 8)
+    if d == "time" or (isinstance(d, tuple) and d[0] in ("naive_datetime", "datetime", "duration")):
+        return ("s", 64)
+    if d == "category":
+        return ("s", 64)
+    if d == "date":
+        return ("s", 32)
+    if isinstance(d, tuple) and d[0] in ("s", "u", "f"):
+        return d
+    return None  # string/binary/nested: no fixed tensor shape
+
+
 def _resolve_seed(seed) -> int:
     """A concrete int seed (fresh entropy when None) so hash-draw
     sampling is reproducible within one call."""
@@ -510,12 +527,66 @@ class DataFrame:
         estimated_size — a heuristic there too)."""
         return int(self._sdf._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
 
-    def put(self, name: str, values) -> "DataFrame":
-        """Insert/replace a column from a python list or a Series
-        (positional align; reference put/3). Series stay distributed —
-        a row-index equi-join, never a driver collect."""
+    def put(self, name: str, values, dtype=None) -> "DataFrame":
+        """Insert/replace a column from a python list, a Series, or a
+        numpy array (positional align; reference put/3 + the tensor
+        put/4). Series stay distributed — a row-index equi-join, never a
+        driver collect.
+
+        Numpy arrays follow the reference's TENSOR rules
+        (data_frame.ex:3236-3303): replacing an existing column
+        REINTERPRETS the raw values at the column's dtype (s64 µs counts
+        land in a naive_datetime column; s64 codes decode through a
+        category column) and the tensor's type must match that dtype's
+        expected tensor type unless ``dtype`` overrides it
+        (``dtype="infer"`` takes the tensor's own type). A 0-d tensor
+        broadcasts to the frame length."""
         from .series import Series as _Series
 
+        try:
+            import numpy as _np
+
+            is_tensor = isinstance(values, _np.ndarray) or isinstance(values, _np.generic)
+        except ImportError:
+            is_tensor = False
+        if is_tensor:
+            import numpy as _np
+
+            a = _np.asarray(values)
+            if a.ndim == 0:
+                n = _known_count(self._with_row_index("__pos__")) if self.names else 1
+                a = _np.full((n,), a.item(), dtype=a.dtype)
+            own = _Series._NP_TO_DTYPE.get(str(a.dtype))
+            if dtype == "infer":
+                target = None
+            elif dtype is not None:
+                target = dtype
+            elif name in self.names:
+                target = self.dtypes[name]
+                exp = _tensor_type_for(target)
+                if exp is not None and own is not None and exp != own:
+                    raise ValueError(
+                        f"dtype {target!r} expects a tensor of type {exp!r} "
+                        f"but got type {own!r}"
+                    )
+            else:
+                target = None
+            if (
+                target is not None
+                and dt.normalize(target) == "category"
+                and own is not None
+                and own[0] in ("s", "u")
+            ):
+                # integer codes decode through the EXISTING categories
+                sv = _Series.from_tensor(a, name=str(name), spark=self._sdf.sparkSession)
+                sv = sv.categorise(self.pull(name).categories())
+            else:
+                sv = _Series.from_tensor(
+                    a, dtype=target, name=str(name), spark=self._sdf.sparkSession
+                )
+            return self.put(name, sv)
+        if dtype is not None:
+            raise ValueError("put: dtype option applies to tensor (numpy) values")
         if not self.names:
             # put on an empty 0-column frame CREATES the frame sized by
             # the values (reference data_frame.ex:3303 new([]) |> put)

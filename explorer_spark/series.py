@@ -1373,6 +1373,40 @@ class Series:
     def from_numpy(arr, name: str = "values", spark=None) -> "Series":
         return Series.from_list([v.item() if hasattr(v, "item") else v for v in arr], name=name, spark=spark)
 
+    _NP_TO_DTYPE = {
+        "int8": ("s", 8), "int16": ("s", 16), "int32": ("s", 32), "int64": ("s", 64),
+        "uint8": ("u", 8), "uint16": ("u", 16), "uint32": ("u", 32), "uint64": ("u", 64),
+        "float32": ("f", 32), "float64": ("f", 64), "bool": "boolean",
+    }
+
+    @staticmethod
+    def from_tensor(arr, dtype=None, name: str = "values", spark=None) -> "Series":
+        """Build from a numpy array — the stand-in for the reference's
+        Nx tensors (series.ex:658-753 from_tensor). The ARRAY dtype
+        carries (int32 stays s32, uint8 stays u8 — unlike from_numpy's
+        python-value inference); ``dtype`` REINTERPRETS the raw values
+        the way the reference does: u8 -> :boolean, s64 ns-counts ->
+        :time, s64 unit-counts -> naive_datetime/duration (from_list's
+        int-count ingestion rules)."""
+        import numpy as np
+
+        a = np.asarray(arr)
+        if a.ndim == 0:
+            a = a.reshape(1)
+        vals = [v.item() for v in a.ravel()]
+        if dtype is not None:
+            nd = dt.normalize(dtype)
+            if nd == "boolean":
+                return Series.from_list([bool(v) for v in vals], dtype="boolean", name=name, spark=spark)
+            if nd == "time" or (
+                isinstance(nd, tuple) and nd[0] in ("naive_datetime", "datetime", "duration")
+            ):
+                base = Series.from_list(vals, dtype=("s", 64), name=name, spark=spark)
+                return base.cast(nd)
+            return Series.from_list(vals, dtype=nd, name=name, spark=spark)
+        own = Series._NP_TO_DTYPE.get(str(a.dtype))
+        return Series.from_list(vals, dtype=own, name=name, spark=spark)
+
     def to_binary(self) -> bytes:
         """Raw little-endian buffer of the values (reference
         Series.to_binary — nulls are not representable, same as

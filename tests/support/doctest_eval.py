@@ -493,6 +493,8 @@ class Ev:
             return getattr(datasets, fn)(spark=self.spark)
         if mod == "Enum":
             return self.enum_call(fn, args, env)
+        if mod == "Nx":
+            return self.nx_call(fn, args, env)
         if mod == "String":
             return self.string_call(fn, args, env, q)
         if mod is None:
@@ -536,6 +538,33 @@ class Ev:
             raise Unsupported(f"String.{fn}")
         vals, _ = self.eval_args(args, env, q)
         return target(*vals)
+
+    _NX_TYPES = {
+        "s8": "int8", "s16": "int16", "s32": "int32", "s64": "int64",
+        "u8": "uint8", "u16": "uint16", "u32": "uint32", "u64": "uint64",
+        "f32": "float32", "f64": "float64",
+    }
+
+    def nx_call(self, fn, args, env):
+        """Nx tensors stand in as numpy arrays (Series.from_tensor and
+        the tensor put/4 accept them); Nx's default int type is s32."""
+        import numpy as np
+
+        if fn != "tensor":
+            raise Unsupported(f"Nx.{fn}")
+        vals, kw = self.eval_args(args, env, None)
+        data = vals[0]
+        t = kw.get("type")
+        if t is not None:
+            np_t = self._NX_TYPES.get(str(t))
+            if np_t is None:
+                raise Unsupported(f"Nx type {t}")
+            return np.array(data, dtype=np_t)
+        # Nx defaults: s32 for ints, f32 for floats
+        flat = data if isinstance(data, list) else [data]
+        if any(isinstance(v, float) for v in flat):
+            return np.array(data, dtype="float32")
+        return np.array(data, dtype="int32")
 
     def enum_call(self, fn, args, env):
         if fn in ("map",):
@@ -604,6 +633,25 @@ class Ev:
         if fn == "format":
             parts = self.eval(args[0], env, q)
             return Series.format(parts)
+        if fn == "from_tensor":
+            vals, kw = self.eval_args(args, env, None)
+            dtype = None
+            if "dtype" in kw and isinstance(args[-1], dict) and "kw" in args[-1]:
+                for k, v in args[-1]["kw"]:
+                    if k == "dtype":
+                        dtype = dtype_from_ast(v)
+            return Series.from_tensor(vals[0], dtype=dtype, spark=self.spark)
+        if fn == "replace":
+            vals, kw = self.eval_args(args, env, None)
+            import numpy as np
+
+            if len(vals) == 2 and isinstance(vals[1], np.ndarray):
+                # tensor contents-conversion form: list path keeps dtype
+                return vals[0].replace([v.item() for v in vals[1]])
+            recv = vals[0]
+            if isinstance(recv, Expr):
+                return f.replace(recv, *vals[1:])
+            return recv.replace(*vals[1:])
         if fn == "from_list":
             vals, kw = self.eval_args(args, env, None)
             data = vals[0]
@@ -726,6 +774,16 @@ class Ev:
                     args = args[:-1] + [raw]
             vals, kw = self.eval_args(args, env, None)
             data = vals[0] if vals else kw
+            import numpy as np
+
+            if isinstance(data, np.ndarray) and data.ndim == 2:
+                # 2-D tensor: columns x1..xN of the tensor's dtype
+                # (reference data_frame.ex:1823)
+                df = None
+                for i in range(data.shape[1]):
+                    s = Series.from_tensor(data[:, i], name=f"x{i + 1}", spark=self.spark)
+                    df = s.to_frame() if df is None else df.put(f"x{i + 1}", s)
+                return df
             if isinstance(data, list):
                 rows = [
                     {str(k): v for k, v in r.items()} if isinstance(r, dict) else r
@@ -898,9 +956,11 @@ class Ev:
         if fn == "put":
             name = str(rest[0])
             v = rest[1]
-            if isinstance(v, Series):
-                return df.put(name, v)
-            return df.put(name, v)
+            pkw = {}
+            if "dtype" in kw:
+                dv = kw["dtype"]
+                pkw["dtype"] = "infer" if str(dv) == "infer" else _dtype_value(dv)
+            return df.put(name, v, **pkw)
         if fn == "pull":
             return df.pull(str(rest[0]) if not isinstance(rest[0], int) else rest[0])
         if fn in ("group_by",):
@@ -1011,6 +1071,26 @@ def _sort_spec(res):
 
 def _optstr(v):
     return None if v is None else str(v)
+
+
+def _dtype_value(v):
+    """Evaluated dtype VALUE (atoms/tuples already decoded) -> our dtype."""
+    if isinstance(v, (Atom, str)):
+        return _ATOM_DTYPES.get(str(v), str(v))
+    if isinstance(v, tuple):
+        head = str(v[0])
+        if head in ("s", "u", "f"):
+            return (head, int(v[1]))
+        if head in ("naive_datetime", "datetime", "duration"):
+            unit = _UNIT.get(str(v[1]), str(v[1]))
+            if head == "datetime" and len(v) > 2:
+                return (head, unit, str(v[2]))
+            return (head, unit)
+        if head == "list":
+            return ("list", _dtype_value(v[1]))
+        if head == "decimal":
+            return ("decimal", int(v[1]), int(v[2]))
+    return v
 
 
 def _strlist(v):
