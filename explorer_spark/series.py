@@ -1424,6 +1424,23 @@ class Series:
         import numpy as np
         import pyarrow as pa
 
+        d = dt.normalize(self.dtype)
+        if isinstance(d, tuple) and d[0] in ("naive_datetime", "datetime", "duration"):
+            # epoch/count s64 at the LOGICAL precision via the engine's
+            # own datetime->int cast — a pandas round-trip would force
+            # ns and overflow for far dates (reference ~N[0001-01-01]
+            # iovec doctest, series.ex:908)
+            return self.cast(("s", 64)).to_iovec()
+        if d == "category":
+            # u32 dictionary CODES in first-appearance order
+            # (series.ex:922)
+            cats = {v: i for i, v in enumerate(self.categories().to_list())}
+            return [
+                np.array([cats[v] for v in self.to_list()], dtype="uint32").tobytes()
+            ]
+        if d in ("string", "binary") or (isinstance(d, tuple) and d[0] in ("list", "struct")):
+            raise ValueError(f"cannot convert series of dtype {d!r} into iovec")
+
         tbl = pa.Table.from_pandas(self.to_frame().to_pandas())
         col_ = tbl.column(0)
         out = []
@@ -1496,7 +1513,9 @@ class Series:
                 "date": "int32",
                 "boolean": "uint8",
             }.get(d if isinstance(d, str) else None)
-            if iot is None and isinstance(d, tuple) and d[0] == "duration":
+            if iot is None and isinstance(d, tuple) and d[0] in (
+                "duration", "naive_datetime", "datetime",
+            ):
                 iot = "int64"
             np_dtype = iot or "float64"
         arr = np.frombuffer(data, dtype=np_dtype)
@@ -1507,6 +1526,12 @@ class Series:
             import datetime as _dtm
 
             vals = [_dtm.date(1970, 1, 1) + _dtm.timedelta(days=v) for v in vals]
+        if isinstance(d, tuple) and d[0] in ("naive_datetime", "datetime", "duration"):
+            # s64 counts at the dtype's precision -> the int->temporal
+            # cast applies the count rules (reference from_binary
+            # datetime doctest, series.ex:595)
+            base = Series.from_list(vals, dtype=("s", 64), name=name, spark=spark)
+            return base.cast(d)
         return Series.from_list(vals, dtype=d, name=name, spark=spark)
 
     def __iter__(self):

@@ -170,7 +170,23 @@ def decode_literal(node, ev=None, env=None, q=None):
         b = ev.eval(node["range"][1], env, q)
         step = ev.eval(node["range"][2], env, q) if node["range"][2] else 1
         return ERange(a, b, step)
+    if "bits" in node:
+        return _pack_bits(node["bits"])
     raise Unsupported(f"literal node {list(node)[:1]}")
+
+
+def _pack_bits(segs) -> bytes:
+    """Elixir bitstring segments [[value, kind, size], ...] -> bytes
+    (native = little-endian, matching the reference's -native specs)."""
+    import struct
+
+    out = b""
+    for v, kind, size in segs:
+        if kind == "f":
+            out += struct.pack("<f" if size == 32 else "<d", float(v))
+        else:
+            out += int(v).to_bytes(size // 8, "little", signed=(kind == "s"))
+    return out
 
 
 class ERange:
@@ -633,6 +649,9 @@ class Ev:
         if fn == "format":
             parts = self.eval(args[0], env, q)
             return Series.format(parts)
+        if fn == "from_binary":
+            vals, _kw = self.eval_args(args, env, None)
+            return Series.from_binary(vals[0], dtype_from_ast(args[1]), spark=self.spark)
         if fn == "from_tensor":
             vals, kw = self.eval_args(args, env, None)
             dtype = None
@@ -1133,6 +1152,8 @@ def decode_expected(v):
             return tuple(decode_expected(x) for x in v["__tuple__"])
         if "__duration_str__" in v:
             return _parse_duration(v["__duration_str__"])
+        if "__bits__" in v:
+            return _pack_bits(v["__bits__"])
     if isinstance(v, list):
         return [decode_expected(x) for x in v]
     return v
@@ -1181,6 +1202,13 @@ def values_eq(a, b):
         return abs((a - b).total_seconds()) < 1e-6
     if isinstance(a, (list, tuple)) and isinstance(b, (list, tuple)):
         return len(a) == len(b) and all(values_eq(x, y) for x, y in zip(a, b))
+    if isinstance(a, bytes) and isinstance(b, str):
+        # the reference RENDERS utf8-decodable binaries as strings in a
+        # :binary series display; the value is still a binary
+        try:
+            return a.decode("utf-8") == b
+        except UnicodeDecodeError:
+            return False
     if isinstance(a, dict) and isinstance(b, dict):
         ka = {str(k) for k in a}
         kb = {str(k) for k in b}
@@ -1251,7 +1279,7 @@ def check_case(got, expect, case):
         have = got
         if isinstance(have, Series):
             raise Mismatch("expected scalar, got series")
-        if hasattr(have, "__iter__") and not isinstance(have, (str, list, tuple, dict)):
+        if hasattr(have, "__iter__") and not isinstance(have, (str, bytes, list, tuple, dict)):
             have = list(have)
         if not values_eq(have, want):
             raise Mismatch(f"scalar {have!r} != {want!r}")

@@ -418,9 +418,41 @@ KWKEY_RE = re.compile(r'([A-Za-z_][A-Za-z0-9_]*[!?]?|"(?:[^"\\]|\\.)*"):(?=\s|$)
 
 
 CAPN_RE = re.compile(r"&(\d+)")
+BITSTR_RE = re.compile(r"<<[^<>]*>>")
+
+
+def parse_bitstring(body: str):
+    """`<<seg, seg, ...>>` -> {"bits": [[value, kind, size], ...]}
+    (kind s/u/f, native = little-endian; bare ints default u8)."""
+    inner = body[2:-2].strip()
+    segs = []
+    if inner:
+        for part in inner.split(","):
+            part = part.strip()
+            if "::" in part:
+                val, spec = part.split("::", 1)
+                toks = spec.strip().split("-")
+                kind = {"signed": "s", "unsigned": "u", "float": "f"}.get(toks[0])
+                size = int(toks[1]) if len(toks) > 1 and toks[1].isdigit() else 8
+                if kind is None:
+                    raise ParseError(f"bitstring spec {spec!r}")
+            else:
+                val, kind, size = part, "u", 8
+            v = float(val) if kind == "f" else int(val.strip())
+            segs.append([v, kind, size])
+    return {"bits": segs}
 
 
 def parse_expr_src(src: str):
+    # pre-pass 0: bitstring literals -> marker tokens (their commas and
+    # :: would confuse the tokenizer)
+    bits: list = []
+
+    def bsub(m):
+        bits.append(m.group(0))
+        return f"__bits{len(bits) - 1}__"
+
+    src = BITSTR_RE.sub(bsub, src)
     # pre-pass 1: rewrite `&N` capture refs into synthetic idents
     src = CAPN_RE.sub(lambda m: f"__cap{m.group(1)}__", src)
     # pre-pass 2: rewrite `key:` into a parseable marker token `\x01key\x01`
@@ -440,7 +472,22 @@ def parse_expr_src(src: str):
         else:
             toks.extend(tokenize(piece)[:-1])
     toks.append(("eof", ""))
-    return P(toks).statement()
+    stmt = P(toks).statement()
+    if bits:
+        # resolve bitstring marker idents back into {"bits": ...} nodes
+        def walk(node):
+            if isinstance(node, dict):
+                if "var" in node:
+                    m = re.match(r"^__bits(\d+)__$", node["var"])
+                    if m:
+                        return parse_bitstring(bits[int(m.group(1))])
+                return {k: walk(v) for k, v in node.items()}
+            if isinstance(node, list):
+                return [walk(x) for x in node]
+            return node
+
+        stmt = walk(stmt)
+    return stmt
 
 
 # --------------------------------------------------------------------------
@@ -485,6 +532,16 @@ def parse_rendered_values(body: str):
         if ch == '"':
             in_str = True
             cur += ch
+        elif inner.startswith("<<", i):
+            depth += 1
+            cur += "<<"
+            i += 2
+            continue
+        elif inner.startswith(">>", i):
+            depth -= 1
+            cur += ">>"
+            i += 2
+            continue
         elif ch in "[{(":
             depth += 1
             cur += ch
@@ -555,6 +612,11 @@ def parse_rendered_literal(s: str):
     # durations render like "1d 2h 3m" / "10s" / "-1500ms" / "1ms"
     if re.match(r"^-?\d+(\.\d+)?(d|h|m|s|ms|us|µs|ns)(\s+-?\d+(\.\d+)?(d|h|m|s|ms|us|µs|ns))*$", s):
         return {"__duration_str__": s}
+    if s.startswith("<<") and s.endswith(">>"):
+        return {"__bits__": parse_bitstring(s)["bits"]}
+    m = re.match(r"^~s\((.*)\)$", s, re.S)
+    if m:
+        return m.group(1).replace("\\n", "\n").replace("\\t", "\t")
     # tuples: {:s, 64} (dtype/iotype doctests), {3, 2} (shape)
     if s.startswith("{") and s.endswith("}"):
         vals, trunc = parse_rendered_values("[" + s[1:-1] + "]")
@@ -754,12 +816,16 @@ def _incomplete(s: str):
     fn_opens = len(re.findall(r"\bfn\b", s))
     fn_closes = len(re.findall(r"\bend\b", s))
     fn_depth = fn_opens - fn_closes
-    if depth > 0 or in_str or re.search(
+    if in_str or re.search(
         r"(\|>|<>|->|,|\+|-|\*|/|==|!=|>=|<=|&&|\bor\b|\band\b)\s*$", toks_tail
     ):
         return " "
     if fn_depth > 0:
+        # inside an open fn...end body a newline is a statement boundary
+        # even though the enclosing CALL parens are still open
         return "; "
+    if depth > 0:
+        return " "
     return None
 
 
@@ -787,6 +853,7 @@ def main():
                 # heredoc escape layer: doc examples live inside \"\"\"
                 # strings, so a raw \\ is one backslash at iex level
                 merged = [m.replace("\\\\", "\\") for m in merged]
+                outlines = [l.replace("\\\\", "\\") for l in outlines]
                 parsed_stmts = []
                 for s in merged:
                     if s.startswith("require ") or s.startswith("alias ") or s.startswith("import "):
