@@ -649,6 +649,11 @@ class Ev:
         if fn == "format":
             parts = self.eval(args[0], env, q)
             return Series.format(parts)
+        if fn == "to_enum":
+            # Elixir Enumerable protocol -> python iterator (Series
+            # streams rows via __iter__ / to_rows_stream underneath)
+            vals, _ = self.eval_args(args, env, None)
+            return iter(vals[0])
         if fn == "from_binary":
             vals, _kw = self.eval_args(args, env, None)
             return Series.from_binary(vals[0], dtype_from_ast(args[1]), spark=self.spark)
