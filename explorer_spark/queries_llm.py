@@ -261,14 +261,27 @@ def q_dedup_clusters(spark, sf_dir):
     min-label propagation, operators/dedup.neardup_components) ->
     per-cluster sizes. The oracle resolves the same clusters with a
     recursive-CTE transitive closure."""
-    from .operators.dedup import lsh_buckets, lsh_candidate_pairs, minhash_signatures, neardup_components
+    from .operators.dedup import (
+        exact_text_census,
+        lsh_buckets,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        neardup_components,
+    )
     from .operators.text import shingle_rows
 
     docs = _t(spark, sf_dir, "documents").lazy_sdf()
-    sig = minhash_signatures(docs, num_hashes=8, shingle_n=3)
+    # exact-text census (same quadratic-pair fix as q_dedup_keep_best):
+    # band/verify only one representative per distinct text; star edges
+    # re-attach members with provably identical components and labels
+    # (the component label is the min member id, which the star's min-id
+    # representative rule preserves)
+    rep_ids, star = exact_text_census(docs, min_words=3)
+    rdocs = docs.join(rep_ids, "doc_id", "left_semi")
+    sig = minhash_signatures(rdocs, num_hashes=8, shingle_n=3)
     cand = lsh_candidate_pairs(lsh_buckets(sig, num_hashes=8, bands=4))
     sh = (
-        shingle_rows(docs, "doc_id", "text", 3)
+        shingle_rows(rdocs, "doc_id", "text", 3)
         .groupBy("doc_id")
         .agg(SF.collect_set("shingle").alias("sh"))
     )
@@ -281,6 +294,7 @@ def q_dedup_clusters(spark, sf_dir):
         .join(sb, "id_b")
         .filter(inter.cast("double") / union >= 0.8)
         .select("id_a", "id_b")
+        .unionByName(star)
     )
     comps = neardup_components(pairs)
     return (
