@@ -108,6 +108,7 @@ class DataFrame:
         has_order: bool | None = None,
         aligned: bool = False,
         group_mode: str = "groups",
+        group_stable: bool = False,
     ):
         self._sdf = sdf
         self.groups = list(groups or [])
@@ -117,6 +118,10 @@ class DataFrame:
         # cube/rollup; every other grouped verb treats the frame as
         # plainly grouped.
         self._group_mode = group_mode if groups else "groups"
+        # group_by's :stable flag (reference default false — groups may
+        # be reordered for performance); rides through _replace so
+        # intermediate verbs don't silently drop an explicit stable=True
+        self._group_stable = group_stable if groups else False
         self._has_order = ORDER_COL in sdf.columns if has_order is None else has_order
         # True iff the physical layout still matches ORDER_COL: ascending
         # partition id == ascending order, rows in order within partitions.
@@ -202,6 +207,7 @@ class DataFrame:
             self._has_order if has_order is None else has_order,
             aligned=aligned,
             group_mode=self._group_mode if groups is None else "groups",
+            group_stable=self._group_stable if groups is None else False,
         )
 
     def _ordered(self) -> "DataFrame":
@@ -1516,7 +1522,7 @@ class DataFrame:
         stable_groups = bool(
             self.groups
             and self._group_mode == "groups"
-            and getattr(self, "_group_stable", True)
+            and self._group_stable
         )
         needs_order = stable_groups or any(_implicit_list(e) for e in exprs.values())
         # argmin/argmax (and order-exact first/last) return/consume row
@@ -1574,8 +1580,13 @@ class DataFrame:
 
     summarise = summarise_with
 
-    def group_by(self, *selectors, stable: bool = True, mode: str = "groups") -> "DataFrame":
-        """Group metadata for subsequent verbs. ``mode`` extends the
+    def group_by(self, *selectors, stable: bool | None = None, mode: str = "groups") -> "DataFrame":
+        """Group metadata for subsequent verbs. ``stable`` defaults to
+        False like the reference (data_frame.ex:5881 — "by default groups
+        may be reordered for performance"): an unstable grouped summarise
+        skips the first-appearance min(ORDER_COL) agg AND the
+        materialization sort; pass ``stable=True`` for the reference's
+        :stable first-appearance group order. ``mode`` extends the
         reference surface with Spark-native multi-dimensional
         aggregation: "cube" / "rollup" make the NEXT summarise aggregate
         over all cube/rollup grouping sets (null = the rolled-up level,
@@ -1583,13 +1594,20 @@ class DataFrame:
         treats the frame as plainly grouped."""
         if mode not in ("groups", "cube", "rollup"):
             raise ValueError(f"mode must be 'groups', 'cube' or 'rollup', got {mode!r}")
-        if self.groups and getattr(self, "_group_stable", True) != stable:
-            # reference grouped_test.exs 'groups with different stable
-            # flag raise error'
-            raise ValueError(
-                "`stable` flag can't be changed after the first `group_by`; "
-                "ungroup first to regroup with a different flag"
-            )
+        # reference stable resolution (data_frame.ex:5973): unspecified
+        # inherits the existing flag (false on a fresh frame); an
+        # explicit flag that CHANGES an existing grouping raises
+        if self.groups:
+            if stable is not None and stable != self._group_stable:
+                # reference grouped_test.exs 'groups with different
+                # stable flag raise error'
+                raise ValueError(
+                    "`stable` flag can't be changed after the first `group_by`; "
+                    "ungroup first to regroup with a different flag"
+                )
+            stable = self._group_stable
+        elif stable is None:
+            stable = False
         cols = []
         for s in selectors:
             got = self._resolve(s)
@@ -2451,7 +2469,14 @@ class DataFrame:
                 merged[name] = dt.merge_dtype(merged[name], d) if name in merged else d
         casted = []
         for fr in frames:
-            sdf = fr.lazy_sdf()
+            # pin each input's own row order BEFORE the union: the
+            # fresh-mono-id reassign below reads the physical layout, so
+            # a shuffled (non-aligned) input must be re-sorted by its own
+            # ORDER_COL first or the concat scrambles its rows
+            if fr._has_order and not fr._aligned:
+                sdf = fr._sdf.orderBy(F.col(ORDER_COL).asc()).drop(ORDER_COL)
+            else:
+                sdf = fr.lazy_sdf()
             for name, d in fr.dtypes.items():
                 if d != merged[name]:
                     sdf = sdf.withColumn(name, F.col(name).cast(dt.to_spark(merged[name])))
@@ -2661,20 +2686,65 @@ class DataFrame:
 
     def explode(self, selector) -> "DataFrame":
         """Unnest list columns; multiple columns are zipped
-        (reference data_frame.ex:6292-6338)."""
+        (reference data_frame.ex:6292-6338). Row order is PRESERVED
+        (Polars explode is order-preserving, lazyframe.rs:163-167): when
+        the physical layout still matches ORDER_COL the within-partition
+        explode keeps it for free; otherwise the result is re-ordered by
+        (parent order, element position) before the fresh-mono-id
+        reassign — the same idiom as _rederive_join_order."""
         cols = self._resolve(selector)
         base = self._ordered()
         sdf = base._sdf
+        if base._aligned:
+            # fast path: layout == order, explode preserves both the
+            # within-partition row order and the partition numbering
+            if len(cols) == 1:
+                out = sdf.withColumn(cols[0], F.explode_outer(F.col(cols[0])))
+            else:
+                zipped = F.arrays_zip(*[F.col(c) for c in cols])
+                out = sdf.withColumn("__z__", F.explode_outer(zipped))
+                for c in cols:
+                    out = out.withColumn(c, F.col("__z__").getField(c))
+                out = out.drop("__z__")
+            out = out.drop(ORDER_COL).withColumn(ORDER_COL, F.monotonically_increasing_id())
+            return DataFrame(out, groups=self.groups, has_order=True, aligned=True)
+        # shuffled layout: posexplode carries the element position so the
+        # logical order can be rederived independent of the layout
+        gen_src = F.col(cols[0]) if len(cols) == 1 else F.arrays_zip(*[F.col(c) for c in cols])
+        exprs = []
+        placed = False
+        for c in sdf.columns:
+            if c == cols[0]:
+                exprs.append(F.posexplode_outer(gen_src).alias("__pos__", "__z__"))
+                placed = True
+            elif len(cols) > 1 and c in cols:
+                continue
+            else:
+                exprs.append(F.col(c))
+        assert placed
+        out = sdf.select(*exprs)
         if len(cols) == 1:
-            out = sdf.withColumn(cols[0], F.explode_outer(F.col(cols[0])))
+            out = out.withColumnRenamed("__z__", cols[0])
         else:
-            zipped = F.arrays_zip(*[F.col(c) for c in cols])
-            out = sdf.withColumn("__z__", F.explode_outer(zipped))
-            for c in cols:
-                out = out.withColumn(c, F.col("__z__").getField(c))
-            out = out.drop("__z__")
-        out = out.drop(ORDER_COL).withColumn(ORDER_COL, F.monotonically_increasing_id())
-        return DataFrame(out, groups=self.groups, has_order=True, aligned=base._aligned)
+            # re-insert the zipped columns at the first exploded column's slot
+            sel = []
+            for c in sdf.columns:
+                if c == cols[0]:
+                    sel.extend(F.col("__z__").getField(k).alias(k) for k in cols)
+                elif c in cols:
+                    continue
+                else:
+                    sel.append(F.col(c))
+            out = out.select(*sel, F.col("__pos__"), F.col(ORDER_COL))
+        out = (
+            out.orderBy(F.col(ORDER_COL).asc(), F.col("__pos__").asc_nulls_first())
+            .drop(ORDER_COL, "__pos__")
+            .withColumn(ORDER_COL, F.monotonically_increasing_id())
+        )
+        # restore the caller-visible column order (single-col path keeps it)
+        want = [c for c in sdf.columns if c != ORDER_COL] + [ORDER_COL]
+        out = out.select(*want)
+        return DataFrame(out, groups=self.groups, has_order=True, aligned=True)
 
     def unnest(self, selector) -> "DataFrame":
         """Struct fields to top-level columns (reference data_frame.ex:6341-6382)."""

@@ -233,8 +233,15 @@ def exact_text_census(
     with such an oracle. (The engine's own minhash fallback hash DOES
     bucket identical short texts — a documented engine-vs-SQL edge that
     predates the census.)"""
+    # NULL text stays its OWN representative: md5(NULL) is NULL, so the
+    # rep equi-join below would silently drop those rows from rep_ids
+    # (and size(words(NULL)) is NULL, dropping them from BOTH branches
+    # of the min_words split) — callers that semi-join the corpus on
+    # rep_ids would exclude null-text docs from banding entirely
+    null_ids = docs.filter(F.col(text_col).isNull()).select(id_col)
+    docs = docs.filter(F.col(text_col).isNotNull())
     base = docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("__th__"))
-    short_ids = None
+    short_ids = null_ids
     if min_words > 0:
         from .text import words
 
@@ -244,7 +251,7 @@ def exact_text_census(
         )
         # short docs stay their OWN representatives (they still band
         # downstream; they just don't collapse or gain star edges)
-        short_ids = nw.filter(F.col("__nw__") < min_words).select(id_col)
+        short_ids = short_ids.unionByName(nw.filter(F.col("__nw__") < min_words).select(id_col))
         base = nw.filter(F.col("__nw__") >= min_words).drop("__nw__")
     rep = base.groupBy("__th__").agg(F.min(id_col).alias("__rep__"))
     j = base.join(rep, "__th__")

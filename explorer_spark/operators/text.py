@@ -659,18 +659,22 @@ def remove_repeated_spans(
     import os
 
     spark = sdf.sparkSession
-    # estimate, don't scan: row count is metadata-cheap on file scans,
-    # and a 200-doc prefix prices the words-per-doc average — partition
-    # sizing needs the right order of magnitude, not an exact census
-    n_docs = sdf.count()
-    avg_row = (
-        sdf.select(F.size(words(F.col(text_col))).alias("__n__"))
-        .limit(200)
-        .agg(F.avg("__n__"))
-        .first()[0]
-        or 0
-    )
-    n_words_total = int(n_docs * avg_row)
+    # estimate WITHOUT running a job (round-10: the previous count() +
+    # 200-row prefix scan cost two eager jobs per call and a skewed
+    # prefix misprices the tail): Catalyst's optimizedPlan stats give a
+    # column-pruned byte estimate for free. Calibration on the sf0.1
+    # documents corpus: ~0.73 estimated bytes per word (parquet
+    # compression roughly cancels the raw ~6 bytes/word), so 1 byte ≈ 1
+    # word; less-compressible corpora estimate MORE bytes per word,
+    # which over-partitions — the cheap direction (vs spilling).
+    try:
+        est_bytes = int(
+            sdf.select(text_col)._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        est_bytes = 0
+    # 2^50 guards the "statistics unknown" sentinel (Long.MaxValue-ish)
+    n_words_total = est_bytes if 0 < est_bytes < (1 << 50) else 0
     # target per-partition (id, pos) volume: sized so the r8 64x probe's
     # measured optimum (~17.5M words -> ~128 partitions; 32 spills, 256
     # pays the over-partitioning tax) falls out of the formula

@@ -944,3 +944,106 @@ def q_cube_rollup(spark, sf_dir):
     c = orders.cube("o_orderstatus", "o_orderpriority").summarise(**aggs).mutate(kind=lit("cube"))
     r = orders.rollup("o_orderstatus", "o_orderpriority").summarise(**aggs).mutate(kind=lit("rollup"))
     return c.concat_rows(r).lazy_sdf()
+
+
+# ---------------------------------------------------------------------------
+# row-order pinning after a shuffle (round 10: explode / concat_rows kept
+# the physical partition layout as the new order whenever the frame had
+# been shuffled — e.g. by a grouped mutate — instead of the logical
+# ORDER_COL; the driver hash is order-insensitive, so these two oracles
+# MATERIALIZE the row index and grade it)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_explode_order",
+    """
+    WITH base AS (
+      SELECT c_custkey, c_mktsegment,
+             COUNT(*) OVER (PARTITION BY c_mktsegment) AS seg_n,
+             row_number() OVER (ORDER BY c_custkey) - 1 AS rid,
+             str_split(c_name, '#') AS parts
+      FROM customer
+    )
+    SELECT CAST(rid * 2 AS BIGINT) AS idx, c_custkey, c_mktsegment,
+           CAST(seg_n AS BIGINT) AS seg_n, parts[1] AS part FROM base
+    UNION ALL
+    SELECT CAST(rid * 2 + 1 AS BIGINT), c_custkey, c_mktsegment,
+           CAST(seg_n AS BIGINT), parts[2] FROM base
+    """,
+)
+def q_explode_order(spark, sf_dir):
+    """explode preserves the frame's ROW ORDER even after a shuffle
+    (Polars explode is order-preserving, reference lazy_frame.ex explode;
+    polars lazyframe.rs:163-167). The grouped mutate forces a hash
+    shuffle first, so the physical layout no longer matches the logical
+    order — the round-10 posexplode + (parent order, pos) re-sort is what
+    this grades. row_index materializes the order for the driver hash."""
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .select(["c_custkey", "c_mktsegment", "c_name"])
+        .sort_by("c_custkey")
+        .group_by("c_mktsegment")
+        .mutate(seg_n=f.size(col("c_custkey")))
+        .ungroup()
+        .mutate(part=f.split(col("c_name"), "#"))
+        .discard("c_name")
+        .explode("part")
+    )
+    return (
+        cust.mutate(idx=f.row_index())
+        .mutate(idx=col("idx").cast(("s", 64)), seg_n=col("seg_n").cast(("s", 64)))
+        .select(["idx", "c_custkey", "c_mktsegment", "seg_n", "part"])
+        .lazy_sdf()
+    )
+
+
+@query(
+    "q_concat_rows_order",
+    """
+    WITH neg AS (
+      SELECT c_custkey, c_mktsegment,
+             CAST(COUNT(*) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS seg_n,
+             row_number() OVER (ORDER BY c_custkey) - 1 AS rid
+      FROM customer WHERE c_acctbal < 0
+    ),
+    pos AS (
+      SELECT c_custkey, c_mktsegment,
+             CAST(COUNT(*) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS seg_n,
+             row_number() OVER (ORDER BY c_custkey) - 1 AS rid
+      FROM customer WHERE c_acctbal >= 0
+    )
+    SELECT CAST(rid AS BIGINT) AS idx, c_custkey, c_mktsegment, seg_n FROM neg
+    UNION ALL
+    SELECT CAST(rid + (SELECT COUNT(*) FROM neg) AS BIGINT), c_custkey, c_mktsegment, seg_n
+    FROM pos
+    """,
+)
+def q_concat_rows_order(spark, sf_dir):
+    """concat_rows preserves EACH input's row order, first frame's rows
+    before the second's (reference concat_rows/2, data_frame.ex:5762).
+    Both inputs are shuffled (grouped mutate) before the concat, so the
+    round-10 per-input ORDER_COL re-sort is what this grades; row_index
+    materializes the final order for the driver hash."""
+
+    def half(pred):
+        return (
+            _t(spark, sf_dir, "customer")
+            .select(["c_custkey", "c_mktsegment", "c_acctbal"])
+            .sort_by("c_custkey")
+            .filter(pred)
+            .group_by("c_mktsegment")
+            .mutate(seg_n=f.size(col("c_custkey")))
+            .ungroup()
+            .discard("c_acctbal")
+        )
+
+    neg = half(col("c_acctbal") < 0)
+    pos = half(col("c_acctbal") >= 0)
+    out = neg.concat_rows(pos)
+    return (
+        out.mutate(idx=f.row_index())
+        .mutate(idx=col("idx").cast(("s", 64)), seg_n=col("seg_n").cast(("s", 64)))
+        .select(["idx", "c_custkey", "c_mktsegment", "seg_n"])
+        .lazy_sdf()
+    )

@@ -602,6 +602,10 @@ class Series:
         out = (
             counts.join(F.broadcast(mx), F.col("__c__") == F.col("__m__"))
             .select(self.name)
+            # tie order must not depend on the groupBy's physical layout:
+            # sort ties ascending, matching the frame-level list-mode
+            # kernel (sort_array(collect_list)) before the mono-id stamp
+            .orderBy(F.col(self.name).asc())
             .withColumn(ORDER_COL, F.monotonically_increasing_id())
         )
         return Series(DataFrame(out, has_order=True), self.name)
@@ -1246,13 +1250,19 @@ class Series:
             # input type when the sample is empty/None.
             import datetime as _dtm
 
+            # probe every sampled non-null value until one produces a
+            # non-None result (fn may map early values to None while
+            # later ones carry the real type); a probe exception
+            # SURFACES — the reference's eager element loop would raise
+            # on that value anyway, and a silent fallback casts to the
+            # wrong Spark type
             probe = None
             for v in self._frame.head(20).to_columns()[self.name]:
-                if v is not None:
-                    try:
-                        probe = fn(v)
-                    except Exception:
-                        probe = None
+                if v is None:
+                    continue
+                r = fn(v)
+                if r is not None:
+                    probe = r
                     break
             _PY2DT = [
                 (bool, "boolean"), (int, ("s", 64)), (float, ("f", 64)),
@@ -1616,8 +1626,17 @@ def _series_binop(op: str, a, b, name: str) -> "Series":
             if base in ("s", "u", "f", "decimal"):
                 # any NUMERIC scalar compares with a numeric series —
                 # the reference casts int-vs-float to {:f, 64}
-                # (cast_to_ordered_series); only non-numeric kinds raise
-                ok = isinstance(other, (int, float)) and not isinstance(other, bool)
+                # (cast_to_ordered_series); only non-numeric kinds raise.
+                # Decimal and numpy scalars count: from_list ingests
+                # decimal.Decimal values, so they must compare back
+                import decimal as _decimal
+                import numbers as _numbers
+
+                import numpy as _np
+
+                ok = isinstance(
+                    other, (int, float, _decimal.Decimal, _numbers.Real, _np.number)
+                ) and not isinstance(other, (bool, _np.bool_))
             else:
                 check = _VALUE_KIND_CHECKS.get(base)
                 ok = check(other) if check is not None else True

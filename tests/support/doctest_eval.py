@@ -988,7 +988,12 @@ class Ev:
         if fn == "pull":
             return df.pull(str(rest[0]) if not isinstance(rest[0], int) else rest[0])
         if fn in ("group_by",):
-            gkw = {}
+            # the reference's :stable defaults to false (unspecified group
+            # order), but the PRINTED doctest outputs reflect polars'
+            # single-threaded small-data behavior, which is first-
+            # appearance order — replaying them on a distributed engine
+            # needs stable=True to reproduce the same deterministic order
+            gkw = {"stable": True}
             if "stable" in kw:
                 gkw["stable"] = kw["stable"]
             sel = rest[0] if len(rest) == 1 else rest

@@ -1,0 +1,185 @@
+"""Row-order invariants after shuffles (round 10).
+
+The codebase invariant is "physical layout == logical order" whenever
+ORDER_COL is reassigned from monotonically_increasing_id. Round 9's
+audit found three sites that reassigned WITHOUT re-establishing the
+layout first — explode, concat_rows, and Series.mode tie order — so the
+new order silently became the hash-shuffle layout after any grouped
+mutate. The driver hash is order-insensitive and doctest frames are
+single-partition, so only these tests (and the two order-pinning driver
+oracles q_explode_order / q_concat_rows_order) see the class.
+
+Property: any chain interleaving a SHUFFLING verb (grouped mutate) with
+ORDER-SENSITIVE verbs (explode, concat_rows, head, sort) must produce
+the exact row sequence of a pure-Python row-list simulation.
+"""
+
+import random
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from explorer_spark import f
+from explorer_spark.expr import col
+from explorer_spark.series import Series
+from explorer_spark.sources import from_columns
+
+_SETTINGS = dict(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+def _shuffled(spark, n=8, groups=2, lists=True):
+    """An n-row frame whose physical layout has been scrambled by a
+    grouped-mutate hash shuffle while ORDER_COL still says [0..n-1]."""
+    cols = {
+        "g": [i % groups for i in range(n)],
+        "v": list(range(n)),
+    }
+    if lists:
+        cols["xs"] = [[i, i + 100] for i in range(n)]
+    df = from_columns(cols, spark=spark)
+    out = df.group_by("g").mutate(m=f.sum(col("v"))).ungroup()
+    assert not out._aligned  # the regime under test
+    return out
+
+
+def test_explode_preserves_order_after_shuffle(spark):
+    ex = _shuffled(spark).explode("xs")
+    assert [r["xs"] for r in ex.to_rows()] == [
+        x for i in range(8) for x in (i, i + 100)
+    ]
+    # column order unchanged
+    assert ex.names == ["g", "v", "xs", "m"]
+
+
+def test_explode_multi_zipped_preserves_order_after_shuffle(spark):
+    df = from_columns(
+        {
+            "g": [i % 2 for i in range(8)],
+            "v": list(range(8)),
+            "a": [[i, i + 10] for i in range(8)],
+            "b": [[i, -i] for i in range(8)],
+        },
+        spark=spark,
+    )
+    sh = df.group_by("g").mutate(m=f.sum(col("v"))).ungroup()
+    assert not sh._aligned
+    ex = sh.explode(["a", "b"])
+    assert [(r["a"], r["b"]) for r in ex.to_rows()] == [
+        p for i in range(8) for p in ((i, i), (i + 10, -i))
+    ]
+    assert ex.names == ["g", "v", "a", "b", "m"]
+
+
+def test_explode_empty_and_null_lists_after_shuffle(spark):
+    df = from_columns(
+        {"g": [0, 1, 0, 1], "v": [0, 1, 2, 3], "xs": [[7, 8], None, [], [9]]},
+        spark=spark,
+    )
+    sh = df.group_by("g").mutate(m=f.sum(col("v"))).ungroup()
+    ex = sh.explode("xs")
+    assert [(r["v"], r["xs"]) for r in ex.to_rows()] == [
+        (0, 7),
+        (0, 8),
+        (1, None),
+        (2, None),
+        (3, 9),
+    ]
+
+
+def test_concat_rows_preserves_order_after_shuffle(spark):
+    sh = _shuffled(spark, lists=False)
+    one = from_columns({"g": [9], "v": [99], "m": [99]}, spark=spark)
+    cat = sh.concat_rows(one)
+    assert [r["v"] for r in cat.to_rows()] == list(range(8)) + [99]
+    # both sides shuffled
+    sh2 = _shuffled(spark, lists=False)
+    cat2 = sh.concat_rows(sh2)
+    assert [r["v"] for r in cat2.to_rows()] == list(range(8)) * 2
+
+
+def test_mode_tie_order_is_value_sorted(spark):
+    s = Series.from_list([3, 1, 2, 3, 1, 2], spark=spark)
+    assert s.mode().to_list() == [1, 2, 3]
+    s2 = Series.from_list(["b", "a", "b", "a"], spark=spark)
+    assert s2.mode().to_list() == ["a", "b"]
+
+
+# ---------------------------------------------------------------------------
+# the property: Spark chain == pure-Python row-list simulation, row for row
+# ---------------------------------------------------------------------------
+
+_ORDER_VERBS = st.lists(
+    st.sampled_from(["gmutate", "explode", "concat_self", "head", "sort"]),
+    min_size=2,
+    max_size=4,
+)
+
+
+def _sim(rows, verbs, n):
+    """Pure-Python reference: rows is a list of dicts with keys g, v and
+    optionally xs (list) / m (int)."""
+    for verb in verbs:
+        if verb == "gmutate":
+            sums: dict = {}
+            for r in rows:
+                sums[r["g"]] = sums.get(r["g"], 0) + r["v"]
+            rows = [{**r, "m": sums[r["g"]]} for r in rows]
+        elif verb == "explode":
+            # only while xs is still a list column (generator lists are
+            # non-empty, so one explode consumes it)
+            if rows and isinstance(rows[0].get("xs"), list):
+                out = []
+                for r in rows:
+                    xs = r["xs"]
+                    if not xs:  # None or [] -> single null row
+                        out.append({**r, "xs": None})
+                    else:
+                        out.extend({**r, "xs": x} for x in xs)
+                rows = out
+        elif verb == "concat_self":
+            rows = [dict(r) for r in rows] + [dict(r) for r in rows]
+        elif verb == "head":
+            rows = rows[: max(2, n // 2)]
+        elif verb == "sort":
+            rows = sorted(rows, key=lambda r: r["v"])
+    return rows
+
+
+@given(verbs=_ORDER_VERBS, seed=st.integers(min_value=0, max_value=10**6))
+@settings(**_SETTINGS)
+def test_order_sensitive_chain_matches_simulation(spark, verbs, seed):
+    rnd = random.Random(seed)
+    n = rnd.randint(4, 10)
+    base = {
+        "g": [rnd.randint(0, 2) for _ in range(n)],
+        "v": list(range(n)),
+        "xs": [[i, i + 100] for i in range(n)] if rnd.random() < 0.8 else None,
+    }
+    if base["xs"] is None:
+        del base["xs"]
+    df = from_columns(base, spark=spark)
+    for verb in verbs:
+        if verb == "gmutate":
+            df = df.group_by("g").mutate(m=f.sum(col("v"))).ungroup()
+        elif verb == "explode":
+            d = df.dtypes.get("xs")
+            if isinstance(d, tuple) and d[0] == "list":
+                df = df.explode("xs")
+        elif verb == "concat_self":
+            df = df.concat_rows(df)
+        elif verb == "head":
+            df = df.head(max(2, n // 2))
+        elif verb == "sort":
+            df = df.sort_by("v")
+    rows0 = [
+        {k: base[k][i] for k in base} for i in range(n)
+    ]
+    want = _sim(rows0, verbs, n)
+    got = df.to_rows()
+    assert [tuple(sorted(r.items(), key=lambda kv: kv[0])) for r in got] == [
+        tuple(sorted(r.items(), key=lambda kv: kv[0])) for r in want
+    ]
