@@ -377,11 +377,37 @@ class DataFrame:
     def print(self, n: int = 20):
         self.to_sdf().show(n)
 
-    def to_table_string(self, limit: int | None = 5) -> str:
-        """Rendered table string (reference to_table_string/2; default
-        sample of 5 rows, ``limit=None`` renders every row)."""
-        n = self.n_rows() if limit is None else limit
-        return self.to_sdf()._show_string(n, 20, False)
+    def to_table_string(
+        self, limit: int | str | None = 5, limit_dots: str = "split", **render_opts
+    ) -> str:
+        """The reference's boxed ASCII table (to_table_string/2,
+        data_frame.ex:6492-6594): titled, centered name/<dtype> headers,
+        '=' header separator, per-row separators for composite columns,
+        and a '…' dots row past ``limit`` (:split puts half above, half
+        below; ``limit="infinity"`` or None renders every row)."""
+        from .render import to_table_string
+
+        if limit is None:
+            limit = "infinity"
+        return to_table_string(self, limit=limit, limit_dots=limit_dots, **render_opts)
+
+    def print(self, limit: int | str | None = 5, limit_dots: str = "split", **render_opts):
+        """Print the rendered table (reference print/2,
+        data_frame.ex:6385)."""
+        import builtins
+
+        builtins.print(self.to_table_string(limit, limit_dots, **render_opts))
+
+    def __repr__(self):
+        """The reference's inspect shape (data_frame.ex:6962; the
+        backend banner prints OUR engine name): ``#Explorer.DataFrame<``
+        with shape, groups, and 5-value truncated column previews."""
+        from .render import frame_repr
+
+        try:
+            return frame_repr(self)
+        except Exception as e:  # a repr must never raise mid-debug
+            return f"#Explorer.DataFrame<unrenderable: {type(e).__name__}>"
 
     def explain(self, mode: str = "formatted"):
         self._sdf.explain(mode)

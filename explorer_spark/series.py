@@ -1379,6 +1379,46 @@ class Series:
 
         return np.asarray(self.to_list())
 
+    def to_tensor(self):
+        """Dtype-faithful tensor view (reference Series.to_tensor,
+        series.ex:966-991; numpy stands in for Nx): numerics keep their
+        width, boolean packs to u8 0/1, temporal dtypes pack to their
+        iovec integer counts (date s32 days, datetime/time/duration s64
+        at the series precision)."""
+        import datetime as _dtm
+
+        import numpy as np
+
+        d = dt.normalize(self.dtype)
+        vals = self.to_list()
+        if d == "boolean":
+            return np.array([None if v is None else int(v) for v in vals], dtype="uint8")
+        if isinstance(d, tuple) and d[0] in ("s", "u", "f"):
+            base = {"s": "int", "u": "uint", "f": "float"}[d[0]]
+            return np.array(vals, dtype=f"{base}{d[1]}")
+        if d == "date":
+            epoch = _dtm.date(1970, 1, 1)
+            return np.array([(v - epoch).days for v in vals], dtype="int32")
+        if isinstance(d, tuple) and d[0] in ("naive_datetime", "datetime"):
+            scale = {"ms": 1e3, "us": 1e6, "ns": 1e9}[d[1]]
+            epoch = _dtm.datetime(1970, 1, 1)
+            return np.array(
+                [round((v.replace(tzinfo=None) - epoch).total_seconds() * scale) for v in vals],
+                dtype="int64",
+            )
+        if d == "time":
+            return np.array(
+                [
+                    v.hour * 3_600_000_000 + v.minute * 60_000_000
+                    + v.second * 1_000_000 + v.microsecond
+                    for v in vals
+                ],
+                dtype="int64",
+            )
+        if isinstance(d, tuple) and d[0] == "duration":
+            return np.array(vals, dtype="int64")
+        raise ValueError(f"cannot convert {self.dtype} series to tensor")
+
     @staticmethod
     def from_numpy(arr, name: str = "values", spark=None) -> "Series":
         return Series.from_list([v.item() if hasattr(v, "item") else v for v in arr], name=name, spark=spark)
@@ -1550,8 +1590,15 @@ class Series:
             yield row[self.name]
 
     def __repr__(self):
-        vals = self.head(10).to_list()
-        return f"Series[{self.name} :: {self.dtype}] {vals}"
+        """The reference's inspect shape (series.ex:7098; the backend
+        banner prints OUR engine name): ``#Explorer.Series<`` with a
+        5-value truncated preview."""
+        from .render import series_repr
+
+        try:
+            return series_repr(self)
+        except Exception as e:  # a repr must never raise mid-debug
+            return f"#Explorer.Series<unrenderable: {type(e).__name__}>"
 
 
 # ---------------------------------------------------------------------------

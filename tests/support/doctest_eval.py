@@ -136,6 +136,16 @@ class Atom(str):
     :atom apart from "string" where it matters (rename targets etc.)."""
 
 
+class ColMeta:
+    """The loop variable of an across/1 for-comprehension (reference
+    query.ex module doc): carries .name / .dtype for the meta-level
+    filters; inside the query body it stands for col(name)."""
+
+    def __init__(self, name, dtype):
+        self.name = name
+        self.dtype = dtype
+
+
 def decode_literal(node, ev=None, env=None, q=None):
     """Decode a pure-literal AST node; defers to ev.eval for sub-exprs."""
     if not isinstance(node, dict):
@@ -367,7 +377,12 @@ class Ev:
             if "var" in node:
                 name = node["var"]
                 if name in env:
-                    return env[name]
+                    v = env[name]
+                    if isinstance(v, ColMeta) and q == "frame":
+                        # the comprehension variable IS the column inside
+                        # the query body (query.ex __across__)
+                        return col(v.name)
+                    return v
                 if q == "frame":
                     return col(name)
                 if isinstance(q, tuple) and q[0] == "series" and name == "_":
@@ -422,7 +437,50 @@ class Ev:
                     fnname = name.split(".")[-1]
                     return lambda *a: self.series_call(fnname, list(a), env)
                 raise Unsupported(f"capture {name}")
+            if "pin" in node:
+                # ^expr — evaluated eagerly OUTSIDE the query context
+                return self.eval(node["pin"], env, None)
+            if "interp" in node:
+                # "#{expr}text" — meta-level string building (e.g. the
+                # dynamic mutation names in across comprehensions)
+                out = []
+                for p in node["interp"]:
+                    if isinstance(p, dict) and "str" in p:
+                        out.append(p["str"])
+                    else:
+                        v = self.eval(p, env, None)
+                        if isinstance(v, ColMeta):
+                            v = v.name
+                        out.append(str(v))
+                return "".join(out)
+            if "cond" in node:
+                # query conditionals (query.ex __cond__): first true
+                # clause top-down; fold bottom-up into select chains
+                acc = None
+                for c, v in reversed(node["cond"]):
+                    cv = self.eval(c, env, q)
+                    vv = self.eval(v, env, q)
+                    if not isinstance(vv, Expr):
+                        vv = lit(vv)
+                    if cv is True:
+                        acc = vv
+                    else:
+                        acc = f.select(cv, vv, acc if acc is not None else lit(None))
+                return acc
+            if "for_comp" in node:
+                raise Unsupported("for-comprehension outside a verb argument")
             if "qualified" in node:
+                # a.b on a bound variable (col.name / col.dtype in
+                # comprehension filters)
+                parts = node["qualified"].split(".")
+                if parts[0] in env:
+                    v = env[parts[0]]
+                    for p in parts[1:]:
+                        if isinstance(v, dict):
+                            v = v.get(p)
+                        else:
+                            v = getattr(v, p)
+                    return v
                 raise Unsupported(f"qualified {node['qualified']}")
             if "kwpair" in node:
                 raise Unsupported("stray kwpair")
@@ -525,6 +583,30 @@ class Ev:
                     vals, _ = self.eval_args(args, env, q)
                     return target(*vals) if callable(target) else target
                 raise Unsupported(f"recv call on {type(rv).__name__}")
+            if fn in ("if", "unless"):
+                # query.ex if/2, unless/2 — do:/else: keyword clauses.
+                # Pinned (^if ...) runs eagerly on a plain boolean; in a
+                # query it lowers to a select over the predicate.
+                vals, kw = self.eval_args(args, env, q)
+                cond = vals[0]
+                do_v, else_v = kw.get("do"), kw.get("else")
+                if fn == "unless":
+                    do_v, else_v = else_v, do_v
+                if isinstance(cond, Expr):
+                    tv = do_v if isinstance(do_v, Expr) else lit(do_v)
+                    fv = else_v if isinstance(else_v, Expr) else lit(else_v)
+                    return f.select(cond, tv, fv)
+                return do_v if cond else else_v
+            if fn == "add_columns" and len(args) == 1:
+                # the defn from tensor_frame.ex's module doc (:13-15):
+                # tf[:a] + tf[:b] over the frame's tensor view
+                import numpy as np
+
+                frame = self.eval(args[0], env, None)
+                cols = frame.to_columns()
+                return np.array(cols["a"], dtype="int64") + np.array(
+                    cols["b"], dtype="int64"
+                )
             # bare call: query-context function
             if q is not None:
                 return self.query_fn(fn, args, env, q)
@@ -566,6 +648,25 @@ class Ev:
         the tensor put/4 accept them); Nx's default int type is s32."""
         import numpy as np
 
+        if fn in ("concatenate", "stack"):
+            # DataFrames auto-convert to tensors column by column
+            # (tensor_frame.ex Nx integration doctests)
+            vals, kw = self.eval_args(args, env, None)
+            frame = vals[0]
+            cols = frame.to_columns()
+            dts = frame.dtypes
+
+            def np_dtype(d):
+                if isinstance(d, tuple) and d[0] in ("s", "u", "f"):
+                    base = {"s": "int", "u": "uint", "f": "float"}[d[0]]
+                    return f"{base}{d[1]}"
+                return "int64"
+
+            arrs = [np.array(cols[n], dtype=np_dtype(dts[n])) for n in frame.names]
+            if fn == "concatenate":
+                return np.concatenate(arrs)
+            axis = kw.get("axis", 0)
+            return np.stack(arrs, axis=int(axis))
         if fn != "tensor":
             raise Unsupported(f"Nx.{fn}")
         vals, kw = self.eval_args(args, env, None)
@@ -880,6 +981,40 @@ class Ev:
             raise Unsupported(f"DataFrame.{fn} on {type(df).__name__}")
         return self.df_plain(fn, df, rest, kw)
 
+    def expand_for_comp(self, node, df, env):
+        """`for col <- across(sel), FILTER do BODY end` — expand driver-
+        side into the list of per-column query expressions (query.ex
+        module doc: across traverses COLUMN META, the body builds the
+        lazy expressions)."""
+        spec = node["for_comp"]
+        gen = spec["gen"]
+        if not (isinstance(gen, dict) and "call" in gen and gen["call"]["fn"] == "across"):
+            raise Unsupported("for-comprehension generator must be across/0,1")
+        gargs = gen["call"]["args"]
+        dtypes = df.dtypes
+        if not gargs:
+            names = df.names
+        else:
+            sel = self.eval(gargs[0], env, None)
+            if isinstance(sel, ERange):
+                names = [df.names[i] for i in range(sel.a, sel.b + 1, sel.step)]
+            elif isinstance(sel, re.Pattern):
+                names = [n for n in df.names if sel.search(n)]
+            elif isinstance(sel, list):
+                names = [
+                    df.names[x] if isinstance(x, int) and not isinstance(x, bool) else str(x)
+                    for x in sel
+                ]
+            else:
+                names = [str(sel)]
+        out = []
+        for name in names:
+            env2 = dict(env)
+            env2[spec["var"]] = ColMeta(name, dtypes[name])
+            if all(bool(self.eval(flt, env2, None)) for flt in spec["filters"]):
+                out.append(self.eval(spec["body"], env2, "frame"))
+        return out
+
     def df_macro(self, fn, df, argnodes, env):
         if fn == "sort_by":
             # args: direction-keyed kwlists ([desc: a]), bare exprs, and a
@@ -906,6 +1041,11 @@ class Ev:
         if fn == "filter":
             preds = []
             for a in argnodes:
+                if isinstance(a, dict) and "for_comp" in a:
+                    # filter comprehensions yield a list of conditions,
+                    # joined with `and` (query.ex module doc)
+                    preds.extend(self.expand_for_comp(a, df, env))
+                    continue
                 got = self.eval(a, env, "frame")
                 preds.extend(got if isinstance(got, list) else [got])
             return df.filter(*preds)
@@ -918,6 +1058,12 @@ class Ev:
             elif isinstance(a, dict) and "map" in a:
                 for k, v in a["map"]:
                     exprs[str(self.eval(k, env, None))] = self.eval(v, env, "frame")
+            elif isinstance(a, dict) and "for_comp" in a:
+                # mutation comprehensions yield {name, expr} tuples
+                for pair in self.expand_for_comp(a, df, env):
+                    if not (isinstance(pair, tuple) and len(pair) == 2):
+                        raise Unsupported(f"{fn} comprehension body must be a 2-tuple")
+                    exprs[str(pair[0])] = pair[1]
             else:
                 raise Unsupported(f"{fn} non-kw arg")
         method = "summarise" if fn in ("summarise", "summarize") else fn
@@ -987,6 +1133,17 @@ class Ev:
             return df.put(name, v, **pkw)
         if fn == "pull":
             return df.pull(str(rest[0]) if not isinstance(rest[0], int) else rest[0])
+        if fn in ("to_table_string", "print"):
+            tkw = {}
+            if "limit" in kw:
+                lv = kw["limit"]
+                tkw["limit"] = "infinity" if str(lv) == "infinity" else int(lv)
+            if "limit_dots" in kw:
+                tkw["limit_dots"] = str(kw["limit_dots"])
+            if fn == "print":
+                df.print(**tkw)
+                return None
+            return df.to_table_string(**tkw)
         if fn in ("group_by",):
             # the reference's :stable defaults to false (unspecified group
             # order), but the PRINTED doctest outputs reflect polars'
@@ -1071,6 +1228,18 @@ class Ev:
         target = getattr(df, fn, None)
         if target is None:
             raise Unsupported(f"DataFrame.{fn}")
+        # atoms that survive to here must become plain str: Atom is a
+        # test-support class executors cannot unpickle, and kernels
+        # (join_asof's merge-asof, among others) capture option values
+        # in closures shipped to workers
+        rest = [str(x) if isinstance(x, Atom) else x for x in rest]
+        kw = {
+            k: (str(v) if isinstance(v, Atom) else v)
+            for k, v in kw.items()
+        }
+        if "by" in kw and isinstance(kw["by"], (str, Atom, list)):
+            b = kw["by"]
+            kw["by"] = [str(x) for x in b] if isinstance(b, list) else [str(b)]
         return target(*rest, **kw)
 
 
@@ -1293,6 +1462,36 @@ def check_case(got, expect, case):
             have = list(have)
         if not values_eq(have, want):
             raise Mismatch(f"scalar {have!r} != {want!r}")
+        return
+    if kind == "string":
+        if not isinstance(got, str):
+            raise Mismatch(f"expected string, got {type(got).__name__}")
+        if got != expect["val"]:
+            import difflib
+
+            diff = "\n".join(
+                difflib.unified_diff(
+                    expect["val"].splitlines(), got.splitlines(), lineterm="", n=1
+                )
+            )
+            raise Mismatch(f"string mismatch:\n{diff}")
+        return
+    if kind == "tensor":
+        import numpy as np
+
+        if not isinstance(got, np.ndarray):
+            raise Mismatch(f"expected tensor, got {type(got).__name__}")
+        base = {"s": "int", "u": "uint", "f": "float"}.get(expect["dtype"][0])
+        want_np = f"{base}{expect['dtype'][1:]}"
+        if str(got.dtype) != want_np:
+            raise Mismatch(f"tensor dtype {got.dtype} != {want_np}")
+        if list(got.shape) != expect["shape"]:
+            raise Mismatch(f"tensor shape {got.shape} != {expect['shape']}")
+        want_vals = np.array(
+            [decode_expected(v) for v in expect["vals"]], dtype=want_np
+        )
+        if not np.array_equal(got, want_vals):
+            raise Mismatch(f"tensor values {got!r} != {want_vals!r}")
         return
     if kind == "raise":
         raise AssertionError("raise kind handled by caller")

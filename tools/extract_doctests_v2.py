@@ -41,7 +41,7 @@ TOKEN_RE = re.compile(
   | (?P<float>\d[\d_]*\.\d[\d_]*(?:[eE][-+]?\d+)?|\d[\d_]*[eE][-+]?\d+)
   | (?P<int>0x[0-9a-fA-F_]+|\d[\d_]*)
   | (?P<str>"(?:[^"\\]|\\.)*")
-  | (?P<op>\|>|=>|->|<>|==|!=|>=|<=|&&|\|\||\.\.|//|\+\+|--|[-+*/<>=!&%^|.])
+  | (?P<op>\|>|=>|<-|->|<>|==|!=|>=|<=|&&|\|\||\.\.|//|\+\+|--|[-+*/<>=!&%^|.])
   | (?P<punct>[()\[\]{},;])
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*[!?]?)
     """,
@@ -153,6 +153,10 @@ class P:
 
     def unary(self):
         t = self.peek()
+        if t[1] == "^":
+            # query pin: evaluate the pinned expression OUTSIDE the query
+            self.next()
+            return {"pin": self.unary()}
         if t[1] == "-":
             self.next()
             return {"unop": ["-", self.unary()]}
@@ -234,7 +238,22 @@ class P:
             self.next()
             s = val[1:-1]
             if "#{" in s:
-                raise ParseError("string interpolation")
+                # interpolation: split into literal/expr parts
+                parts = []
+                i = 0
+                while i < len(s):
+                    j = s.find("#{", i)
+                    if j < 0:
+                        parts.append({"str": _unescape(s[i:])})
+                        break
+                    if j > i:
+                        parts.append({"str": _unescape(s[i:j])})
+                    k = s.find("}", j)
+                    if k < 0:
+                        raise ParseError("unterminated interpolation")
+                    parts.append(parse_expr_src(s[j + 2 : k])[1])
+                    i = k + 1
+                return {"interp": parts}
             return {"str": _unescape(s)}
         if val == "[":
             return self.list_lit()
@@ -246,10 +265,52 @@ class P:
             return self.map_lit()
         if val == "fn":
             return self.fn_lit()
+        if val == "for" and kind == "ident":
+            return self.for_comp()
+        if val == "cond" and kind == "ident" and self.peek(1)[1] == "do":
+            return self.cond_expr()
         if kind == "ident":
             # module path / call / bare var; keyword key handled by caller
             return self.name_or_call()
         raise ParseError(f"primary: {val!r}")
+
+    def for_comp(self):
+        """`for VAR <- GEN[, FILTER]* do BODY end` (Explorer.Query
+        across-comprehensions, reference query.ex module doc)."""
+        self.expect("for")
+        if self.peek()[0] != "ident":
+            raise ParseError("for pattern")
+        var = self.next()[1]
+        self.expect("<-")
+        gen = self.expr()
+        filters = []
+        while self.peek()[1] == ",":
+            self.next()
+            if self.peek()[1] == "do":
+                break
+            filters.append(self.expr())
+        self.expect("do")
+        body = self.expr()
+        self.expect("end")
+        return {"for_comp": {"var": var, "gen": gen, "filters": filters, "body": body}}
+
+    def cond_expr(self):
+        """`cond do C1 -> V1 ... end` (query conditionals, query.ex
+        __cond__)."""
+        self.expect("cond")
+        self.expect("do")
+        clauses = []
+        while self.peek()[1] != "end":
+            c = self.expr()
+            self.expect("->")
+            v = self.expr()
+            clauses.append([c, v])
+            if self.peek()[0] == "eof":
+                raise ParseError("cond: missing end")
+        self.expect("end")
+        if not clauses:
+            raise ParseError("cond: no clauses")
+        return {"cond": clauses}
 
     def name_or_call(self):
         parts = [self.next()[1]]
@@ -672,7 +733,11 @@ def parse_rendered_map(s: str):
     return {"__map__": pairs}
 
 
-COL_RE = re.compile(r'^\s*("(?:[^"\\]|\\.)*"|\S+)\s+(\S+(?:\[[^\]]*\])?)\s+(\[.*\])\s*$')
+COL_RE = re.compile(
+    # the name may contain spaces (e.g. `unusual nums s64 [3]`) — match
+    # it lazily up to the dtype token that precedes the value list
+    r'^\s*("(?:[^"\\]|\\.)*"|\S(?:.*?\S)??)\s+(\S+(?:\[[^\]]*\])?)\s+(\[.*\])\s*$'
+)
 
 
 def parse_frame_block(lines):
@@ -721,10 +786,44 @@ def parse_series_block(lines):
     return {"kind": "series", "n": n, "dtype": cm.group(1), "vals": vals, "trunc": trunc}
 
 
+_HEREDOC_MARK = '\\"\\"\\"'
+
+
+def parse_heredoc_block(outlines):
+    """A heredoc string result (e.g. to_table_string/2's rendered table):
+    the expected value is the raw text between the two escaped \"\"\"
+    markers, newline-terminated like the heredoc itself."""
+    assert outlines[0].strip() == _HEREDOC_MARK
+    body = []
+    for l in outlines[1:]:
+        if l.strip() == _HEREDOC_MARK:
+            return {"kind": "string", "val": "\n".join(body) + "\n"}
+        body.append(l.replace('\\"', '"'))
+    raise ParseError("unterminated heredoc output")
+
+
+def parse_tensor_block(outlines):
+    """`#Nx.Tensor<` output: dtype+shape line then a (possibly nested
+    multi-line) value list."""
+    m = re.match(r"^\s*([a-z]+\d+)((?:\[\d+\])+)\s*$", outlines[1])
+    if not m:
+        raise ParseError(f"tensor shape: {outlines[1]!r}")
+    shape = [int(x) for x in re.findall(r"\[(\d+)\]", m.group(2))]
+    rest = " ".join(x.strip() for x in outlines[2:] if x.strip() != ">")
+    vals, trunc = parse_rendered_values(rest)
+    if trunc:
+        raise ParseError("truncated tensor")
+    return {"kind": "tensor", "dtype": m.group(1), "shape": shape, "vals": vals}
+
+
 def parse_output(outlines):
     if not outlines:
         raise ParseError("no output")
     h = outlines[0].strip()
+    if h == _HEREDOC_MARK:
+        return parse_heredoc_block(outlines)
+    if h.startswith("#Nx.Tensor<"):
+        return parse_tensor_block(outlines)
     if h.startswith("#Explorer.DataFrame<"):
         return parse_frame_block(outlines)
     if h.startswith("#Explorer.Series<"):
@@ -835,6 +934,8 @@ def main():
     for short, path in [
         ("series.ex", os.path.join(REF, "lib/explorer/series.ex")),
         ("data_frame.ex", os.path.join(REF, "lib/explorer/data_frame.ex")),
+        ("query.ex", os.path.join(REF, "lib/explorer/query.ex")),
+        ("tensor_frame.ex", os.path.join(REF, "lib/explorer/tensor_frame.ex")),
     ]:
         for line, stmts, outlines in scan_blocks(path):
             try:
