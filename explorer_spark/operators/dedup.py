@@ -199,7 +199,11 @@ def lsh_buckets(
 
 
 def exact_text_census(
-    docs: SDF, text_col: str = "text", id_col: str = "doc_id", min_words: int = 0
+    docs: SDF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 0,
+    normalize: str | None = None,
 ) -> tuple:
     """Collapse EXACT-text duplicate groups to one min-id representative
     before candidate generation, returning ``(rep_ids, star_pairs)``:
@@ -232,7 +236,21 @@ def exact_text_census(
     pairs it; pass ``min_words=shingle_n`` to keep the census aligned
     with such an oracle. (The engine's own minhash fallback hash DOES
     bucket identical short texts — a documented engine-vs-SQL edge that
-    predates the census.)"""
+    predates the census.)
+
+    ``normalize`` (opt-in, round-10): widen the census to
+    NEAR-identical replicas the byte-exact hash misses — the residual
+    quadratic regime when a doc is replicated with trivial formatting
+    drift. ``"ws"`` hashes the whitespace-canonical text (trim + runs of
+    whitespace -> one space): still EXACT for every word-shingle
+    pipeline here, because the shingle kernels split on ``\\s+`` and so
+    ws-equal texts have identical shingle sets (same proof as above).
+    ``"ws_case"`` additionally lowercases — use ONLY when the downstream
+    shingling/banding is case-insensitive, otherwise the collapsed
+    members' signatures could differ from their representative's and the
+    component equivalence becomes approximate."""
+    if normalize not in (None, "ws", "ws_case"):
+        raise ValueError(f"normalize must be None, 'ws' or 'ws_case', got {normalize!r}")
     # NULL text stays its OWN representative: md5(NULL) is NULL, so the
     # rep equi-join below would silently drop those rows from rep_ids
     # (and size(words(NULL)) is NULL, dropping them from BOTH branches
@@ -240,13 +258,18 @@ def exact_text_census(
     # rep_ids would exclude null-text docs from banding entirely
     null_ids = docs.filter(F.col(text_col).isNull()).select(id_col)
     docs = docs.filter(F.col(text_col).isNotNull())
-    base = docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("__th__"))
+    hashed = F.col(text_col)
+    if normalize in ("ws", "ws_case"):
+        hashed = F.regexp_replace(F.trim(hashed), r"\s+", " ")
+    if normalize == "ws_case":
+        hashed = F.lower(hashed)
+    base = docs.select(F.col(id_col), F.md5(hashed).alias("__th__"))
     short_ids = null_ids
     if min_words > 0:
         from .text import words
 
         nw = docs.select(
-            F.col(id_col), F.md5(F.col(text_col)).alias("__th__"),
+            F.col(id_col), F.md5(hashed).alias("__th__"),
             F.size(words(F.col(text_col))).alias("__nw__"),
         )
         # short docs stay their OWN representatives (they still band

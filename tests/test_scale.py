@@ -737,3 +737,101 @@ def test_exact_text_census_is_narrow(spark):
     reps, edges = exact_text_census(d2, min_words=3)
     assert sorted(r["doc_id"] for r in reps.collect()) == [1, 4, 5]
     assert sorted((r["id_a"], r["id_b"]) for r in edges.collect()) == [(1, 2), (1, 3)]
+
+
+def test_normalized_census_collapses_formatting_drift(spark):
+    """normalize="ws" (round 10): whitespace-variant replicas collapse —
+    the residual quadratic regime the byte-exact census misses; "ws" is
+    provably exact for word-shingle pipelines (shingles split on \\s+,
+    so ws-equal texts have identical shingle sets). Case folds only
+    under "ws_case"."""
+    import explorer_spark as ex
+    from explorer_spark.operators.dedup import exact_text_census
+
+    d = ex.from_columns(
+        {
+            "doc_id": [1, 2, 3, 4, 5, 6],
+            "text": [
+                "a b c d",
+                "a  b c   d",       # ws drift -> collapses under "ws"
+                " a b c d ",        # trim drift -> collapses under "ws"
+                "A B C D",          # case drift -> only under "ws_case"
+                "x y z w",
+                None,               # null stays its own representative
+            ],
+        },
+        spark=spark,
+    ).lazy_sdf()
+    reps, edges = exact_text_census(d, min_words=3)
+    assert sorted(r["doc_id"] for r in reps.collect()) == [1, 2, 3, 4, 5, 6]
+    reps, edges = exact_text_census(d, min_words=3, normalize="ws")
+    assert sorted(r["doc_id"] for r in reps.collect()) == [1, 4, 5, 6]
+    assert sorted((r["id_a"], r["id_b"]) for r in edges.collect()) == [(1, 2), (1, 3)]
+    reps, edges = exact_text_census(d, min_words=3, normalize="ws_case")
+    assert sorted(r["doc_id"] for r in reps.collect()) == [1, 5, 6]
+    assert sorted((r["id_a"], r["id_b"]) for r in edges.collect()) == [
+        (1, 2), (1, 3), (1, 4),
+    ]
+    import pytest
+
+    with pytest.raises(ValueError, match="normalize"):
+        exact_text_census(d, normalize="nfkc")
+
+
+def test_normalized_census_component_equivalence(spark):
+    """Pipeline equivalence: clusters computed with the "ws" census over
+    a ws-drifted replica corpus equal the clusters of the full (no
+    census) pipeline — the star edges re-attach collapsed members to the
+    exact same components."""
+    import explorer_spark as ex
+    from explorer_spark.operators.dedup import (
+        exact_text_census,
+        lsh_buckets,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        neardup_components,
+    )
+    from explorer_spark.operators.text import shingle_rows
+    from pyspark.sql import functions as F
+
+    base_texts = [
+        "the quick brown fox jumps over the lazy dog tonight",
+        "pack my box with five dozen liquor jugs right now",
+        "how vexingly quick daft zebras jump around the field",
+    ]
+    rows_id, rows_text = [], []
+    i = 0
+    for t in base_texts:
+        for k in range(4):  # 4 replicas each, with whitespace drift
+            drift = t.replace(" ", "  ", k) if k else t
+            rows_id.append(i)
+            rows_text.append(drift)
+            i += 1
+    docs = ex.from_columns({"doc_id": rows_id, "text": rows_text}, spark=spark).lazy_sdf()
+
+    def clusters(use_census):
+        if use_census:
+            rep_ids, star = exact_text_census(docs, min_words=3, normalize="ws")
+            rd = docs.join(rep_ids, "doc_id", "left_semi")
+        else:
+            rd, star = docs, None
+        sig = minhash_signatures(rd, num_hashes=8, shingle_n=3)
+        cand = lsh_candidate_pairs(lsh_buckets(sig, num_hashes=8, bands=4))
+        sh = shingle_rows(rd, "doc_id", "text", 3).groupBy("doc_id").agg(
+            F.collect_set("shingle").alias("sh")
+        )
+        sa = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("__sha__"))
+        sb = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("__shb__"))
+        inter = F.size(F.array_intersect(F.col("__sha__"), F.col("__shb__")))
+        union = F.size(F.array_union(F.col("__shb__"), F.col("__sha__")))
+        pairs = (
+            cand.join(sa, "id_a").join(sb, "id_b")
+            .filter(inter.cast("double") / union >= 0.8)
+            .select("id_a", "id_b")
+        )
+        if star is not None:
+            pairs = pairs.unionByName(star)
+        comps = neardup_components(pairs)
+        return sorted((r["vertex"], r["component"]) for r in comps.collect())
+
+    assert clusters(True) == clusters(False)

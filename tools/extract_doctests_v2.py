@@ -398,6 +398,25 @@ class P:
     def map_lit(self):
         self.expect("%")
         if self.peek()[0] == "ident" and self.peek()[1][0].isupper():
+            # struct literals: only %Explorer.Duration{value:, precision:}
+            # is replayable (it maps onto a plain duration value)
+            parts = [self.next()[1]]
+            while self.peek()[1] == "." and self.peek(1)[0] == "ident":
+                self.next()
+                parts.append(self.next()[1])
+            if ".".join(parts) == "Explorer.Duration" and self.peek()[1] == "{":
+                self.expect("{")
+                fields = {}
+                while True:
+                    k = self._kw_key()
+                    if k is None:
+                        raise ParseError("duration struct field")
+                    fields[k] = self.expr()
+                    t = self.next()
+                    if t[1] == "}":
+                        return {"duration_struct": fields}
+                    if t[1] != ",":
+                        raise ParseError("duration struct sep")
             raise ParseError("struct literal")
         self.expect("{")
         pairs = []
@@ -570,6 +589,11 @@ def parse_rendered_values(body: str):
     """Parse the `[v1, v2, ...]` payload of a rendered column/series line
     into python literals. Returns (values, truncated)."""
     body = body.strip()
+    # doc-heredoc escape layer: when EVERY quote in the payload is the
+    # escaped \" form (json_path_match outputs), strip one layer so the
+    # string scanner sees real delimiters
+    if '"' in body and re.search(r'(?<!\\)"', body) is None:
+        body = body.replace('\\"', '"')
     assert body.startswith("[") and body.endswith("]"), body
     inner = body[1:-1]
     vals, trunc = [], False
@@ -642,6 +666,11 @@ def parse_rendered_literal(s: str):
     m = re.match(r'^"(.*)"$', s, re.S)
     if m:
         return _unescape(m.group(1))
+    # doc-heredoc escape layer: a rendered string inside @doc """ shows
+    # as \"...\" (series.ex json_path_match outputs)
+    m = re.match(r'^\\"(.*)\\"$', s, re.S)
+    if m:
+        return _unescape(m.group(1))
     m = re.match(r"^~([A-Z])\[(.*)\]$", s)
     if m:
         return {"__sigil__": [m.group(1), m.group(2)]}
@@ -656,7 +685,9 @@ def parse_rendered_literal(s: str):
     if s.startswith("[") and s.endswith("]"):
         vals, trunc = parse_rendered_values(s)
         if trunc:
-            raise ParseError("nested truncation")
+            # a truncated NESTED list ([7, ...] inside a list[s64]
+            # column) — compare as a prefix downstream
+            return {"__prefix_list__": vals}
         return vals
     if s.startswith("%{") and s.endswith("}"):
         return parse_rendered_map(s)
