@@ -237,6 +237,12 @@ class DataFrame:
         """Underlying Spark DataFrame without forcing an output sort."""
         return self._sdf.drop(ORDER_COL) if self._has_order else self._sdf
 
+    def lazy(self) -> "DataFrame":
+        """No-op: every frame here is already a lazy Spark plan
+        (reference lazy/1, data_frame.ex:1757 — converting an
+        already-lazy frame is also a no-op there)."""
+        return self
+
     def collect(self) -> "DataFrame":
         """Materialize (reference: eager collect). Spark: an EAGER
         localCheckpoint, not ``.cache()`` — persisted plans pile up in

@@ -251,30 +251,34 @@ def exact_text_census(
     component equivalence becomes approximate."""
     if normalize not in (None, "ws", "ws_case"):
         raise ValueError(f"normalize must be None, 'ws' or 'ws_case', got {normalize!r}")
-    # NULL text stays its OWN representative: md5(NULL) is NULL, so the
-    # rep equi-join below would silently drop those rows from rep_ids
-    # (and size(words(NULL)) is NULL, dropping them from BOTH branches
-    # of the min_words split) — callers that semi-join the corpus on
-    # rep_ids would exclude null-text docs from banding entirely
-    null_ids = docs.filter(F.col(text_col).isNull()).select(id_col)
-    docs = docs.filter(F.col(text_col).isNotNull())
     hashed = F.col(text_col)
     if normalize in ("ws", "ws_case"):
         hashed = F.regexp_replace(F.trim(hashed), r"\s+", " ")
     if normalize == "ws_case":
         hashed = F.lower(hashed)
-    base = docs.select(F.col(id_col), F.md5(hashed).alias("__th__"))
-    short_ids = null_ids
+    # NULL text stays its OWN representative: md5(NULL) is NULL, which
+    # the rep equi-join would silently drop from rep_ids — instead each
+    # null-text row hashes to a per-row SENTINEL (the "\\0nil\\0<id>"
+    # alphabet can't collide with 32-hex md5), making it a singleton
+    # group (own rep, no star edges) in the SAME single scan; the
+    # min_words word count is null-coalesced for the same reason
+    hashed_safe = F.coalesce(
+        F.md5(hashed), F.concat(F.lit("\x00nil\x00"), F.col(id_col).cast("string"))
+    )
+    base = docs.select(F.col(id_col), hashed_safe.alias("__th__"))
+    short_ids = None
     if min_words > 0:
         from .text import words
 
         nw = docs.select(
-            F.col(id_col), F.md5(hashed).alias("__th__"),
-            F.size(words(F.col(text_col))).alias("__nw__"),
+            F.col(id_col), hashed_safe.alias("__th__"),
+            F.coalesce(
+                F.size(words(F.col(text_col))), F.lit(min_words)
+            ).alias("__nw__"),
         )
         # short docs stay their OWN representatives (they still band
         # downstream; they just don't collapse or gain star edges)
-        short_ids = short_ids.unionByName(nw.filter(F.col("__nw__") < min_words).select(id_col))
+        short_ids = nw.filter(F.col("__nw__") < min_words).select(id_col)
         base = nw.filter(F.col("__nw__") >= min_words).drop("__nw__")
     rep = base.groupBy("__th__").agg(F.min(id_col).alias("__rep__"))
     j = base.join(rep, "__th__")

@@ -65,7 +65,15 @@ def _arrow_ingest(spark, table) -> "DataFrame":
 
 
 def _attach_order(sdf) -> DataFrame:
-    return DataFrame(sdf.withColumn(ORDER_COL, F.monotonically_increasing_id()), has_order=True)
+    # a fresh mono-id IS the physical layout, so the frame starts
+    # aligned (same contract as DataFrame._ordered) — order-dependent
+    # kernels (explode, row_index) skip their re-alignment shuffle on
+    # freshly-scanned frames
+    return DataFrame(
+        sdf.withColumn(ORDER_COL, F.monotonically_increasing_id()),
+        has_order=True,
+        aligned=True,
+    )
 
 
 def read_parquet(

@@ -526,6 +526,11 @@ class Ev:
                 ">": lambda x, y: x > y, ">=": lambda x, y: x >= y,
                 "<": lambda x, y: x < y, "<=": lambda x, y: x <= y,
                 "and": lambda x, y: x & y, "or": lambda x, y: x | y,
+                # string concatenation inside a query (query_test.exs:235)
+                "<>": lambda x, y: f.concat(
+                    x if isinstance(x, Expr) else lit(x),
+                    y if isinstance(y, Expr) else lit(y),
+                ),
             }
             if op in pm:
                 return pm[op](a, b)
@@ -993,36 +998,41 @@ class Ev:
             raise Unsupported(f"DataFrame.{fn} on {type(df).__name__}")
         return self.df_plain(fn, df, rest, kw)
 
-    def expand_for_comp(self, node, df, env):
-        """`for col <- across(sel), FILTER do BODY end` — expand driver-
-        side into the list of per-column query expressions (query.ex
-        module doc: across traverses COLUMN META, the body builds the
-        lazy expressions)."""
-        spec = node["for_comp"]
-        gen = spec["gen"]
+    def _across_names(self, gen, df, env):
         if not (isinstance(gen, dict) and "call" in gen and gen["call"]["fn"] == "across"):
             raise Unsupported("for-comprehension generator must be across/0,1")
         gargs = gen["call"]["args"]
-        dtypes = df.dtypes
         if not gargs:
-            names = df.names
-        else:
-            sel = self.eval(gargs[0], env, None)
-            if isinstance(sel, ERange):
-                names = [df.names[i] for i in range(sel.a, sel.b + 1, sel.step)]
-            elif isinstance(sel, re.Pattern):
-                names = [n for n in df.names if sel.search(n)]
-            elif isinstance(sel, list):
-                names = [
-                    df.names[x] if isinstance(x, int) and not isinstance(x, bool) else str(x)
-                    for x in sel
-                ]
-            else:
-                names = [str(sel)]
+            return df.names
+        sel = self.eval(gargs[0], env, None)
+        if isinstance(sel, ERange):
+            return [df.names[i] for i in range(sel.a, sel.b + 1, sel.step)]
+        if isinstance(sel, re.Pattern):
+            return [n for n in df.names if sel.search(n)]
+        if isinstance(sel, list):
+            return [
+                df.names[x] if isinstance(x, int) and not isinstance(x, bool) else str(x)
+                for x in sel
+            ]
+        return [str(sel)]
+
+    def expand_for_comp(self, node, df, env):
+        """`for col <- across(sel)[, col2 <- across(sel2)][, FILTER] do
+        BODY end` — expand driver-side into the list of per-column query
+        expressions (query.ex module doc: across traverses COLUMN META,
+        the body builds the lazy expressions; multiple generators form a
+        cross product, query_test.exs:215)."""
+        spec = node["for_comp"]
+        gens = spec.get("gens") or [[spec["var"], spec["gen"]]]
+        dtypes = df.dtypes
+        envs = [dict(env)]
+        for var, gen in gens:
+            names = self._across_names(gen, df, env)
+            envs = [
+                {**e, var: ColMeta(n, dtypes[n])} for e in envs for n in names
+            ]
         out = []
-        for name in names:
-            env2 = dict(env)
-            env2[spec["var"]] = ColMeta(name, dtypes[name])
+        for env2 in envs:
             if all(bool(self.eval(flt, env2, None)) for flt in spec["filters"]):
                 out.append(self.eval(spec["body"], env2, "frame"))
         return out

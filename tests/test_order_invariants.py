@@ -113,7 +113,7 @@ def test_mode_tie_order_is_value_sorted(spark):
 # ---------------------------------------------------------------------------
 
 _ORDER_VERBS = st.lists(
-    st.sampled_from(["gmutate", "explode", "concat_self", "head", "sort"]),
+    st.sampled_from(["gmutate", "join", "explode", "concat_self", "head", "sort"]),
     min_size=2,
     max_size=4,
 )
@@ -128,6 +128,9 @@ def _sim(rows, verbs, n):
             for r in rows:
                 sums[r["g"]] = sums.get(r["g"], 0) + r["v"]
             rows = [{**r, "m": sums[r["g"]]} for r in rows]
+        elif verb == "join":
+            # left join on g against {g: label}: row order preserved
+            rows = [{**r, "lbl": f"g{r['g']}"} for r in rows]
         elif verb == "explode":
             # only while xs is still a list column (generator lists are
             # non-empty, so one explode consumes it)
@@ -162,9 +165,13 @@ def test_order_sensitive_chain_matches_simulation(spark, verbs, seed):
     if base["xs"] is None:
         del base["xs"]
     df = from_columns(base, spark=spark)
+    dim = from_columns({"g": [0, 1, 2], "lbl": ["g0", "g1", "g2"]}, spark=spark)
     for verb in verbs:
         if verb == "gmutate":
             df = df.group_by("g").mutate(m=f.sum(col("v"))).ungroup()
+        elif verb == "join":
+            df = df.discard("lbl") if "lbl" in df.names else df
+            df = df.join(dim, on="g", how="left")
         elif verb == "explode":
             d = df.dtypes.get("xs")
             if isinstance(d, tuple) and d[0] == "list":

@@ -275,24 +275,32 @@ class P:
         raise ParseError(f"primary: {val!r}")
 
     def for_comp(self):
-        """`for VAR <- GEN[, FILTER]* do BODY end` (Explorer.Query
-        across-comprehensions, reference query.ex module doc)."""
+        """`for VAR <- GEN[, VAR2 <- GEN2]*[, FILTER]* do BODY end`
+        (Explorer.Query across-comprehensions, reference query.ex module
+        doc; multiple generators form a cross product,
+        query_test.exs:215)."""
         self.expect("for")
         if self.peek()[0] != "ident":
             raise ParseError("for pattern")
+        gens = []
         var = self.next()[1]
         self.expect("<-")
-        gen = self.expr()
+        gens.append([var, self.expr()])
         filters = []
         while self.peek()[1] == ",":
             self.next()
             if self.peek()[1] == "do":
                 break
+            if self.peek()[0] == "ident" and self.peek(1)[1] == "<-":
+                v2 = self.next()[1]
+                self.next()
+                gens.append([v2, self.expr()])
+                continue
             filters.append(self.expr())
         self.expect("do")
         body = self.expr()
         self.expect("end")
-        return {"for_comp": {"var": var, "gen": gen, "filters": filters, "body": body}}
+        return {"for_comp": {"gens": gens, "filters": filters, "body": body}}
 
     def cond_expr(self):
         """`cond do C1 -> V1 ... end` (query conditionals, query.ex
