@@ -2495,10 +2495,42 @@ class DataFrame:
         if len(others) == 1 and isinstance(others[0], (list, tuple)):
             others = tuple(others[0])
         frames = [self, *others]
+        names0 = set(self.names)
+        for i, fr in enumerate(frames[1:], start=1):
+            ni = set(fr.names)
+            if ni != names0:
+                # reference concat_rows/2 'with incompatible columns'
+                # (data_frame_test.exs:2982): name the deltas instead of
+                # letting the union fail with a resolver error
+                only0 = sorted(names0 - ni)
+                onlyi = sorted(ni - names0)
+                raise ValueError(
+                    "dataframes must have the same columns\n\n"
+                    f"* dataframe 0 has these columns not present in dataframe {i}:\n\n"
+                    f"    {only0}\n\n"
+                    f"* dataframe {i} has these columns not present in dataframe 0:\n\n"
+                    f"    {onlyi}\n"
+                )
         merged: dict[str, object] = {}
-        for fr in frames:
+        for i, fr in enumerate(frames):
             for name, d in fr.dtypes.items():
-                merged[name] = dt.merge_dtype(merged[name], d) if name in merged else d
+                if name not in merged:
+                    merged[name] = d
+                    continue
+                try:
+                    merged[name] = dt.merge_dtype(merged[name], d)
+                except ValueError:
+                    # reference 'with incompatible column dtypes'
+                    # (data_frame_test.exs:3000): name the column and
+                    # the two dtypes
+                    raise ValueError(
+                        "column dtypes must be compatible for all dataframes\n\n"
+                        f"* dataframe 0, column {name!r} has dtype:\n\n"
+                        f"    {self.dtypes.get(name)}\n\n"
+                        f"* dataframe {i}, column {name!r} has dtype:\n\n"
+                        f"    {d}\n\n"
+                        "these types are incompatible"
+                    ) from None
         casted = []
         for fr in frames:
             # pin each input's own row order BEFORE the union: the

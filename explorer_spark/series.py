@@ -73,6 +73,78 @@ def _stamp_dur_precision(s: "Series", unit: str) -> "Series":
     return _stamp_col_meta(s, {"dur_p": unit})
 
 
+def _nested_special_float(values) -> bool:
+    """True when a NaN/Inf hides inside a nested (dict/list) value —
+    the regime where Spark's pandas ingestion would launder it to nil."""
+    import math
+
+    def walk(v, depth):
+        if isinstance(v, float):
+            return depth > 0 and (math.isnan(v) or math.isinf(v))
+        if isinstance(v, dict):
+            return any(walk(x, depth + 1) for x in v.values())
+        if isinstance(v, (list, tuple)):
+            return any(walk(x, depth + 1) for x in v)
+        return False
+
+    return any(walk(v, 0) for v in values)
+
+
+def _infer_nested_dtype(values):
+    """Python values -> dtype, the reference's dtype_from_list! rules
+    (shared.ex) for nested data: struct fields infer field-wise over all
+    rows, lists over the flattened elements, int+float promotes to f64,
+    NaN/Inf are f64 VALUES. Used only on the special-float path — the
+    broad nested path keeps Spark's sampling inference."""
+    import datetime as _dtm
+    from decimal import Decimal as _D
+
+    flat = [v for v in values if v is not None]
+    if not flat:
+        return "null"
+    v0 = flat[0]
+    if isinstance(v0, dict):
+        fields = []
+        for k in v0.keys():
+            fields.append((k, _infer_nested_dtype([d.get(k) for d in flat])))
+        return ("struct", fields)
+    if isinstance(v0, (list, tuple)):
+        return ("list", _infer_nested_dtype([x for lst in flat for x in lst]))
+    if isinstance(v0, bool):
+        return "boolean"
+    if all(isinstance(v, int) and not isinstance(v, bool) for v in flat):
+        return ("s", 64)
+    if all(isinstance(v, (int, float)) and not isinstance(v, bool) for v in flat):
+        return ("f", 64)
+    if isinstance(v0, _D):
+        scales = [max(-v.as_tuple().exponent, 0) for v in flat if isinstance(v, _D)]
+        return ("decimal", 38, max(scales, default=0))
+    if isinstance(v0, str):
+        return "string"
+    if isinstance(v0, (bytes, bytearray)):
+        return "binary"
+    if isinstance(v0, _dtm.datetime):
+        return ("naive_datetime", "us") if v0.tzinfo is None else ("datetime", "us", "Etc/UTC")
+    if isinstance(v0, _dtm.date):
+        return "date"
+    raise ValueError(f"cannot infer nested dtype from {v0!r}")
+
+
+def _coerce_nested(v, dtype):
+    """Promote python ints to floats where the inferred nested dtype
+    says f64 (the typed row converter doesn't coerce)."""
+    if v is None:
+        return None
+    if isinstance(dtype, tuple) and dtype[0] == "f":
+        return float(v)
+    if isinstance(dtype, tuple) and dtype[0] == "struct":
+        fields = dict(dtype[1])
+        return {k: _coerce_nested(x, fields.get(k)) for k, x in v.items()}
+    if isinstance(dtype, tuple) and dtype[0] == "list":
+        return [_coerce_nested(x, dtype[1]) for x in v]
+    return v
+
+
 def _validate_struct_values(values: list) -> None:
     """Reference from_list semantics for struct values (struct_test.exs
     'errors when structs have mismatched types'): the dtype is inferred
@@ -425,6 +497,17 @@ class Series:
                             if nd_[0] == "naive_datetime"
                             else ("datetime", "us", "Etc/UTC")
                         )
+        if dtype is None and values and _nested_special_float(values):
+            # Spark's pandas ingestion (the nested-inference fallback
+            # below) normalizes NaN/Inf to None via pdf.where(notna) —
+            # the reference keeps NaN/Inf as VALUES inside structs and
+            # lists (struct_test.exs 'allows structs with special float
+            # values'), so infer the nested dtype python-side and take
+            # the typed row-converter path instead
+            dtype = _infer_nested_dtype(values)
+            # the typed row converter rejects python ints in double
+            # slots — promote in place (int+float mixes are f64)
+            values = [_coerce_nested(v, dtype) for v in values]
         if dtype is not None:
             from pyspark.sql import types as T
 

@@ -671,3 +671,18 @@ def test_pivot_wider_reference_option_corners(spark):
     g = from_columns({"id": [1, 1], "variable": ["a", "b"], "value": [1, 2]}, spark=spark)
     with _pytest.raises(ValueError, match="selects none"):
         g.pivot_wider("variable", "value", id_columns=[])
+
+
+def test_concat_rows_incompatibility_errors(spark):
+    """Reference concat_rows error shapes (data_frame_test.exs:2982/3000):
+    mismatched column sets and unmergeable dtypes raise DESCRIPTIVE
+    errors naming the frames/columns, not a resolver failure."""
+    import pytest
+
+    from explorer_spark.sources import from_columns
+
+    d1 = from_columns({"x": [1], "y": ["a"]}, spark=spark)
+    with pytest.raises(ValueError, match="must have the same columns"):
+        d1.concat_rows(from_columns({"z": [7]}, spark=spark))
+    with pytest.raises(ValueError, match="dtypes must be compatible"):
+        d1.concat_rows(from_columns({"x": [7], "y": [10]}, spark=spark))

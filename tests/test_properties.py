@@ -583,3 +583,27 @@ def _normalize_struct(d):
     if isinstance(d, tuple) and d and d[0] == "list":
         return ("list", _normalize_struct(d[1]))
     return d
+
+
+@given(case=_dtype_tree.flatmap(lambda d: st.tuples(st.just(d), st.lists(_value_for(d), min_size=1, max_size=3))))
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_render_any_frame(spark, case):
+    """Reference property 'should be able to print any DataFrame'
+    (data_frame_test.exs:4917): every generated frame — nils at every
+    level, nested lists/structs, empty branches — renders through
+    to_table_string AND the inspect __repr__ without raising."""
+    dtype, values = case
+    try:
+        s = Series.from_list(values, dtype=dtype, name="v", spark=spark)
+    except ValueError:
+        return  # pinned ingestion rejections are out of scope here
+    df = s.to_frame()
+    table = df.to_table_string()
+    assert isinstance(table, str) and "Explorer DataFrame" in table
+    r = repr(df)
+    assert r.startswith("#Explorer.DataFrame<")
+    assert repr(s).startswith("#Explorer.Series<")

@@ -701,3 +701,36 @@ def test_iovec_date_time_boolean_symmetry(spark):
     assert struct.unpack("<q", t.to_binary()) == (10**9,)
     b = Series.from_list([True, False, True], name="b", spark=spark)
     assert Series.from_binary(b.to_binary(), "boolean", spark=spark).to_list() == [True, False, True]
+
+
+def test_nested_special_floats_survive_ingestion(spark):
+    """NaN/Inf inside structs and lists are VALUES, not nil (reference
+    struct_test.exs 'allows structs with special float values',
+    list_test.exs 'list of lists of nans'/'deep nans'/'infinity') —
+    Spark's pandas ingestion would launder them to None; the round-10
+    python-side nested inference keeps them."""
+    import math
+
+    from explorer_spark.series import Series
+
+    s = Series.from_list(
+        [{"a": float("nan"), "b": float("inf"), "c": float("-inf")}], spark=spark
+    )
+    assert s.dtype == ("struct", [("a", ("f", 64)), ("b", ("f", 64)), ("c", ("f", 64))])
+    row = s.to_list()[0]
+    assert math.isnan(row["a"]) and row["b"] == float("inf") and row["c"] == float("-inf")
+
+    s2 = Series.from_list([[float("nan")], [float("nan"), float("nan")]], spark=spark)
+    assert s2.dtype == ("list", ("f", 64))
+    assert all(math.isnan(x) for xs in s2.to_list() for x in xs)
+
+    s3 = Series.from_list([[[float("nan")], [float("nan"), float("nan")]]], spark=spark)
+    assert s3.dtype == ("list", ("list", ("f", 64)))
+
+    s4 = Series.from_list([[float("inf"), float("-inf")], [float("inf")]], spark=spark)
+    assert s4.dtype == ("list", ("f", 64))
+    assert s4.to_list() == [[float("inf"), float("-inf")], [float("inf")]]
+
+    # mixed int/float in the special path still promotes to f64
+    s5 = Series.from_list([{"a": 1, "b": float("nan")}, {"a": 2.5, "b": 1}], spark=spark)
+    assert s5.dtype == ("struct", [("a", ("f", 64)), ("b", ("f", 64))])
