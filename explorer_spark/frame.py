@@ -207,7 +207,10 @@ class DataFrame:
             self._has_order if has_order is None else has_order,
             aligned=aligned,
             group_mode=self._group_mode if groups is None else "groups",
-            group_stable=self._group_stable if groups is None else False,
+            # stability survives any verb that KEEPS a grouping (rename
+            # remaps group names, filters/mutates pass groups through);
+            # an empty groups list zeroes it in the constructor anyway
+            group_stable=self._group_stable,
         )
 
     def _ordered(self) -> "DataFrame":
@@ -379,9 +382,6 @@ class DataFrame:
         pdf = self.to_pandas()
         numeric = pdf.select_dtypes("number")
         return numeric.to_numpy()
-
-    def print(self, n: int = 20):
-        self.to_sdf().show(n)
 
     def to_table_string(
         self, limit: int | str | None = 5, limit_dots: str = "split", **render_opts
@@ -1866,7 +1866,7 @@ class DataFrame:
             else:
                 out = out.orderBy(F.rand(seed))
             out = out.drop(ORDER_COL).withColumn(ORDER_COL, F.monotonically_increasing_id())
-            return DataFrame(out, groups=self.groups, has_order=True, aligned=True)
+            return DataFrame(out, groups=self.groups, has_order=True, aligned=True, group_stable=self._group_stable)
         if not replace:
             # reference semantics (series_test.exs:3822-3895): fractions
             # take EXACTLY floor(frac*n) rows; over-sampling requires
@@ -1974,7 +1974,7 @@ class DataFrame:
                 out = out.orderBy(F.col(ORDER_COL).asc())
             out = out.drop(ORDER_COL)
         out = out.withColumn(ORDER_COL, F.monotonically_increasing_id())
-        return DataFrame(out, groups=self.groups, has_order=True, aligned=True)
+        return DataFrame(out, groups=self.groups, has_order=True, aligned=True, group_stable=self._group_stable)
 
     def _sample_replace_grouped(self, n_or_frac, seed, shuffle) -> "DataFrame":
         """Grouped sample WITH replacement (reference data_frame.ex:4475-4540
@@ -2027,11 +2027,11 @@ class DataFrame:
         else:
             out = out.orderBy(F.col(ORDER_COL).asc())
         out = out.drop(ORDER_COL).withColumn(ORDER_COL, F.monotonically_increasing_id())
-        return DataFrame(out, groups=self.groups, has_order=True, aligned=True)
+        return DataFrame(out, groups=self.groups, has_order=True, aligned=True, group_stable=self._group_stable)
 
     def shuffle(self, seed: int | None = None) -> "DataFrame":
         out = self.lazy_sdf().withColumn("__r__", F.rand(seed)).orderBy("__r__").drop("__r__")
-        return DataFrame(out.withColumn(ORDER_COL, F.monotonically_increasing_id()), self.groups, True, aligned=True)
+        return DataFrame(out.withColumn(ORDER_COL, F.monotonically_increasing_id()), self.groups, True, aligned=True, group_stable=self._group_stable)
 
     # ------------------------------------------------------------------
     # positional row selection (ordered semantics)
@@ -2267,8 +2267,8 @@ class DataFrame:
             out = left_s.crossJoin(right_renamed)
             if keep_order:
                 out = self._rederive_join_order(out)
-                return DataFrame(out, groups=self.groups, has_order=True, aligned=True)
-            return DataFrame(out, groups=self.groups, has_order=False)
+                return DataFrame(out, groups=self.groups, has_order=True, aligned=True, group_stable=self._group_stable)
+            return DataFrame(out, groups=self.groups, has_order=False, group_stable=self._group_stable)
         eq = (lambda a, b: a.eqNullSafe(b)) if nulls_equal else (lambda a, b: a == b)
         cond = None
         for i, lk in enumerate(lkeys):
@@ -2291,8 +2291,9 @@ class DataFrame:
                 groups=groups,
                 has_order=True,
                 aligned=True,
+                group_stable=self._group_stable,
             )
-        return DataFrame(out, groups=groups, has_order=ORDER_COL in out.columns)
+        return DataFrame(out, groups=groups, has_order=ORDER_COL in out.columns, group_stable=self._group_stable)
 
     @staticmethod
     def _rederive_join_order(out: SDF, full: bool = False) -> SDF:
@@ -2439,7 +2440,7 @@ class DataFrame:
         payload = [c for c in rpay_cols if c not in ("__rk__", f"{ORDER_COL}{suffix}")]
         out = out.withColumns({c: pick[c] for c in payload})
         out = out.drop("__k__", "__side__", "__rk__", f"{ORDER_COL}{suffix}", *[f"__pick_{k}__" for k in picks])
-        return DataFrame(out, groups=self.groups, has_order=True)
+        return DataFrame(out, groups=self.groups, has_order=True, group_stable=self._group_stable)
 
     def _asof_merge(
         self, other: "DataFrame", on: str, strategy: str, suffix: str, tolerance: float | None = None
@@ -2461,7 +2462,7 @@ class DataFrame:
             return self._asof_numeric(c, ldt)
 
         out = merge_asof(left._sdf, rsdf, on, key_expr, strategy, tolerance)
-        return DataFrame(out, groups=self.groups, has_order=True)
+        return DataFrame(out, groups=self.groups, has_order=True, group_stable=self._group_stable)
 
     @staticmethod
     def _asof_tolerance(tolerance, dtype):
@@ -2522,11 +2523,13 @@ class DataFrame:
                 except ValueError:
                     # reference 'with incompatible column dtypes'
                     # (data_frame_test.exs:3000): name the column and
-                    # the two dtypes
+                    # the two CONFLICTING dtypes — the left side is the
+                    # dtype merged over frames 0..i-1, not necessarily
+                    # frame 0's original
                     raise ValueError(
                         "column dtypes must be compatible for all dataframes\n\n"
-                        f"* dataframe 0, column {name!r} has dtype:\n\n"
-                        f"    {self.dtypes.get(name)}\n\n"
+                        f"* dataframes 0..{i - 1}, column {name!r} merge to dtype:\n\n"
+                        f"    {merged[name]}\n\n"
                         f"* dataframe {i}, column {name!r} has dtype:\n\n"
                         f"    {d}\n\n"
                         "these types are incompatible"
@@ -2548,7 +2551,7 @@ class DataFrame:
         out = casted[0]
         for sdf in casted[1:]:
             out = out.unionByName(sdf, allowMissingColumns=False)
-        return DataFrame(out.withColumn(ORDER_COL, F.monotonically_increasing_id()), self.groups, True, aligned=True)
+        return DataFrame(out.withColumn(ORDER_COL, F.monotonically_increasing_id()), self.groups, True, aligned=True, group_stable=self._group_stable)
 
     def concat_columns(self, *others) -> "DataFrame":
         """Horizontal concat, positional alignment via row index;
@@ -2568,7 +2571,7 @@ class DataFrame:
             # polars horizontal concat). USING-join coalesces the index.
             out = out.join(osdf, "__cc__", "full")
         out = out.withColumn(ORDER_COL, F.col("__cc__")).drop("__cc__")
-        return DataFrame(out, self.groups, has_order=True)
+        return DataFrame(out, self.groups, has_order=True, group_stable=self._group_stable)
 
     # ------------------------------------------------------------------
     # reshape (reference SURVEY.md §2.8)
@@ -2746,7 +2749,7 @@ class DataFrame:
         out = out.withColumn(
             ORDER_COL, F.col("__vi__") * F.lit(n) + F.col("__plo__")
         ).drop("__vi__", "__plo__")
-        return DataFrame(out, groups=self.groups, has_order=True)
+        return DataFrame(out, groups=self.groups, has_order=True, group_stable=self._group_stable)
 
     def explode(self, selector) -> "DataFrame":
         """Unnest list columns; multiple columns are zipped
@@ -2771,7 +2774,7 @@ class DataFrame:
                     out = out.withColumn(c, F.col("__z__").getField(c))
                 out = out.drop("__z__")
             out = out.drop(ORDER_COL).withColumn(ORDER_COL, F.monotonically_increasing_id())
-            return DataFrame(out, groups=self.groups, has_order=True, aligned=True)
+            return DataFrame(out, groups=self.groups, has_order=True, aligned=True, group_stable=self._group_stable)
         # shuffled layout: posexplode carries the element position so the
         # logical order can be rederived independent of the layout
         gen_src = F.col(cols[0]) if len(cols) == 1 else F.arrays_zip(*[F.col(c) for c in cols])
@@ -2795,7 +2798,7 @@ class DataFrame:
             for c in sdf.columns:
                 if c == cols[0]:
                     sel.extend(F.col("__z__").getField(k).alias(k) for k in cols)
-                elif c in cols:
+                elif c in cols or c == ORDER_COL:
                     continue
                 else:
                     sel.append(F.col(c))
@@ -2808,7 +2811,7 @@ class DataFrame:
         # restore the caller-visible column order (single-col path keeps it)
         want = [c for c in sdf.columns if c != ORDER_COL] + [ORDER_COL]
         out = out.select(*want)
-        return DataFrame(out, groups=self.groups, has_order=True, aligned=True)
+        return DataFrame(out, groups=self.groups, has_order=True, aligned=True, group_stable=self._group_stable)
 
     def unnest(self, selector) -> "DataFrame":
         """Struct fields to top-level columns (reference data_frame.ex:6341-6382)."""
@@ -3102,7 +3105,7 @@ class DataFrame:
                 yield pd.DataFrame(rows)
 
         out = base._sdf.mapInPandas(op, out_schema)
-        return DataFrame(out, groups=self.groups, has_order=ORDER_COL in out.columns, aligned=base._aligned)
+        return DataFrame(out, groups=self.groups, has_order=ORDER_COL in out.columns, aligned=base._aligned, group_stable=self._group_stable)
 
     # ------------------------------------------------------------------
     # EWM / binning (composite operators)

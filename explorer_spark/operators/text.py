@@ -673,8 +673,23 @@ def remove_repeated_spans(
         )
     except Exception:
         est_bytes = 0
-    # 2^50 guards the "statistics unknown" sentinel (Long.MaxValue-ish)
-    n_words_total = est_bytes if 0 < est_bytes < (1 << 50) else 0
+    if 0 < est_bytes < (1 << 50):
+        n_words_total = est_bytes
+    else:
+        # statistics unknown (checkpointed/in-memory plans report the
+        # Long.MaxValue-scaled defaultSizeInBytes sentinel; joins can
+        # overflow past 2^50): fall back to the measured estimate —
+        # row count (metadata-cheap) x a 200-row words-per-doc average —
+        # rather than silently disabling the partition sizing
+        n_docs = sdf.count()
+        avg_row = (
+            sdf.select(F.size(words(F.col(text_col))).alias("__n__"))
+            .limit(200)
+            .agg(F.avg("__n__"))
+            .first()[0]
+            or 0
+        )
+        n_words_total = int(n_docs * avg_row)
     # target per-partition (id, pos) volume: sized so the r8 64x probe's
     # measured optimum (~17.5M words -> ~128 partitions; 32 spills, 256
     # pays the over-partitioning tax) falls out of the formula

@@ -294,6 +294,10 @@ def to_table_string(df, limit: int | str = 5, limit_dots: str = "split", **rende
         t = "Explorer DataFrame: [rows: 0, columns: 0]"
         bar = "+" + "-" * (len(t) + 2) + "+"
         return f"{bar}\n| {t} |\n{bar}\n"
+    # render the FRAME's first/last rows regardless of grouping —
+    # head/slice are per-group verbs in this codebase (reference tables
+    # ignore groups too)
+    df = df.ungroup() if df.groups else df
     n = df.n_rows()
     dots_row = None
     if limit == "infinity":
@@ -351,16 +355,19 @@ def _preview(series_values: list, total: int, dtype) -> str:
 
 def frame_repr(df) -> str:
     names = df.names
-    n = df.n_rows()
-    head = df.head(_REPR_LIMIT + 1).to_columns() if names else {}
+    groups = list(df.groups)
+    # the preview shows the frame's first rows (head is per-group on a
+    # grouped frame); the Groups line still reports the grouping
+    flat = df.ungroup() if groups else df
+    n = flat.n_rows()
+    head = flat.head(_REPR_LIMIT + 1).to_columns() if names else {}
     lines = [f"#Explorer.DataFrame<", f"  Spark[{n} x {len(names)}]"]
-    if df.groups:
-        gs = ", ".join(f'"{g}"' for g in df.groups)
+    if groups:
+        gs = ", ".join(f'"{g}"' for g in groups)
         lines.append(f"  Groups: [{gs}]")
     dtypes = df.dtypes
     for name in names:
         vals = head.get(name, [])
-        total = n if n <= _REPR_LIMIT else _REPR_LIMIT + 1
         lines.append(
             f"  {name} {dtype_to_string(dtypes[name])} {_preview(vals, n, dtypes[name])}"
         )

@@ -1474,8 +1474,16 @@ class Series:
 
         d = dt.normalize(self.dtype)
         vals = self.to_list()
+        if any(v is None for v in vals):
+            # the reference's iovec/tensor path "fails if the series has
+            # nil values" (series.ex:870) — a float NaN stand-in would
+            # launder nil into NaN, the exact conflation from_list avoids
+            raise ValueError(
+                f"cannot convert {self.dtype} series with nil values to a "
+                "tensor; use fill_missing/1 to handle them first"
+            )
         if d == "boolean":
-            return np.array([None if v is None else int(v) for v in vals], dtype="uint8")
+            return np.array([int(v) for v in vals], dtype="uint8")
         if isinstance(d, tuple) and d[0] in ("s", "u", "f"):
             base = {"s": "int", "u": "uint", "f": "float"}[d[0]]
             return np.array(vals, dtype=f"{base}{d[1]}")
@@ -1485,8 +1493,23 @@ class Series:
         if isinstance(d, tuple) and d[0] in ("naive_datetime", "datetime"):
             scale = {"ms": 1e3, "us": 1e6, "ns": 1e9}[d[1]]
             epoch = _dtm.datetime(1970, 1, 1)
+            # zoned datetimes count from the UTC INSTANT: convert before
+            # stripping tzinfo (replace() alone reads wall time as UTC)
             return np.array(
-                [round((v.replace(tzinfo=None) - epoch).total_seconds() * scale) for v in vals],
+                [
+                    round(
+                        (
+                            (
+                                v.astimezone(_dtm.timezone.utc).replace(tzinfo=None)
+                                if v.tzinfo is not None
+                                else v
+                            )
+                            - epoch
+                        ).total_seconds()
+                        * scale
+                    )
+                    for v in vals
+                ],
                 dtype="int64",
             )
         if d == "time":

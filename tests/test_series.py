@@ -734,3 +734,57 @@ def test_nested_special_floats_survive_ingestion(spark):
     # mixed int/float in the special path still promotes to f64
     s5 = Series.from_list([{"a": 1, "b": float("nan")}, {"a": 2.5, "b": 1}], spark=spark)
     assert s5.dtype == ("struct", [("a", ("f", 64)), ("b", ("f", 64))])
+
+
+def test_to_tensor_dtype_faithful(spark):
+    """Series.to_tensor (reference series.ex:966-991 via the numpy
+    bridge): numerics keep width, boolean packs u8, zoned datetimes
+    count from the UTC INSTANT, and nils RAISE (the reference's iovec
+    path 'fails if the series has nil values', series.ex:870)."""
+    import datetime as dtm
+    from zoneinfo import ZoneInfo
+
+    import pytest
+
+    from explorer_spark.series import Series
+
+    assert str(Series.from_list([1, 2], spark=spark).to_tensor().dtype) == "int64"
+    t = Series.from_list([True, False], spark=spark).to_tensor()
+    assert str(t.dtype) == "uint8" and list(t) == [1, 0]
+    aware = dtm.datetime(2020, 1, 1, tzinfo=dtm.timezone.utc).astimezone(
+        ZoneInfo("America/New_York")
+    )
+    s = Series.from_list([aware], spark=spark)
+    assert int(s.to_tensor()[0]) == 1577836800000000  # the UTC instant
+    for vals in ([1.0, None], [True, None], [dtm.date(2020, 1, 2), None]):
+        with pytest.raises(ValueError, match="nil"):
+            Series.from_list(vals, spark=spark).to_tensor()
+
+
+def test_grouped_frame_renders_whole_frame(spark):
+    """Grouped frames render the FRAME's first/last rows — head/slice
+    are per-group verbs here, so the renderer must ungroup first; the
+    repr keeps the Groups line."""
+    from explorer_spark.sources import from_columns
+
+    df = from_columns({"g": [0, 1] * 8, "v": list(range(16))}, spark=spark)
+    t = df.group_by("g").to_table_string()
+    assert "| 15" in t and "…" in t  # bottom rows present after the dots
+    r = repr(df.group_by("g"))
+    assert 'Groups: ["g"]' in r
+    assert "[0, 1, 0, 1, 0, ...]" in r  # frame order, not per-group
+
+
+def test_group_stable_survives_verbs(spark):
+    """stable=True must survive sample/join/rename/explode-style verbs
+    (each constructs the result frame directly); regrouping with the
+    same flag stays legal."""
+    from explorer_spark.sources import from_columns
+
+    df = from_columns({"g": [0, 1] * 8, "v": list(range(16))}, spark=spark)
+    g = df.group_by("g", stable=True)
+    assert g.sample(4, seed=1)._group_stable
+    assert g.rename({"g": "h"})._group_stable
+    assert g.head(2)._group_stable
+    # no spurious "can't be changed" raise
+    assert g.sample(4, seed=1).group_by("g", stable=True)._group_stable
