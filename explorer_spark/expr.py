@@ -737,6 +737,25 @@ def _wall(ctx: "LowerCtx", a) -> Column:
     return c
 
 
+def _struct_field(ctx: LowerCtx, a, name: str) -> Column:
+    """Struct field access with the reference's missing-field error
+    (data_frame_test.exs:707: 'field "m" not found in fields ["n"]') —
+    Spark's FIELD_NOT_FOUND fires lazily at analysis with its own
+    wording, so probe the struct schema eagerly when it's resolvable."""
+    c = _c(a, ctx)
+    sdf = getattr(ctx, "sdf", None)
+    if sdf is not None:
+        try:
+            struct_t = sdf.select(c.alias("__s__")).schema["__s__"].dataType
+        except Exception:
+            struct_t = None
+        if struct_t is not None and hasattr(struct_t, "fieldNames"):
+            fields = list(struct_t.fieldNames())
+            if name not in fields:
+                raise ValueError(f"field \"{name}\" not found in fields {fields!r}")
+    return c.getField(name)
+
+
 def _wunop(fn, cast: str | None = None):
     """Wall-clock field read; ``cast`` pins the reference's part dtype
     (polars: month/day/hour/… are i8, day_of_year i16 — series.ex
@@ -1392,7 +1411,7 @@ _LOWER = {
     # ns-long rendering (timedeltas hit real interval elements directly)
     "list_member": lambda ctx, a, v: F.array_contains(_c(a, ctx), _c(v, ctx)),
     # structs / json
-    "field": lambda ctx, a, name: _c(a, ctx).getField(name),
+    "field": lambda ctx, a, name: _struct_field(ctx, a, name),
     # struct literal from alternating (name, child) args — mutate's map
     # form (reference "mutate with map": c: %{a: a, lit: 1} -> struct col)
     "make_struct": lambda ctx, *kv: F.struct(

@@ -98,6 +98,33 @@ def _hash_draw(parts: list[Column]) -> Column:
     return F.conv(F.substring(F.md5(F.concat_ws("|", *parts)), 1, 15), 16, 10).cast("long")
 
 
+class LazyFrame:
+    """The lazy-frame handle passed to *_with callbacks (reference
+    filter_with/mutate_with/summarise_with/sort_with take a function of
+    the LAZY frame, data_frame.ex:2780+): subscripting by name or
+    position yields a lazy column expression, never data."""
+
+    def __init__(self, df: "DataFrame"):
+        self._df = df
+
+    @property
+    def names(self) -> list[str]:
+        return self._df.names
+
+    @property
+    def dtypes(self) -> dict:
+        return self._df.dtypes
+
+    def __getitem__(self, key):
+        if isinstance(key, int) and not isinstance(key, bool):
+            return col(self._df.names[key])
+        if key not in self._df.names:
+            raise KeyError(
+                f"could not find column name {key!r}; available: {self._df.names}"
+            )
+        return col(key)
+
+
 class DataFrame:
     """Immutable wrapper; every verb returns a new DataFrame."""
 
@@ -671,9 +698,77 @@ class DataFrame:
     # ------------------------------------------------------------------
     # filter / mutate / summarise
     # ------------------------------------------------------------------
-    def filter_with(self, *predicates: Expr) -> "DataFrame":
+    def _lazy_accessor(self) -> "LazyFrame":
+        return LazyFrame(self)
+
+    def _expand_with_callback(self, fn) -> list:
+        """Run a *_with callback against the lazy accessor (reference
+        filter_with/mutate_with/summarise_with take a FUNCTION of the
+        lazy frame, data_frame.ex:2780+): returns the callback result as
+        a list, validating every element is a lazy expression."""
+        res = fn(self._lazy_accessor())
+        items = res if isinstance(res, (list, tuple)) else [res]
+        for p in items:
+            if isinstance(p, tuple) and len(p) == 2:
+                continue  # (name, expr) pairs — validated by the caller
+            if not isinstance(p, Expr):
+                raise ValueError(
+                    "expecting the function to return a single or a list "
+                    f"of boolean LazySeries, but instead it contains:\n{p!r}"
+                )
+        return list(items)
+
+    def _callback_pairs(self, fn) -> dict:
+        """mutate_with/summarise_with callback result -> named exprs: a
+        dict, or a list of (name, expr) pairs (the reference's keyword
+        list)."""
+        res = fn(self._lazy_accessor())
+        if isinstance(res, Mapping):
+            return dict(res)
+        items = res if isinstance(res, (list, tuple)) else [res]
+        out = {}
+        for p in items:
+            if not (isinstance(p, tuple) and len(p) == 2 and isinstance(p[0], str)):
+                raise ValueError(
+                    "expecting the function to return a dict or a list of "
+                    f"(name, lazy expression) pairs, but instead it contains:\n{p!r}"
+                )
+            out[p[0]] = p[1]
+        return out
+
+    def _require_boolean_predicate(self, p: Expr) -> None:
+        """Reference filter_with: a non-boolean result raises naming the
+        offending dtype (data_frame_test.exs:316-343). Best-effort: the
+        probe lowers the expression against this frame's plain context;
+        shapes that need the grouped machinery skip the early check and
+        fail (or work) downstream."""
+        try:
+            c = p.lower(self._ctx())
+            dtp = self._sdf.select(c.alias("__p__")).schema["__p__"].dataType
+        except Exception:
+            return
+        if not isinstance(dtp, T.BooleanType):
+            got = dt.from_spark(dtp)
+            rend = (
+                "{:" + got[0] + ", " + str(got[1]) + "}"
+                if isinstance(got, tuple) and len(got) == 2
+                else f":{got}"
+            )
+            raise ValueError(
+                "expecting the function to return a boolean LazySeries, "
+                f"but instead it returned a LazySeries of type {rend}"
+            )
+
+    def filter_with(self, *predicates) -> "DataFrame":
         """Row filter; aggregations in the predicate broadcast per group
-        (reference polars_backend/lazy_frame.ex:437-448)."""
+        (reference polars_backend/lazy_frame.ex:437-448). Accepts either
+        expression predicates or ONE callback over the lazy frame
+        (reference filter_with/2: ``df.filter_with(lambda ldf:
+        ldf["a"] > 2)``)."""
+        if len(predicates) == 1 and callable(predicates[0]) and not isinstance(predicates[0], Expr):
+            predicates = tuple(self._expand_with_callback(predicates[0]))
+            for p in predicates:
+                self._require_boolean_predicate(p)
         if (
             self.groups
             and self._group_mode == "groups"
@@ -774,9 +869,12 @@ class DataFrame:
             bool_col = bool_col.lower(self._ctx())
         return self._replace(self._sdf.filter(bool_col), aligned=self._aligned)
 
-    def mutate_with(self, keep: str = "all", **exprs) -> "DataFrame":
+    def mutate_with(self, *fn, keep: str = "all", **exprs) -> "DataFrame":
         """Add/replace columns. Grouped frame: aggregations lower to
         window functions over the groups (reference lazy_frame.ex:503-521).
+        Accepts ONE positional callback over the lazy frame (reference
+        mutate_with/2: the callback returns a dict or a list of
+        (name, expr) pairs).
         Ungrouped frame: aggregations broadcast as a one-row cross join and
         order-dependent ops run through the distributed kernels of
         operators/ordered.py — never a whole-frame single-partition window.
@@ -787,6 +885,10 @@ class DataFrame:
         call styles (rename first)."""
         if keep not in ("all", "none"):
             raise ValueError(f"keep must be 'all' or 'none', got {keep!r}")
+        if fn:
+            if len(fn) > 1 or not callable(fn[0]):
+                raise TypeError("mutate_with takes one callback or keyword expressions")
+            exprs = {**self._callback_pairs(fn[0]), **exprs}
         from .series import Series as _Series
 
         def _dict_to_struct(d: dict) -> Expr:
@@ -1425,13 +1527,18 @@ class DataFrame:
 
         return self._replace(out), {n: rw(e) for n, e in exprs.items()}, tmps
 
-    def summarise_with(self, **exprs) -> "DataFrame":
+    def summarise_with(self, *fn, **exprs) -> "DataFrame":
         """Per-group aggregation; group cols prepended to output
         (reference data_frame.ex:6128-6290). A non-aggregate expression
         implicitly collects the group's values into a LIST in frame
         order (reference 'allows returning the group as a list',
         data_frame_test.exs:4352-4368); plain Python values become
-        literal columns (`summarise(c: nil)`)."""
+        literal columns (`summarise(c: nil)`). Accepts ONE positional
+        callback over the lazy frame (reference summarise_with/2)."""
+        if fn:
+            if len(fn) > 1 or not callable(fn[0]):
+                raise TypeError("summarise_with takes one callback or keyword expressions")
+            exprs = {**self._callback_pairs(fn[0]), **exprs}
 
         def _implicit_list(e) -> bool:
             return isinstance(e, Expr) and not e.references_agg() and _tree_has_column(e)
@@ -1769,10 +1876,11 @@ class DataFrame:
 
     def sort_with(self, fn, nils_last: bool = True, stable: bool = False) -> "DataFrame":
         """Callback sort (reference sort_with/arrange_with,
-        data_frame.ex:3472-3572): ``fn(df)`` returns a key, a list of
-        keys, or ("asc"|"desc", key) pairs; keys are column names or
-        expressions."""
-        spec = fn(self)
+        data_frame.ex:3472-3572): the callback receives the LAZY frame
+        (``ldf["a"]`` yields a column expression) and returns a key, a
+        list of keys, or ("asc"|"desc", key) pairs; keys are column
+        names or expressions."""
+        spec = fn(self._lazy_accessor())
         if not isinstance(spec, list):
             spec = [spec]
         keys, desc = [], []

@@ -323,3 +323,49 @@ class TestPivotWiderReferenceGrid:
         # pre-declared values avoid the distinct job and pin column order
         out2 = df.pivot_wider("variable", "value", id_columns=["id"], values=["a", "b"])
         assert out2.names == ["id", "a", "b"]
+
+
+def test_with_verbs_accept_callbacks(spark):
+    """The reference's *_with verbs take a FUNCTION of the lazy frame
+    (data_frame.ex filter_with/mutate_with/summarise_with): the engine
+    accepts a callback whose accessor yields lazy column expressions,
+    and validates the result like the reference
+    (data_frame_test.exs:316-352)."""
+    import pytest
+
+    from explorer_spark import f
+    from explorer_spark.sources import from_columns
+
+    df = from_columns({"a": [1, 2, 3], "b": [9, 8, 7]}, spark=spark)
+    assert df.filter_with(lambda ldf: ldf["a"] > 1).to_columns()["a"] == [2, 3]
+    assert df.mutate_with(lambda ldf: {"c": ldf["a"] + ldf["b"]}).to_columns()["c"] == [10, 10, 10]
+    assert df.mutate_with(lambda ldf: [("c", ldf["a"] * 2)]).to_columns()["c"] == [2, 4, 6]
+    got = df.group_by("b").summarise_with(lambda ldf: {"s": f.sum(ldf["a"])})
+    assert sorted(got.to_columns()["s"]) == [1, 2, 3]
+    # positional access + unknown-name error
+    assert df.filter_with(lambda ldf: ldf[0] > 2).to_columns()["a"] == [3]
+    with pytest.raises(KeyError, match="could not find column"):
+        df.filter_with(lambda ldf: ldf["zz"] > 1)
+    # reference error shapes
+    with pytest.raises(ValueError, match=r"boolean LazySeries.*\{:s, 64\}"):
+        df.filter_with(lambda ldf: ldf["a"] ** 3)
+    with pytest.raises(ValueError, match="boolean LazySeries"):
+        df.filter_with(lambda ldf: f.sum(ldf["a"]))
+    with pytest.raises(ValueError, match="instead it contains"):
+        df.filter_with(lambda ldf: "foo")
+
+
+def test_struct_field_missing_error(spark):
+    """field/2 on a missing struct field raises the reference's message
+    naming the available fields (data_frame_test.exs:707), eagerly at
+    expression build — not Spark's lazy FIELD_NOT_FOUND."""
+    import pytest
+
+    from explorer_spark import f
+    from explorer_spark.expr import col
+    from explorer_spark.series import Series
+
+    df = Series.from_list([{"n": 1}, {"n": 2}], name="a", spark=spark).to_frame()
+    with pytest.raises(ValueError, match=r'field "m" not found in fields'):
+        df.mutate(m=f.field(col("a"), "m"))
+    assert df.mutate(m=f.field(col("a"), "n")).to_columns()["m"] == [1, 2]
