@@ -557,6 +557,13 @@ class DataFrame:
             return self.pull(key) if -len(names) <= key < len(names) else None
         if isinstance(key, str):
             return self.pull(key) if key in names else None
+        if isinstance(key, slice):
+            # python analogue of the reference's Range access: a COLUMN
+            # slice (data_frame.ex Access, df[0..1] selects columns)
+            key = list(range(*key.indices(len(names))))
+        if isinstance(key, re.Pattern):
+            # df[~r/regex/] selects the matching columns (Access impl)
+            return self.select([n for n in names if key.search(n)])
         if isinstance(key, range):
             key = list(key)
         if isinstance(key, (list, tuple)):

@@ -792,6 +792,10 @@ class Series:
             if not 0 <= idx < n:
                 raise IndexError(key)
             return self.at(idx)
+        if isinstance(key, slice):
+            # the python analogue of the reference's range access
+            # (series.ex fetch/2 with a Range: s[0..1])
+            return self.fetch(list(range(*key.indices(len(self)))))
         return self.fetch(key)
 
     def pop(self, key):
@@ -1887,6 +1891,15 @@ def _series_select(predicate: "Series", on_true, on_false, name: str = "values")
 
     if predicate.dtype != "boolean":
         raise ValueError(f"select/3 expects a boolean mask, got {predicate.dtype}")
+    if isinstance(on_true, Series) and isinstance(on_false, Series):
+        # branches of mismatched KINDS raise (reference series_test.exs
+        # 'select errors mixing incompatible types'; int/float promote)
+        ka, kb = _isin_kind(on_true.dtype), _isin_kind(on_false.dtype)
+        if ka != kb and "null" not in (ka, kb):
+            raise ValueError(
+                f"cannot invoke Explorer.Series.select/3 with mismatched "
+                f"branch dtypes: {on_true.dtype} and {on_false.dtype}"
+            )
     pred, on_true, on_false = _broadcast_args([predicate, on_true, on_false])
     if not isinstance(pred, Series):
         # single-row predicate over longer branches: pure broadcast

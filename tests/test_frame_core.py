@@ -686,3 +686,17 @@ def test_concat_rows_incompatibility_errors(spark):
         d1.concat_rows(from_columns({"z": [7]}, spark=spark))
     with pytest.raises(ValueError, match="dtypes must be compatible"):
         d1.concat_rows(from_columns({"x": [7], "y": [10]}, spark=spark))
+
+
+def test_frame_getitem_slice_and_regex(spark):
+    """DataFrame Access parity: a python slice selects COLUMNS by
+    position (reference df[0..1]) and a compiled regex selects matching
+    names (reference df[~r/.../])."""
+    import re
+
+    from explorer_spark.sources import from_columns
+
+    df = from_columns({"a": [1], "b": ["x"], "c": [1.0]}, spark=spark)
+    assert df[0:2].names == ["a", "b"]
+    assert df[re.compile("a|c")].names == ["a", "c"]
+    assert df[::2].names == ["a", "c"]

@@ -788,3 +788,31 @@ def test_group_stable_survives_verbs(spark):
     assert g.head(2)._group_stable
     # no spurious "can't be changed" raise
     assert g.sample(4, seed=1).group_by("g", stable=True)._group_stable
+
+
+def test_series_select_kind_mismatch_raises(spark):
+    """Series.select/3 with branches of different value KINDS raises
+    (reference series_test.exs 'select errors mixing incompatible
+    types'); int/float promotion stays legal."""
+    import pytest
+
+    from explorer_spark.series import Series
+
+    p = Series.from_list([True, False, True], spark=spark)
+    f64 = Series.from_list([1.1, 1.2, 1.3], spark=spark)
+    s = Series.from_list(["foo", "bar", "baz"], spark=spark)
+    with pytest.raises(ValueError, match="mismatched"):
+        p.select(f64, s)
+    ints = Series.from_list([5, 3, 2], spark=spark)
+    assert p.select(f64, ints).to_list() == [1.1, 3.0, 1.3]
+
+
+def test_series_getitem_slice(spark):
+    """Python slices mirror the reference's Range access
+    (series_test.exs fetch/2: s[0..1])."""
+    from explorer_spark.series import Series
+
+    s = Series.from_list([1, 2, 3, None, 5], spark=spark)
+    assert s[0:2].to_list() == [1, 2]
+    assert s[-2:].to_list() == [None, 5]
+    assert s[::2].to_list() == [1, 3, 5]
