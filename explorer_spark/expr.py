@@ -1412,6 +1412,9 @@ _LOWER = {
     "list_member": lambda ctx, a, v: F.array_contains(_c(a, ctx), _c(v, ctx)),
     # structs / json
     "field": lambda ctx, a, name: _struct_field(ctx, a, name),
+    # cast to :null — a NullType column of the same length
+    # (series_test.exs 'integer series to null')
+    "null_of": lambda ctx, a: F.lit(None),
     # struct literal from alternating (name, child) args — mutate's map
     # form (reference "mutate with map": c: %{a: a, lit: 1} -> struct col)
     "make_struct": lambda ctx, *kv: F.struct(

@@ -877,7 +877,20 @@ class Series:
 
     def cast(self, dtype) -> "Series":
         cur = self.dtype
-        target = dt.normalize(dtype)
+        try:
+            target = dt.normalize(dtype)
+            dt.to_spark(target)
+        except (KeyError, ValueError):
+            # reference series_test.exs 'error when casting with unknown
+            # dtype'
+            raise ValueError(
+                f"Explorer.Series.cast/2 not implemented for dtype :{dtype}"
+            ) from None
+        if target == "null":
+            # any series casts to :null — every value nil
+            # (series_test.exs 'integer series to null')
+            out = self._apply(Expr("null_of", self._c()))
+            return out
         if target == "category":
             # physically a string column; the marker metadata makes
             # dtype report :category and enables replace/2's code decode

@@ -562,3 +562,19 @@ def test_list_of_duration_ingestion(spark):
     assert ld2.dtype == ("list", ("duration", "ms"))
     assert ld2.to_list() == [[td(milliseconds=1), td(milliseconds=2)], None]
     assert ld2.member(td(milliseconds=2)).to_list() == [True, None]
+
+
+def test_cast_to_null_and_unknown_dtype(spark):
+    """cast/2 edges (reference series_test.exs cast describe): any
+    series casts to :null (all values nil), and an unknown dtype raises
+    the reference's 'not implemented for dtype' error."""
+    import pytest
+
+    from explorer_spark.series import Series
+
+    s = Series.from_list([1, 2, 3], spark=spark)
+    n = s.cast("null")
+    assert n.dtype == "null" and n.to_list() == [None, None, None]
+    assert Series.from_list(["a"], spark=spark).cast("null").dtype == "null"
+    with pytest.raises(ValueError, match=r"cast/2 not implemented for dtype :money"):
+        s.cast("money")
