@@ -604,58 +604,58 @@ _LAST_DRIVER_VERIFIED = {
     "q6_filter_agg": 9,
     "q_ann_bruteforce_topk": 8,
     "q_ann_index_persisted": 9,
-    "q_ann_index_quantized": 7,
+    "q_ann_index_quantized": 10,
     "q_ann_ivf_topk": 8,
     "q_ann_ivf_trained": 8,
     "q_argminmax": 8,
-    "q_at_every": 7,
-    "q_categorise": 7,
-    "q_concat_columns": 7,
+    "q_at_every": 10,
+    "q_categorise": 10,
+    "q_concat_columns": 10,
     "q_concat_rows": 9,
-    "q_conditional_buckets": 8,
+    "q_conditional_buckets": 10,
     "q_corr_matrix": 8,
     "q_cov_matrix": 8,
     "q_cube_rollup": 9,
-    "q_cummax_running": 7,
+    "q_cummax_running": 10,
     "q_cut_breaks": 8,
-    "q_dedup_clusters": 8,
+    "q_dedup_clusters": 10,
     "q_dedup_embedding_cosine": 8,
     "q_dedup_embedding_lsh": 8,
-    "q_dedup_exact": 8,
+    "q_dedup_exact": 10,
     "q_dedup_hamming": 8,
     "q_dedup_incremental": 9,
-    "q_dedup_incremental_stream": 7,
-    "q_dedup_minhash_lsh": 8,
-    "q_dedup_ngram_jaccard": 8,
+    "q_dedup_incremental_stream": 10,
+    "q_dedup_minhash_lsh": 10,
+    "q_dedup_ngram_jaccard": 10,
     "q_dedup_simhash": 8,
-    "q_describe_stats": 7,
-    "q_distinct_first": 7,
+    "q_describe_stats": 10,
+    "q_distinct_first": 10,
     "q_distinct_sorted": 9,
-    "q_drop_nil": 9,
+    "q_drop_nil": 10,
     "q_dummies_onehot": 9,
-    "q_duration_arith": 7,
+    "q_duration_arith": 10,
     "q_duration_us": 8,
     "q_embed_quantize_int8": 9,
-    "q_epoch_ms_counts": 7,
+    "q_epoch_ms_counts": 10,
     "q_events_enrich": 9,
     "q_events_running_totals": 9,
-    "q_events_session_window": 7,
+    "q_events_session_window": 10,
     "q_events_sessionize": 9,
-    "q_events_sliding": 7,
+    "q_events_sliding": 10,
     "q_events_stream_dedup": 9,
     "q_events_tumbling": 9,
     "q_ewm_global": 8,
     "q_ewm_mean": 8,
-    "q_explode_list": 8,
+    "q_explode_list": 10,
     "q_fill_forward": 9,
     "q_fill_stats": 8,
     "q_frequencies": 9,
-    "q_grouped_head_tail": 7,
-    "q_grouped_sample": 7,
-    "q_grouped_sample_replace": 7,
-    "q_grouped_slice": 7,
-    "q_iso_temporal": 7,
-    "q_iso_year_edges": 9,
+    "q_grouped_head_tail": 10,
+    "q_grouped_sample": 10,
+    "q_grouped_sample_replace": 10,
+    "q_grouped_slice": 10,
+    "q_iso_temporal": 10,
+    "q_iso_year_edges": 10,
     "q_join_asof_backward": 9,
     "q_join_asof_forward": 8,
     "q_join_asof_nearest": 8,
@@ -663,51 +663,51 @@ _LAST_DRIVER_VERIFIED = {
     "q_join_left_nulls": 9,
     "q_join_multi_dim": 9,
     "q_join_outer": 9,
-    "q_json_extract": 8,
-    "q_mask": 7,
-    "q_mode_agg": 7,
+    "q_json_extract": 10,
+    "q_mask": 10,
+    "q_mode_agg": 10,
     "q_multimodal_decode": 9,
     "q_multimodal_features": 9,
     "q_multimodal_video": 9,
-    "q_mutate_keep_none": 7,
+    "q_mutate_keep_none": 10,
     "q_pack_context_windows": 9,
     "q_peaks": 9,
     "q_pivot_first": 8,
-    "q_pivot_longer": 8,
-    "q_pivot_wider": 8,
+    "q_pivot_longer": 10,
+    "q_pivot_wider": 10,
     "q_pull_series": 9,
-    "q_put": 7,
-    "q_qcut_buckets": 8,
+    "q_put": 10,
+    "q_qcut_buckets": 10,
     "q_rank_ties": 8,
     "q_regex_ops": 9,
-    "q_rename_relocate": 9,
-    "q_rolling_window": 8,
-    "q_sample_replace": 7,
-    "q_sample_seeded": 7,
-    "q_series_transform": 7,
+    "q_rename_relocate": 10,
+    "q_rolling_window": 10,
+    "q_sample_replace": 10,
+    "q_sample_seeded": 10,
+    "q_series_transform": 10,
     "q_slice_offset": 9,
-    "q_spearman_corr": 7,
-    "q_sql_passthrough": 7,
+    "q_spearman_corr": 10,
+    "q_sql_passthrough": 10,
     "q_stats_agg": 9,
     "q_strftime_buckets": 9,
-    "q_string_ops": 8,
-    "q_temporal_parts": 8,
+    "q_string_ops": 10,
+    "q_temporal_parts": 10,
     "q_text_chunking": 9,
     "q_text_decontaminate": 9,
-    "q_text_dup_spans": 7,
+    "q_text_dup_spans": 10,
     "q_text_fingerprint": 9,
     "q_text_hash_sample": 9,
     "q_text_langid": 8,
     "q_text_line_clean": 9,
     "q_text_pii_scrub": 9,
-    "q_text_quality_logistic": 7,
+    "q_text_quality_logistic": 10,
     "q_text_repetition": 9,
     "q_text_stats": 8,
     "q_text_tfidf": 9,
-    "q_text_unigram_logprob": 8,
+    "q_text_unigram_logprob": 10,
     "q_time_parts": 8,
     "q_transpose": 8,
-    "q_tz_wall_clock": 7,
+    "q_tz_wall_clock": 10,
     "q_ungrouped_quantile": 9,
     "q_unnest_struct": 8,
     "q_window_cumsum": 9,
@@ -715,14 +715,16 @@ _LAST_DRIVER_VERIFIED = {
     "q_window_rank": 9,
     "q_window_rolling_full": 9,
     "q_window_weighted": 9,
-    "q_dedup_keep_best": 8,
+    "q_dedup_keep_best": 10,
     "q_events_late_data": 8,
     "q_grouped_sort_positions": 8,
-    "q_text_bigram_logprob": 8,
+    "q_text_bigram_logprob": 10,
     "q_text_dup_substrings": 8,
     "q_text_remove_dup_substrings": 8,
     "q_text_stratified_sample": 8,
     "q_tz_derived_wall": 8,
+    "q_explode_order": 10,
+    "q_concat_rows_order": 10,
 }
 
 
