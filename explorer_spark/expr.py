@@ -745,15 +745,47 @@ def _struct_field(ctx: LowerCtx, a, name: str) -> Column:
     c = _c(a, ctx)
     sdf = getattr(ctx, "sdf", None)
     if sdf is not None:
-        try:
-            struct_t = sdf.select(c.alias("__s__")).schema["__s__"].dataType
-        except Exception:
-            struct_t = None
+        # resolve statically against the frame's cached schema when the
+        # node is a col/field chain — the select-probe alternative runs
+        # a full Catalyst analysis per lowering, and expressions lower
+        # several times (boolean probes, retries, nested lowerings)
+        struct_t = _static_struct_type(a, sdf)
+        if struct_t is None and not _is_col_field_chain(a):
+            # computed struct (rare): one analysis-time probe
+            try:
+                struct_t = sdf.select(c.alias("__s__")).schema["__s__"].dataType
+            except Exception:
+                struct_t = None
         if struct_t is not None and hasattr(struct_t, "fieldNames"):
             fields = list(struct_t.fieldNames())
             if name not in fields:
                 raise ValueError(f"field \"{name}\" not found in fields {fields!r}")
     return c.getField(name)
+
+
+def _is_col_field_chain(a) -> bool:
+    while isinstance(a, Expr) and a.op == "field":
+        a = a.args[0]
+    return isinstance(a, Expr) and a.op == "column"
+
+
+def _static_struct_type(a, sdf):
+    """Schema-walk dtype of a column/field chain (no Catalyst analysis);
+    None when the node is computed or the walk falls off the schema."""
+    chain = []
+    node = a
+    while isinstance(node, Expr) and node.op == "field":
+        chain.append(node.args[1])
+        node = node.args[0]
+    if not (isinstance(node, Expr) and node.op == "column"):
+        return None
+    try:
+        t = sdf.schema[node.args[0]].dataType
+        for fname in reversed(chain):
+            t = t[fname].dataType
+    except Exception:
+        return None
+    return t
 
 
 def _wunop(fn, cast: str | None = None):

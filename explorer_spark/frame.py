@@ -716,8 +716,10 @@ class DataFrame:
         res = fn(self._lazy_accessor())
         items = res if isinstance(res, (list, tuple)) else [res]
         for p in items:
-            if isinstance(p, tuple) and len(p) == 2:
-                continue  # (name, expr) pairs — validated by the caller
+            # (name, expr) pairs are mutate_with-shaped, never a boolean
+            # predicate — the only caller is filter_with, so reject them
+            # here with the reference's message rather than letting them
+            # crash deep in the filter machinery
             if not isinstance(p, Expr):
                 raise ValueError(
                     "expecting the function to return a single or a list "

@@ -668,9 +668,16 @@ def remove_repeated_spans(
     # word; less-compressible corpora estimate MORE bytes per word,
     # which over-partitions — the cheap direction (vs spilling).
     try:
-        est_bytes = int(
-            sdf.select(text_col)._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        )
+        plan = sdf.select(text_col)._jdf.queryExecution().optimizedPlan()
+        est_bytes = int(plan.stats().sizeInBytes())
+        # the ~1 byte/word calibration is a PARQUET-scan property
+        # (compression cancels raw bytes/word); CSV/JSON scans report
+        # raw bytes — 5-10x the word count — so a non-parquet source
+        # with known stats would over-partition by that factor. Gate the
+        # stats path on a parquet relation and let everything else take
+        # the measured fallback below.
+        if "parquet" not in plan.toString().lower():
+            est_bytes = 0
     except Exception:
         est_bytes = 0
     if 0 < est_bytes < (1 << 50):

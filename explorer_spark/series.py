@@ -1508,27 +1508,26 @@ class Series:
             epoch = _dtm.date(1970, 1, 1)
             return np.array([(v - epoch).days for v in vals], dtype="int32")
         if isinstance(d, tuple) and d[0] in ("naive_datetime", "datetime"):
-            scale = {"ms": 1e3, "us": 1e6, "ns": 1e9}[d[1]]
+            # exact integer microsecond counts (total_seconds() is a
+            # float64 whose ~0.25µs resolution at modern epochs corrupts
+            # ns-scale counts); µs is the physical precision, so ms/ns
+            # are exact integer re-scalings of it
             epoch = _dtm.datetime(1970, 1, 1)
-            # zoned datetimes count from the UTC INSTANT: convert before
-            # stripping tzinfo (replace() alone reads wall time as UTC)
-            return np.array(
-                [
-                    round(
-                        (
-                            (
-                                v.astimezone(_dtm.timezone.utc).replace(tzinfo=None)
-                                if v.tzinfo is not None
-                                else v
-                            )
-                            - epoch
-                        ).total_seconds()
-                        * scale
-                    )
-                    for v in vals
-                ],
-                dtype="int64",
-            )
+
+            def _us(v):
+                if v.tzinfo is not None:
+                    # zoned datetimes count from the UTC INSTANT
+                    v = v.astimezone(_dtm.timezone.utc).replace(tzinfo=None)
+                td = v - epoch
+                return (td.days * 86_400 + td.seconds) * 1_000_000 + td.microseconds
+
+            if d[1] == "ms":
+                counts = [_us(v) // 1_000 for v in vals]
+            elif d[1] == "us":
+                counts = [_us(v) for v in vals]
+            else:  # ns
+                counts = [_us(v) * 1_000 for v in vals]
+            return np.array(counts, dtype="int64")
         if d == "time":
             return np.array(
                 [

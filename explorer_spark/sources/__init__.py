@@ -40,14 +40,26 @@ __all__ = [
 ]
 
 
-def _fss_resolve(path: str, spark, config) -> str:
+def _fss_resolve(path: str, spark, config, for_write: bool = False) -> str:
     """s3:// URLs parse through the fss spec (reference fss.ex:30-140)
-    and come back as configured s3a:// paths; everything else passes
-    through."""
-    if isinstance(path, str) and path.startswith("s3://"):
-        from . import fss
+    and come back as configured s3a:// paths; http(s):// entries
+    download driver-side to a temp file that feeds the local reader
+    (reference FSS.download, data_frame.ex:905-911 — read-only);
+    everything else passes through."""
+    if isinstance(path, str):
+        if path.startswith("s3://"):
+            from . import fss
 
-        return fss.resolve_path(path, spark, config)
+            return fss.resolve_path(path, spark, config)
+        if path.startswith(("http://", "https://")):
+            from . import fss
+
+            if for_write:
+                raise ValueError(
+                    "cannot write to an http(s):// destination; the "
+                    "reference's HTTP entries are read-only"
+                )
+            return fss.download_http(path, config)
     return path
 
 
@@ -448,7 +460,7 @@ def write_parquet(
     forms. The zstd level maps to parquet-mr's
     ``parquet.compression.codec.zstd.level``; gzip/brotli levels have no
     JVM-writer knob and are ignored here (dump_parquet honors them)."""
-    path = _fss_resolve(path, df.lazy_sdf().sparkSession, config)
+    path = _fss_resolve(path, df.lazy_sdf().sparkSession, config, for_write=True)
     codec, level = _parquet_compression(compression)
     w = df.lazy_sdf().write.mode(mode)
     if level is not None and codec == "zstd":
@@ -476,7 +488,7 @@ def write_csv(
     from pyspark.sql import types as T
 
     sdf = df.lazy_sdf()
-    path = _fss_resolve(path, sdf.sparkSession, config)
+    path = _fss_resolve(path, sdf.sparkSession, config, for_write=True)
     if quote_style == "necessary":
         sdf.write.mode(mode).option("header", header).option("sep", delimiter).option(
             "escape", '"'
@@ -516,7 +528,7 @@ def write_csv(
 
 def write_ndjson(df: DataFrame, path: str, mode: str = "overwrite", config=None) -> str:
     sdf = df.lazy_sdf()
-    path = _fss_resolve(path, sdf.sparkSession, config)
+    path = _fss_resolve(path, sdf.sparkSession, config, for_write=True)
     sdf.write.mode(mode).json(path)
     return path
 

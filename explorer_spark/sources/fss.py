@@ -129,3 +129,70 @@ def resolve_path(
     key, cfg = parse_s3(path, config)
     apply_s3_config(spark, cfg)
     return f"s3a://{cfg.bucket}/{key}"
+
+
+# ---------------------------------------------------------------------------
+# HTTP(S) entries (reference fss.ex:143-260 parse_http/download;
+# data_frame.ex:905-911 normalises http(s):// entries through it, and the
+# backend downloads to a hashed tmp path before handing the LOCAL file to
+# the reader — polars_backend/shared.ex:289-297, data_frame.ex:51-66)
+# ---------------------------------------------------------------------------
+
+
+def parse_http(url: str, config=None) -> tuple[str, dict]:
+    """Validate an http(s):// entry + optional config into (url,
+    {"headers": [(k, v), ...]}) with the reference's header-shape error
+    (fss.ex:164-213)."""
+    headers = []
+    if config is not None:
+        if isinstance(config, dict):
+            headers = config.get("headers", [])
+        else:
+            headers = config  # bare header list, the keyword-list form
+        ok = isinstance(headers, (list, tuple)) and all(
+            isinstance(h, (tuple, list))
+            and len(h) == 2
+            and isinstance(h[0], str)
+            and isinstance(h[1], str)
+            for h in headers
+        )
+        if not ok:
+            raise ValueError(
+                "headers must be a list of {key, value} tuples where both "
+                f"are strings, got: {headers!r}"
+            )
+    return url, {"headers": [tuple(h) for h in headers]}
+
+
+def download_http(url: str, config=None, dest: str | None = None) -> str:
+    """Fetch an http(s):// entry to a local temp file and return its
+    path — the reference's single-node HTTP read semantics (FSS.download
+    fss.ex:248-259: 404 -> "resource not found (404)", other non-2xx ->
+    "got HTTP status: N"; tmp naming shared.ex:289-297). The downloaded
+    file then feeds the ordinary distributed reader; HTTP is a
+    driver-side ingest path by design (object stores go through s3a for
+    the distributed scan)."""
+    import hashlib
+    import secrets
+    import shutil
+    import tempfile
+    import urllib.error
+    import urllib.request
+
+    url, cfg = parse_http(url, config)
+    if dest is None:
+        base = os.path.join(tempfile.gettempdir(), "explorer-spark-datasets")
+        os.makedirs(base, exist_ok=True)
+        h = hashlib.sha256(url.encode()).hexdigest()[:24]
+        dest = os.path.join(base, f"http-file-{h}-{secrets.token_hex(6)}")
+    if dest.endswith("/"):
+        raise ValueError(f"expected a regular file path, got: {dest!r}")
+    req = urllib.request.Request(url, headers=dict(cfg["headers"]))
+    try:
+        with urllib.request.urlopen(req) as resp, open(dest, "wb") as f:
+            shutil.copyfileobj(resp, f)
+    except urllib.error.HTTPError as e:
+        if e.code == 404:
+            raise ValueError("resource not found (404)") from None
+        raise ValueError(f"got HTTP status: {e.code}") from None
+    return dest

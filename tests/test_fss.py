@@ -166,3 +166,99 @@ def test_s3_guard_still_raises_without_connector(spark, tmp_path):
             "s3://b/k.parquet", spark,
             {"access_key_id": "a", "secret_access_key": "s", "region": "r"},
         )
+
+
+# ---------------------------------------------------------------------------
+# HTTP(S) entries (reference fss.ex:143-260; data_frame.ex:905-911)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def http_server(tmp_path):
+    """Local http.server over tmp_path; records request headers."""
+    import http.server
+    import threading
+
+    seen_headers = []
+
+    class Handler(http.server.SimpleHTTPRequestHandler):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, directory=str(tmp_path), **kw)
+
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            seen_headers.append(dict(self.headers))
+            super().do_GET()
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        yield f"http://127.0.0.1:{srv.server_address[1]}", seen_headers
+    finally:
+        srv.shutdown()
+
+
+def test_parse_http_headers_validation():
+    url, cfg = fss.parse_http("http://example.com/x.csv")
+    assert cfg == {"headers": []}
+    _, cfg = fss.parse_http(
+        "https://example.com/x.csv", {"headers": [("authorization", "Bearer t")]}
+    )
+    assert cfg["headers"] == [("authorization", "Bearer t")]
+    with pytest.raises(ValueError, match="headers must be a list"):
+        fss.parse_http("http://example.com", {"headers": [("k", 1)]})
+    with pytest.raises(ValueError, match="headers must be a list"):
+        fss.parse_http("http://example.com", {"headers": "k: v"})
+
+
+def test_http_read_csv_end_to_end(spark, http_server, tmp_path):
+    from explorer_spark.sources import read_csv
+
+    base, _ = http_server
+    (tmp_path / "t.csv").write_text("a,b\n1,x\n2,y\n")
+    df = read_csv(f"{base}/t.csv", spark=spark)
+    assert df.to_columns() == {"a": [1, 2], "b": ["x", "y"]}
+
+
+def test_http_read_parquet_end_to_end(spark, http_server, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from explorer_spark.sources import read_parquet
+
+    base, _ = http_server
+    pq.write_table(pa.table({"id": [1, 2, 3], "v": [2.0, 4.0, 6.0]}), tmp_path / "t.parquet")
+    df = read_parquet(f"{base}/t.parquet", spark=spark)
+    assert df.n_rows() == 3
+    assert df.to_columns()["v"] == [2.0, 4.0, 6.0]
+
+
+def test_http_headers_are_sent(spark, http_server, tmp_path):
+    from explorer_spark.sources import read_csv
+
+    base, seen = http_server
+    (tmp_path / "h.csv").write_text("a\n1\n")
+    read_csv(
+        f"{base}/h.csv",
+        spark=spark,
+        config={"headers": [("X-Test-Token", "tok123")]},
+    )
+    assert any(h.get("X-Test-Token") == "tok123" for h in seen)
+
+
+def test_http_404_raises_reference_error(http_server):
+    base, _ = http_server
+    with pytest.raises(ValueError, match=r"resource not found \(404\)"):
+        fss.download_http(f"{base}/missing.csv")
+
+
+def test_http_write_destination_rejected(spark, tmp_path):
+    import explorer_spark as ex
+    from explorer_spark.sources import write_csv
+
+    df = ex.new({"a": [1]})
+    with pytest.raises(ValueError, match="read-only"):
+        write_csv(df, "http://127.0.0.1:1/out.csv")
