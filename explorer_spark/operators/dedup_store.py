@@ -206,18 +206,22 @@ def stream_dedup_against_store(
     the keep-side. Works identically on a batch frame (the Spark
     batch/stream API symmetry), which is how the test pins it to
     dedup_against_store's results."""
-    from .dedup import minhash_signature_cols
+    from .dedup import minhash_signature_struct
 
     spark = stream_sdf.sparkSession
     meta = read_store_meta(spark, path)
     k, bands = meta["num_hashes"], meta["bands"]
     rows_per_band = k // bands
-    sigs = minhash_signature_cols(
-        F.col(text_col), num_hashes=k, shingle_n=meta["shingle_n"]
-    )
+    # two-step select: the struct projection evaluates the shingle fold
+    # ONCE per row; the field projection after it is free
     sig = stream_sdf.select(
         F.col(key_col).alias("new_key"),
-        *[s.alias(f"n_mh{i}") for i, s in enumerate(sigs)],
+        minhash_signature_struct(
+            F.col(text_col), num_hashes=k, shingle_n=meta["shingle_n"]
+        ).alias("__mh__"),
+    ).select(
+        "new_key",
+        *[F.col("__mh__")[f"m{i}"].alias(f"n_mh{i}") for i in range(k)],
     )
     entries = []
     for b in range(bands):
