@@ -181,7 +181,10 @@ def test_order_sensitive_chain_matches_simulation(spark, verbs, seed):
         elif verb == "head":
             df = df.head(max(2, n // 2))
         elif verb == "sort":
-            df = df.sort_by("v")
+            # stable: the reference's default (stable: false) leaves tie
+            # order UNSPECIFIED (data_frame.ex:3390) — only the stable
+            # sort is comparable to the simulation's sorted()
+            df = df.sort_by("v", stable=True)
     rows0 = [
         {k: base[k][i] for k in base} for i in range(n)
     ]
@@ -190,3 +193,96 @@ def test_order_sensitive_chain_matches_simulation(spark, verbs, seed):
     assert [tuple(sorted(r.items(), key=lambda kv: kv[0])) for r in got] == [
         tuple(sorted(r.items(), key=lambda kv: kv[0])) for r in want
     ]
+
+
+# ---------------------------------------------------------------------------
+# the aligned-flag property (round 11): the same chains run in three
+# LAYOUT REGIMES and must produce identical row sequences —
+#   normal    : whatever flags the verbs themselves establish
+#   scrambled : _aligned forcibly stripped + physical layout shuffled
+#               between verbs (a verb trusting a stale fast path shows
+#               up as hash-shuffle row order)
+#   realigned : layout re-sorted to the logical order and _aligned
+#               forcibly SET between verbs (the fast path itself must
+#               agree with the safe path when its precondition holds)
+# This pins every `aligned=True` site in frame.py against the round-9
+# bug class re-entering through the round-10 fast path.
+# ---------------------------------------------------------------------------
+
+import os
+
+from explorer_spark.frame import ORDER_COL
+
+
+def _scramble(df):
+    """Shuffle the physical layout, keep the logical order column, and
+    drop the aligned flag — the exact post-grouped-mutate regime."""
+    return df._replace(df._sdf.repartition(4), aligned=False)
+
+
+def _realign(df):
+    """Materialize layout == logical order, then FORCE the fast path."""
+    out = df._replace(df._sdf.orderBy(ORDER_COL), aligned=False)
+    out._aligned = True
+    return out
+
+
+_REGIMES = {"normal": None, "scrambled": _scramble, "realigned": _realign}
+
+
+def _run_chain(spark, verbs, seed, regime):
+    rnd = random.Random(seed)
+    n = rnd.randint(4, 10)
+    base = {
+        "g": [rnd.randint(0, 2) for _ in range(n)],
+        "v": list(range(n)),
+        "xs": [[i, i + 100] for i in range(n)] if rnd.random() < 0.8 else None,
+    }
+    if base["xs"] is None:
+        del base["xs"]
+    df = from_columns(base, spark=spark)
+    dim = from_columns({"g": [0, 1, 2], "lbl": ["g0", "g1", "g2"]}, spark=spark)
+    twist = _REGIMES[regime]
+    for verb in verbs:
+        if twist is not None:
+            df = twist(df)
+        if verb == "gmutate":
+            df = df.group_by("g").mutate(m=f.sum(col("v"))).ungroup()
+        elif verb == "join":
+            df = df.discard("lbl") if "lbl" in df.names else df
+            df = df.join(dim, on="g", how="left")
+        elif verb == "explode":
+            d = df.dtypes.get("xs")
+            if isinstance(d, tuple) and d[0] == "list":
+                df = df.explode("xs")
+        elif verb == "concat_self":
+            df = df.concat_rows(df)
+        elif verb == "head":
+            df = df.head(max(2, n // 2))
+        elif verb == "sort":
+            # stable: the reference's default (stable: false) leaves tie
+            # order UNSPECIFIED (data_frame.ex:3390) — only the stable
+            # sort is comparable to the simulation's sorted()
+            df = df.sort_by("v", stable=True)
+    rows0 = [{k: base[k][i] for k in base} for i in range(n)]
+    want = _sim(rows0, verbs, n)
+    got = df.to_rows()
+    assert [tuple(sorted(r.items())) for r in got] == [
+        tuple(sorted(r.items())) for r in want
+    ], f"regime={regime} verbs={verbs} seed={seed}"
+
+
+@given(verbs=_ORDER_VERBS, seed=st.integers(min_value=0, max_value=10**6))
+@settings(
+    **{
+        **_SETTINGS,
+        "max_examples": int(os.environ.get("SPARK_GRAFT_ORDER_CHAINS", "170")),
+    }
+)
+def test_aligned_flag_chain_matches_simulation_all_regimes(spark, verbs, seed):
+    # every drawn chain runs in all three regimes -> 3x chains per
+    # example; the default 170 examples = 510 chains (~5 min, the
+    # round-11 verdict's CI receipt). Set SPARK_GRAFT_ORDER_CHAINS=20
+    # while iterating.
+    for regime in _REGIMES:
+        _run_chain(spark, verbs, seed, regime)
