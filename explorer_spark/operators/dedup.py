@@ -97,6 +97,7 @@ def with_minhash(
     shingle_n: int = 3,
     prefix: str = "mh",
     key_col: str = "doc_id",
+    lowercase: bool = False,
 ) -> SDF:
     """Append mh0..mh{k-1} numeric signature columns.
 
@@ -104,10 +105,23 @@ def with_minhash(
     hashes ``(A[i]*h + B[i]) mod P`` -> groupBy(key) with k codegen'd min
     aggregates (map-side combined) -> join back. Scales with ordinary
     shuffle mechanics; the signature table is tiny.
+
+    ``lowercase`` case-folds the text (Spark ``lower``) before shingling
+    AND before the empty-shingle fallback hash — the knob that makes the
+    census's ``normalize="ws_case"`` mode EXACT (case-drifted replicas
+    then share signatures, so collapsing them before banding preserves
+    components). Every signature face (this, minhash_signatures, the
+    stateless stream kernel) folds through the same Spark expression, so
+    signatures stay bit-identical across faces.
     """
     from .text import shingle_rows
 
-    sh = shingle_rows(sdf, key_col, text_col, shingle_n).withColumnRenamed("shingle", "__s__")
+    src = sdf
+    fold_col = text_col
+    if lowercase:
+        fold_col = "__t_fold__"
+        src = sdf.withColumn(fold_col, F.lower(F.col(text_col)))
+    sh = shingle_rows(src, key_col, fold_col, shingle_n).withColumnRenamed("shingle", "__s__")
     sh = sh.withColumn("__h__", _base_hash32(F.col("__s__")))
     aggs = [
         F.min((F.lit(MINHASH_A[i]) * F.col("__h__") + F.lit(MINHASH_B[i])) % MINHASH_P32).alias(f"{prefix}{i}")
@@ -115,7 +129,7 @@ def with_minhash(
     ]
     sig = sh.groupBy(key_col).agg(*aggs)
     # empty-shingle docs hash the raw text through the same family
-    fb = _base_hash32(F.col(text_col))
+    fb = _base_hash32(F.lower(F.col(text_col)) if lowercase else F.col(text_col))
     joined = sdf.join(sig, key_col, "left")
     return joined.withColumns(
         {
@@ -134,6 +148,7 @@ def minhash_signatures(
     shingle_n: int = 3,
     prefix: str = "mh",
     key_col: str = "doc_id",
+    lowercase: bool = False,
 ) -> SDF:
     """NARROW signature kernel: (key, mh0..mh{k-1}) only — bit-identical
     to ``with_minhash`` (same hash family, shingles, empty-shingle
@@ -147,6 +162,13 @@ def minhash_signatures(
     bytes are (key, k longs)."""
     from .text import shingle_rows_arrow
 
+    # case-fold BEFORE the Arrow kernel so Spark's lower (not Python's
+    # str.lower, whose Unicode mappings can differ) defines the fold on
+    # every face
+    narrow_src = sdf.select(
+        key_col,
+        (F.lower(F.col(text_col)) if lowercase else F.col(text_col)).alias(text_col),
+    )
     mins = [
         F.min((F.lit(MINHASH_A[i]) * F.col("__h__") + F.lit(MINHASH_B[i])) % MINHASH_P32).alias(
             f"{prefix}{i}"
@@ -154,12 +176,12 @@ def minhash_signatures(
         for i in range(num_hashes)
     ]
     sig_agg = (
-        shingle_rows_arrow(sdf.select(key_col, text_col), key_col, text_col, shingle_n)
+        shingle_rows_arrow(narrow_src, key_col, text_col, shingle_n)
         .withColumn("__h__", _base_hash32(F.col("shingle")))
         .groupBy(key_col)
         .agg(*mins)
     )
-    fbh = _base_hash32(F.col(text_col))
+    fbh = _base_hash32(F.lower(F.col(text_col)) if lowercase else F.col(text_col))
     narrow = sdf.select(
         F.col(key_col),
         *[
@@ -672,7 +694,7 @@ def dedup_representatives(docs: SDF, components: SDF, key_col: str = "doc_id") -
 
 
 def minhash_signature_cols(
-    text: Column, num_hashes: int = 8, shingle_n: int = 3
+    text: Column, num_hashes: int = 8, shingle_n: int = 3, lowercase: bool = False
 ) -> list[Column]:
     """STATELESS per-row rendering of ``with_minhash``'s exact universal
     hash family — same base ``md5 -> P32`` hash, same A/B parameters,
@@ -685,12 +707,14 @@ def minhash_signature_cols(
     re-evaluates the struct per column (Catalyst does not reliably
     dedupe interpreted higher-order subexpressions), so it stands only
     where a single hash column is pulled."""
-    st = minhash_signature_struct(text, num_hashes=num_hashes, shingle_n=shingle_n)
+    st = minhash_signature_struct(
+        text, num_hashes=num_hashes, shingle_n=shingle_n, lowercase=lowercase
+    )
     return [st[f"m{i}"] for i in range(num_hashes)]
 
 
 def minhash_signature_struct(
-    text: Column, num_hashes: int = 8, shingle_n: int = 3
+    text: Column, num_hashes: int = 8, shingle_n: int = 3, lowercase: bool = False
 ) -> Column:
     """All ``num_hashes`` MinHash components as ONE struct column
     (fields m0..m{k-1}) computed in a single array pass: base-hash the
@@ -703,6 +727,8 @@ def minhash_signature_struct(
     second select, so the fold runs once per row."""
     from .text import shingle_set
 
+    if lowercase:
+        text = F.lower(text)
     sh = shingle_set(text, shingle_n)
     base = F.transform(sh, lambda s: _base_hash32(s))
     fb = _base_hash32(text)

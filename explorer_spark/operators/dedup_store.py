@@ -49,6 +49,7 @@ def write_signature_store(
     num_hashes: int = 8,
     bands: int = 4,
     shingle_n: int = 3,
+    lowercase: bool = False,
     mode: str = "overwrite",
 ) -> None:
     """Compute MinHash signatures + LSH band buckets for ``sdf`` and
@@ -67,12 +68,12 @@ def write_signature_store(
     spark = sdf.sparkSession
     if mode == "append":
         meta = read_store_meta(spark, path)
-        got = (meta["num_hashes"], meta["bands"], meta["shingle_n"])
-        want = (num_hashes, bands, shingle_n)
+        got = (meta["num_hashes"], meta["bands"], meta["shingle_n"], meta.get("lowercase", False))
+        want = (num_hashes, bands, shingle_n, lowercase)
         if got != want:
             raise ValueError(
                 f"signature store at {path!r} was written with "
-                f"(num_hashes, bands, shingle_n)={got}; appending with {want} "
+                f"(num_hashes, bands, shingle_n, lowercase)={got}; appending with {want} "
                 f"would silently break candidate recall — recreate the store "
                 f"or match its parameters"
             )
@@ -81,7 +82,12 @@ def write_signature_store(
     from .dedup import minhash_signatures
 
     sig = minhash_signatures(
-        sdf, text_col=text_col, num_hashes=num_hashes, shingle_n=shingle_n, key_col=key_col
+        sdf,
+        text_col=text_col,
+        num_hashes=num_hashes,
+        shingle_n=shingle_n,
+        key_col=key_col,
+        lowercase=lowercase,
     ).withColumnRenamed(key_col, "key")
     # two consumers (signatures write + bucket derivation): pin so the
     # signature kernel executes once, not twice
@@ -100,6 +106,7 @@ def write_signature_store(
             F.lit(num_hashes).cast("int").alias("num_hashes"),
             F.lit(bands).cast("int").alias("bands"),
             F.lit(shingle_n).cast("int").alias("shingle_n"),
+            F.lit(bool(lowercase)).alias("lowercase"),
             F.lit(META_VERSION).cast("int").alias("version"),
         )
         meta_df.write.mode("overwrite").parquet(f"{path}/meta")
@@ -134,7 +141,12 @@ def dedup_against_store(
     k, bands = meta["num_hashes"], meta["bands"]
     sig_cols = [f"mh{i}" for i in range(k)]
     new_sig = with_minhash(
-        new_sdf, text_col=text_col, num_hashes=k, shingle_n=meta["shingle_n"], key_col=key_col
+        new_sdf,
+        text_col=text_col,
+        num_hashes=k,
+        shingle_n=meta["shingle_n"],
+        key_col=key_col,
+        lowercase=meta.get("lowercase", False),
     ).select(F.col(key_col).alias("new_key"), *[F.col(c).alias(f"n_{c}") for c in sig_cols])
     # two consumers (banding + the verify join): pin the shard kernel
     new_sig = new_sig.localCheckpoint(eager=False)
@@ -217,7 +229,10 @@ def stream_dedup_against_store(
     sig = stream_sdf.select(
         F.col(key_col).alias("new_key"),
         minhash_signature_struct(
-            F.col(text_col), num_hashes=k, shingle_n=meta["shingle_n"]
+            F.col(text_col),
+            num_hashes=k,
+            shingle_n=meta["shingle_n"],
+            lowercase=meta.get("lowercase", False),
         ).alias("__mh__"),
     ).select(
         "new_key",

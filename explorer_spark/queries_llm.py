@@ -154,6 +154,69 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+_MINHASH_FOLDED_ORACLE = f"""
+    WITH d AS (
+        SELECT doc_id, text, {_WORDS.format(t="text")} AS ws FROM documents
+    ),
+    h AS (
+        SELECT doc_id, text,
+               CASE WHEN text IS NULL THEN 3 ELSE len(ws) END AS n,
+               COALESCE(
+                   md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))),
+                   chr(0) || 'nil' || chr(0) || CAST(doc_id AS VARCHAR)
+               ) AS th
+        FROM d
+    ),
+    rep AS (
+        SELECT min(doc_id) AS doc_id FROM h WHERE n >= 3 GROUP BY th
+        UNION ALL
+        SELECT doc_id FROM h WHERE n < 3
+    ),
+    f AS (
+        SELECT h.doc_id, lower(h.text) AS text,
+               {_WORDS.format(t="lower(h.text)")} AS ws
+        FROM h JOIN rep USING (doc_id)
+    ),
+    sh AS (SELECT doc_id, text, {_SHINGLES3.format(w="ws")} AS sh FROM f),
+    sig AS (
+        SELECT doc_id, {", ".join(f"{_minhash_sql(i)} AS mh{i}" for i in range(8))}
+        FROM sh
+    ),
+    bands AS (
+        {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, md5(mh{2 * b} || '|' || mh{2 * b + 1}) AS bucket FROM sig" for b in range(4))}
+    ),
+    bc AS (SELECT band, bucket, COUNT(*) AS c FROM bands GROUP BY 1, 2)
+    SELECT band, COUNT(*) AS n_buckets,
+           CAST(COALESCE(SUM(c) FILTER (WHERE c > 1), 0) AS BIGINT) AS n_candidate_docs
+    FROM bc GROUP BY band
+"""
+
+
+@query("q_dedup_minhash_folded", _MINHASH_FOLDED_ORACLE)
+def q_dedup_minhash_folded(spark, sf_dir):
+    """The strongest dedup defense on the GRADED path (round-11): the
+    normalized exact-text census (normalize="ws_case") collapses
+    whitespace- AND case-drifted replicas to min-id representatives,
+    then the case-folding MinHash kernels (lowercase=True — round-11's
+    census-exactness knob) band only the representatives. With folding
+    shinglers the ws_case collapse is EXACT: collapsed members share
+    their representative's signature bit-for-bit, so downstream
+    components are identical to the uncollapsed pipeline's
+    (test_scale.py::test_ws_case_census_component_equivalence...)."""
+    from .operators.dedup import exact_text_census, lsh_buckets, minhash_signatures
+
+    docs = _t(spark, sf_dir, "documents").lazy_sdf()
+    rep_ids, _star = exact_text_census(docs, min_words=3, normalize="ws_case")
+    rd = docs.join(rep_ids, "doc_id", "left_semi")
+    sig = minhash_signatures(rd, num_hashes=8, shingle_n=3, lowercase=True)
+    buckets = lsh_buckets(sig, num_hashes=8, bands=4)
+    per_bucket = buckets.groupBy("band", "bucket").agg(SF.count(SF.lit(1)).alias("c"))
+    return per_bucket.groupBy("band").agg(
+        SF.count(SF.lit(1)).alias("n_buckets"),
+        SF.coalesce(SF.sum(SF.when(SF.col("c") > 1, SF.col("c"))), SF.lit(0)).alias("n_candidate_docs"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # dedup: n-gram Jaccard pairs
 # ---------------------------------------------------------------------------

@@ -835,3 +835,118 @@ def test_normalized_census_component_equivalence(spark):
         return sorted((r["vertex"], r["component"]) for r in comps.collect())
 
     assert clusters(True) == clusters(False)
+
+
+def test_ws_case_census_component_equivalence_with_folding_shinglers(spark):
+    """Round-11: with ``lowercase=True`` shinglers, the "ws_case" census
+    becomes EXACT — case-drifted replicas share signatures, so
+    collapsing them before banding preserves components (the same
+    argument as the "ws" proof, now over case-folded text)."""
+    import explorer_spark as ex
+    from explorer_spark.operators.dedup import (
+        exact_text_census,
+        lsh_buckets,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        neardup_components,
+    )
+    from explorer_spark.operators.text import shingle_rows
+    from pyspark.sql import functions as F
+
+    base_texts = [
+        "the quick brown fox jumps over the lazy dog tonight",
+        "pack my box with five dozen liquor jugs right now",
+        "how vexingly quick daft zebras jump around the field",
+    ]
+    rows_id, rows_text = [], []
+    i = 0
+    for t in base_texts:
+        for k in range(4):  # 4 replicas: whitespace AND case drift
+            drift = t.replace(" ", "  ", k) if k else t
+            if k % 2:
+                drift = drift.upper()
+            rows_id.append(i)
+            rows_text.append(drift)
+            i += 1
+    docs = ex.from_columns({"doc_id": rows_id, "text": rows_text}, spark=spark).lazy_sdf()
+
+    def clusters(use_census):
+        if use_census:
+            rep_ids, star = exact_text_census(docs, min_words=3, normalize="ws_case")
+            rd = docs.join(rep_ids, "doc_id", "left_semi")
+        else:
+            rd, star = docs, None
+        sig = minhash_signatures(rd, num_hashes=8, shingle_n=3, lowercase=True)
+        cand = lsh_candidate_pairs(lsh_buckets(sig, num_hashes=8, bands=4))
+        folded = rd.withColumn("text", F.lower(F.col("text")))
+        sh = shingle_rows(folded, "doc_id", "text", 3).groupBy("doc_id").agg(
+            F.collect_set("shingle").alias("sh")
+        )
+        sa = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("__sha__"))
+        sb = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("__shb__"))
+        inter = F.size(F.array_intersect(F.col("__sha__"), F.col("__shb__")))
+        union = F.size(F.array_union(F.col("__shb__"), F.col("__sha__")))
+        pairs = (
+            cand.join(sa, "id_a").join(sb, "id_b")
+            .filter(inter.cast("double") / union >= 0.8)
+            .select("id_a", "id_b")
+        )
+        if star is not None:
+            pairs = pairs.unionByName(star)
+        comps = neardup_components(pairs)
+        return sorted((r["vertex"], r["component"]) for r in comps.collect())
+
+    got = clusters(True)
+    assert got == clusters(False)
+    # sanity: each base text's 4 replicas share one component
+    by_comp = {}
+    for v, c in got:
+        by_comp.setdefault(c, []).append(v)
+    assert sorted(sorted(v) for v in by_comp.values()) == [
+        [0, 1, 2, 3], [4, 5, 6, 7], [8, 9, 10, 11]
+    ]
+
+
+def test_lowercase_signatures_bit_identical_across_faces(spark):
+    """lowercase=True folds through the SAME Spark expression in every
+    signature face: bulk join-back (with_minhash), narrow Arrow
+    (minhash_signatures), stateless struct (the stream face) — all three
+    must emit identical signatures, equal to the unfolded kernels over
+    pre-lowered text."""
+    import explorer_spark as ex
+    from explorer_spark.operators.dedup import (
+        minhash_signature_struct,
+        minhash_signatures,
+        with_minhash,
+    )
+    from pyspark.sql import functions as F
+
+    docs = ex.from_columns(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "The Quick BROWN fox JUMPS high",
+                "MiXeD CaSe document talking about Things",
+                "ab",  # < shingle_n words -> fallback hash path
+                "ALL UPPER CASE WORDS HERE",
+            ],
+        },
+        spark=spark,
+    ).lazy_sdf()
+
+    def rows(sdf):
+        return sorted(
+            (r["doc_id"], tuple(r[f"mh{i}"] for i in range(8)))
+            for r in sdf.select("doc_id", *[f"mh{i}" for i in range(8)]).collect()
+        )
+
+    bulk = rows(with_minhash(docs, num_hashes=8, shingle_n=3, lowercase=True))
+    narrow = rows(minhash_signatures(docs, num_hashes=8, shingle_n=3, lowercase=True))
+    st = docs.select(
+        "doc_id",
+        minhash_signature_struct(F.col("text"), num_hashes=8, shingle_n=3, lowercase=True).alias("s"),
+    ).select("doc_id", *[F.col("s")[f"m{i}"].alias(f"mh{i}") for i in range(8)])
+    stateless = rows(st)
+    pre_lowered = docs.withColumn("text", F.lower(F.col("text")))
+    baseline = rows(minhash_signatures(pre_lowered, num_hashes=8, shingle_n=3))
+    assert bulk == narrow == stateless == baseline
