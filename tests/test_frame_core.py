@@ -42,6 +42,33 @@ def test_filter_with_agg_broadcast(df):
     assert out["a"] == [4, 5, 6]
 
 
+def test_filter_with_tuple_return_raises_reference_error(df):
+    # a mutate_with-shaped callback result ((name, expr) pairs) must
+    # fail with the reference's boolean-LazySeries message, not a
+    # cryptic crash deep in the filter machinery (round-11 ADVICE)
+    import pytest
+
+    with pytest.raises(ValueError, match="boolean LazySeries"):
+        df.filter_with(lambda fr: [("x", fr["a"] > 1)])
+
+
+def test_struct_field_missing_resolves_statically(spark):
+    # the missing-field error resolves against the cached schema for
+    # column/field chains — including nested ones — with the
+    # reference's wording (data_frame_test.exs:707)
+    import pytest
+
+    from explorer_spark.sources import from_columns
+
+    d = from_columns({"s": [{"inner": {"k": 7}}]}, spark=spark)
+    with pytest.raises(ValueError, match=r'field "zz" not found in fields'):
+        d.mutate_with(lambda fr: {"x": fr["s"].field("zz")})
+    with pytest.raises(ValueError, match=r'field "zz" not found in fields'):
+        d.mutate_with(lambda fr: {"x": fr["s"].field("inner").field("zz")})
+    ok = d.mutate_with(lambda fr: {"k": fr["s"].field("inner").field("k")})
+    assert ok.to_columns()["k"] == [7]
+
+
 def test_grouped_mutate_broadcast(df):
     out = (
         df.group_by("g")

@@ -759,6 +759,17 @@ def test_to_tensor_dtype_faithful(spark):
     for vals in ([1.0, None], [True, None], [dtm.date(2020, 1, 2), None]):
         with pytest.raises(ValueError, match="nil"):
             Series.from_list(vals, spark=spark).to_tensor()
+    # ns-precision counts are EXACT integers (round-11 ADVICE:
+    # total_seconds() is a float64 whose ~0.25us resolution at modern
+    # epochs corrupted ns counts — they must stay multiples of 1000 of
+    # the exact us count)
+    v = dtm.datetime(2024, 5, 17, 12, 34, 56, 789123)
+    td = v - dtm.datetime(1970, 1, 1)
+    us = (td.days * 86400 + td.seconds) * 1_000_000 + td.microseconds
+    ns_t = Series.from_list([v], dtype=("naive_datetime", "ns"), spark=spark).to_tensor()
+    assert int(ns_t[0]) == us * 1000
+    ms_t = Series.from_list([v], dtype=("naive_datetime", "ms"), spark=spark).to_tensor()
+    assert int(ms_t[0]) == us // 1000
 
 
 def test_grouped_frame_renders_whole_frame(spark):
