@@ -750,8 +750,12 @@ def _struct_field(ctx: LowerCtx, a, name: str) -> Column:
         # a full Catalyst analysis per lowering, and expressions lower
         # several times (boolean probes, retries, nested lowerings)
         struct_t = _static_struct_type(a, sdf)
-        if struct_t is None and not _is_col_field_chain(a):
-            # computed struct (rare): one analysis-time probe
+        if struct_t is None:
+            # computed struct, or a chain the schema walk could not
+            # resolve (e.g. case-drifted column reference under
+            # spark.sql.caseSensitive=false): one analysis-time probe —
+            # rare, so the per-lowering cost the static path avoids
+            # doesn't return
             try:
                 struct_t = sdf.select(c.alias("__s__")).schema["__s__"].dataType
             except Exception:
@@ -761,12 +765,6 @@ def _struct_field(ctx: LowerCtx, a, name: str) -> Column:
             if name not in fields:
                 raise ValueError(f"field \"{name}\" not found in fields {fields!r}")
     return c.getField(name)
-
-
-def _is_col_field_chain(a) -> bool:
-    while isinstance(a, Expr) and a.op == "field":
-        a = a.args[0]
-    return isinstance(a, Expr) and a.op == "column"
 
 
 def _static_struct_type(a, sdf):

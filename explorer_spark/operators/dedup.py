@@ -704,13 +704,33 @@ def minhash_signature_cols(
 
     Prefer ``minhash_signature_struct`` when selecting all hashes: it
     evaluates the shingle array ONCE per row. This per-hash column form
-    re-evaluates the struct per column (Catalyst does not reliably
-    dedupe interpreted higher-order subexpressions), so it stands only
-    where a single hash column is pulled."""
-    st = minhash_signature_struct(
-        text, num_hashes=num_hashes, shingle_n=shingle_n, lowercase=lowercase
-    )
-    return [st[f"m{i}"] for i in range(num_hashes)]
+    keeps the one-transform-one-array_min body per column — extracting
+    a struct field per column would re-run the whole k-hash fold per
+    column (Catalyst does not CSE interpreted higher-order
+    subexpressions), k times the work of this form for a single
+    column."""
+    from .text import shingle_set
+
+    if lowercase:
+        text = F.lower(text)
+    sh = shingle_set(text, shingle_n)
+    base = F.transform(sh, lambda s: _base_hash32(s))
+    fb = _base_hash32(text)
+
+    def seeded(i: int):
+        # 1-arg lambda: F.transform passes (element, index) to 2-arg
+        # functions, which would shadow the captured seed
+        return lambda h: (F.lit(MINHASH_A[i]) * h + F.lit(MINHASH_B[i])) % MINHASH_P32
+
+    out = []
+    for i in range(num_hashes):
+        hashed = F.transform(base, seeded(i))
+        out.append(
+            F.when(F.size(sh) > 0, F.array_min(hashed)).otherwise(
+                (F.lit(MINHASH_A[i]) * fb + F.lit(MINHASH_B[i])) % MINHASH_P32
+            )
+        )
+    return out
 
 
 def minhash_signature_struct(

@@ -674,9 +674,14 @@ def remove_repeated_spans(
         # (compression cancels raw bytes/word); CSV/JSON scans report
         # raw bytes — 5-10x the word count — so a non-parquet source
         # with known stats would over-partition by that factor. Gate the
-        # stats path on a parquet relation and let everything else take
-        # the measured fallback below.
-        if "parquet" not in plan.toString().lower():
+        # stats path on a parquet RELATION: the optimized plan renders
+        # leaf scans as "Relation [cols...] <format>", so match the
+        # format token itself — a bare substring test would misfire on
+        # file paths or column names containing "parquet"
+        import re as _re
+
+        fmts = _re.findall(r"Relation \[[^\]]*\] (\w+)", plan.toString())
+        if not fmts or any(f.lower() != "parquet" for f in fmts):
             est_bytes = 0
     except Exception:
         est_bytes = 0

@@ -1522,7 +1522,13 @@ class Series:
                 return (td.days * 86_400 + td.seconds) * 1_000_000 + td.microseconds
 
             if d[1] == "ms":
-                counts = [_us(v) // 1_000 for v in vals]
+                # trunc toward ZERO (the engine's us->ms cast rule,
+                # expr.py: us - us %% div with sign fixup), not floor —
+                # they differ on pre-epoch sub-ms values
+                counts = [
+                    (u // 1_000 if u >= 0 else -((-u) // 1_000))
+                    for u in (_us(v) for v in vals)
+                ]
             elif d[1] == "us":
                 counts = [_us(v) for v in vals]
             else:  # ns

@@ -179,15 +179,26 @@ def download_http(url: str, config=None, dest: str | None = None) -> str:
     import urllib.error
     import urllib.request
 
+    import atexit
+
     url, cfg = parse_http(url, config)
     if dest is None:
         base = os.path.join(tempfile.gettempdir(), "explorer-spark-datasets")
         os.makedirs(base, exist_ok=True)
         h = hashlib.sha256(url.encode()).hexdigest()[:24]
+        # rand suffix = re-download per read (the reference's semantics,
+        # shared.ex:289-297 — no staleness); the temp file is reclaimed
+        # at interpreter exit so repeated reads don't leak disk
         dest = os.path.join(base, f"http-file-{h}-{secrets.token_hex(6)}")
+        atexit.register(_remove_quiet, dest)
     if dest.endswith("/"):
         raise ValueError(f"expected a regular file path, got: {dest!r}")
-    req = urllib.request.Request(url, headers=dict(cfg["headers"]))
+    # duplicate header keys merge with ", " (RFC 7230 §3.2.2) — urllib's
+    # header store is a dict and would silently drop all but the last
+    hdrs: dict[str, str] = {}
+    for k_, v_ in cfg["headers"]:
+        hdrs[k_] = f"{hdrs[k_]}, {v_}" if k_ in hdrs else v_
+    req = urllib.request.Request(url, headers=hdrs)
     try:
         with urllib.request.urlopen(req) as resp, open(dest, "wb") as f:
             shutil.copyfileobj(resp, f)
@@ -196,3 +207,10 @@ def download_http(url: str, config=None, dest: str | None = None) -> str:
             raise ValueError("resource not found (404)") from None
         raise ValueError(f"got HTTP status: {e.code}") from None
     return dest
+
+
+def _remove_quiet(path: str) -> None:
+    try:
+        os.remove(path)
+    except OSError:
+        pass

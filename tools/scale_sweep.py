@@ -95,9 +95,15 @@ def build_kernels(spark, sf_dir: str, scratch: str):
         "l_orderkey", "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"
     )
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    n_docs = docs.count()
-    n_li = li.count()
-    n_emb = emb.count()
+    # replica id offsets span max(id)+1, NOT the row count: the docs
+    # side filters null texts, so count < max id and a count-based span
+    # would collide replica i's high ids with replica i+1's low ids
+    def _span(sdf_, idc):
+        return int(sdf_.agg(F.max(idc)).first()[0]) + 1
+
+    n_docs = _span(docs, "doc_id")
+    n_li = _span(li, "l_orderkey")
+    n_emb = _span(emb, "vec_id")
 
     def docs_at(m):
         return _replicate(docs, m, "doc_id", n_docs, salt_col="text")
