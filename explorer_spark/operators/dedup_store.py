@@ -112,9 +112,33 @@ def write_signature_store(
         meta_df.write.mode("overwrite").parquet(f"{path}/meta")
 
 
+_META_CACHE: dict = {}
+
+
 def read_store_meta(spark, path: str) -> dict:
+    """Store meta, cached per (path, meta-file fingerprint): the meta
+    table is one immutable row per store write, but reading it costs a
+    Spark job (~0.3 s) that every store-querying call would repeat. The
+    fingerprint (listing of the meta dir's parquet files + mtimes)
+    invalidates the cache when a store is rewritten in place; remote
+    paths (no local listing) skip the cache."""
+    import os as _os
+
+    key = None
+    try:
+        meta_dir = f"{path}/meta"
+        names = sorted(_os.listdir(meta_dir))
+        fp = tuple((n, _os.stat(_os.path.join(meta_dir, n)).st_mtime_ns) for n in names)
+        key = (path, fp)
+    except OSError:
+        pass
+    if key is not None and key in _META_CACHE:
+        return dict(_META_CACHE[key])
     row = spark.read.parquet(f"{path}/meta").collect()[0]
-    return row.asDict()
+    meta = row.asDict()
+    if key is not None:
+        _META_CACHE[key] = dict(meta)
+    return meta
 
 
 def dedup_against_store(

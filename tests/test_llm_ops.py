@@ -962,3 +962,71 @@ def test_stratified_sample_nested_rates_subset(spark, docs):
     all_de = stratified_sample(docs, "lang", {"de": 1.0}, default_rate=0.0)
     n_de = docs.filter(F.col("lang") == "de").count()
     assert all_de.count() == n_de
+
+
+def test_minhash_faces_property(spark):
+    """Hypothesis pin (round-11): for arbitrary texts (unicode,
+    whitespace edges, short docs) all four signature faces agree —
+    per-column exprs, one-pass struct, narrow Arrow kernel, bulk
+    join-back — with and without lowercase folding."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+
+    import explorer_spark as ex
+    from explorer_spark.operators.dedup import (
+        minhash_signature_cols,
+        minhash_signature_struct,
+        minhash_signatures,
+        with_minhash,
+    )
+
+    texts_strategy = st.lists(
+        st.text(
+            alphabet=st.sampled_from(list("abc XYZ\t\n.é中")),
+            min_size=0,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+
+    @given(texts=texts_strategy, lower=st.booleans())
+    @settings(
+        max_examples=25,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+    )
+    def check(texts, lower):
+        sdf = ex.from_columns(
+            {"doc_id": list(range(len(texts))), "text": texts}, spark=spark
+        ).lazy_sdf()
+
+        def rows(x):
+            return sorted(
+                (r["doc_id"], tuple(r[f"mh{i}"] for i in range(4)))
+                for r in x.select("doc_id", *[f"mh{i}" for i in range(4)]).collect()
+            )
+
+        cols_face = rows(
+            sdf.select(
+                "doc_id",
+                *[
+                    c.alias(f"mh{i}")
+                    for i, c in enumerate(
+                        minhash_signature_cols(F.col("text"), 4, 3, lowercase=lower)
+                    )
+                ],
+            )
+        )
+        struct_face = rows(
+            sdf.select(
+                "doc_id",
+                minhash_signature_struct(F.col("text"), 4, 3, lowercase=lower).alias("s"),
+            ).select("doc_id", *[F.col("s")[f"m{i}"].alias(f"mh{i}") for i in range(4)])
+        )
+        narrow_face = rows(minhash_signatures(sdf, num_hashes=4, shingle_n=3, lowercase=lower))
+        bulk_face = rows(with_minhash(sdf, num_hashes=4, shingle_n=3, lowercase=lower))
+        assert cols_face == struct_face == narrow_face == bulk_face
+
+    check()
