@@ -421,15 +421,19 @@ def read_ipc_distributed(
 
 
 def read_ipc(
-    path: str, columns=None, max_rows: int | None = None, spark: SparkSession | None = None
+    path: str, columns=None, max_rows: int | None = None, spark: SparkSession | None = None,
+    config=None,
 ) -> DataFrame:
     """Arrow IPC file/stream via PyArrow (no native Spark source).
     Options mirror reference from_ipc/2: ``columns`` projection and
-    ``max_rows`` prefix limit."""
+    ``max_rows`` prefix limit. http(s):// entries download driver-side
+    like the reference's :http IPC route (polars_backend/
+    data_frame.ex:394)."""
     import pyarrow as pa
     import pyarrow.ipc as ipc
 
     spark = spark or get_spark()
+    path = _fss_resolve(path, spark, config)
     try:
         with pa.memory_map(path) as source:
             table = ipc.open_file(source).read_all()
@@ -762,12 +766,16 @@ def from_query(
             conn.close()
 
 
-def read_ipc_stream(path: str, columns=None, spark: SparkSession | None = None) -> DataFrame:
-    """Arrow IPC streaming format (reference from_ipc_stream)."""
+def read_ipc_stream(
+    path: str, columns=None, spark: SparkSession | None = None, config=None
+) -> DataFrame:
+    """Arrow IPC streaming format (reference from_ipc_stream); http(s)://
+    entries download driver-side (polars_backend/data_frame.ex:483)."""
     import pyarrow as pa
     import pyarrow.ipc as ipc
 
     spark = spark or get_spark()
+    path = _fss_resolve(path, spark, config)
     with open(path, "rb") as fh:
         table = ipc.open_stream(fh).read_all()
     if columns:

@@ -262,3 +262,25 @@ def test_http_write_destination_rejected(spark, tmp_path):
     df = ex.new({"a": [1]})
     with pytest.raises(ValueError, match="read-only"):
         write_csv(df, "http://127.0.0.1:1/out.csv")
+
+
+def test_http_read_ipc_end_to_end(spark, http_server, tmp_path):
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
+    from explorer_spark.sources import read_ipc, read_ipc_stream
+
+    base, _ = http_server
+    table = pa.table({"a": [1, 2], "b": ["x", "y"]})
+    with pa.OSFile(str(tmp_path / "t.arrow"), "wb") as sink, ipc.new_file(
+        sink, table.schema
+    ) as w:
+        w.write_table(table)
+    with pa.OSFile(str(tmp_path / "t.arrows"), "wb") as sink, ipc.new_stream(
+        sink, table.schema
+    ) as w:
+        w.write_table(table)
+    assert read_ipc(f"{base}/t.arrow", spark=spark).to_columns() == {"a": [1, 2], "b": ["x", "y"]}
+    assert read_ipc_stream(f"{base}/t.arrows", spark=spark).to_columns() == {
+        "a": [1, 2], "b": ["x", "y"],
+    }
