@@ -777,6 +777,51 @@ def minhash_signature_struct(
     return F.when(F.size(sh) > 0, mins).otherwise(fallback)
 
 
+def minhash_signature_struct_sql(
+    text_col: str, num_hashes: int = 8, shingle_n: int = 3, lowercase: bool = False
+) -> Column:
+    """``minhash_signature_struct`` rendered as ONE SQL expression
+    string (F.expr): bit-identical Catalyst tree, but a single py4j
+    call to build — the lambda-based Column construction costs ~1 s of
+    driver-side py4j round trips per call (measured), which the
+    streaming face pays on every query start. Takes the column NAME
+    (SQL can't splice an arbitrary Column); expression-valued callers
+    use the Column form."""
+    p = MINHASH_P32
+    col = f"lower(`{text_col}`)" if lowercase else f"`{text_col}`"
+
+    def bh(x: str) -> str:
+        return f"(CAST(conv(substring(md5({x}), 1, 15), 16, 10) AS BIGINT) % {p})"
+
+    # tokenization mirrors text.words(): btrim over the ASCII \s charset
+    ws = (
+        f"split(btrim({col}, concat(' ', char(9), char(10), char(11), "
+        f"char(12), char(13))), '\\\\s+')"
+    )
+    k = f"(size({ws}) - {shingle_n - 1})"
+    shingles = (
+        f"CASE WHEN {k} >= 1 THEN transform(sequence(1, {k}), "
+        f"i -> array_join(slice({ws}, i, {shingle_n}), ' ')) "
+        f"ELSE CAST(array() AS array<string>) END"
+    )
+    sh = f"array_distinct({shingles})"
+    base = f"transform({sh}, s -> {bh('s')})"
+    init = "named_struct(" + ", ".join(
+        f"'m{i}', CAST({p} AS BIGINT)" for i in range(num_hashes)
+    ) + ")"
+    fold = "(acc, h) -> named_struct(" + ", ".join(
+        f"'m{i}', least(acc.m{i}, ({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {p})"
+        for i in range(num_hashes)
+    ) + ")"
+    mins = f"aggregate({base}, {init}, {fold})"
+    fb = bh(col)
+    fallback = "named_struct(" + ", ".join(
+        f"'m{i}', ({MINHASH_A[i]} * {fb} + {MINHASH_B[i]}) % {p}"
+        for i in range(num_hashes)
+    ) + ")"
+    return F.expr(f"CASE WHEN size({sh}) > 0 THEN {mins} ELSE {fallback} END")
+
+
 def dedup_keep_best(
     docs: SDF,
     pairs: SDF,

@@ -242,7 +242,7 @@ def stream_dedup_against_store(
     the keep-side. Works identically on a batch frame (the Spark
     batch/stream API symmetry), which is how the test pins it to
     dedup_against_store's results."""
-    from .dedup import minhash_signature_struct
+    from .dedup import minhash_signature_struct_sql
 
     spark = stream_sdf.sparkSession
     meta = read_store_meta(spark, path)
@@ -252,8 +252,8 @@ def stream_dedup_against_store(
     # ONCE per row; the field projection after it is free
     sig = stream_sdf.select(
         F.col(key_col).alias("new_key"),
-        minhash_signature_struct(
-            F.col(text_col),
+        minhash_signature_struct_sql(
+            text_col,
             num_hashes=k,
             shingle_n=meta["shingle_n"],
             lowercase=meta.get("lowercase", False),

@@ -977,6 +977,7 @@ def test_minhash_faces_property(spark):
     from explorer_spark.operators.dedup import (
         minhash_signature_cols,
         minhash_signature_struct,
+        minhash_signature_struct_sql,
         minhash_signatures,
         with_minhash,
     )
@@ -1027,6 +1028,12 @@ def test_minhash_faces_property(spark):
         )
         narrow_face = rows(minhash_signatures(sdf, num_hashes=4, shingle_n=3, lowercase=lower))
         bulk_face = rows(with_minhash(sdf, num_hashes=4, shingle_n=3, lowercase=lower))
-        assert cols_face == struct_face == narrow_face == bulk_face
+        sql_face = rows(
+            sdf.select(
+                "doc_id",
+                minhash_signature_struct_sql("text", 4, 3, lowercase=lower).alias("s"),
+            ).select("doc_id", *[F.col("s")[f"m{i}"].alias(f"mh{i}") for i in range(4)])
+        )
+        assert cols_face == struct_face == narrow_face == bulk_face == sql_face
 
     check()
