@@ -45,6 +45,10 @@ def get_spark(app_name: str = "explorer_spark", cpus: str | int | None = None) -
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # the 129-query bench generates ~4x the default 100 codegen cache
+        # entries in one JVM; evicted entries re-compile (~0.5-2 s for the
+        # fused-aggregate plans) on their next rep
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
