@@ -695,6 +695,58 @@ def test_stream_dedup_against_store(spark, tmp_path):
     assert got == batch == {(100, 10, 1.0)}
 
 
+def test_stream_dedup_against_lowercase_store(spark, tmp_path):
+    """Round-11: a store written with lowercase=True persists the flag,
+    and BOTH query faces (batch + the SQL-rendered stream face) fold
+    case-drifted shards identically — the stream run must match the
+    batch run and catch the case-drifted duplicate."""
+    from explorer_spark.operators.dedup_store import (
+        dedup_against_store,
+        stream_dedup_against_store,
+        write_signature_store,
+    )
+    from explorer_spark.streaming import run_stream_once
+
+    corpus = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog"),
+            (11, "some unrelated corpus document body text here"),
+        ],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "store_lc")
+    write_signature_store(corpus, store, lowercase=True)
+
+    shard_dir = str(tmp_path / "shard_lc")
+    spark.createDataFrame(
+        [
+            (100, "The QUICK Brown Fox Jumps Over The Lazy Dog"),  # case drift
+            (101, "never seen before fresh content entirely"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(shard_dir)
+
+    batch = {
+        (r.new_key, r.corpus_key, r.est_jaccard)
+        for r in dedup_against_store(spark.read.parquet(shard_dir), store).collect()
+    }
+    streamed = run_stream_once(
+        spark,
+        shard_dir,
+        lambda s: stream_dedup_against_store(s, store),
+        query_name="store_dedup_stream_lc",
+        output_mode="append",
+    )
+    got = {(r.new_key, r.corpus_key, r.est_jaccard) for r in streamed.collect()}
+    assert got == batch == {(100, 10, 1.0)}
+
+    # append with a mismatched fold flag must raise the meta error
+    import pytest
+
+    with pytest.raises(ValueError, match="lowercase"):
+        write_signature_store(corpus, store, lowercase=False, mode="append")
+
+
 def test_quantized_ivf_index_compression_and_recall(spark, tmp_path):
     """quantize=True index: (1) the cells table is materially smaller
     on disk (int8 codes vs float64 vectors); (2) on clustered data the
