@@ -368,6 +368,59 @@ def hash_sample(sdf: SDF, key_col: str, rate: float, buckets: int = 10_000) -> S
     return sdf.filter(h % F.lit(buckets) < F.lit(int(round(rate * buckets))))
 
 
+def mixture_sample(
+    sdf: SDF,
+    strata_col: str,
+    weights: dict,
+    n_total: int,
+    key_col: str = "doc_id",
+    buckets: int = 10_000,
+) -> SDF:
+    """Deterministic WEIGHTED-MIXTURE sampling — the pretraining
+    data-mix primitive: draw ~``n_total`` rows whose COMPOSITION across
+    ``strata_col`` matches ``weights`` (e.g. 60% web / 20% wiki / 20%
+    code), regardless of how skewed the source sizes are.
+
+    ``stratified_sample`` takes per-stratum keep RATES; this op computes
+    those rates FROM the target weights and the measured stratum sizes
+    (rate_i = w_i/Σw · n_total / N_i), then applies the same md5-bucket
+    keep rule — so the draw inherits every hash-sample property:
+    engine-reproducible (DuckDB oracle reproduces the exact row set),
+    partition-independent, append-stable, and nested (raising one
+    stratum's weight only ADDS rows from that stratum).
+
+    A stratum too small for its target (rate > 1) CLAMPS to keeping all
+    its rows — the without-replacement shortfall semantics; upsampling
+    beyond 1 epoch is the caller's explicit repeat. Strata absent from
+    ``weights`` are dropped.
+
+    Cost: ONE map-side-combined count aggregate over the strata (a
+    driver summary bounded by the stratum cardinality — the domain
+    label, not the corpus) + one codegen filter; no shuffle of the
+    data. Thresholds are integral bucket counts computed half-up so the
+    SQL oracle's ROUND reproduces them bit-for-bit."""
+    sizes = {
+        r[strata_col]: r["n"]
+        for r in sdf.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    total_w = float(sum(weights.values()))
+    thresholds = {}
+    for k, w in weights.items():
+        n_k = sizes.get(k, 0)
+        if n_k <= 0:
+            thresholds[k] = 0
+            continue
+        rate = (w / total_w) * n_total / n_k
+        thresholds[k] = min(int(rate * buckets + 0.5), buckets)
+    h = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10).cast("long")
+        % F.lit(buckets)
+    )
+    mapping = F.create_map(*[F.lit(x) for k, t in thresholds.items() for x in (k, t)])
+    thr = mapping[F.col(strata_col)]
+    return sdf.filter(thr.isNotNull() & (h < thr))
+
+
 def pack_context_windows(frame, token_col: str, budget: int, bin_col: str = "bin"):
     """Contiguous context-window sharding for training-data assembly:
     documents (already in the desired curriculum order) are assigned to

@@ -582,6 +582,50 @@ def q_text_stratified_sample(spark, sf_dir):
     )
 
 
+@query(
+    "q_mixture_sample",
+    """
+    WITH sz AS (
+        SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n_k FROM documents GROUP BY lang
+    ),
+    thr AS (
+        SELECT lang,
+               LEAST(CAST(FLOOR(((CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.3
+                                            WHEN 'fr' THEN 0.2 END / 1.0)
+                                 * 1000.0 / n_k) * 10000 + 0.5) AS BIGINT),
+                     10000) AS t
+        FROM sz WHERE lang IN ('en', 'de', 'fr')
+    ),
+    s AS (
+        SELECT d.lang, d.doc_id, d.n_chars
+        FROM documents d JOIN thr USING (lang)
+        WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+              % 10000 < thr.t
+    )
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM s GROUP BY lang
+    """,
+)
+def q_mixture_sample(spark, sf_dir):
+    """Weighted-MIXTURE sampling (operators/text.mixture_sample — the
+    pretraining data-mix primitive, round-11): target composition 50%
+    en / 30% de / 20% fr over ~1000 docs, rates derived from the
+    measured per-lang sizes, same deterministic md5-bucket keep rule as
+    hash_sample so the oracle reproduces the exact row set (thresholds
+    integral half-up on both engines). Unlisted langs drop; a stratum
+    too small for its target clamps to keep-all."""
+    from .operators.text import mixture_sample
+
+    docs = _t(spark, sf_dir, "documents").lazy_sdf()
+    s = mixture_sample(docs, "lang", {"en": 0.5, "de": 0.3, "fr": 0.2}, n_total=1000)
+    return s.groupBy("lang").agg(
+        SF.count(SF.lit(1)).alias("n_docs"),
+        SF.sum("doc_id").cast("bigint").alias("id_sum"),
+        SF.sum("n_chars").cast("bigint").alias("chars"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # dedup: SimHash (16-bit oracle-expressible variant)
 # ---------------------------------------------------------------------------

@@ -1089,3 +1089,38 @@ def test_minhash_faces_property(spark):
         assert cols_face == struct_face == narrow_face == bulk_face == sql_face
 
     check()
+
+
+def test_mixture_sample_composition_and_determinism(spark):
+    """mixture_sample: composition tracks the weights when strata are
+    large enough, clamps to keep-all when too small, drops unlisted
+    strata, and is deterministic + nested (a higher weight only adds
+    rows from that stratum)."""
+    import explorer_spark as ex
+    from explorer_spark.operators.text import mixture_sample
+
+    rows = (
+        [(i, "web") for i in range(4000)]
+        + [(i + 10_000, "wiki") for i in range(4000)]
+        + [(i + 20_000, "code") for i in range(30)]
+        + [(i + 30_000, "junk") for i in range(500)]
+    )
+    sdf = spark.createDataFrame(rows, "doc_id long, domain string").repartition(8)
+    out = mixture_sample(
+        sdf, "domain", {"web": 0.6, "wiki": 0.3, "code": 0.1}, n_total=1000
+    )
+    counts = {r["domain"]: r["n"] for r in out.groupBy("domain").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert "junk" not in counts                      # unlisted stratum dropped
+    assert counts["code"] == 30                      # too small -> keep all
+    assert abs(counts["web"] - 600) < 90             # ~binomial tolerance
+    assert abs(counts["wiki"] - 300) < 70
+    # deterministic
+    again = {r["domain"]: r["n"] for r in mixture_sample(
+        sdf, "domain", {"web": 0.6, "wiki": 0.3, "code": 0.1}, n_total=1000
+    ).groupBy("domain").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == again
+    # nested: doubling web's effective target only ADDS web rows
+    ids = {r["doc_id"] for r in out.filter(F.col("domain") == "web").select("doc_id").collect()}
+    bigger = mixture_sample(sdf, "domain", {"web": 0.6, "wiki": 0.3, "code": 0.1}, n_total=1600)
+    ids2 = {r["doc_id"] for r in bigger.filter(F.col("domain") == "web").select("doc_id").collect()}
+    assert ids <= ids2
