@@ -375,6 +375,8 @@ def mixture_sample(
     n_total: int,
     key_col: str = "doc_id",
     buckets: int = 10_000,
+    upsample: bool = False,
+    epoch_col: str = "epoch",
 ) -> SDF:
     """Deterministic WEIGHTED-MIXTURE sampling — the pretraining
     data-mix primitive: draw ~``n_total`` rows whose COMPOSITION across
@@ -390,9 +392,12 @@ def mixture_sample(
     stratum's weight only ADDS rows from that stratum).
 
     A stratum too small for its target (rate > 1) CLAMPS to keeping all
-    its rows — the without-replacement shortfall semantics; upsampling
-    beyond 1 epoch is the caller's explicit repeat. Strata absent from
-    ``weights`` are dropped.
+    its rows by default — the without-replacement shortfall semantics.
+    ``upsample=True`` instead REPEATS rows to hit the target (the >1
+    epoch half of real data-mix specs: floor(rate) whole epochs per row
+    + a fractional epoch drawn by the same bucket rule), emitting an
+    ``epoch_col`` index per copy. Strata absent from ``weights`` are
+    dropped.
 
     Cost: ONE map-side-combined count aggregate over the strata (a
     driver summary bounded by the stratum cardinality — the domain
@@ -404,21 +409,48 @@ def mixture_sample(
         for r in sdf.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n")).collect()
     }
     total_w = float(sum(weights.values()))
-    thresholds = {}
-    for k, w in weights.items():
-        n_k = sizes.get(k, 0)
-        if n_k <= 0:
-            thresholds[k] = 0
-            continue
-        rate = (w / total_w) * n_total / n_k
-        thresholds[k] = min(int(rate * buckets + 0.5), buckets)
     h = (
         F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10).cast("long")
         % F.lit(buckets)
     )
-    mapping = F.create_map(*[F.lit(x) for k, t in thresholds.items() for x in (k, t)])
-    thr = mapping[F.col(strata_col)]
-    return sdf.filter(thr.isNotNull() & (h < thr))
+    if not upsample:
+        thresholds = {}
+        for k, w in weights.items():
+            n_k = sizes.get(k, 0)
+            if n_k <= 0:
+                thresholds[k] = 0
+                continue
+            rate = (w / total_w) * n_total / n_k
+            thresholds[k] = min(int(rate * buckets + 0.5), buckets)
+        mapping = F.create_map(*[F.lit(x) for k, t in thresholds.items() for x in (k, t)])
+        thr = mapping[F.col(strata_col)]
+        return sdf.filter(thr.isNotNull() & (h < thr))
+    # upsample=True: rates above 1 REPEAT rows — floor(rate) whole
+    # epochs for every row plus one fractional epoch drawn by the same
+    # bucket rule; the output carries the epoch index (0-based) so a
+    # curriculum/packing stage can interleave copies. Deterministic and
+    # nested like the clamped mode; copies multiply the row count, not
+    # the distinct-doc count.
+    epochs, fracs = {}, {}
+    for k, w in weights.items():
+        n_k = sizes.get(k, 0)
+        if n_k <= 0:
+            continue
+        rate = (w / total_w) * n_total / n_k
+        e = int(rate)
+        epochs[k] = e
+        fracs[k] = min(int((rate - e) * buckets + 0.5), buckets)
+    if not epochs:
+        return sdf.filter(F.lit(False)).withColumn(epoch_col, F.lit(0))
+    e_map = F.create_map(*[F.lit(x) for k, e in epochs.items() for x in (k, e)])
+    f_map = F.create_map(*[F.lit(x) for k, t in fracs.items() for x in (k, t)])
+    n_copies = e_map[F.col(strata_col)] + F.when(h < f_map[F.col(strata_col)], 1).otherwise(0)
+    kept = sdf.withColumn("__nc__", n_copies).filter(
+        F.col("__nc__").isNotNull() & (F.col("__nc__") > 0)
+    )
+    return kept.withColumn(
+        epoch_col, F.explode(F.sequence(F.lit(0), F.col("__nc__") - 1))
+    ).drop("__nc__")
 
 
 def pack_context_windows(frame, token_col: str, budget: int, bin_col: str = "bin"):

@@ -626,6 +626,62 @@ def q_mixture_sample(spark, sf_dir):
     )
 
 
+@query(
+    "q_mixture_upsample",
+    """
+    WITH sz AS (
+        SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n_k FROM documents GROUP BY lang
+    ),
+    rt AS (
+        SELECT lang,
+               ((CASE lang WHEN 'de' THEN 0.6 WHEN 'fr' THEN 0.4 END / 1.0)
+                * 2000.0 / n_k) AS rate
+        FROM sz WHERE lang IN ('de', 'fr')
+    ),
+    thr AS (
+        SELECT lang, CAST(FLOOR(rate) AS BIGINT) AS e,
+               LEAST(CAST(FLOOR((rate - FLOOR(rate)) * 10000 + 0.5) AS BIGINT),
+                     10000) AS t
+        FROM rt
+    ),
+    cp AS (
+        SELECT d.lang, d.doc_id, d.n_chars,
+               thr.e + (CASE WHEN CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                             % 10000 < thr.t THEN 1 ELSE 0 END) AS copies
+        FROM documents d JOIN thr USING (lang)
+    ),
+    s AS (
+        SELECT lang, doc_id, n_chars, CAST(e AS BIGINT) AS epoch
+        FROM cp, UNNEST(range(copies)) AS t(e)
+        WHERE copies > 0
+    )
+    SELECT lang, COUNT(*) AS n_rows, COUNT(DISTINCT doc_id) AS n_docs,
+           CAST(SUM(epoch) AS BIGINT) AS epoch_sum,
+           CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM s GROUP BY lang
+    """,
+)
+def q_mixture_upsample(spark, sf_dir):
+    """Upsampling mixture mode (round-11): small high-quality strata
+    REPEAT to hit their target — floor(rate) whole epochs per row plus
+    a fractional epoch drawn by the md5-bucket rule, epoch index
+    emitted per copy. de/fr targeted well past their corpus sizes so
+    both strata exercise multi-epoch replication; the oracle unnests
+    the same copy counts."""
+    from .operators.text import mixture_sample
+
+    docs = _t(spark, sf_dir, "documents").lazy_sdf()
+    s = mixture_sample(
+        docs, "lang", {"de": 0.6, "fr": 0.4}, n_total=2000, upsample=True
+    )
+    return s.groupBy("lang").agg(
+        SF.count(SF.lit(1)).alias("n_rows"),
+        SF.countDistinct("doc_id").alias("n_docs"),
+        SF.sum("epoch").cast("bigint").alias("epoch_sum"),
+        SF.sum("n_chars").cast("bigint").alias("chars"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # dedup: SimHash (16-bit oracle-expressible variant)
 # ---------------------------------------------------------------------------

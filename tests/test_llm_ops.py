@@ -1124,3 +1124,16 @@ def test_mixture_sample_composition_and_determinism(spark):
     bigger = mixture_sample(sdf, "domain", {"web": 0.6, "wiki": 0.3, "code": 0.1}, n_total=1600)
     ids2 = {r["doc_id"] for r in bigger.filter(F.col("domain") == "web").select("doc_id").collect()}
     assert ids <= ids2
+    # upsample mode: a tiny stratum replicates to its target with epoch
+    # indexes; distinct docs unchanged, rows multiply
+    up = mixture_sample(
+        sdf, "domain", {"code": 1.0}, n_total=300, upsample=True
+    )
+    rows2 = up.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("doc_id").alias("d"),
+        F.max("epoch").alias("me"),
+    ).first()
+    assert rows2["d"] == 30
+    assert abs(rows2["n"] - 300) <= 30      # 10 epochs of 30 docs
+    assert rows2["me"] >= 9
