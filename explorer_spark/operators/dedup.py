@@ -198,6 +198,81 @@ def minhash_signatures(
     )
 
 
+def minhash_signatures_with_shingles(
+    sdf: SDF,
+    text_col: str = "text",
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+    prefix: str = "mh",
+    key_col: str = "doc_id",
+    lowercase: bool = False,
+    shingle_col: str = "sh",
+    pin: bool = True,
+) -> tuple[SDF, SDF]:
+    """ONE exploded shingle pass yielding BOTH the narrow signature
+    table (bit-identical to :func:`minhash_signatures` — same hash
+    family, same empty-shingle fallback) AND the per-key distinct
+    shingle set the Jaccard verify needs.
+
+    The verify pipelines (q_dedup_clusters / q_dedup_keep_best /
+    q_dedup_ngram_jaccard) used to run TWO full shingle passes over the
+    corpus — the Arrow kernel for signatures plus a posexplode+window
+    pass feeding ``collect_set`` — and the banding self-join + two-sided
+    verify join then quadrupled those subtrees in the physical plan
+    (measured: 4 MapInPandas nodes / 40 parquet scans / 48 exchanges in
+    one sf0.1 pairs plan). Here the single exploded pass feeds one
+    groupBy computing the k signature mins AND ``collect_set(shingle)``
+    together (guide §2.4: operations keyed the same way share one
+    exchange), and ``pin`` localCheckpoints the aggregate so its 3-4
+    consumers read the materialized result instead of re-running
+    scan+explode+agg per plan branch. At scale that is the difference
+    between one corpus tokenization and four.
+
+    Returns ``(sig, shingles)``: ``sig`` = (key, mh0..mh{k-1}) for every
+    corpus row (fallback-hashed when the doc has < shingle_n words);
+    ``shingles`` = (key, shingle_col) ONLY for docs with >= shingle_n
+    words (same inner-join discipline as the two-pass form: short docs
+    never verify). With ``lowercase`` the shingle set holds the folded
+    shingles (the signature and the verify must see the same tokens).
+    """
+    from .text import shingle_rows_arrow
+
+    narrow_src = sdf.select(
+        key_col,
+        (F.lower(F.col(text_col)) if lowercase else F.col(text_col)).alias(text_col),
+    )
+    mins = [
+        F.min((F.lit(MINHASH_A[i]) * F.col("__h__") + F.lit(MINHASH_B[i])) % MINHASH_P32).alias(
+            f"{prefix}{i}"
+        )
+        for i in range(num_hashes)
+    ]
+    g = (
+        shingle_rows_arrow(narrow_src, key_col, text_col, shingle_n)
+        .withColumn("__h__", _base_hash32(F.col("shingle")))
+        .groupBy(key_col)
+        .agg(*mins, F.collect_set("shingle").alias(shingle_col))
+    )
+    if pin:
+        g = g.localCheckpoint(eager=False)
+    fbh = _base_hash32(F.lower(F.col(text_col)) if lowercase else F.col(text_col))
+    narrow = sdf.select(
+        F.col(key_col),
+        *[
+            ((F.lit(MINHASH_A[i]) * fbh + F.lit(MINHASH_B[i])) % MINHASH_P32).alias(f"__fb{i}__")
+            for i in range(num_hashes)
+        ],
+    )
+    sig = narrow.join(g.select(key_col, *[f"{prefix}{i}" for i in range(num_hashes)]), key_col, "left").select(
+        key_col,
+        *[
+            F.coalesce(F.col(f"{prefix}{i}"), F.col(f"__fb{i}__")).alias(f"{prefix}{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    return sig, g.select(key_col, shingle_col)
+
+
 def lsh_buckets(
     sdf: SDF,
     key_col: str = "doc_id",
@@ -314,8 +389,17 @@ def exact_text_census(
     return rep_ids, star
 
 
-def lsh_candidate_pairs(buckets: SDF, key_col: str = "doc_id") -> SDF:
-    """Self-join bucket lists into candidate pairs (a < b), distinct."""
+def lsh_candidate_pairs(buckets: SDF, key_col: str = "doc_id", pin: bool = False) -> SDF:
+    """Self-join bucket lists into candidate pairs (a < b), distinct.
+
+    ``pin`` localCheckpoints the bucket table before the self-join: the
+    two join branches otherwise each re-run the whole signature pipeline
+    feeding ``buckets`` (Catalyst plans the branches as independent
+    subtrees; exchange reuse only sometimes collapses them under AQE).
+    The bucket table is (key, band, bucket) — narrow — so pinning it is
+    cheap at any corpus size."""
+    if pin:
+        buckets = buckets.localCheckpoint(eager=False)
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (

@@ -254,19 +254,13 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     exact 3-gram Jaccard verification -> top-10. The pair join touches
     only LSH candidates, never the quadratic block — the shape that
     survives a 100x corpus."""
-    from .operators.dedup import lsh_buckets, lsh_candidate_pairs, minhash_signatures
-    from .operators.text import shingle_rows
+    from .operators.dedup import lsh_buckets, lsh_candidate_pairs, minhash_signatures_with_shingles
 
     docs = _t(spark, sf_dir, "documents").lazy_sdf()
-    sig = minhash_signatures(docs, num_hashes=8, shingle_n=3)
-    cand = lsh_candidate_pairs(lsh_buckets(sig, num_hashes=8, bands=4))
-    # shingle SETS built from codegen shingle rows (collect_set) — the
-    # expression form runs interpreted and costs ~6x in bulk
-    sh = (
-        shingle_rows(docs, "doc_id", "text", 3)
-        .groupBy("doc_id")
-        .agg(SF.collect_set("shingle").alias("sh"))
-    )
+    # r11 optimization: one shingle pass for signatures + verify sets,
+    # pinned buckets before the self-join (see q_dedup_clusters)
+    sig, sh = minhash_signatures_with_shingles(docs, num_hashes=8, shingle_n=3)
+    cand = lsh_candidate_pairs(lsh_buckets(sig, num_hashes=8, bands=4), pin=True)
     sa = sh.select(SF.col("doc_id").alias("id_a"), SF.col("sh").alias("__sha__"))
     sb = sh.select(SF.col("doc_id").alias("id_b"), SF.col("sh").alias("__shb__"))
     inter = SF.size(SF.array_intersect(SF.col("__sha__"), SF.col("__shb__")))
@@ -328,10 +322,9 @@ def q_dedup_clusters(spark, sf_dir):
         exact_text_census,
         lsh_buckets,
         lsh_candidate_pairs,
-        minhash_signatures,
+        minhash_signatures_with_shingles,
         neardup_components,
     )
-    from .operators.text import shingle_rows
 
     docs = _t(spark, sf_dir, "documents").lazy_sdf()
     # exact-text census (same quadratic-pair fix as q_dedup_keep_best):
@@ -341,13 +334,12 @@ def q_dedup_clusters(spark, sf_dir):
     # representative rule preserves)
     rep_ids, star = exact_text_census(docs, min_words=3)
     rdocs = docs.join(rep_ids, "doc_id", "left_semi")
-    sig = minhash_signatures(rdocs, num_hashes=8, shingle_n=3)
-    cand = lsh_candidate_pairs(lsh_buckets(sig, num_hashes=8, bands=4))
-    sh = (
-        shingle_rows(rdocs, "doc_id", "text", 3)
-        .groupBy("doc_id")
-        .agg(SF.collect_set("shingle").alias("sh"))
-    )
+    # r11 optimization: ONE exploded shingle pass yields the signature
+    # table AND the verify shingle sets (was two full corpus passes whose
+    # subtrees the banding/verify joins then quadrupled); the bucket
+    # table pins before its self-join for the same reason
+    sig, sh = minhash_signatures_with_shingles(rdocs, num_hashes=8, shingle_n=3)
+    cand = lsh_candidate_pairs(lsh_buckets(sig, num_hashes=8, bands=4), pin=True)
     sa = sh.select(SF.col("doc_id").alias("id_a"), SF.col("sh").alias("__sha__"))
     sb = sh.select(SF.col("doc_id").alias("id_b"), SF.col("sh").alias("__shb__"))
     inter = SF.size(SF.array_intersect(SF.col("__sha__"), SF.col("__shb__")))
@@ -428,9 +420,8 @@ def q_dedup_keep_best(spark, sf_dir):
         exact_text_census,
         lsh_buckets,
         lsh_candidate_pairs,
-        minhash_signatures,
+        minhash_signatures_with_shingles,
     )
-    from .operators.text import shingle_rows
 
     docs = _t(spark, sf_dir, "documents").lazy_sdf()
     # collapse exact-text groups FIRST (quadratic-pair fix, round-9
@@ -442,13 +433,10 @@ def q_dedup_keep_best(spark, sf_dir):
     # they stay uncollapsed so engine == oracle on any corpus
     rep_ids, star = exact_text_census(docs, min_words=3)
     rdocs = docs.join(rep_ids, "doc_id", "left_semi")
-    sig = minhash_signatures(rdocs, num_hashes=8, shingle_n=3)
-    cand = lsh_candidate_pairs(lsh_buckets(sig, num_hashes=8, bands=4))
-    sh = (
-        shingle_rows(rdocs, "doc_id", "text", 3)
-        .groupBy("doc_id")
-        .agg(SF.collect_set("shingle").alias("sh"))
-    )
+    # r11 optimization: one shingle pass for signatures + verify sets,
+    # pinned buckets before the self-join (see q_dedup_clusters)
+    sig, sh = minhash_signatures_with_shingles(rdocs, num_hashes=8, shingle_n=3)
+    cand = lsh_candidate_pairs(lsh_buckets(sig, num_hashes=8, bands=4), pin=True)
     sa = sh.select(SF.col("doc_id").alias("id_a"), SF.col("sh").alias("__sha__"))
     sb = sh.select(SF.col("doc_id").alias("id_b"), SF.col("sh").alias("__shb__"))
     inter = SF.size(SF.array_intersect(SF.col("__sha__"), SF.col("__shb__")))

@@ -48,7 +48,7 @@ def get_spark(app_name: str = "explorer_spark", cpus: str | int | None = None) -
         # the 129-query bench generates ~4x the default 100 codegen cache
         # entries in one JVM; evicted entries re-compile (~0.5-2 s for the
         # fused-aggregate plans) on their next rep
-        .config("spark.sql.codegen.cache.maxEntries", "2000")
+        .config("spark.sql.codegen.cache.maxEntries", os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "2000"))
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1091,6 +1091,58 @@ def test_minhash_faces_property(spark):
     check()
 
 
+def test_minhash_merged_shingle_face_equivalence(spark):
+    """r11 optimization pin: minhash_signatures_with_shingles (the ONE-
+    pass signature + shingle-set kernel the verify pipelines now use)
+    must produce signatures bit-identical to minhash_signatures and the
+    same per-doc shingle SETS as the two-pass shingle_rows+collect_set
+    rendering it replaced — including short docs (no shingle row, but a
+    fallback signature) and lowercase folding."""
+    from pyspark.sql import functions as F
+
+    import explorer_spark as ex
+    from explorer_spark.operators.dedup import (
+        minhash_signatures,
+        minhash_signatures_with_shingles,
+    )
+    from explorer_spark.operators.text import shingle_rows
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",
+        "  \t tab-led doc with words aplenty here  ",
+        "short doc",  # < 3 words -> fallback signature, no shingles
+        "",
+        "MiXeD Case TEXT for the folding face check",
+    ]
+    sdf = ex.from_columns(
+        {"doc_id": list(range(len(texts))), "text": texts}, spark=spark
+    ).lazy_sdf()
+    for lower in (False, True):
+        sig, sh = minhash_signatures_with_shingles(
+            sdf, num_hashes=4, shingle_n=3, lowercase=lower, pin=False
+        )
+        ref_sig = minhash_signatures(sdf, num_hashes=4, shingle_n=3, lowercase=lower)
+
+        def sig_rows(x):
+            return sorted(
+                (r["doc_id"], tuple(r[f"mh{i}"] for i in range(4))) for r in x.collect()
+            )
+
+        assert sig_rows(sig) == sig_rows(ref_sig)
+        src = sdf.withColumn("text", F.lower("text")) if lower else sdf
+        ref_sh = (
+            shingle_rows(src, "doc_id", "text", 3)
+            .groupBy("doc_id")
+            .agg(F.collect_set("shingle").alias("sh"))
+        )
+
+        def sh_rows(x):
+            return sorted((r["doc_id"], frozenset(r["sh"])) for r in x.collect())
+
+        assert sh_rows(sh) == sh_rows(ref_sh)
+
+
 def test_mixture_sample_composition_and_determinism(spark):
     """mixture_sample: composition tracks the weights when strata are
     large enough, clamps to keep-all when too small, drops unlisted
