@@ -1848,8 +1848,20 @@ class DataFrame:
             # same reason)
             skip = getattr(base, "_expensive_order", False)
             hint = getattr(self, "_row_count_hint", None)
+            # r11 optimization: BOTH index kernels below consume this
+            # frame (and each checkpoints its own range-sorted copy), so
+            # an expensive upstream — one already containing a global
+            # sort (_expensive_order) — would execute twice; pin it once.
+            # A cheap upstream (fresh aligned scan) stays unpinned:
+            # re-scanning twice beats materializing the whole frame.
+            if skip:
+                sdf = sdf.localCheckpoint(eager=False)
+            # the position kernel needs only (groups, ORDER_COL): project
+            # before its range shuffle + checkpoint so the payload
+            # columns don't ride through them (guide §2.3)
+            pos_src = sdf.select(*dict.fromkeys(list(self.groups) + [ORDER_COL]))
             pos = with_global_index(
-                sdf, gcols + [F.col(ORDER_COL).asc()], name="__r1__",
+                pos_src, gcols + [F.col(ORDER_COL).asc()], name="__r1__",
                 n_hint=hint, skip_probe=skip,
             )
             pos = pos.select(F.col("__r1__"), F.col(ORDER_COL).alias("__new_ord__"))
