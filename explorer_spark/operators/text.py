@@ -829,17 +829,19 @@ def remove_repeated_spans(
         F.min("__pos__").alias("__s__"),
         (F.max("__pos__") + F.lit(gram_n - 1)).alias("__e__"),
     )
-    covered = (
-        # hash-partition at the data-sized width BEFORE the distinct so
-        # its exchange doesn't collapse back to the session default
-        _sized(
-            spans.select(
-                id_col,
-                F.explode(F.sequence(F.col("__s__"), F.col("__e__"))).alias("__pos__"),
-            ),
-            id_col,
-            "__pos__",
-        ).dropDuplicates()
+    # r11: spans feeds BOTH the covered-position explode and the
+    # words_removed count below — pin the (island-bounded, tiny) table so
+    # the gram+hot-join+window chain doesn't run twice
+    spans = spans.localCheckpoint(eager=False)
+    # merged islands are DISJOINT per doc (a new island starts only when
+    # the gap exceeds gram_n, so the previous island's end pos + gram_n-1
+    # stays strictly below the next start), hence the exploded (id, pos)
+    # rows are already unique — the dropDuplicates exchange this carried
+    # before r11 was a no-op shuffle+aggregate over the full exploded
+    # position volume
+    covered = spans.select(
+        id_col,
+        F.explode(F.sequence(F.col("__s__"), F.col("__e__"))).alias("__pos__"),
     )
     wpos = _sized(
         sdf.select(
@@ -859,12 +861,23 @@ def remove_repeated_spans(
         ).alias(out_col),
         F.count(F.lit(1)).alias("__kept__"),
     )
-    totals = sdf.select(
-        F.col(id_col), F.size(words(F.col(text_col))).alias("n_words")
+    # r11 optimization: n_words = kept + removed, so the third corpus
+    # tokenization pass (a size(words(text)) scan joined back per doc)
+    # is redundant — removed words per doc are the summed span lengths
+    # (spans are disjoint), a summary-sized aggregate over the pinned
+    # span table. Every doc tokenizes to >= 1 word (empty text is one
+    # empty token), so kept ∪ removed spans the full id universe and the
+    # outer join below loses nobody: a doc absent from `rebuilt` had
+    # every word removed (clean_text ''), one absent from `removed`
+    # lost none.
+    removed = spans.groupBy(id_col).agg(
+        F.sum(F.col("__e__") - F.col("__s__") + 1).alias("__rm__")
     )
-    return totals.join(rebuilt, id_col, "left").select(
+    return rebuilt.join(removed, id_col, "full_outer").select(
         F.col(id_col),
         F.coalesce(F.col(out_col), F.lit("")).alias(out_col),
-        "n_words",
-        (F.col("n_words") - F.coalesce(F.col("__kept__"), F.lit(0))).alias("words_removed"),
+        (F.coalesce(F.col("__kept__"), F.lit(0)) + F.coalesce(F.col("__rm__"), F.lit(0))).alias(
+            "n_words"
+        ),
+        F.coalesce(F.col("__rm__"), F.lit(0)).alias("words_removed"),
     )
