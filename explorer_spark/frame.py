@@ -1890,6 +1890,14 @@ class DataFrame:
         # kernels skip the probe and take n from their own stats job
         res._expensive_order = True
         res._row_count_hint = getattr(self, "_row_count_hint", None)
+        # r11 optimization: an IMMEDIATELY following head(n) can fold the
+        # sort+limit into one TakeOrderedAndProject instead of a full
+        # global sort followed by a second sort+limit. _replace builds a
+        # fresh object, so the attribute dies at the next verb — the
+        # pushdown can never fire on a frame the sort no longer describes.
+        # (Tie order at the cut differs only for non-total sort keys,
+        # where the reference leaves row order unspecified anyway.)
+        res._take_ordered = (sdf, list(exprs), list(tmp_keys))
         return res
 
     sort = sort_by
@@ -2195,6 +2203,20 @@ class DataFrame:
     def head(self, n: int = 5) -> "DataFrame":
         if self.groups:
             return self._group_head(n, tail=False)
+        to = getattr(self, "_take_ordered", None)
+        if to is not None:
+            # set by an immediately preceding ungrouped sort_by: fold
+            # sort+limit into one TakeOrderedAndProject (top-k heap, no
+            # full global sort). limit(n) yields one partition, so the
+            # fresh mono id is 0..n-1 in sorted order.
+            src, exprs, tmp_keys = to
+            out = (
+                src.orderBy(*exprs)
+                .limit(n)
+                .drop(ORDER_COL, *tmp_keys)
+                .withColumn(ORDER_COL, F.monotonically_increasing_id())
+            )
+            return self._replace(out, has_order=True, aligned=True)
         base = self._ordered()
         return base._replace(base._sdf.orderBy(F.col(ORDER_COL).asc()).limit(n))
 
