@@ -2183,6 +2183,20 @@ class DataFrame:
         from .operators.ordered import with_global_index
 
         base = self._ordered()
+        if getattr(self, "_order_dense", False):
+            # ORDER_COL is already the contiguous 0-based index (set
+            # one-shot by pivot_longer): materialize it directly — no
+            # range shuffle, no checkpoint, no stats job. Alignment is
+            # whatever it was; the index is a VALUE, not a layout.
+            hint = getattr(self, "_row_count_hint", None)
+            sdf = base._sdf.withColumn(name, F.col(ORDER_COL).cast("long"))
+            if total_col is not None:
+                n_total = hint if hint is not None else base._sdf.count()
+                sdf = sdf.withColumn(total_col, F.lit(int(n_total)).cast("long"))
+            out = base._replace(sdf, aligned=base._aligned)
+            out._row_count_hint = hint
+            out._order_dense = True
+            return out
         stats: dict = {}
         sdf = with_global_index(
             base._sdf,
@@ -2900,7 +2914,15 @@ class DataFrame:
         out = out.withColumn(
             ORDER_COL, F.col("__vi__") * F.lit(n) + F.col("__plo__")
         ).drop("__vi__", "__plo__")
-        return DataFrame(out, groups=self.groups, has_order=True, group_stable=self._group_stable)
+        res = DataFrame(out, groups=self.groups, has_order=True, group_stable=self._group_stable)
+        # r11 optimization: ORDER_COL = vi*n + dense-row-index covers
+        # 0..k*n-1 exactly once, so it IS the contiguous row index — an
+        # immediately following row_index needs no re-sort/stats kernel.
+        # One-shot flag: _replace builds fresh objects, so any later verb
+        # (filter/join/...) that would break density also drops the flag.
+        res._order_dense = True
+        res._row_count_hint = n * len(cols)
+        return res
 
     def explode(self, selector) -> "DataFrame":
         """Unnest list columns; multiple columns are zipped

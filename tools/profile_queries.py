@@ -33,33 +33,37 @@ def main() -> None:
     tracker = sc.statusTracker()
     spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
 
-    out = {}
-    for name in names:
-        fn = QUERIES[name]
-        walls = []
-        jobs = stages = 0
-        for rep in range(reps):
-            j0 = len(tracker.getJobIdsForGroup(None) or ())
+    # reps INTERLEAVE round-robin across queries (the bench protocol):
+    # host noise arrives in multi-second episodic windows, and
+    # back-to-back reps all land inside one window — min-of-N then
+    # measures the episode, not the engine.
+    walls: dict[str, list] = {n: [] for n in names}
+    meta: dict[str, tuple] = {}
+    for rep in range(reps):
+        for name in names:
+            fn = QUERIES[name]
             sc.setJobGroup(name, name)
             t0 = time.perf_counter()
             df = fn(spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
-            walls.append(time.perf_counter() - t0)
-            ids = tracker.getJobIdsForGroup(name) or ()
+            walls[name].append(time.perf_counter() - t0)
             if rep == 0:
-                jobs = len(ids)
+                ids = tracker.getJobIdsForGroup(name) or ()
                 stages = sum(
                     len(tracker.getJobInfo(j).stageIds)
                     for j in ids
                     if tracker.getJobInfo(j)
                 )
+                meta[name] = (len(ids), stages)
             sc.setJobGroup(None, None)
             df = None
+    out = {}
+    for name in names:
         rec = {
-            "min": round(min(walls), 3),
-            "med": round(statistics.median(walls), 3),
-            "jobs": jobs,
-            "stages": stages,
+            "min": round(min(walls[name]), 3),
+            "med": round(statistics.median(walls[name]), 3),
+            "jobs": meta[name][0],
+            "stages": meta[name][1],
         }
         out[name] = rec
         print(json.dumps({"query": name, **rec}), flush=True)
