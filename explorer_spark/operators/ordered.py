@@ -476,6 +476,7 @@ def rank_columns(
     # stats job); else a limit-probe (a full count() would execute
     # arbitrary upstream plans completely just to pick a path)
     nv = n_hint if n_hint is not None else sdf.limit(SMALL_VALS_MAX + 1).count()
+    n_distinct = None  # exact distinct count, known after the big path's stats job (r11)
     if nv <= SMALL_VALS_MAX:
         # summary-sized value table: a deliberate one-partition window
         # (bounded by nv, like every driver summary here) — no range
@@ -509,6 +510,7 @@ def rank_columns(
             coffs[r["__vpid__"]] = coff
             doff += r["__n__"]
             coff += r["__t__"]
+        n_distinct = doff
         nparts = (max(doffs) + 1) if doffs else 0
         vpid = F.col("__vpid__")
         w = W.partitionBy("__vpid__").orderBy("__mono__").rowsBetween(W.unboundedPreceding, 0)
@@ -549,8 +551,11 @@ def rank_columns(
         tmp_names[out_col] = f"__rv{i}__"
         sel.append(e.alias(tmp_names[out_col]))
     rv = v2.select(*sel)
-    if nv <= SMALL_VALS_MAX:
-        rv = F.broadcast(rv)  # known-small: don't shuffle the frame
+    if nv <= SMALL_VALS_MAX or (n_distinct is not None and n_distinct <= (1 << 21)):
+        # known-small (either the row-count gate, or the big path's stats
+        # job reporting a summary-sized EXACT distinct count — r11):
+        # broadcast the rank table instead of shuffling the frame by value
+        rv = F.broadcast(rv)
     # temp output names + withColumn so out_col may REPLACE value_col
     # itself (the spearman path ranks a column in place)
     joined = out.join(rv, c.eqNullSafe(F.col("__v2__")), "left")
@@ -670,12 +675,23 @@ def rank_columns_multi(
         v2 = v2.withColumn("__slot__", slot).join(F.broadcast(lookup), "__slot__", "left").drop("__slot__")
     cum = F.col("__coff__") + F.col("__lc__")
     dense_pos = F.col("__doff__") + (F.col("__mono__") - F.col("__vmn__"))
-    return _rank_multi_emit(sdf, v2, cum, dense_pos, cols, value_cols, method, False)
+    # r11 optimization: the stats job just told us each column's EXACT
+    # distinct count (run_d totals). A small rank table broadcast-joins
+    # back instead of shuffling the whole frame by value — for a heavy-
+    # ties column (e.g. spearman over a 50-distinct-value measure) this
+    # removes a full exchange of the frame per ranked column. Threshold
+    # 2^21 rows (~32 MB of (value, rank) pairs) keeps executor memory
+    # safe at any corpus size.
+    bc_cids = {i for i, c in enumerate(cols) if run_d.get(i, 0) <= (1 << 21)}
+    return _rank_multi_emit(sdf, v2, cum, dense_pos, cols, value_cols, method, False, bc_cids)
 
 
-def _rank_multi_emit(sdf, v2, cum, dense_pos, cols, value_cols, method, broadcast_rv):
+def _rank_multi_emit(sdf, v2, cum, dense_pos, cols, value_cols, method, broadcast_rv, bc_cids=None):
     """Shared tail of rank_columns_multi: derive the rank from the prefix
-    columns and equi-join each column's slice back onto the frame."""
+    columns and equi-join each column's slice back onto the frame.
+    ``bc_cids``: column ids whose rank slice is known summary-sized
+    (exact distinct count from the stats job) — broadcast those even
+    when the kernel ran the big path."""
     if method == "min":
         rk = (cum - F.col("__c__") + 1).cast("long")
     elif method == "max":
@@ -693,7 +709,7 @@ def _rank_multi_emit(sdf, v2, cum, dense_pos, cols, value_cols, method, broadcas
     out = sdf
     for i, c in enumerate(cols):
         rvi = rv.filter(F.col("__cid__") == i).select("__vv__", F.col("__rk__").alias(f"__rko{i}__"))
-        if broadcast_rv:
+        if broadcast_rv or (bc_cids is not None and i in bc_cids):
             rvi = F.broadcast(rvi)
         out = out.join(rvi, F.col(c).eqNullSafe(F.col("__vv__")), "left").drop("__vv__")
     out = out.withColumns({value_cols[c]: F.col(f"__rko{i}__") for i, c in enumerate(cols)})
