@@ -79,10 +79,16 @@ def stream_session(spark, shuffle_partitions: int | None = None):
 
     n = shuffle_partitions
     if n is None:
+        # local default 4 (r11, was 8): every stateful stage commits one
+        # state-store instance per shuffle partition PER MICRO-BATCH, and
+        # the multi-batch watermark tests measure ~1.6x faster at 4 with
+        # identical results; still multi-partition, so partition-spanning
+        # semantics stay exercised. Production sizes this to real state
+        # width via SPARK_GRAFT_STREAM_SHUFFLE.
         try:
-            n = int(_os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8") or 0)
+            n = int(_os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "4") or 0)
         except ValueError:
-            n = 8
+            n = 4
     try:
         # non-numeric on some platforms (e.g. "auto") — skip the clone then
         current = int(spark.conf.get("spark.sql.shuffle.partitions", "0"))
