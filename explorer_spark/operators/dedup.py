@@ -365,18 +365,27 @@ def exact_text_census(
     base = docs.select(F.col(id_col), hashed_safe.alias("__th__"))
     short_ids = None
     if min_words > 0:
-        from .text import words
+        from .text import wtrim
 
-        nw = docs.select(
-            F.col(id_col), hashed_safe.alias("__th__"),
-            F.coalesce(
-                F.size(words(F.col(text_col))), F.lit(min_words)
-            ).alias("__nw__"),
+        # r11: ">= min_words words" as an ANCHORED regex instead of
+        # size(split(...)): the regex engine stops after the first
+        # min_words tokens, where the split materialized the whole
+        # word array per doc in the scan projection. Equivalent by the
+        # tokenizer's own rules: after wtrim, words are the \S+ runs
+        # separated by single \s+ runs, so >= min_words words iff the
+        # trimmed text starts with (min_words-1) token+separator pairs
+        # followed by a token. NULL text keeps the old coalesce
+        # direction (counts as long; the sentinel hash already makes it
+        # its own singleton group).
+        has_min = F.coalesce(
+            wtrim(F.col(text_col)).rlike(r"^(\S+\s+){%d}\S" % (min_words - 1)),
+            F.lit(True),
         )
+        nw = docs.select(F.col(id_col), hashed_safe.alias("__th__"), has_min.alias("__ok__"))
         # short docs stay their OWN representatives (they still band
         # downstream; they just don't collapse or gain star edges)
-        short_ids = nw.filter(F.col("__nw__") < min_words).select(id_col)
-        base = nw.filter(F.col("__nw__") >= min_words).drop("__nw__")
+        short_ids = nw.filter(~F.col("__ok__")).select(id_col)
+        base = nw.filter(F.col("__ok__")).drop("__ok__")
     rep = base.groupBy("__th__").agg(F.min(id_col).alias("__rep__"))
     j = base.join(rep, "__th__")
     star = (
