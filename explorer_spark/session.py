@@ -49,6 +49,12 @@ def get_spark(app_name: str = "explorer_spark", cpus: str | int | None = None) -
         # entries in one JVM; evicted entries re-compile (~0.5-2 s for the
         # fused-aggregate plans) on their next rep
         .config("spark.sql.codegen.cache.maxEntries", os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "2000"))
+        # r11: kernels pin intermediates with localCheckpoint; the blocks
+        # free only when the ContextCleaner notices the RDD is dead, which
+        # by default waits for a driver GC (or 30 min). A long bench/test
+        # session otherwise accumulates dead checkpoint blocks in the
+        # block manager until they surface as GC pauses in later queries.
+        .config("spark.cleaner.periodicGC.interval", "2min")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
