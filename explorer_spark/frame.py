@@ -1355,6 +1355,91 @@ class DataFrame:
 
         return {n: rw(e) for n, e in exprs.items()}
 
+    def _summarise_modes_postjoin(self, exprs: dict):
+        """r12 (guide §2.3 "keep heavy payloads out of the exchange";
+        VERDICT r11 #5): when every mode() in a grouped summarise is a
+        TOP-LEVEL output column, aggregate the frame WITHOUT the mode
+        columns and join each tied-mode list onto the AGGREGATED result
+        (one row per group) — the old rewrite joined the list onto the
+        full frame before aggregation, so every frame row carried the
+        array through the groupBy exchange and one broadcast join ran
+        over the whole frame per mode column. Tied-mode semantics,
+        null handling (all-null group -> nil list via the left join) and
+        sorted-list output are identical to _rewrite_modes, which
+        remains the path for nested/derived mode expressions. Returns
+        None when not applicable."""
+        from functools import reduce as _reduce
+
+        def _rewritable(arg) -> bool:
+            return not (
+                isinstance(arg, Expr)
+                and (arg.references_agg() or _tree_has(arg, *ORDERED_EXPR_OPS))
+            )
+
+        top = {
+            n: e
+            for n, e in exprs.items()
+            if isinstance(e, Expr) and e.op == "mode" and _rewritable(e.args[0])
+        }
+        if not top or not self.groups:
+            return None
+        rest = {n: e for n, e in exprs.items() if n not in top}
+        if any(isinstance(e, Expr) and _tree_has(e, "mode") for e in rest.values()):
+            return None  # derived/nested mode: the general rewrite handles it
+        filler = not rest
+        if filler:
+            # agg() needs at least one aggregate; a constant max keeps the
+            # group row set (and the stable-order column) intact
+            rest = {"__mode_filler__": Expr("max", lit(1))}
+        base = self.summarise_with(**rest)
+        out = base._sdf
+        plain = LowerCtx(sdf=self._sdf)
+        tmp_of: dict[str, str] = {}
+        for i, (name, e) in enumerate(top.items()):
+            arg = e.args[0]
+            if isinstance(arg, Expr) and arg.op == "column":
+                vname, src = arg.args[0], self._sdf
+            else:
+                vname = f"__pmv{i}__"
+                src = self._sdf.withColumn(
+                    vname, arg.lower(plain) if isinstance(arg, Expr) else F.lit(arg)
+                )
+            tmp = f"__pm{i}__"
+            tmp_of[name] = tmp
+            cnt = (
+                src.filter(F.col(vname).isNotNull())
+                .groupBy(*self.groups, vname)
+                .agg(F.count(F.lit(1)).alias("__c__"))
+            )
+            mx = cnt.groupBy(
+                *[F.col(g).alias(f"__jgm_{g}__") for g in self.groups]
+            ).agg(F.max("__c__").alias("__mx__"))
+            mcond = _reduce(
+                lambda a, b: a & b,
+                [cnt[g].eqNullSafe(mx[f"__jgm_{g}__"]) for g in self.groups],
+            )
+            tied = cnt.join(mx, mcond).filter(F.col("__c__") == F.col("__mx__"))
+            modes = tied.groupBy(*self.groups).agg(
+                F.sort_array(F.collect_list(vname)).alias(tmp)
+            )
+            right = modes
+            for g in self.groups:
+                right = right.withColumnRenamed(g, f"__jm_{g}__")
+            cond = _reduce(
+                lambda a, b: a & b,
+                [out[g].eqNullSafe(right[f"__jm_{g}__"]) for g in self.groups],
+            )
+            out = out.join(right, cond, "left").drop(
+                *[f"__jm_{g}__" for g in self.groups]
+            )
+        sel = list(self.groups) + [
+            (F.col(tmp_of[n]).alias(n) if n in tmp_of else F.col(n)) for n in exprs
+        ]
+        if base._has_order:
+            sel.append(F.col(ORDER_COL))
+        out = out.select(*sel)
+        return DataFrame(out, groups=[], has_order=base._has_order)
+
     def _rewrite_modes(self, exprs: dict, agg_wrap: bool):
         """mode() returns ALL tied modes as a SORTED LIST (reference
         series.ex:2640-2680 — multi-value on ties; summarise dtype is
@@ -1657,7 +1742,13 @@ class DataFrame:
             isinstance(e, Expr) and _tree_has(e, "mode") for e in exprs.values()
         ):
             # mode -> sorted LIST of tied modes (reference); cube/rollup
-            # keep Spark's scalar F.mode (see _rewrite_modes)
+            # keep Spark's scalar F.mode (see _rewrite_modes). r12: plain
+            # top-level mode outputs take the post-aggregation join path
+            # (_summarise_modes_postjoin) — tied-mode arrays never ride
+            # the frame or the aggregation exchange.
+            res = self._summarise_modes_postjoin(exprs)
+            if res is not None:
+                return res
             pre, new_exprs, _tmps = self._rewrite_modes(exprs, agg_wrap=True)
             if pre is not self:
                 return pre.summarise_with(**new_exprs)

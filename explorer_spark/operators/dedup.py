@@ -198,6 +198,48 @@ def minhash_signatures(
     )
 
 
+def candidate_shingle_sets(
+    sdf: SDF,
+    cand_ids: SDF,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    shingle_n: int = 3,
+    lowercase: bool = False,
+    shingle_col: str = "sh",
+) -> SDF:
+    """Per-doc distinct shingle sets computed ONLY for the docs named in
+    ``cand_ids`` (one column, ``key_col``) — the Jaccard-verify side of
+    the guide-§8 split: signatures (40 bytes/doc) decide candidacy, and
+    the heavy shingle payload is tokenized/aggregated only for the docs
+    that actually verify.
+
+    r12: replaces the r11 ``minhash_signatures_with_shingles`` merged
+    aggregate, which localCheckpointed ``collect_set(shingle)`` for the
+    WHOLE corpus (~6x corpus bytes in the block manager — the §5 caching
+    trap; driver measured q_dedup_keep_best 9.76 s at 32 cores vs 3.81
+    pre-merge, and 3.83 at 8 cores: the wide materialization degraded
+    with parallelism). Here the corpus is re-scanned once with a
+    BROADCAST semi-join on the candidate ids (map-side filter, no corpus
+    shuffle — candidate ids after the exact-text census are a small
+    fraction of the corpus by construction), and only the surviving docs
+    pay the tokenize + ``collect_set`` cost. Shingle sets are
+    bit-identical to the merged form (same Arrow kernel, same fold);
+    docs with < ``shingle_n`` words still produce no row (the verify
+    joins stay inner — unchanged discipline)."""
+    from .text import shingle_rows_arrow
+
+    ids = F.broadcast(cand_ids.select(key_col))
+    sub = sdf.join(ids, key_col, "left_semi").select(
+        key_col,
+        (F.lower(F.col(text_col)) if lowercase else F.col(text_col)).alias(text_col),
+    )
+    return (
+        shingle_rows_arrow(sub, key_col, text_col, shingle_n)
+        .groupBy(key_col)
+        .agg(F.collect_set("shingle").alias(shingle_col))
+    )
+
+
 def minhash_signatures_with_shingles(
     sdf: SDF,
     text_col: str = "text",
@@ -417,6 +459,64 @@ def lsh_candidate_pairs(buckets: SDF, key_col: str = "doc_id", pin: bool = False
         .select(F.col(f"a.{key_col}").alias("id_a"), F.col(f"b.{key_col}").alias("id_b"))
         .distinct()
     )
+
+
+def lsh_candidate_pairs_with_sets(
+    docs: SDF,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    lowercase: bool = False,
+) -> SDF:
+    """The shared MinHash -> LSH -> candidate-pairs -> shingle-attach
+    pipeline of the Jaccard-verify queries, restructured r12 per guide
+    §8 ("decide with small rows, move big rows once"):
+
+    1. ONE map-only Arrow tokenization pass yields the NARROW signature
+       table (key + k longs); it is pinned (localCheckpoint) so the
+       banding self-join's two branches read ~40 bytes/doc instead of
+       re-running the corpus pass per branch.
+    2. Banding + self-join on (band, bucket) yields candidate pairs —
+       also narrow, also pinned (consumed by the id-collection below AND
+       the final verify join).
+    3. The heavy shingle payload is tokenized ONLY for candidate docs
+       (:func:`candidate_shingle_sets`: broadcast semi-join filter on
+       the candidate ids — a map-side filter over a second corpus scan,
+       no corpus shuffle, no whole-corpus ``collect_set``). The r11
+       merged aggregate materialized every doc's full shingle set in the
+       block manager (~6x corpus bytes) and measurably DEGRADED with
+       cores (driver: keep_best 9.76 s @32 vs 3.83 s @8).
+
+    Returns (id_a, id_b, __sha__, __shb__): every LSH candidate pair
+    whose BOTH docs have >= ``shingle_n`` words (inner attach — the same
+    short-doc discipline as every earlier face), with the two distinct-
+    shingle sets attached for exact-Jaccard verification."""
+    sig = minhash_signatures(
+        docs,
+        text_col=text_col,
+        num_hashes=num_hashes,
+        shingle_n=shingle_n,
+        key_col=key_col,
+        lowercase=lowercase,
+    ).localCheckpoint(eager=False)
+    cand = lsh_candidate_pairs(
+        lsh_buckets(sig, key_col=key_col, num_hashes=num_hashes, bands=bands),
+        key_col=key_col,
+    ).localCheckpoint(eager=False)
+    cand_ids = cand.select(F.explode(F.array("id_a", "id_b")).alias(key_col)).distinct()
+    sh = candidate_shingle_sets(
+        docs,
+        cand_ids,
+        text_col=text_col,
+        key_col=key_col,
+        shingle_n=shingle_n,
+        lowercase=lowercase,
+    ).localCheckpoint(eager=False)
+    sa = sh.select(F.col(key_col).alias("id_a"), F.col("sh").alias("__sha__"))
+    sb = sh.select(F.col(key_col).alias("id_b"), F.col("sh").alias("__shb__"))
+    return cand.join(sa, "id_a").join(sb, "id_b")
 
 
 # ---------------------------------------------------------------------------
@@ -720,9 +820,12 @@ def neardup_components(pairs: SDF, id_a: str = "id_a", id_b: str = "id_b", max_i
     # pair graphs are candidate pairs AFTER verification, already a tiny
     # fraction of the corpus; past the gate the iterative kernel below
     # is the scale path.
-    probe = edges.limit(SMALL_EDGES_MAX + 1).count()
-    if probe <= SMALL_EDGES_MAX:
-        rows = edges.collect()
+    # r12: the probe CARRIES the rows — one pass instead of a count job
+    # followed by a collect job re-reading the checkpoint (bounded: at
+    # most SMALL_EDGES_MAX+1 narrow id pairs cross to the driver, the
+    # same bound the two-pass form already accepted)
+    rows = edges.limit(SMALL_EDGES_MAX + 1).collect()
+    if len(rows) <= SMALL_EDGES_MAX:
         parent: dict = {}
 
         def find(x):
@@ -747,7 +850,13 @@ def neardup_components(pairs: SDF, id_a: str = "id_a", id_b: str = "id_b", max_i
         schema = T.StructType(
             [T.StructField("vertex", vt), T.StructField("component", vt)]
         )
-        return pairs.sparkSession.createDataFrame(out, schema)
+        # r12: slice the driver-built component table by ROWS, not by
+        # default parallelism — createDataFrame otherwise parallelizes a
+        # few thousand rows into $cores slices, and every downstream
+        # stage that reads it schedules $cores near-empty tasks
+        nsl = max(1, -(-len(out) // (1 << 18)))
+        rdd = pairs.sparkSession.sparkContext.parallelize(out, nsl)
+        return pairs.sparkSession.createDataFrame(rdd, schema)
     labels = edges.select(F.col("__src__")).distinct().withColumn("__lbl__", F.col("__src__"))
     labels = labels.localCheckpoint(eager=False)
     for _ in range(max_iter):

@@ -72,8 +72,14 @@ def bucket_size_for(n: int | None) -> int:
 
 
 def _lookup_df(spark, rows: list[tuple], fields: list[T.StructField]) -> SDF:
-    """A literal (LocalRelation) lookup table for broadcast joins."""
-    return spark.createDataFrame(rows, T.StructType(fields))
+    """A driver-built lookup table for broadcast joins, sliced by ROWS
+    (createDataFrame's default parallelizes into $cores slices, so every
+    stage reading a few-thousand-row lookup schedules $cores near-empty
+    tasks)."""
+    nsl = max(1, -(-len(rows) // (1 << 18)))
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, nsl), T.StructType(fields)
+    )
 
 
 # Above this many summary entries the constant-array projection gives way
@@ -94,6 +100,26 @@ ARRAY_LOOKUP_MAX = 1 << 16
 # sf0.1 spearman: small 3.6s vs big 2.0s cold). At 2^17 the worst-case
 # single task is ~0.1-0.3s, and genuinely small frames keep the cheap path.
 SMALL_VALS_MAX = 1 << 17
+
+# Broadcast budget for rank join-back tables (value + rank + row
+# overhead): force the broadcast hint only when the MEASURED estimate
+# fits — comfortably under the session's 64 MB autoBroadcastJoinThreshold
+# and orders of magnitude under the 8 GB broadcast hard cap. Row counts
+# alone can't gate this (2M distinct wide strings != 2M distinct longs).
+BC_BYTES_MAX = 48 * 1024 * 1024
+
+
+def _rank_small_ok(n_distinct: int, est_bytes: int | None) -> bool:
+    """May this value table take the single-window small path? Beyond the
+    unconditional SMALL_VALS_MAX, allow it up to the BROADCAST bound
+    (2^21 rows AND measured bytes under BC_BYTES_MAX): a rank table the
+    pipeline is prepared to hand every executor as a broadcast is by the
+    same argument small enough for one window task over the PINNED
+    aggregate — which replaces the range-sample + shuffle + checkpoint +
+    stats-job kernel (3 driver barriers) with zero extra jobs."""
+    if n_distinct <= SMALL_VALS_MAX:
+        return True
+    return n_distinct <= (1 << 21) and est_bytes is not None and est_bytes <= BC_BYTES_MAX
 
 # Below this many rows a global row index comes from one single-partition
 # sort (deterministic — the sort keys are total orders) instead of the
@@ -472,12 +498,36 @@ def rank_columns(
         .groupBy(value_col)
         .agg(F.count(F.lit(1)).alias("__c__"))
     )
-    # exact row count when the caller already knows it (mutate's row-index
-    # stats job); else a limit-probe (a full count() would execute
-    # arbitrary upstream plans completely just to pick a path)
-    nv = n_hint if n_hint is not None else sdf.limit(SMALL_VALS_MAX + 1).count()
-    n_distinct = None  # exact distinct count, known after the big path's stats job (r11)
-    if nv <= SMALL_VALS_MAX:
+    # r12: route small/big on the DISTINCT count, not the frame row
+    # count. The old limit-probe couldn't see uniqueness, so a heavy-ties
+    # column (50 distinct values in a 600k-row frame) paid the full
+    # range-shuffle/checkpoint/stats kernel. The value table — which the
+    # kernel needs either way — is pinned and its exact count + byte
+    # width measured in ONE job (replacing the probe job): summary-sized
+    # tables take the windowless small path, and the join-back broadcast
+    # is gated on ESTIMATED BYTES, not row count alone (a 2M-distinct
+    # wide-string column must not force a multi-GB broadcast).
+    nv = n_hint
+    n_distinct = None
+    est_bytes = None
+    if nv is None or nv > SMALL_VALS_MAX:
+        vals = vals.localCheckpoint(eager=False)
+        vt = sdf.schema[value_col].dataType
+        var_width = not isinstance(
+            vt,
+            (T.NumericType, T.DateType, T.TimestampType, T.TimestampNTZType, T.BooleanType),
+        )
+        aggs = [F.count(F.lit(1)).alias("__n__")]
+        if var_width:
+            aggs.append(
+                F.sum(F.octet_length(F.col(value_col).cast("binary"))).alias("__b__")
+            )
+        stat = vals.agg(*aggs).collect()[0]
+        n_distinct = stat["__n__"]
+        est_bytes = ((stat["__b__"] or 0) if var_width else 8 * n_distinct) + 16 * n_distinct
+    if (nv is not None and nv <= SMALL_VALS_MAX) or (
+        n_distinct is not None and _rank_small_ok(n_distinct, est_bytes)
+    ):
         # summary-sized value table: a deliberate one-partition window
         # (bounded by nv, like every driver summary here) — no range
         # sampling pass, no checkpoint, no stats job. The partition key
@@ -510,7 +560,6 @@ def rank_columns(
             coffs[r["__vpid__"]] = coff
             doff += r["__n__"]
             coff += r["__t__"]
-        n_distinct = doff
         nparts = (max(doffs) + 1) if doffs else 0
         vpid = F.col("__vpid__")
         w = W.partitionBy("__vpid__").orderBy("__mono__").rowsBetween(W.unboundedPreceding, 0)
@@ -551,10 +600,15 @@ def rank_columns(
         tmp_names[out_col] = f"__rv{i}__"
         sel.append(e.alias(tmp_names[out_col]))
     rv = v2.select(*sel)
-    if nv <= SMALL_VALS_MAX or (n_distinct is not None and n_distinct <= (1 << 21)):
-        # known-small (either the row-count gate, or the big path's stats
-        # job reporting a summary-sized EXACT distinct count — r11):
-        # broadcast the rank table instead of shuffling the frame by value
+    if (nv is not None and nv <= SMALL_VALS_MAX) or (
+        est_bytes is not None and est_bytes <= BC_BYTES_MAX
+    ):
+        # known-small: either the caller-known frame row count (an upper
+        # bound on the rank table, <= 2^17 rows) or the measured value
+        # table BYTES under the broadcast budget — broadcast the rank
+        # table instead of shuffling the frame by value. Byte-gated (r12,
+        # ADVICE): a row-count-only gate would force a multi-GB broadcast
+        # for ~2M distinct wide strings.
         rv = F.broadcast(rv)
     # temp output names + withColumn so out_col may REPLACE value_col
     # itself (the spearman path ranks a column in place)
@@ -610,9 +664,10 @@ def rank_columns_multi(
         .groupBy("__cid__", "__v__")
         .agg(F.count(F.lit(1)).alias("__c__"))
     )
-    # caller-known exact count, else limit-probe (see rank_columns)
-    nv = n_hint if n_hint is not None else sdf.limit(SMALL_VALS_MAX + 1).count()
-    if nv <= SMALL_VALS_MAX:
+    # caller-known exact count (see rank_columns): a summary-sized FRAME
+    # bounds every column's value table
+    nv = n_hint
+    if nv is not None and nv <= SMALL_VALS_MAX:
         # summary-sized value table: one window hash-partitioned by column
         # id replaces range shuffle + checkpoint + stats job (see
         # SMALL_VALS_MAX); join-backs below broadcast the rank table
@@ -623,7 +678,87 @@ def rank_columns_multi(
         cum = F.col("__lc__")
         dense_pos = F.col("__dp__")
         return _rank_multi_emit(sdf, v2, cum, dense_pos, cols, value_cols, method, True)
-    v = vals.repartitionByRange(F.col("__cid__").asc(), key).sortWithinPartitions(
+    # r12: pin the melted value table ONCE and route EACH column on its
+    # exact distinct count (the old limit-probe saw only the frame row
+    # count, so a 50-distinct heavy-ties column fused with a near-unique
+    # one paid the full range kernel too). One stats job over the pinned
+    # aggregate replaces the probe job; summary-sized columns take the
+    # windowless small path, big columns the range kernel — and the
+    # join-back broadcast is byte-gated per column (ADVICE: row count
+    # alone must not force wide-string broadcasts).
+    vals = vals.localCheckpoint(eager=False)
+    dt0 = sdf.schema[cols[0]].dataType
+    var_width = not isinstance(
+        dt0,
+        (T.NumericType, T.DateType, T.TimestampType, T.TimestampNTZType, T.BooleanType),
+    )
+    caggs = [F.count(F.lit(1)).alias("__n__")]
+    if var_width:
+        caggs.append(F.sum(F.octet_length(F.col("__v__").cast("binary"))).alias("__b__"))
+    crows = vals.groupBy("__cid__").agg(*caggs).collect()
+    nd = {r["__cid__"]: r["__n__"] for r in crows}
+    ebytes = {
+        r["__cid__"]: ((r["__b__"] or 0) if var_width else 8 * r["__n__"]) + 16 * r["__n__"]
+        for r in crows
+    }
+    small_cids = [
+        i for i in range(nc) if _rank_small_ok(nd.get(i, 0), ebytes.get(i, 0))
+    ]
+    big_cids = [i for i in range(nc) if i not in small_cids]
+    bc = {i: ebytes.get(i, 0) <= BC_BYTES_MAX for i in range(nc)}
+    sources: dict[int, SDF] = {}
+    if small_cids:
+        sv = vals.filter(F.col("__cid__").isin([int(i) for i in small_cids]))
+        w_ord = W.partitionBy("__cid__").orderBy(key)
+        v2s = sv.withColumn(
+            "__lc__", F.sum("__c__").over(w_ord.rowsBetween(W.unboundedPreceding, 0))
+        ).withColumn("__dp__", F.row_number().over(w_ord) - 1)
+        rvs = v2s.select(
+            "__cid__",
+            F.col("__v__").alias("__vv__"),
+            _rank_from_prefix(method, F.col("__lc__"), F.col("__c__"), F.col("__dp__")).alias("__rk__"),
+        )
+        for i in small_cids:
+            sources[i] = rvs
+    if big_cids:
+        rvb = _rank_multi_big(
+            vals.filter(F.col("__cid__").isin([int(i) for i in big_cids])),
+            sdf.sparkSession,
+            key,
+            nc,
+            method,
+        )
+        for i in big_cids:
+            sources[i] = rvb
+    out = sdf
+    for i, c in enumerate(cols):
+        rvi = sources[i].filter(F.col("__cid__") == i).select(
+            "__vv__", F.col("__rk__").alias(f"__rko{i}__")
+        )
+        if bc.get(i, True):
+            rvi = F.broadcast(rvi)
+        out = out.join(rvi, F.col(c).eqNullSafe(F.col("__vv__")), "left").drop("__vv__")
+    out = out.withColumns({value_cols[c]: F.col(f"__rko{i}__") for i, c in enumerate(cols)})
+    return out.drop(*[f"__rko{i}__" for i in range(len(cols))])
+
+
+def _rank_from_prefix(method: str, cum, c_col, dense_pos):
+    """Rank expression from (inclusive row-count prefix, tie count,
+    dense position) — shared by every value-statistic rank face."""
+    if method == "min":
+        return (cum - c_col + 1).cast("long")
+    if method == "max":
+        return cum.cast("long")
+    if method == "average":
+        return (2 * cum - c_col + 1).cast("double") / 2.0
+    return (dense_pos + 1).cast("long")  # dense
+
+
+def _rank_multi_big(bv: SDF, spark, key, nc: int, method: str) -> SDF:
+    """The range-shuffle + checkpoint + stats-job kernel of
+    rank_columns_multi, over the (pinned, pre-filtered) big-column slice
+    of the melted value table. Returns (__cid__, __vv__, __rk__)."""
+    v = bv.repartitionByRange(F.col("__cid__").asc(), key).sortWithinPartitions(
         F.col("__cid__").asc(), key
     )
     v = v.withColumn("__mono__", F.monotonically_increasing_id())
@@ -663,7 +798,7 @@ def rank_columns_multi(
         )
     else:
         lookup = _lookup_df(
-            sdf.sparkSession,
+            spark,
             [(s, doffs[s], vmns[s], coffs[s]) for s in doffs],
             [
                 T.StructField("__slot__", T.LongType()),
@@ -675,15 +810,11 @@ def rank_columns_multi(
         v2 = v2.withColumn("__slot__", slot).join(F.broadcast(lookup), "__slot__", "left").drop("__slot__")
     cum = F.col("__coff__") + F.col("__lc__")
     dense_pos = F.col("__doff__") + (F.col("__mono__") - F.col("__vmn__"))
-    # r11 optimization: the stats job just told us each column's EXACT
-    # distinct count (run_d totals). A small rank table broadcast-joins
-    # back instead of shuffling the whole frame by value — for a heavy-
-    # ties column (e.g. spearman over a 50-distinct-value measure) this
-    # removes a full exchange of the frame per ranked column. Threshold
-    # 2^21 rows (~32 MB of (value, rank) pairs) keeps executor memory
-    # safe at any corpus size.
-    bc_cids = {i for i, c in enumerate(cols) if run_d.get(i, 0) <= (1 << 21)}
-    return _rank_multi_emit(sdf, v2, cum, dense_pos, cols, value_cols, method, False, bc_cids)
+    return v2.select(
+        "__cid__",
+        F.col("__v__").alias("__vv__"),
+        _rank_from_prefix(method, cum, F.col("__c__"), dense_pos).alias("__rk__"),
+    )
 
 
 def _rank_multi_emit(sdf, v2, cum, dense_pos, cols, value_cols, method, broadcast_rv, bc_cids=None):

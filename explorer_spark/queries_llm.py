@@ -254,21 +254,16 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     exact 3-gram Jaccard verification -> top-10. The pair join touches
     only LSH candidates, never the quadratic block — the shape that
     survives a 100x corpus."""
-    from .operators.dedup import lsh_buckets, lsh_candidate_pairs, minhash_signatures_with_shingles
+    from .operators.dedup import lsh_candidate_pairs_with_sets
 
     docs = _t(spark, sf_dir, "documents").lazy_sdf()
-    # r11 optimization: one shingle pass for signatures + verify sets,
-    # pinned buckets before the self-join (see q_dedup_clusters)
-    sig, sh = minhash_signatures_with_shingles(docs, num_hashes=8, shingle_n=3)
-    cand = lsh_candidate_pairs(lsh_buckets(sig, num_hashes=8, bands=4), pin=True)
-    sa = sh.select(SF.col("doc_id").alias("id_a"), SF.col("sh").alias("__sha__"))
-    sb = sh.select(SF.col("doc_id").alias("id_b"), SF.col("sh").alias("__shb__"))
+    # r12: narrow signature pin + candidate-only shingle sets (guide §8;
+    # the r11 whole-corpus collect_set pin degraded with cores)
+    withsets = lsh_candidate_pairs_with_sets(docs, num_hashes=8, bands=4, shingle_n=3)
     inter = SF.size(SF.array_intersect(SF.col("__sha__"), SF.col("__shb__")))
     union = SF.size(SF.array_union(SF.col("__sha__"), SF.col("__shb__")))
-    pairs = (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select("id_a", "id_b", SF.round(inter.cast("double") / union, 6).alias("jaccard"))
+    pairs = withsets.select(
+        "id_a", "id_b", SF.round(inter.cast("double") / union, 6).alias("jaccard")
     )
     return pairs.orderBy(SF.col("jaccard").desc(), SF.col("id_a"), SF.col("id_b")).limit(10)
 
@@ -320,9 +315,7 @@ def q_dedup_clusters(spark, sf_dir):
     recursive-CTE transitive closure."""
     from .operators.dedup import (
         exact_text_census,
-        lsh_buckets,
-        lsh_candidate_pairs,
-        minhash_signatures_with_shingles,
+        lsh_candidate_pairs_with_sets,
         neardup_components,
     )
 
@@ -334,20 +327,13 @@ def q_dedup_clusters(spark, sf_dir):
     # representative rule preserves)
     rep_ids, star = exact_text_census(docs, min_words=3)
     rdocs = docs.join(rep_ids, "doc_id", "left_semi")
-    # r11 optimization: ONE exploded shingle pass yields the signature
-    # table AND the verify shingle sets (was two full corpus passes whose
-    # subtrees the banding/verify joins then quadrupled); the bucket
-    # table pins before its self-join for the same reason
-    sig, sh = minhash_signatures_with_shingles(rdocs, num_hashes=8, shingle_n=3)
-    cand = lsh_candidate_pairs(lsh_buckets(sig, num_hashes=8, bands=4), pin=True)
-    sa = sh.select(SF.col("doc_id").alias("id_a"), SF.col("sh").alias("__sha__"))
-    sb = sh.select(SF.col("doc_id").alias("id_b"), SF.col("sh").alias("__shb__"))
+    # r12: narrow signature pin + candidate-only shingle sets (guide §8;
+    # the r11 whole-corpus collect_set pin degraded with cores)
+    withsets = lsh_candidate_pairs_with_sets(rdocs, num_hashes=8, bands=4, shingle_n=3)
     inter = SF.size(SF.array_intersect(SF.col("__sha__"), SF.col("__shb__")))
     union = SF.size(SF.array_union(SF.col("__shb__"), SF.col("__sha__")))
     pairs = (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .filter(inter.cast("double") / union >= 0.8)
+        withsets.filter(inter.cast("double") / union >= 0.8)
         .select("id_a", "id_b")
         .unionByName(star)
     )
@@ -418,9 +404,7 @@ def q_dedup_keep_best(spark, sf_dir):
     from .operators.dedup import (
         dedup_keep_best,
         exact_text_census,
-        lsh_buckets,
-        lsh_candidate_pairs,
-        minhash_signatures_with_shingles,
+        lsh_candidate_pairs_with_sets,
     )
 
     docs = _t(spark, sf_dir, "documents").lazy_sdf()
@@ -433,18 +417,13 @@ def q_dedup_keep_best(spark, sf_dir):
     # they stay uncollapsed so engine == oracle on any corpus
     rep_ids, star = exact_text_census(docs, min_words=3)
     rdocs = docs.join(rep_ids, "doc_id", "left_semi")
-    # r11 optimization: one shingle pass for signatures + verify sets,
-    # pinned buckets before the self-join (see q_dedup_clusters)
-    sig, sh = minhash_signatures_with_shingles(rdocs, num_hashes=8, shingle_n=3)
-    cand = lsh_candidate_pairs(lsh_buckets(sig, num_hashes=8, bands=4), pin=True)
-    sa = sh.select(SF.col("doc_id").alias("id_a"), SF.col("sh").alias("__sha__"))
-    sb = sh.select(SF.col("doc_id").alias("id_b"), SF.col("sh").alias("__shb__"))
+    # r12: narrow signature pin + candidate-only shingle sets (guide §8;
+    # the r11 whole-corpus collect_set pin degraded with cores)
+    withsets = lsh_candidate_pairs_with_sets(rdocs, num_hashes=8, bands=4, shingle_n=3)
     inter = SF.size(SF.array_intersect(SF.col("__sha__"), SF.col("__shb__")))
     union = SF.size(SF.array_union(SF.col("__sha__"), SF.col("__shb__")))
     pairs = (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .filter(inter.cast("double") / union >= 0.8)
+        withsets.filter(inter.cast("double") / union >= 0.8)
         .select("id_a", "id_b")
         .unionByName(star)
     )

@@ -1143,6 +1143,57 @@ def test_minhash_merged_shingle_face_equivalence(spark):
         assert sh_rows(sh) == sh_rows(ref_sh)
 
 
+def test_lsh_candidate_pairs_with_sets_equivalence(spark):
+    """r12 optimization pin: lsh_candidate_pairs_with_sets (narrow
+    signature pin + CANDIDATE-ONLY shingle sets) must produce exactly
+    the pair set and shingle sets of the r11 merged-aggregate pipeline
+    it replaces — the candidate semi-join filter changes WHICH docs get
+    tokenized for the verify, never the sets of docs that are actually
+    candidates. Includes short docs (fallback signatures, no shingle
+    rows -> inner attach drops their pairs, both faces)."""
+    from pyspark.sql import functions as F
+
+    import explorer_spark as ex
+    from explorer_spark.operators.dedup import (
+        lsh_buckets,
+        lsh_candidate_pairs,
+        lsh_candidate_pairs_with_sets,
+        minhash_signatures_with_shingles,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",
+        "the quick brown fox jumps over the lazy dog",  # exact dup of 0
+        "a completely different document about spark optimization",
+        "a completely different document about spark performance",
+        "short doc",  # < 3 words: fallback signature, never verifies
+        "short doc",  # identical short doc: same fallback signature
+        "",
+    ]
+    sdf = ex.from_columns(
+        {"doc_id": list(range(len(texts))), "text": texts}, spark=spark
+    ).lazy_sdf()
+    new = lsh_candidate_pairs_with_sets(sdf, num_hashes=8, bands=4, shingle_n=3)
+    sig, sh = minhash_signatures_with_shingles(sdf, num_hashes=8, shingle_n=3, pin=False)
+    cand = lsh_candidate_pairs(lsh_buckets(sig, num_hashes=8, bands=4))
+    sa = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("__sha__"))
+    sb = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("__shb__"))
+    old = cand.join(sa, "id_a").join(sb, "id_b")
+
+    def rows(x):
+        return sorted(
+            (r["id_a"], r["id_b"], frozenset(r["__sha__"]), frozenset(r["__shb__"]))
+            for r in x.collect()
+        )
+
+    got, want = rows(new), rows(old)
+    assert got == want
+    # sanity: the corpus really exercises both regimes
+    assert any(a == 0 and b == 2 for a, b, *_ in want)  # exact dup pair
+    assert all(a not in (5, 6) and b not in (5, 6) for a, b, *_ in want)
+
+
 def test_mixture_sample_composition_and_determinism(spark):
     """mixture_sample: composition tracks the weights when strata are
     large enough, clamps to keep-all when too small, drops unlisted
