@@ -1859,6 +1859,12 @@ class DataFrame:
         out = self._replace(self._sdf, groups=list(dict.fromkeys(self.groups + cols)))
         out._group_mode = mode
         out._group_stable = stable
+        # r12: grouping is METADATA-ONLY (same plan, same rows, same
+        # order) — carry the order/cost hints through, or the grouped
+        # sort's expensive-upstream pin and probe-skip (r11 #3) never
+        # fire on the sort_by().group_by().sort_by() shape and each index
+        # kernel re-executes the upstream global sort just to probe it
+        self._copy_order_hints(out)
         return out
 
     def cube(self, *selectors) -> "DataFrame":
@@ -1871,9 +1877,22 @@ class DataFrame:
         the group columns."""
         return self.group_by(*selectors, mode="rollup")
 
+    def _copy_order_hints(self, out: "DataFrame") -> None:
+        """Carry order/cost metadata onto a frame built from the SAME
+        plan with the SAME row order (group_by/ungroup): physical
+        alignment, the expensive-order probe guard, the exact row count,
+        and order-column density are plan properties, not grouping
+        properties."""
+        out._aligned = self._aligned
+        for attr in ("_expensive_order", "_row_count_hint", "_order_dense"):
+            if getattr(self, attr, None) is not None:
+                setattr(out, attr, getattr(self, attr))
+
     def ungroup(self, *selectors) -> "DataFrame":
         if not selectors:
-            return self._replace(self._sdf, groups=[])
+            out = self._replace(self._sdf, groups=[])
+            self._copy_order_hints(out)
+            return out
         drop = set()
         for s in selectors:
             drop |= set(self._resolve(s))
@@ -1885,7 +1904,9 @@ class DataFrame:
             raise KeyError(
                 f"could not find {missing} in current groups ({self.groups})"
             )
-        return self._replace(self._sdf, groups=[g for g in self.groups if g not in drop])
+        out = self._replace(self._sdf, groups=[g for g in self.groups if g not in drop])
+        self._copy_order_hints(out)
+        return out
 
     # ------------------------------------------------------------------
     # sorting / distinct / sampling
@@ -1939,14 +1960,45 @@ class DataFrame:
             # same reason)
             skip = getattr(base, "_expensive_order", False)
             hint = getattr(self, "_row_count_hint", None)
+            dense_in = getattr(self, "_order_dense", False)
             # r11 optimization: BOTH index kernels below consume this
             # frame (and each checkpoints its own range-sorted copy), so
             # an expensive upstream — one already containing a global
             # sort (_expensive_order) — would execute twice; pin it once.
             # A cheap upstream (fresh aligned scan) stays unpinned:
             # re-scanning twice beats materializing the whole frame.
+            # r12: when the upstream is ALIGNED by ORDER_COL (the direct
+            # output of an ungrouped sort), the pin doubles as a DENSE
+            # re-index: with_global_index(aligned=True) skips the range
+            # shuffle, and its one stats job (which the pin's
+            # materialization pays for anyway) rewrites ORDER_COL to the
+            # contiguous 0..n-1 position. The grouped permutation below
+            # hands those values around unchanged, so the output's
+            # ORDER_COL stays dense — an immediately following
+            # row_index() materializes it directly instead of running a
+            # third range-shuffle/checkpoint/stats kernel, and both
+            # kernels get the exact row count as their bucket hint.
             if skip:
-                sdf = sdf.localCheckpoint(eager=False)
+                from .operators.ordered import SMALL_INDEX_MAX as _SIM
+
+                if base._aligned and not dense_in and (hint is None or hint > _SIM):
+                    from .operators.ordered import with_global_index as _wgi
+
+                    st: dict = {}
+                    sdf = _wgi(
+                        sdf,
+                        [F.col(ORDER_COL).asc()],
+                        name="__dord__",
+                        aligned=True,
+                        stats_out=st,
+                        n_hint=hint,
+                        skip_probe=True,
+                    )
+                    sdf = sdf.drop(ORDER_COL).withColumnRenamed("__dord__", ORDER_COL)
+                    hint = st.get("n", hint)
+                    dense_in = True
+                else:
+                    sdf = sdf.localCheckpoint(eager=False)
             # the position kernel needs only (groups, ORDER_COL): project
             # before its range shuffle + checkpoint so the payload
             # columns don't ride through them (guide §2.3)
@@ -1970,6 +2022,9 @@ class DataFrame:
             # index kernels must not limit-probe it
             res._expensive_order = True
             res._row_count_hint = hint
+            # the permutation hands ORDER_COL values around unchanged, so
+            # density survives it (see the dense re-index above)
+            res._order_dense = dense_in
             return res
         if stable and base._has_order:
             exprs.append(F.col(ORDER_COL).asc())

@@ -83,8 +83,15 @@ def qcut(
     -> cut chain. Duplicate break values raise unless
     ``allow_duplicates``, which collapses them (reference qcut/3)."""
     sdf = frame.lazy_sdf()
-    row = sdf.agg(*[F.percentile(F.col(column), F.lit(float(q))).alias(f"q{i}") for i, q in enumerate(quantiles)]).collect()[0]
-    breaks = [row[f"q{i}"] for i in range(len(quantiles))]
+    # ONE array-form percentile: separate per-quantile aggregates each
+    # build (and sort) their own full value buffer — 3 quantiles = 3x the
+    # work for bit-identical results (r12; measured 2.4x faster at sf0.1)
+    row = sdf.agg(
+        F.percentile(
+            F.col(column), F.array(*[F.lit(float(q)) for q in quantiles])
+        ).alias("__qs__")
+    ).collect()[0]
+    breaks = list(row["__qs__"])
     if len(set(breaks)) != len(breaks):
         if not allow_duplicates:
             raise ValueError(

@@ -369,7 +369,14 @@ def exact_text_census(
     no text shuffle (md5 computed in the scan stage).
 
     ``min_words``: docs with fewer words do NOT collapse (each remains
-    its own representative, no star edge). The equivalence argument
+    its own representative, no star edge). Edge (ADVICE r11, latent —
+    every current caller passes ``min_words=3``): for
+    ``min_words == 1`` the anchored-regex gate classifies
+    empty/whitespace-only text as SHORT (no collapse), where the old
+    ``size(split(wtrim('')))==1`` counted it long (the tokenizer yields
+    one empty token there) and collapsed identical empty docs. Callers
+    that ever pass ``min_words <= 1`` on corpora with empty texts must
+    decide which behavior they want before relying on this gate. The equivalence argument
     assumes the doc SHINGLES — a duplicate pair of sub-``shingle_n``-word
     texts has an empty shingle set, so an exact-SQL banding oracle never
     pairs it; pass ``min_words=shingle_n`` to keep the census aligned

@@ -109,17 +109,20 @@ SMALL_VALS_MAX = 1 << 17
 BC_BYTES_MAX = 48 * 1024 * 1024
 
 
-def _rank_small_ok(n_distinct: int, est_bytes: int | None) -> bool:
+def _rank_small_ok(n_distinct: int, est_bytes: int | None, approx: bool = False) -> bool:
     """May this value table take the single-window small path? Beyond the
     unconditional SMALL_VALS_MAX, allow it up to the BROADCAST bound
-    (2^21 rows AND measured bytes under BC_BYTES_MAX): a rank table the
+    (2^21 rows AND estimated bytes under BC_BYTES_MAX): a rank table the
     pipeline is prepared to hand every executor as a broadcast is by the
-    same argument small enough for one window task over the PINNED
-    aggregate — which replaces the range-sample + shuffle + checkpoint +
-    stats-job kernel (3 driver barriers) with zero extra jobs."""
+    same argument small enough for one window task — which replaces the
+    range-sample + shuffle + checkpoint + stats-job kernel (3 driver
+    barriers) with zero extra jobs. ``approx`` shaves 10% off the row
+    bound to absorb approx_count_distinct's error; a mis-route in either
+    direction is still CORRECT, only differently priced."""
     if n_distinct <= SMALL_VALS_MAX:
         return True
-    return n_distinct <= (1 << 21) and est_bytes is not None and est_bytes <= BC_BYTES_MAX
+    bound = int(0.9 * (1 << 21)) if approx else (1 << 21)
+    return n_distinct <= bound and est_bytes is not None and est_bytes <= BC_BYTES_MAX
 
 # Below this many rows a global row index comes from one single-partition
 # sort (deterministic — the sort keys are total orders) instead of the
@@ -501,33 +504,41 @@ def rank_columns(
     # r12: route small/big on the DISTINCT count, not the frame row
     # count. The old limit-probe couldn't see uniqueness, so a heavy-ties
     # column (50 distinct values in a 600k-row frame) paid the full
-    # range-shuffle/checkpoint/stats kernel. The value table — which the
-    # kernel needs either way — is pinned and its exact count + byte
-    # width measured in ONE job (replacing the probe job): summary-sized
-    # tables take the windowless small path, and the join-back broadcast
-    # is gated on ESTIMATED BYTES, not row count alone (a 2M-distinct
-    # wide-string column must not force a multi-GB broadcast).
+    # range-shuffle/checkpoint/stats kernel. One cheap map-combined
+    # APPROX probe (approx_count_distinct + byte sums — routing only,
+    # never results) replaces the limit-probe job; the 10% margin under
+    # the broadcast bound absorbs the estimator's error, and a
+    # mis-route in either direction stays correct (a slightly-too-big
+    # single window task, or a range kernel over a smallish table).
+    # The join-back broadcast is gated on ESTIMATED BYTES, not row count
+    # alone (a 2M-distinct wide-string column must not force a multi-GB
+    # broadcast).
     nv = n_hint
-    n_distinct = None
+    small_ok = None
     est_bytes = None
     if nv is None or nv > SMALL_VALS_MAX:
-        vals = vals.localCheckpoint(eager=False)
         vt = sdf.schema[value_col].dataType
         var_width = not isinstance(
             vt,
             (T.NumericType, T.DateType, T.TimestampType, T.TimestampNTZType, T.BooleanType),
         )
-        aggs = [F.count(F.lit(1)).alias("__n__")]
+        aggs = [F.approx_count_distinct(value_col).alias("__nd__")]
         if var_width:
+            # per-ROW byte sum: an upper bound on the distinct-value
+            # bytes, so it can only under-broadcast (safe direction)
             aggs.append(
                 F.sum(F.octet_length(F.col(value_col).cast("binary"))).alias("__b__")
             )
-        stat = vals.agg(*aggs).collect()[0]
-        n_distinct = stat["__n__"]
-        est_bytes = ((stat["__b__"] or 0) if var_width else 8 * n_distinct) + 16 * n_distinct
-    if (nv is not None and nv <= SMALL_VALS_MAX) or (
-        n_distinct is not None and _rank_small_ok(n_distinct, est_bytes)
-    ):
+        stat = sdf.select(value_col).agg(*aggs).collect()[0]
+        nd_est = stat["__nd__"] or 0
+        est_bytes = ((stat["__b__"] or 0) if var_width else 8 * nd_est) + 16 * nd_est
+        small_ok = _rank_small_ok(nd_est, est_bytes, approx=True)
+        if not small_ok:
+            # big path: pin the value table — the range exchange SAMPLES
+            # its child and then shuffles it, which would execute the
+            # scan+aggregate twice unpinned
+            vals = vals.localCheckpoint(eager=False)
+    if (nv is not None and nv <= SMALL_VALS_MAX) or small_ok:
         # summary-sized value table: a deliberate one-partition window
         # (bounded by nv, like every driver summary here) — no range
         # sampling pass, no checkpoint, no stats job. The partition key
@@ -678,34 +689,44 @@ def rank_columns_multi(
         cum = F.col("__lc__")
         dense_pos = F.col("__dp__")
         return _rank_multi_emit(sdf, v2, cum, dense_pos, cols, value_cols, method, True)
-    # r12: pin the melted value table ONCE and route EACH column on its
-    # exact distinct count (the old limit-probe saw only the frame row
-    # count, so a 50-distinct heavy-ties column fused with a near-unique
-    # one paid the full range kernel too). One stats job over the pinned
-    # aggregate replaces the probe job; summary-sized columns take the
-    # windowless small path, big columns the range kernel — and the
-    # join-back broadcast is byte-gated per column (ADVICE: row count
-    # alone must not force wide-string broadcasts).
-    vals = vals.localCheckpoint(eager=False)
+    # r12: route EACH column on its approximate distinct count (the old
+    # limit-probe saw only the frame row count, so a 50-distinct
+    # heavy-ties column fused with a near-unique one paid the full range
+    # kernel too). ONE cheap map-combined approx probe over the frame
+    # (routing only, never results — see _rank_small_ok's margin)
+    # replaces the probe job; summary-sized columns take the windowless
+    # small path, big columns the range kernel — and the join-back
+    # broadcast is byte-gated per column (ADVICE: row count alone must
+    # not force wide-string broadcasts).
     dt0 = sdf.schema[cols[0]].dataType
     var_width = not isinstance(
         dt0,
         (T.NumericType, T.DateType, T.TimestampType, T.TimestampNTZType, T.BooleanType),
     )
-    caggs = [F.count(F.lit(1)).alias("__n__")]
+    paggs = [F.approx_count_distinct(c).alias(f"__nd{i}__") for i, c in enumerate(cols)]
     if var_width:
-        caggs.append(F.sum(F.octet_length(F.col("__v__").cast("binary"))).alias("__b__"))
-    crows = vals.groupBy("__cid__").agg(*caggs).collect()
-    nd = {r["__cid__"]: r["__n__"] for r in crows}
+        # per-ROW byte sums: upper bounds on distinct-value bytes — can
+        # only under-broadcast (the safe direction)
+        paggs += [
+            F.sum(F.octet_length(F.col(c).cast("binary"))).alias(f"__b{i}__")
+            for i, c in enumerate(cols)
+        ]
+    stat = sdf.select(*cols).agg(*paggs).collect()[0]
+    nd = {i: (stat[f"__nd{i}__"] or 0) for i in range(nc)}
     ebytes = {
-        r["__cid__"]: ((r["__b__"] or 0) if var_width else 8 * r["__n__"]) + 16 * r["__n__"]
-        for r in crows
+        i: ((stat[f"__b{i}__"] or 0) if var_width else 8 * nd[i]) + 16 * nd[i]
+        for i in range(nc)
     }
     small_cids = [
-        i for i in range(nc) if _rank_small_ok(nd.get(i, 0), ebytes.get(i, 0))
+        i for i in range(nc) if _rank_small_ok(nd[i], ebytes[i], approx=True)
     ]
     big_cids = [i for i in range(nc) if i not in small_cids]
     bc = {i: ebytes.get(i, 0) <= BC_BYTES_MAX for i in range(nc)}
+    # pin the melted table when it has >1 consumer (each small cid's
+    # join-back is its own plan branch; the big kernel's range exchange
+    # additionally samples its child before shuffling it)
+    if len(small_cids) + (2 if big_cids else 0) > 1:
+        vals = vals.localCheckpoint(eager=False)
     sources: dict[int, SDF] = {}
     if small_cids:
         sv = vals.filter(F.col("__cid__").isin([int(i) for i in small_cids]))

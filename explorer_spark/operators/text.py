@@ -704,6 +704,43 @@ def clean_lines(sdf, text_col: str = "text", id_col: str = "doc_id", min_words: 
     )
 
 
+# Budget for pinning a derived gram stream (bytes of estimated
+# MATERIALIZED grams, ~6x the input text bytes). Default 1 GiB: far above
+# any bench/test corpus, far below what a 100 TB corpus would expand to.
+GRAM_PIN_DEFAULT_BYTES = 1 << 30
+
+
+def maybe_pin_gram_stream(grams: SDF, src: SDF, text_col: str = "text", expand_factor: int = 6):
+    """Size-gated pin (r12, carried VERDICT item) for a gram stream
+    consumed by BOTH a corpus-wide hot count and a join back
+    (q_text_dup_spans / q_text_dup_substrings): without a pin the
+    map-only Arrow kernel re-tokenizes the corpus once per consumer;
+    with one, the block manager holds ~``expand_factor`` x the input
+    text bytes. Pin iff Catalyst's free column-pruned input estimate,
+    expanded, fits the budget (``SPARK_GRAFT_GRAM_PIN_BYTES``, default
+    1 GiB) — at corpus scale the estimate exceeds any sane budget and
+    the stream stays map-only (a second tokenization pass beats
+    materializing ~6x 100 TB); test/bench-sized inputs pin and skip the
+    second pass (measured ~15% at sf0.1). Unknown statistics
+    (checkpointed plans report the defaultSizeInBytes sentinel) never
+    pin. Returns ``(stream, pinned)``."""
+    import os as _os
+
+    try:
+        plan = src.select(text_col)._jdf.queryExecution().optimizedPlan()
+        est = int(plan.stats().sizeInBytes())
+    except Exception:
+        return grams, False
+    if not (0 < est < (1 << 50)):
+        return grams, False
+    budget = int(
+        _os.environ.get("SPARK_GRAFT_GRAM_PIN_BYTES", str(GRAM_PIN_DEFAULT_BYTES))
+    )
+    if est * expand_factor <= budget:
+        return grams.localCheckpoint(eager=False), True
+    return grams, False
+
+
 def remove_repeated_spans(
     sdf: SDF,
     text_col: str = "text",

@@ -2205,7 +2205,7 @@ def q_text_dup_spans(spark, sf_dir):
     100 TB: one map-side-combined groupBy over the gram stream + one
     gram-keyed equi-join — the same mechanics as the decontamination
     pipeline; no driver state, no quadratic stage."""
-    from .operators.text import shingle_rows_arrow, words
+    from .operators.text import maybe_pin_gram_stream, shingle_rows_arrow, words
 
     docs = (
         _t(spark, sf_dir, "documents")
@@ -2221,6 +2221,10 @@ def q_text_dup_spans(spark, sf_dir):
         )
     )
     grams = shingle_rows_arrow(docs, "doc_id", "text", 5)
+    # r12: size-gated pin — the stream is consumed by the hot count AND
+    # the join; small inputs pin (one tokenization), big ones stay
+    # map-only (see maybe_pin_gram_stream)
+    grams, _ = maybe_pin_gram_stream(grams, docs, "text")
     hot = grams.groupBy("shingle").count().filter(SF.col("count") >= 2).select("shingle")
     per_doc = (
         grams.join(hot, "shingle")
@@ -2293,7 +2297,7 @@ def q_text_dup_substrings(spark, sf_dir):
     map-side-combined hot count + gram-keyed equi-join as dup_spans,
     plus ONE per-doc window (lag/cumsum — bounded by doc length, never
     a global partition) and two hash aggs. No driver state."""
-    from .operators.text import shingle_rows_arrow, words
+    from .operators.text import maybe_pin_gram_stream, shingle_rows_arrow, words
     from pyspark.sql import Window as W
 
     docs = (
@@ -2308,6 +2312,8 @@ def q_text_dup_substrings(spark, sf_dir):
         )
     )
     grams = shingle_rows_arrow(docs, "doc_id", "text", 5, pos_col="pos")
+    # r12: size-gated pin (see q_text_dup_spans)
+    grams, _ = maybe_pin_gram_stream(grams, docs, "text")
     hot = grams.groupBy("shingle").count().filter(SF.col("count") >= 2).select("shingle")
     hp = grams.join(hot, "shingle").select("doc_id", "pos")
     wd = W.partitionBy("doc_id").orderBy("pos")

@@ -30,6 +30,23 @@ def get_spark(app_name: str = "explorer_spark", cpus: str | int | None = None) -
         .config("spark.default.parallelism", cpus)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # r12 (guide §2.2): post-shuffle partition COUNTS come from DATA
+        # BYTES (advisory size), not from the core count — with the
+        # default parallelismFirst=true, AQE refuses to coalesce below
+        # local parallelism, so every tiny sf0.1 shuffle ran $CPUS
+        # near-empty reduce tasks and queries measured FASTER at 8 cores
+        # than 32 (driver r11 scaling block). Size-driven coalesce gives
+        # the same partition count at any core count locally and the
+        # guide's 64 MB-1 GB partitions at scale (advisory size is the
+        # production tuning knob).
+        .config(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+            os.environ.get("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false"),
+        )
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_AQE_ADVISORY", "64m"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Spark 4 defaults ANSI ON; the reference (and the DuckDB oracle)
         # are permissive — integer % or / by zero is NULL, not an error —
@@ -54,7 +71,10 @@ def get_spark(app_name: str = "explorer_spark", cpus: str | int | None = None) -
         # by default waits for a driver GC (or 30 min). A long bench/test
         # session otherwise accumulates dead checkpoint blocks in the
         # block manager until they surface as GC pauses in later queries.
-        .config("spark.cleaner.periodicGC.interval", "2min")
+        .config(
+            "spark.cleaner.periodicGC.interval",
+            os.environ.get("SPARK_GRAFT_PERIODIC_GC", "2min"),
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

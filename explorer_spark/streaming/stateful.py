@@ -74,7 +74,7 @@ def run_stateful_once(spark, parquet_path: str, query_name: str = "stateful_out"
     streaming.run_stream_once for the state-store-per-partition math."""
     from . import stream_session
 
-    spark = stream_session(spark)
+    spark = stream_session(spark, input_path=parquet_path)
     schema = spark.read.parquet(parquet_path).schema
     src = spark.readStream.schema(schema).parquet(parquet_path)
     out = running_totals(src)

@@ -1143,6 +1143,29 @@ def test_minhash_merged_shingle_face_equivalence(spark):
         assert sh_rows(sh) == sh_rows(ref_sh)
 
 
+def test_maybe_pin_gram_stream_gate(spark, tmp_path, monkeypatch):
+    """r12 gate: the gram-stream pin fires only when the estimated
+    materialized grams fit the byte budget — small parquet input pins,
+    a 1-byte budget (scale stand-in) does not, and unknown statistics
+    (checkpointed source) never pin. Results identical either way."""
+    from explorer_spark.operators.text import maybe_pin_gram_stream, shingle_rows_arrow
+
+    p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(50)],
+        "doc_id long, text string",
+    ).write.parquet(p)
+    src = spark.read.parquet(p)
+    grams = shingle_rows_arrow(src, "doc_id", "text", 3)
+    monkeypatch.delenv("SPARK_GRAFT_GRAM_PIN_BYTES", raising=False)
+    pinned_df, pinned = maybe_pin_gram_stream(grams, src, "text")
+    assert pinned is True
+    monkeypatch.setenv("SPARK_GRAFT_GRAM_PIN_BYTES", "1")
+    unpinned_df, pinned2 = maybe_pin_gram_stream(grams, src, "text")
+    assert pinned2 is False  # over-budget input (scale stand-in): stays map-only
+    assert sorted(map(tuple, pinned_df.collect())) == sorted(map(tuple, unpinned_df.collect()))
+
+
 def test_lsh_candidate_pairs_with_sets_equivalence(spark):
     """r12 optimization pin: lsh_candidate_pairs_with_sets (narrow
     signature pin + CANDIDATE-ONLY shingle sets) must produce exactly
