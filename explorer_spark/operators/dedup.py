@@ -512,7 +512,10 @@ def lsh_candidate_pairs_with_sets(
         lsh_buckets(sig, key_col=key_col, num_hashes=num_hashes, bands=bands),
         key_col=key_col,
     ).localCheckpoint(eager=False)
-    cand_ids = cand.select(F.explode(F.array("id_a", "id_b")).alias(key_col)).distinct()
+    # no distinct: the broadcast LEFT SEMI join below dedups matches by
+    # construction, so the exchange+aggregate a distinct would add buys
+    # nothing (the broadcast just carries each id at most twice)
+    cand_ids = cand.select(F.explode(F.array("id_a", "id_b")).alias(key_col))
     sh = candidate_shingle_sets(
         docs,
         cand_ids,

@@ -842,6 +842,10 @@ def remove_repeated_spans(
     grams = shingle_rows_arrow(
         sdf.select(id_col, text_col), id_col, text_col, gram_n, pos_col="__pos__"
     )
+    # r12: same size-gated pin as the detector queries — the stream is
+    # consumed by the hot count AND the join below (two tokenizations
+    # unpinned); corpus-scale inputs stay map-only
+    grams, _ = maybe_pin_gram_stream(grams, sdf, text_col)
     hot = (
         grams.groupBy("shingle")
         .count()
