@@ -97,7 +97,19 @@ def fan_out_small(sdf, min_factor: int = 2):
     Arrow UDF or an md5 pipeline would run serially). Above the gate the
     scan's own splits already parallelize and no shuffle is added; below
     it the exchange is input-row-count sized and trivially cheap compared
-    to the work it unlocks."""
+    to the work it unlocks.
+
+    Fan-out WIDTH (r12): derived from input BYTES (one partition per
+    ~64 KB of the column-pruned estimate, clamped to [2, parallelism])
+    instead of a flat ``repartition($cores)`` — the flat width made the
+    downstream kernel's task count scale with the CORE count, so the
+    same small corpus ran 32 near-empty kernel tasks on local[32] and 8
+    on local[8] and measured FASTER at 8 (driver r11 scaling block:
+    hamming 0.82). A byte-derived width is identical at any core count
+    and sits at the measured optimum (width sweep at sf0.1, 32 cores:
+    8-16 partitions beat both 4 and 32 by ~10-15%). When statistics are
+    unavailable the old cores width applies; at scale the scan has many
+    splits and this function no-ops entirely."""
     par = sdf.sparkSession.sparkContext.defaultParallelism
     gate = max(par // min_factor, 2)
     # The probe must see the PHYSICAL partitioning: a file count is NOT a
@@ -109,5 +121,12 @@ def fan_out_small(sdf, min_factor: int = 2):
     # cost is bounded and the wrong-parallelism failure mode (a whole
     # md5/Arrow pipeline on 1-2 tasks) is far costlier.
     if sdf.rdd.getNumPartitions() < gate:
-        return sdf.repartition(par)
+        width = par
+        try:
+            est = int(sdf._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+            if 0 < est < (1 << 50):
+                width = max(2, min(par, -(-est // (64 * 1024))))
+        except Exception:
+            pass
+        return sdf.repartition(width)
     return sdf
